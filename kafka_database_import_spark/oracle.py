@@ -1,0 +1,116 @@
+"""DuckDB differential-testing harness (SURVEY §5.2 t2).
+
+Runs a catalog query in Spark and its ANSI-SQL oracle in DuckDB over the
+same parquet fixtures, canonicalizes both results (sort columns by name,
+sort rows, round floats, stringify) and compares value hashes — the same
+shape as the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+from dataclasses import dataclass
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_database_import_spark.sources.readers import TABLES
+
+
+def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon_value(v) -> str:
+    if v is None:
+        return "␀"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 6))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canonicalize(rows: list[tuple], colnames: list[str]) -> list[str]:
+    """Sort columns by name, stringify values, sort rows."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = ["|".join(_canon_value(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def result_hash(rows: list[tuple], colnames: list[str]) -> str:
+    h = hashlib.sha256()
+    for line in canonicalize(rows, colnames):
+        h.update(line.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@dataclass
+class DiffResult:
+    name: str
+    spark_rows: int
+    oracle_rows: int
+    spark_hash: str
+    oracle_hash: str
+    match: bool
+    sample_diff: str = ""
+
+
+def compare(
+    name: str,
+    spark_df: DataFrame,
+    oracle_sql: str,
+    con: "duckdb.DuckDBPyConnection",
+) -> DiffResult:
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = spark_df.columns
+    rel = con.sql(oracle_sql)
+    o_rows = rel.fetchall()
+    o_cols = [d[0] for d in rel.description]
+    sh = result_hash(s_rows, s_cols)
+    oh = result_hash(o_rows, o_cols)
+    diff = ""
+    if sh != oh:
+        sc = canonicalize(s_rows, s_cols)
+        oc = canonicalize(o_rows, o_cols)
+        only_s = [x for x in sc if x not in set(oc)][:3]
+        only_o = [x for x in oc if x not in set(sc)][:3]
+        diff = (
+            f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)} "
+            f"spark-only={only_s} oracle-only={only_o}"
+        )
+    return DiffResult(name, len(s_rows), len(o_rows), sh, oh, sh == oh, diff)
+
+
+def run_all(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[DiffResult]:
+    from kafka_database_import_spark.plans.registry import all_queries
+
+    con = duckdb_connection(sf_dir)
+    results = []
+    for name, q in all_queries().items():
+        if names and name not in names:
+            continue
+        if q.oracle is None:
+            continue
+        df = q.fn(spark, sf_dir)
+        results.append(compare(name, df, q.oracle, con))
+    return results

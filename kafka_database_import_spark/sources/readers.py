@@ -1,0 +1,85 @@
+"""Batch sources: Parquet / CSV / JSON readers (SURVEY §2.2 Q01–Q02).
+
+The reference's only batch source is an unfiltered MongoDB collection
+scan materialized client-side (``kafka-database-import.go:148-158``) and
+a predicate-pushdown filtered scan (``:169-170``). Spark-side, scans are
+declarative: Catalyst pushes predicates and prunes columns into the
+Parquet reader (check ``PushedFilters`` / ``ReadSchema`` in
+``.explain``), so *no* manual pushdown machinery exists here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Explicit schemas for schema-on-read sources (CSV/JSON). Parquet is
+# self-describing; these mirror FIXTURES.md §B so CSV/JSON round-trips
+# type identically to the parquet originals.
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Plain ``spark.read.parquet`` — filters and
+    projections applied downstream reach the scan via Catalyst.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read nanos as long and floor-divide to micros —
+    the same truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP,
+    so both engines see identical microsecond timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def csv_scan_with_schema(
+    spark: SparkSession, path: str, schema: T.StructType, **options
+) -> DataFrame:
+    """CSV scan with an explicit schema (Q02) — never infer on open data.
+
+    Schema inference re-reads the input; at 100 TB that is a full extra
+    pass. Explicit schemas also keep corrupt rows visible via
+    ``columnNameOfCorruptRecord`` instead of silently widening types.
+    """
+    opts = {"header": "true", "mode": "PERMISSIVE"}
+    opts.update(options)
+    return spark.read.schema(schema).options(**opts).csv(path)
+
+
+def json_scan_with_schema(
+    spark: SparkSession, path: str, schema: T.StructType, **options
+) -> DataFrame:
+    """JSON-lines scan with explicit schema (Q02). PERMISSIVE mode keeps
+    malformed rows (the reference logs-and-continues on decode errors,
+    ``kafka-database-import.go:192-197``) rather than aborting."""
+    opts = {"mode": "PERMISSIVE"}
+    opts.update(options)
+    return spark.read.schema(schema).options(**opts).json(path)

@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_SMOKE = os.environ.get("KDIS_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from kafka_database_import_spark.session import EngineConfig, get_spark
+
+    s = get_spark(EngineConfig(master="local[8]", shuffle_partitions=8))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE
