@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapters over ``kafka_database_import_spark.plans.registry``: the
+catalog registers every implemented operator from SURVEY.md §2 as a
+named ``Query`` carrying both the Spark-first implementation and (where
+SQL-expressible) the DuckDB oracle SQL. The driver runs each
+``queries()[name]`` at sf=0.01 against ``oracle_sql()[name]`` and
+records row-count + schema + order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
@@ -13,26 +14,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kafka_database_import_spark.plans.registry import all_queries
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference's own pipeline (SURVEY §7.2 —
+    broadcast semi-join → limit → envelope) on sf0.001; falls back to
+    the semi-join core if the pipeline query is not registered."""
+    catalog = all_queries()
+    for name in ("q48_reference_pipeline", "q11_join_semi"):
+        if name in catalog:
+            return catalog[name].fn(spark, _SMOKE_SF_DIR)
+    raise RuntimeError("catalog is empty — no flagship query registered")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: q.fn for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; queries without an oracle
+    (streaming/approximate/ML ops) are omitted → rows-only check."""
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}

@@ -59,14 +59,28 @@ def q01_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q02_csv_scan_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV scan with explicit schema (no inference pass — at 100 TB
-    schema inference is a full extra read). CSV materialized once from
-    the nation parquet into a local cache dir."""
-    cache = os.path.join(tempfile.gettempdir(), "kdis_csv_cache", os.path.basename(os.path.normpath(sf_dir)))
-    marker = os.path.join(cache, "_SUCCESS")
-    if not os.path.exists(marker):
-        _t(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
-            "header", "true"
-        ).csv(cache)
+    schema inference is a full extra read). The CSV twin of the nation
+    parquet is materialized lazily (the driver invokes queries without
+    test fixtures): cache keyed by a content fingerprint of the source
+    parquet (stale-proof across fixture regeneration) and published by
+    atomic rename (race-proof under parallel runs). Only the schema's
+    columns are written, so the read schema matches positionally by
+    construction."""
+    src = os.path.join(sf_dir, "nation.parquet")
+    st = os.stat(src)
+    fingerprint = f"{os.path.basename(os.path.normpath(sf_dir))}-{st.st_size}-{st.st_mtime_ns}"
+    cache = os.path.join(tempfile.gettempdir(), "kdis_csv_cache", fingerprint)
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        tmp = tempfile.mkdtemp(prefix="kdis_csv_stage_")
+        stage = os.path.join(tmp, "out")
+        _t(spark, sf_dir, "nation").select(
+            *[f.name for f in NATION_SCHEMA.fields]
+        ).coalesce(1).write.mode("overwrite").option("header", "true").csv(stage)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        try:
+            os.rename(stage, cache)
+        except OSError:
+            pass  # concurrent run won the rename; its cache is identical
     df = csv_scan_with_schema(spark, cache, NATION_SCHEMA)
     return ordered(df.select("n_nationkey", "n_name", "n_regionkey"))
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kafka_database_import_spark.functions.numeric import mround
 from kafka_database_import_spark.plans.registry import ordered, query
 from kafka_database_import_spark.sources.readers import load_table
 
@@ -98,7 +99,7 @@ def q29_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ROUND(CAST(l_extendedprice AS DECIMAL(12,2)), 1)::DOUBLE AS price_r1,
-           ROUND(ABS(l_discount - 0.05), 2) AS disc_dev,
+           FLOOR(ABS(l_discount - 0.05) * 100 + 0.5) / 100 AS disc_dev,
            CEIL(l_quantity) AS qty_ceil,
            FLOOR(l_quantity / 7) AS qty_div7,
            ROUND(POWER(l_quantity, 2), 2) AS qty_sq,
@@ -118,7 +119,7 @@ def q30_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice").cast("decimal(12,2)"), 1)
         .cast("double")
         .alias("price_r1"),
-        F.round(F.abs(F.col("l_discount") - 0.05), 2).alias("disc_dev"),
+        mround(F.abs(F.col("l_discount") - 0.05)).alias("disc_dev"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor(F.col("l_quantity") / 7).alias("qty_div7"),
         F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
@@ -132,11 +133,11 @@ def q30_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
-           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 2) AS sum_elems,
+           FLOOR(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5) / 10000 AS first_elem,
+           FLOOR(list_sum(CAST(embedding AS DOUBLE[])) * 100 + 0.5) / 100 AS sum_elems,
            len(list_filter(embedding, x -> x > 0)) AS n_pos,
-           ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                 x -> x * x))), 2) AS l2_norm
+           FLOOR(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x))) * 100 + 0.5) / 100 AS l2_norm
     FROM embeddings
     ORDER BY vec_id NULLS LAST, dim NULLS LAST, first_elem NULLS LAST,
              sum_elems NULLS LAST, n_pos NULLS LAST, l2_norm NULLS LAST
@@ -151,13 +152,13 @@ def q31_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_elem"),
-        F.round(
-            F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x), 2
-        ).alias("sum_elems"),
+        mround(F.element_at("embedding", 1).cast("double"), 4).alias("first_elem"),
+        mround(F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x)).alias(
+            "sum_elems"
+        ),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
-        F.round(
-            F.sqrt(F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x * x)), 2
+        mround(
+            F.sqrt(F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x * x))
         ).alias("l2_norm"),
     )
     return ordered(out)

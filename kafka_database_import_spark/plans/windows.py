@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_database_import_spark.functions.numeric import avg_exact
 from kafka_database_import_spark.plans.registry import ordered, query
 from kafka_database_import_spark.sources.readers import load_table
 
@@ -106,10 +107,8 @@ def q23_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round(F.sum(val_dec).over(w_run), 2).cast("double").alias("running_sum"),
-        F.round(
-            F.sum(val_dec).over(w_slide).cast("double")
-            / F.count(F.lit(1)).over(w_slide),
-            2,
+        avg_exact(
+            F.sum(val_dec).over(w_slide), F.count(F.lit(1)).over(w_slide)
         ).alias("sliding_avg"),
     )
     return ordered(out)

@@ -47,12 +47,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects; we read nanos as long and floor-divide to micros —
-    the same truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP,
-    so both engines see identical microsecond timestamps."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    the same floor DuckDB applies casting TIMESTAMP_NS→TIMESTAMP, so
+    both engines see identical microsecond timestamps. The conversion is
+    exact integer floor division (``div`` truncates toward zero, wrong
+    for pre-epoch nanos; float division loses precision above 2^53)."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        # get_spark() sets this at build time; guard for foreign sessions
+        # (the driver harness constructs its own) without re-setting per scan.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        floor_us = "(ts - ((ts % 1000) + 1000) % 1000) div 1000"
+        df = df.withColumn("ts", F.timestamp_micros(F.expr(floor_us)))
     return df
 
 

@@ -4,7 +4,9 @@ import os
 
 import pytest
 
-SF_SMOKE = os.environ.get("KDIS_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Default the differential suite to sf0.01 — the driver's real t2 scale.
+# sf0.001 stays available as a quick smoke via KDIS_TEST_SF_DIR.
+SF_SMOKE = os.environ.get("KDIS_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
