@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md §2 targets).
+
+Runs the headline catalog queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": N, "unit": "sec", "queries":
+{name: sec}, "sf": ...}``.
+
+Execution is forced with the ``noop`` sink (full plan runs — including
+projections a ``count()`` would prune — nothing is collected to the
+driver or written to disk).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Headline set: one per operator family + every BASELINE.md-targeted op.
+HEADLINE = [
+    "q16_agg_hash",            # scan+filter+agg     (target <= 10 s)
+    "q08_join_broadcast",      # broadcast join      (target <= 10 s)
+    "q09_join_shuffle",        # sort-merge join     (target <= 20 s)
+    "q25_topk_per_group",      # window top-k        (target <= 20 s)
+    "q24_sort_limit",
+    "q15_join_asof",
+    "q48_reference_pipeline",  # throughput >= 10k rec/s
+    "q45_cosine_topk",         # target <= 60 s
+    "q43_exact_dedup",
+    "q44_minhash_lsh",
+    "q46_text_stats",
+    "q40_pandas_udf",
+    "q33_stream_tumbling_window",  # streaming <= 30 s
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from kafka_database_import_spark.plans.registry import all_queries
+    from kafka_database_import_spark.session import EngineConfig, get_spark
+
+    spark = get_spark(EngineConfig())
+    catalog = all_queries()
+
+    # Warm the JVM/session (JIT, codegen caches) outside timed runs.
+    catalog["q01_parquet_scan"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = catalog.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

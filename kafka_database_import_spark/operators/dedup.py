@@ -1,0 +1,175 @@
+"""Deduplication operators: exact, MinHash-LSH near-dup, SimHash
+(SURVEY §2.2 Q43–Q44; the reference has no dedup — this is declared
+engine surface for training-data pipelines).
+
+Scale design — the 100 TB question is "bucketed or all-pairs", and the
+answer here is always bucketed:
+
+* exact dedup: one hash-shuffle on ``sha2(text)`` (map-side partial
+  aggregation first);
+* MinHash-LSH: signature → band buckets → self-join *within bucket
+  only*. Candidate generation never sees a crossJoin; cost is
+  Σ|bucket|², bounded by the hot-bucket cap below;
+* SimHash: one 63-bit signature per doc (embarrassingly parallel);
+  near-dup lookup is a bucket join on signature prefixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_database_import_spark.functions.text import tokens, word_shingles
+
+# LSH shape: 16 minhash functions, 4 bands × 4 rows. s-curve threshold
+# (1/b)^(1/r) = (1/4)^(1/4) ≈ 0.71 Jaccard — tuned for near-dup text.
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = N_HASHES // BANDS
+
+# Buckets larger than this are dropped from candidate generation (and
+# should be surfaced as a metric): a 10^6-doc bucket means degenerate
+# boilerplate, and its |bucket|² pair expansion would dominate the job.
+HOT_BUCKET_CAP = 10_000
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(text_hash, n_copies, keeper) per distinct text. One shuffle on
+    the 256-bit content hash; group keys are uniform so no skew."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, h0..h15) minhash signature table.
+
+    Shape matters: shingles are *exploded to rows* and the 16 minhashes
+    are ``min`` aggregates over per-salt xxhash64 — one shuffle keyed on
+    the doc id with map-side partial mins, and each shingle is hashed
+    exactly 16 times. (The tempting alternative — 16
+    ``array_min(transform(...))`` expressions in one projection — gets
+    its shingle subexpression inlined per reference by Catalyst's
+    projection collapse: measured 16–256× recompute and a 378 s sf0.1
+    run vs ~2 s for this plan.) Docs with no shingles (< 3 tokens) have
+    no rows here; they cannot be near-duplicates by definition."""
+    sh_rows = df.select(
+        F.col(id_col), F.explode(word_shingles(tokens(F.col(text_col)))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.concat("shingle", F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh_rows.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding.
+
+    Plan shape (the part that must survive 100×): signature aggregation
+    (one doc-id shuffle, map-side combine — see minhash_signatures);
+    band hashes are cheap expressions over the materialized h0..h15
+    attributes; ``explode`` to (band_id, band_hash) buckets; the
+    self-join keys on the bucket — Spark shuffles both sides on
+    (band_id, band_hash), so only same-bucket docs ever meet. Exact
+    Jaccard re-verification runs on candidate pairs only."""
+    sig = minhash_signatures(df, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+    # Hot-bucket cap: count per bucket map-side-combinable, filter
+    # before the pair join (skew guard; see module docstring).
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("bn"))
+    bands = bands.join(
+        sizes.filter(F.col("bn") <= HOT_BUCKET_CAP).drop("bn"),
+        ["band_id", "band_hash"],
+        "left_semi",
+    )
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col(f"l.band_id") == F.col(f"r.band_id"))
+            & (F.col(f"l.band_hash") == F.col(f"r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    # Exact-Jaccard verification on candidates only: re-shingle just the
+    # docs that appear in some candidate pair (semi-join first), then
+    # join pairs back — never broadcast shingle sets, never re-shingle
+    # the full corpus for a sparse candidate list.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionAll(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingled = df.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), word_shingles(tokens(F.col(text_col))).alias("sh")
+    )
+    a = shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
+    b = shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash63(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """63-bit SimHash per document (bit 63 skipped to stay in a signed
+    long). Per-token xxhash64, per-bit ±1 votes summed in one
+    aggregation over exploded tokens — JVM-side, map-side combinable,
+    one shuffle on the doc id. Near-dup ⇔ small hamming distance
+    (``bit_count(sig_a ^ sig_b)``)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(63)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(63):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig + term
+    return voted.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (SURVEY §2.2 Q45).
+
+Two paths, same API:
+
+* ``cosine_topk`` — exact brute force. The query set broadcasts (it is
+  small by contract); the corpus never shuffles — Spark plans a
+  BroadcastNestedLoopJoin, so cost is |corpus| × |queries| dot products
+  computed scan-local, then a per-query partial top-k
+  (WindowGroupLimit) before the single final shuffle on query_id. This
+  is the sf0.01 oracle path AND a legitimate 100 TB plan when
+  |queries| is small.
+* ``lsh_ann_topk`` — random-hyperplane LSH bucketing: corpus and
+  queries hash to sign-pattern buckets; candidates are same-bucket
+  only (shuffle keyed on bucket, never all-pairs); exact rerank within
+  bucket. The scale path when |queries| is large. Multi-probe = more
+  tables (``n_tables``), trading shuffle volume for recall.
+
+Dot products use ``F.aggregate``/``zip_with`` — JVM higher-order
+functions, no Python. A Pandas-UDF block-matmul variant would win on
+very wide vectors but adds an Arrow hop; at dim=64 the built-in fold
+is faster than the transfer.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_database_import_spark.functions.numeric import mround
+
+
+def _as_double(col) -> "F.Column":
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a) -> "F.Column":
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_scale: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, vec_id, cosine_sim).
+
+    Similarities are rounded (multiply-round, cross-engine stable) and
+    ranking orders by (rounded sim DESC, candidate id ASC) so results
+    are deterministic under the differential oracle."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+
+    sim = mround(
+        _dot(F.col("qv"), F.col("cv"))
+        / F.greatest(F.col("qn") * F.col("cn"), F.lit(1e-12)),
+        sim_scale,
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine_sim", sim)
+        .select("query_id", "cand_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cosine_sim")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic random hyperplanes (seeded PRNG — rerunnable plans,
+    no Date/random in the query path)."""
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+def _bucket_expr(vec_col, planes: list[list[float]]) -> "F.Column":
+    """Sign-pattern bucket id for one LSH table: bit i = sign(v · p_i)."""
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(_dot(vec_col, lit_plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc + F.shiftleft(bit, i)
+    return acc
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    sim_scale: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Each side emits one row per LSH table keyed by (table, bucket); the
+    join shuffles on that key, so candidate generation is bucket-local —
+    never |corpus| × |queries|. Exact cosine reranks candidates; recall
+    rises with ``n_tables`` (union of probes) at linear shuffle cost.
+
+    Tuning is data-dependent: measured on the near-random fixture
+    embeddings, (planes=4, tables=8) → recall 0.6 at ~n²/2 candidate
+    volume; (4, 16) → 0.9 at ~n². Random data is LSH's worst case —
+    neighbors are barely closer than strangers, so high recall costs
+    near-brute-force candidates. On real clustered embedding spaces the
+    same bucket count buys far better recall; raise ``n_planes`` to cut
+    candidates, raise ``n_tables`` to buy recall."""
+    tables = hyperplanes(dim, n_planes, n_tables, seed)
+
+    def bucketize(df: DataFrame, out_id: str) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        rows = df.select(
+            F.col(id_col).alias(out_id),
+            v.alias(f"{out_id}_v"),
+            _norm(v).alias(f"{out_id}_n"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            _bucket_expr(v, tables[t]).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        return rows.select(out_id, f"{out_id}_v", f"{out_id}_n", "tb.tbl", "tb.bucket")
+
+    cb = bucketize(corpus, "cand_id")
+    qb = bucketize(queries, "query_id")
+    cand = (
+        cb.join(qb, ["tbl", "bucket"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "query_id_v", "query_id_n", "cand_id", "cand_id_v", "cand_id_n")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    sim = mround(
+        _dot(F.col("query_id_v"), F.col("cand_id_v"))
+        / F.greatest(F.col("query_id_n") * F.col("cand_id_n"), F.lit(1e-12)),
+        sim_scale,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        cand.withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cosine_sim")
+    )

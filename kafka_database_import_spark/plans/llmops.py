@@ -1,1 +1,400 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline operators (SURVEY §2.2 Q43–Q47): deduplication,
+similarity search, text analysis, multimodal columns.
+
+The reference has none of these — they are the declared engine
+extension for training-data pipelines at 100 TB. Design rules applied
+throughout: bucketed candidate generation (never all-pairs), JVM-side
+expressions (no Python in hot paths), cross-engine-stable rounding
+(``functions.numeric.mround``), and every SQL-expressible op carries a
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_database_import_spark.functions.numeric import mround
+from kafka_database_import_spark.functions.text import (
+    BPE_SPLIT_RE,
+    LANG_MARKERS,
+    language_guess,
+    rolling_fingerprint,
+    stopword_hits,
+    token_count_bpe,
+    tokens,
+    word_shingles,
+)
+from kafka_database_import_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    simhash63,
+)
+from kafka_database_import_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from kafka_database_import_spark.plans.registry import ordered, query
+from kafka_database_import_spark.sources.readers import load_table
+
+
+# --------------------------------------------------------------------------
+# Q43 — deduplication, exact
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q43_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+    FROM documents
+    GROUP BY sha256(text)
+    ORDER BY text_hash NULLS LAST, n_copies NULLS LAST, keeper NULLS LAST
+    """,
+)
+def q43_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: content-hash groupBy (one uniform shuffle;
+    map-side partial agg). ``keeper = MIN(doc_id)`` is the canonical
+    survivor policy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ordered(exact_dedup_groups(docs, "doc_id", "text"))
+
+
+@query(
+    "q43b_dedup_survivors",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY sha256(text))
+    ORDER BY doc_id NULLS LAST, lang NULLS LAST
+    """,
+)
+def q43b_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: survivors semi-joined back —
+    the shape a training pipeline actually consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = exact_dedup_groups(docs, "doc_id", "text").select("keeper")
+    out = docs.join(
+        F.broadcast(keepers), docs.doc_id == keepers.keeper, "left_semi"
+    ).select("doc_id", "lang")
+    return ordered(out)
+
+
+# --------------------------------------------------------------------------
+# Q44 — near-duplicate detection
+# --------------------------------------------------------------------------
+
+
+@query("q44_minhash_lsh")  # no oracle: engine-hash-dependent; property-tested
+def q44_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (bucketed; see
+    operators/dedup.py for the 100 TB plan shape). Fixture documents are
+    unique word-soup so few/no pairs survive at default threshold —
+    recall ≥ 0.9 on planted near-dups is asserted in
+    tests/test_properties.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    return pairs.orderBy("id_a", "id_b")
+
+
+@query("q44b_simhash")  # no oracle: xxhash64 has no DuckDB twin; property-tested
+def q44b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash signatures (near-dup ⇔ small hamming distance).
+    One map-side-combinable aggregation; property-tested for the
+    similar-text ⇒ close-signature invariant."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash63(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "q44c_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 1, 1)),
+               i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
+                    string_split_regex(lower(text), '\\s+')[i+2])) AS grams
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           FLOOR(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / greatest(len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams)), 1)
+                 * 10000 + 0.5) / 10000 AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) > 0
+    ORDER BY id_a NULLS LAST, id_b NULLS LAST, jaccard NULLS LAST
+    """,
+)
+def q44c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over a bounded slice (doc_id < 40) — the
+    ground-truth twin of q44's approximate path, differentially
+    verified. The all-pairs join is bounded by construction here; at
+    scale this runs only on LSH candidates (q44)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = docs.select(
+        "doc_id", word_shingles(tokens(F.col("text"))).alias("grams")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    out = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("inter", inter)
+        .filter(F.col("inter") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            mround(F.col("inter").cast("double") / F.greatest(union, F.lit(1)), 4).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return ordered(out)
+
+
+# --------------------------------------------------------------------------
+# Q45 — similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q45_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    sims AS (
+      SELECT q.query_id, c.cand_id,
+             FLOOR(list_dot_product(q.qv, c.cv)
+                   / greatest(sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(c.cv, c.cv)), 1e-12)
+                   * 10000 + 0.5) / 10000 AS cosine_sim
+      FROM q JOIN c ON c.cand_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, cand_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, rank, cand_id, cosine_sim FROM ranked WHERE rank <= 5
+    ORDER BY query_id NULLS LAST, rank NULLS LAST, cand_id NULLS LAST,
+             cosine_sim NULLS LAST
+    """,
+)
+def q45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for queries vec_id < 10 (see
+    operators/similarity.py for why this plan is also the small-query
+    100 TB plan: broadcast queries, scan-local dot products, partial
+    top-k before one shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return ordered(out, "query_id", "rank", "cand_id", "cosine_sim")
+
+
+@query("q45b_lsh_ann")  # no oracle: approximate; recall property-tested vs q45
+def q45b_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k — the large-query-set scale path
+    (bucket join, never all-pairs). Recall vs the exact q45 is asserted
+    in tests/test_properties.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.orderBy("query_id", "rank", "cand_id")
+
+
+# --------------------------------------------------------------------------
+# Q46 — text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q46_text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars_m,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x IN ('the','and','of','to','a'))) AS n_stopwords,
+           FLOOR(length(replace(text, ' ', ''))::DOUBLE
+                 / greatest(len(string_split_regex(lower(text), '\\s+')), 1)
+                 * 100 + 0.5) / 100 AS avg_token_len,
+           list_reduce(list_prepend(0, list_transform(
+               string_split_regex(lower(text), '\\s+'), w -> len(w))),
+               (a, b) -> (a * 31 + b) % 1073741789) AS fingerprint
+    FROM documents
+    ORDER BY doc_id NULLS LAST, n_tokens NULLS LAST, n_chars_m NULLS LAST,
+             n_bpe_tokens NULLS LAST, n_stopwords NULLS LAST,
+             avg_token_len NULLS LAST, fingerprint NULLS LAST
+    """,
+)
+def q46_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: whitespace + BPE-ish token counts,
+    stopword hits, average token length, order-sensitive rolling
+    fingerprint — all single-pass scan-local expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        token_count_bpe("text").alias("n_bpe_tokens"),
+        stopword_hits(t, LANG_MARKERS["en"]).alias("n_stopwords"),
+        mround(
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.greatest(F.size(t), F.lit(1))
+        ).alias("avg_token_len"),
+        rolling_fingerprint(t).alias("fingerprint"),
+    )
+    return ordered(out)
+
+
+@query(
+    "q46b_quality_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket,
+           COUNT(*) AS n_docs,
+           FLOOR(AVG(n_chars::DOUBLE) * 100 + 0.5) / 100 AS avg_chars
+    FROM documents
+    GROUP BY lang, CAST(FLOOR(n_chars / 100) AS BIGINT)
+    ORDER BY lang NULLS LAST, len_bucket NULLS LAST, n_docs NULLS LAST,
+             avg_chars NULLS LAST
+    """,
+)
+def q46b_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality histogram: language × length-bucket with counts —
+    the filter-design view of a training corpus (width_bucket-style
+    binning; low-cardinality groupBy, map-side combinable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.groupBy(
+        "lang", F.floor(F.col("n_chars") / 100).alias("len_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        mround(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+    )
+    return ordered(out)
+
+
+def _langid_oracle_case() -> str:
+    """CASE cascade mirroring functions.text.language_guess (alphabetical
+    tiebreak via evaluation order)."""
+    hits = {
+        lang: (
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            f"x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = "\n           ".join(
+        f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
+        for lang in sorted(hits)
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+@query(
+    "q46c_language_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_langid_oracle_case()} AS guessed_lang
+    FROM documents
+    ORDER BY doc_id NULLS LAST, labeled_lang NULLS LAST, guessed_lang NULLS LAST
+    """,
+)
+def q46c_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-frequency language-ID heuristic next to the fixture label.
+    (Fixture text is synthetic shared-vocabulary word-soup, so the
+    heuristic's *accuracy* is meaningless here — the differential check
+    verifies the scoring/tiebreak logic itself.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_guess(tokens(F.col("text"))).alias("guessed_lang"),
+    )
+    return ordered(out)
+
+
+# --------------------------------------------------------------------------
+# Q47 — multimodal columns
+# --------------------------------------------------------------------------
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "q47_multimodal_columns",
+    oracle="""
+    SELECT doc_id,
+           'text' AS modality,
+           length(text) AS n_bytes,
+           sha256(text) AS content_hash,
+           source AS origin
+    FROM documents
+    ORDER BY doc_id NULLS LAST, modality NULLS LAST, n_bytes NULLS LAST,
+             content_hash NULLS LAST, origin NULLS LAST
+    """,
+)
+def q47_multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pattern: opaque ``binary`` payload + typed
+    metadata struct + content hash. Fixture payloads are UTF-8 text
+    bytes (no image/audio libs in the sandbox); the schema/partitioning
+    pattern is identical for real media. The oracle checks byte-level
+    agreement (sha256 over the exact payload bytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    meta = F.struct(
+        F.lit("text").alias("modality"),
+        F.length(payload).alias("n_bytes"),
+        F.col("source").alias("origin"),
+    )
+    out = docs.select(
+        "doc_id", payload.alias("payload"), meta.alias("meta"),
+        F.sha2(payload, 256).alias("content_hash"),
+    ).select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        "content_hash",
+        F.col("meta.origin").alias("origin"),
+    )
+    return ordered(out)
+
+
+@query("q47b_multimodal_decode")  # no oracle: Arrow-UDF path; unit-tested
+def q47b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary payloads via ``mapInPandas``
+    (Arrow batches — the real plumbing for image/audio decode at scale).
+    The decoder itself is a deterministic stand-in (mean byte value);
+    a real image decoder drops in with the same signature. Real decode
+    libs are absent in this sandbox — see ``_decode_batch``."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def _decode_batch(batches):
+        import numpy as np
+
+        for pdf in batches:
+            # STAND-IN DECODER: real image/audio decode (PIL/librosa)
+            # is unavailable in the sandbox; mean-byte is deterministic
+            # and keeps the Arrow batch shape honest.
+            out = pdf[["doc_id"]].copy()
+            out["modality"] = "text"
+            out["n_bytes"] = pdf["payload"].map(len).astype("int32")
+            out["mean_byte"] = pdf["payload"].map(
+                lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if len(b) else 0.0
+            )
+            yield out
+
+    return docs.mapInPandas(_decode_batch, schema=_FEATURE_SCHEMA).orderBy("doc_id")

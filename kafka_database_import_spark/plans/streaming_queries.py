@@ -1,1 +1,271 @@
-"""Placeholder — populated in a later milestone."""
+"""Structured Streaming surface (SURVEY §2.2 Q03, Q33–Q38).
+
+Every query here is a *real* streaming plan (readStream → transform →
+writeStream) drained with ``trigger(availableNow=True)`` over the
+file-backed events stream (no broker in the sandbox; SURVEY §5.2). The
+windowed aggregations run in complete mode so the drained memory table
+equals the batch answer — which makes them DuckDB-oracle-checkable,
+a stronger check than smoke. Watermark *semantics* (late-data drop,
+state eviction) are exercised in tests/test_streaming.py with staged
+multi-batch input, where they are observable.
+
+Scale notes: watermarks bound state for append/update modes at real
+scale; complete mode is for the bounded test drain only. Session
+windows shuffle on the session key; dedup state is evicted by
+watermark because the dedup subset includes the event-time column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_database_import_spark.functions.numeric import mround
+from kafka_database_import_spark.plans.registry import ordered, query
+from kafka_database_import_spark.sinks.kafka import envelope_json
+from kafka_database_import_spark.sources.readers import load_table
+from kafka_database_import_spark.streaming.runner import (
+    events_stream,
+    run_available_now,
+)
+
+
+@query(
+    "q03_kafka_source_shape",
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS key,
+           '{"data":' || props || ',"source":"database"}' AS value,
+           'device-data' AS topic,
+           0 AS partition,
+           event_id AS "offset"
+    FROM events
+    ORDER BY key NULLS LAST, value NULLS LAST, topic NULLS LAST,
+             partition NULLS LAST, "offset" NULLS LAST
+    """,
+)
+def q03_kafka_source_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka streaming source (Q03). The real source is
+    ``spark.readStream.format("kafka")`` + ``sinks.kafka
+    .kafka_reader_options`` (no broker/connector in the sandbox — the
+    option wiring is unit-tested). Here the same topology runs with the
+    file stream standing in for the topic, emitting the *exact* Kafka
+    wire schema: un-keyed envelope messages on partition 0, mirroring
+    what the reference produces (``kafka-database-import.go:208-210``,
+    offset = record index)."""
+    stream = events_stream(spark, sf_dir)
+    framed = stream.select(
+        F.lit(None).cast("string").alias("key"),
+        envelope_json("props").alias("value"),
+        F.lit("device-data").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+    return ordered(run_available_now(framed, "append"))
+
+
+@query(
+    "q33_stream_tumbling_window",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_us,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL '5 minutes', ts)
+    ORDER BY window_start_us NULLS LAST, n_events NULLS LAST, sum_value NULLS LAST
+    """,
+)
+def q33_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window aggregation with a 10-minute watermark.
+    Complete-mode drain ⇒ the result equals the batch answer, checked
+    against DuckDB ``time_bucket`` — real differential coverage for a
+    streaming plan. Late-data drop itself: tests/test_streaming.py."""
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = stream.groupBy(F.window("ts", "5 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        mround(F.sum("value")).alias("sum_value"),
+    )
+    out = run_available_now(agg, "complete").select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "n_events",
+        "sum_value",
+    )
+    return ordered(out)
+
+
+@query(
+    "q34_stream_sliding_window",
+    oracle="""
+    SELECT epoch_us(ws) AS window_start_us, COUNT(*) AS n_events
+    FROM (SELECT time_bucket(INTERVAL '5 minutes', ts)
+                 - u * INTERVAL '5 minutes' AS ws
+          FROM events, unnest([0, 1]) AS probe(u))
+    GROUP BY ws
+    ORDER BY window_start_us NULLS LAST, n_events NULLS LAST
+    """,
+)
+def q34_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute length, 5-minute slide): each event
+    lands in 2 windows. Oracle expands the same membership with an
+    unnest probe — closed-form cross-engine check of window assignment."""
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = stream.groupBy(F.window("ts", "10 minutes", "5 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_available_now(agg, "complete").select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"), "n_events"
+    )
+    return ordered(out)
+
+
+@query(
+    "q35_stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id NULLS LAST, session_start_us NULLS LAST, n_events NULLS LAST
+    """,
+)
+def q35_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user. Oracle reconstructs
+    sessions with gaps-and-islands SQL — differential check of the
+    sessionization semantics. State shuffles on the session key
+    (user_id); watermark bounds it in production modes."""
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = run_available_now(agg, "complete").select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        "n_events",
+    )
+    return ordered(out)
+
+
+@query(
+    "q36_stream_static_join",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE user_id IN (SELECT c_custkey FROM customer)
+    ORDER BY event_id NULLS LAST, user_id NULLS LAST, event_type NULLS LAST
+    """,
+)
+def q36_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static semi-join — the reference pipeline R4, streamed:
+    the static filter side broadcasts to every micro-batch; stateless,
+    so append mode passes rows straight through."""
+    users = load_table(spark, sf_dir, "customer").select("c_custkey")
+    stream = events_stream(spark, sf_dir)
+    joined = stream.join(
+        F.broadcast(users), stream.user_id == users.c_custkey, "left_semi"
+    ).select("event_id", "user_id", "event_type")
+    return ordered(run_available_now(joined, "append"))
+
+
+@query(
+    "q37_stream_dedup",
+    oracle="""
+    SELECT DISTINCT event_id, user_id FROM events
+    ORDER BY event_id NULLS LAST, user_id NULLS LAST
+    """,
+)
+def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the stream unioned with itself (every
+    event delivered twice — at-least-once Kafka semantics simulated)
+    must emit each event exactly once. Dedup subset includes the
+    event-time column so the 1-hour watermark can evict state — the
+    100 TB requirement (unbounded dedup state OOMs)."""
+    s1 = events_stream(spark, sf_dir)
+    s2 = events_stream(spark, sf_dir)
+    doubled = s1.select("event_id", "user_id", "ts").unionAll(
+        s2.select("event_id", "user_id", "ts")
+    )
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id", "ts"])
+        .select("event_id", "user_id")
+    )
+    return ordered(run_available_now(deduped, "append"))
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "q38_stream_stateful_counters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id NULLS LAST, n_events NULLS LAST, total_value NULLS LAST
+    """,
+)
+def q38_stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (``applyInPandasWithState``):
+    per-user running counters persisted in GroupState across
+    micro-batches — the custom-operator escape hatch for semantics the
+    built-ins can't express. Each batch emits the updated totals; the
+    final emission equals the batch aggregate (oracle). Mirrors the
+    reference's row counter (``kafka-database-import.go:215-218``) as
+    distributed per-key state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].to_numpy(dtype="float64").sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [float(np.floor(total * 100 + 0.5) / 100)],
+            }
+        )
+
+    stream = events_stream(spark, sf_dir).select("user_id", "value")
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=_STATE_SCHEMA,
+        stateStructType="n_events BIGINT, total_value DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_available_now(counted, "update")
+    # availableNow may split input into several batches, emitting a row
+    # per update; the final state per user is the max-count emission.
+    final = drained.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value")).alias("s")
+    )
+    return ordered(
+        final.select("user_id", F.col("s.n_events").alias("n_events"),
+                     F.col("s.total_value").alias("total_value"))
+    )

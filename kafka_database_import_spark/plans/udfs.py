@@ -1,1 +1,177 @@
-"""Placeholder — populated in a later milestone."""
+"""User-defined function surface (SURVEY §2.2 Q39–Q42): scalar Python
+UDF, vectorized pandas UDF, grouped-agg pandas UDF, table function via
+``mapInPandas``.
+
+The reference has no UDFs; this is declared engine surface. Posture:
+Arrow-batched pandas UDFs are the only sanctioned Python path for hot
+data (10–100× over row-at-a-time); the one row-at-a-time UDF below
+(Q39, the API must exist) is deliberately applied to a small dimension
+table and documented as the slow path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from kafka_database_import_spark.plans.registry import ordered, query
+from kafka_database_import_spark.sources.readers import load_table
+
+
+# --- Q39: scalar Python UDF (row-at-a-time — the slow path) -----------
+
+
+@F.udf(returnType=T.StringType())
+def _balance_tier(bal: float) -> str:
+    if bal is None:
+        return "unknown"
+    if bal >= 5000:
+        return "high"
+    if bal >= 0:
+        return "mid"
+    return "low"
+
+
+@query(
+    "q39_scalar_udf",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal IS NULL THEN 'unknown'
+                WHEN c_acctbal >= 5000 THEN 'high'
+                WHEN c_acctbal >= 0 THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM customer
+    ORDER BY c_custkey NULLS LAST, tier NULLS LAST
+    """,
+)
+def q39_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Python UDF (Q39). Row-at-a-time serialization — kept OFF
+    fact tables by policy; it exists because the API surface must, and
+    runs here on the small customer dimension. The same logic in
+    production belongs in ``F.when`` (Catalyst-visible, codegen'd)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return ordered(cust.select("c_custkey", _balance_tier("c_acctbal").alias("tier")))
+
+
+# --- Q40: vectorized scalar pandas UDF --------------------------------
+
+
+@pandas_udf(T.DoubleType())
+def _charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    # float64 arithmetic, identical expression order to the SQL twin
+    import numpy as np
+
+    return np.floor(price * (1.0 - disc) * (1.0 + tax) * 100 + 0.5) / 100
+
+
+@query(
+    "q40_pandas_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100
+             AS charge
+    FROM lineitem
+    ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST, charge NULLS LAST
+    """,
+)
+def q40_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF (Q40): Arrow columnar transfer, NumPy
+    float64 kernel — the sanctioned Python fast path. The multiply-round
+    is the same float64 op sequence as the oracle, so results are
+    bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+    return ordered(out)
+
+
+# --- Q41: grouped-aggregate pandas UDF --------------------------------
+
+
+@pandas_udf(T.DoubleType())
+def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+    import numpy as np
+
+    s = float((price.to_numpy(dtype="float64") * qty.to_numpy(dtype="float64")).sum())
+    w = float(qty.to_numpy(dtype="float64").sum())
+    return float(np.floor(s / w * 100 + 0.5) / 100) if w else 0.0
+
+
+@query(
+    "q41_grouped_agg_udf",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(SUM(l_extendedprice * l_quantity) / SUM(l_quantity) * 100 + 0.5) / 100
+             AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag NULLS LAST, wavg_price NULLS LAST
+    """,
+)
+def q41_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (Q41): quantity-weighted average price per
+    return flag. Whole groups arrive as Arrow batches; the kernel is
+    NumPy. (Float sums are order-sensitive in the last bits; the
+    multiply-round makes both engines agree at 2 decimals.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        _weighted_avg_price("l_extendedprice", "l_quantity").alias("wavg_price")
+    )
+    return ordered(out)
+
+
+# --- Q42: table function via mapInPandas ------------------------------
+
+_TOKEN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("token", T.StringType()),
+    ]
+)
+
+
+@query(
+    "q42_udtf_tokenize",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id,
+           CAST(unnest(range(1, len(t) + 1)) AS INTEGER) AS pos,
+           unnest(t) AS token
+    FROM toks
+    ORDER BY doc_id NULLS LAST, pos NULLS LAST, token NULLS LAST
+    """,
+)
+def q42_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-mapping table function (Q42) via ``mapInPandas``: one input
+    document row → many (doc_id, pos, token) rows. Arrow-batched; the
+    1→N fan-out shape generalizes to chunking/windowing documents for
+    training. (For pure tokenization ``explode`` is the built-in answer
+    — q42 exists to exercise the UDTF path itself.)"""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+
+    def _tokenize(batches):
+        for pdf in batches:
+            toks = pdf["text"].str.lower().str.split(r"\s+", regex=True)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].repeat(toks.map(len)),
+                    "pos": [i + 1 for t in toks for i in range(len(t))],
+                    "token": [w for t in toks for w in t],
+                }
+            )
+            out["pos"] = out["pos"].astype("int32")
+            yield out
+
+    out = docs.select("doc_id", "text").mapInPandas(_tokenize, schema=_TOKEN_SCHEMA)
+    return ordered(out)

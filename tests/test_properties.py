@@ -1,0 +1,108 @@
+"""Property tests for non-hashable operators (SURVEY §5.2): Q18 approx
+distinct ±5 %, Q44 MinHash recall on planted near-dups, SimHash
+locality, Q45b LSH-ANN recall vs exact. All inputs are deterministic
+(fixture tables + fixed perturbations; the hash family is xxhash64, so
+results are identical run-to-run)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_database_import_spark.operators import dedup
+from kafka_database_import_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    simhash63,
+)
+from kafka_database_import_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from kafka_database_import_spark.sources.readers import load_table
+
+
+def test_q18_approx_distinct_within_5pct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 0.05 * row.exact, (row.exact, row.approx)
+
+
+def _planted(spark, sf_dir, n=20):
+    """n fixture docs + near-dup copies (last two words dropped,
+    id offset +100000)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < n)
+    toks = F.split(F.col("text"), r"\s+")
+    perturbed = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionAll(perturbed)
+
+
+def test_q44_minhash_recall_on_planted_dups(spark, sf_dir):
+    n = 20
+    corpus = _planted(spark, sf_dir, n)
+    pairs = minhash_candidate_pairs(corpus, "doc_id", "text", jaccard_threshold=0.5)
+    found = {
+        (r.id_a, r.id_b) for r in pairs.collect()
+    }
+    planted = {(i, i + 100000) for i in range(n)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"recall={recall} found={sorted(found)[:10]}"
+
+
+def test_q44_minhash_no_false_pairs_on_unique_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", jaccard_threshold=0.9)
+    # unique word-soup fixtures: nothing should be ≥0.9-Jaccard similar
+    assert pairs.count() == 0
+
+
+def test_q44_hot_bucket_cap_drops_degenerate_buckets(spark, sf_dir, monkeypatch):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 8)
+    # 8 identical texts -> one degenerate bucket per band
+    same = docs.select("doc_id", F.lit("a b c d e f g h i j").alias("text"))
+    assert minhash_candidate_pairs(same, "doc_id", "text").count() == 8 * 7 / 2
+    monkeypatch.setattr(dedup, "HOT_BUCKET_CAP", 5)
+    assert minhash_candidate_pairs(same, "doc_id", "text").count() == 0
+
+
+def test_q44b_simhash_locality(spark, sf_dir):
+    corpus = _planted(spark, sf_dir, 20)
+    sigs = {r.doc_id: r.simhash for r in simhash63(corpus, "doc_id", "text").collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    planted = [hamming(sigs[i], sigs[i + 100000]) for i in range(20) if i + 100000 in sigs]
+    unrelated = [hamming(sigs[i], sigs[j]) for i in range(10) for j in range(10, 20)]
+    avg_planted = sum(planted) / len(planted)
+    avg_unrelated = sum(unrelated) / len(unrelated)
+    # near-dups must be markedly closer in hamming space than unrelated docs
+    assert avg_planted < 10 < avg_unrelated, (avg_planted, avg_unrelated)
+
+
+def test_q45b_lsh_ann_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = lsh_ann_topk(emb, queries, k=5)
+    truth = {(r.query_id, r.cand_id) for r in exact.collect()}
+    got = {(r.query_id, r.cand_id) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    # 4 tables × 6 hyperplanes on 64-dim data: recall well above chance;
+    # threshold pinned below the measured value with margin
+    assert recall >= 0.5, f"recall={recall}"
+
+
+def test_q45_exact_topk_is_symmetric_sane(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        sims = [r.cosine_sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True), f"q{qid} not sorted: {sims}"
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)

