@@ -1,0 +1,183 @@
+"""Coverage extensions beyond the round-1 catalog: right outer join,
+CUBE / GROUPING SETS (completing Q19's family), embedding-space
+near-dup detection, and corpus quality filtering (completing the
+Q43–Q46 dedup/quality story).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_database_import_spark.functions.numeric import dround, money, mround
+from kafka_database_import_spark.operators.similarity import _as_double, _dot, _norm
+from kafka_database_import_spark.plans.registry import ordered, query
+from kafka_database_import_spark.sources.readers import load_table
+
+
+@query(
+    "q10c_join_right_outer",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, c_custkey, c_mktsegment
+    FROM (SELECT * FROM orders WHERE o_totalprice > 250000) o
+    RIGHT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o_orderkey NULLS LAST, o_orderstatus NULLS LAST,
+             c_custkey NULLS LAST, c_mktsegment NULLS LAST
+    """,
+)
+def q10c_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every customer, with their very-large orders
+    where present (NULL order side for most). Build side = the filtered
+    orders, preserved side = customer."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    cust = load_table(spark, sf_dir, "customer")
+    out = orders.join(cust, orders.o_custkey == cust.c_custkey, "right").select(
+        "o_orderkey", "o_orderstatus", "c_custkey", "c_mktsegment"
+    )
+    return ordered(out)
+
+
+@query(
+    "q19b_agg_cube",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus,
+           GROUPING(c_mktsegment) AS g_seg, GROUPING(o_orderstatus) AS g_status,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)::DOUBLE AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    ORDER BY c_mktsegment NULLS LAST, o_orderstatus NULLS LAST, g_seg NULLS LAST,
+             g_status NULLS LAST, n_orders NULLS LAST, total_price NULLS LAST
+    """,
+)
+def q19b_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (segment, status): all 4 grouping combinations in one
+    pass — Spark expands grouping sets before the single hash
+    aggregation, so the cost is one shuffle of the expanded rows, not
+    4 scans. Exact-decimal sums keep the distributed total
+    order-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    out = joined.cube("c_mktsegment", "o_orderstatus").agg(
+        F.grouping("c_mktsegment").cast("long").alias("g_seg"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dround(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias("total_price"),
+    )
+    return ordered(
+        out.select(
+            "c_mktsegment", "o_orderstatus", "g_seg", "g_status", "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "q19c_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2)::DOUBLE AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST,
+             n_items NULLS LAST, sum_qty NULLS LAST
+    """,
+)
+def q19c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube) through the
+    engine's SQL surface — the catalog is DataFrame-first, but
+    ``spark.sql`` over registered views is equally part of the engine
+    contract."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    out = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+    return ordered(out)
+
+
+@query(
+    "q44d_embedding_neardup",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 100)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           FLOOR(list_dot_product(a.e, b.e)
+                 / greatest(sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e)), 1e-12)
+                 * 10000 + 0.5) / 10000 AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / greatest(sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e)), 1e-12) >= 0.2
+    ORDER BY id_a NULLS LAST, id_b NULLS LAST, cosine_sim NULLS LAST
+    """,
+)
+def q44d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a bounded slice (vec_id <
+    100): the exact ground-truth twin of the LSH-bucketed scale path
+    (operators/similarity.lsh_ann_topk — at 100 TB candidates come from
+    sign-pattern buckets, never this all-pairs form). Threshold 0.2 on
+    the raw similarity; output similarity multiply-rounded for the
+    differential hash."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = emb.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("e"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    raw = _dot(F.col("ea"), F.col("eb")) / F.greatest(
+        _norm(F.col("ea")) * _norm(F.col("eb")), F.lit(1e-12)
+    )
+    out = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("raw_sim", raw)
+        .filter(F.col("raw_sim") >= 0.2)
+        .select("id_a", "id_b", mround(F.col("raw_sim"), 4).alias("cosine_sim"))
+    )
+    return ordered(out)
+
+
+@query(
+    "q46d_quality_filter",
+    oracle="""
+    SELECT doc_id,
+           FLOOR((least(len(string_split_regex(lower(text), '\\s+'))::DOUBLE / 60, 1.0)
+                  * 0.5
+                  + least(n_chars::DOUBLE / 300, 1.0) * 0.5) * 10000 + 0.5) / 10000
+             AS quality,
+           CASE WHEN (least(len(string_split_regex(lower(text), '\\s+'))::DOUBLE / 60, 1.0)
+                      * 0.5
+                      + least(n_chars::DOUBLE / 300, 1.0) * 0.5) >= 0.5
+                THEN 1 ELSE 0 END AS keep
+    FROM documents
+    ORDER BY doc_id NULLS LAST, quality NULLS LAST, keep NULLS LAST
+    """,
+)
+def q46d_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality scoring + keep/drop decision — the filter stage of
+    a training-data pipeline: score = saturating blend of token count
+    and length, thresholded. (Real pipelines add model-based signals;
+    the Spark shape — scan-local score, pushdown-able keep flag — is
+    the same.) Decision computed on the raw score, only the reported
+    score is rounded."""
+    from kafka_database_import_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    raw = (
+        F.least(F.size(t).cast("double") / 60, F.lit(1.0)) * 0.5
+        + F.least(F.col("n_chars").cast("double") / 300, F.lit(1.0)) * 0.5
+    )
+    out = docs.select(
+        "doc_id",
+        mround(raw, 4).alias("quality"),
+        F.when(raw >= 0.5, 1).otherwise(0).alias("keep"),
+    )
+    return ordered(out)

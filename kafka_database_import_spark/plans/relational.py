@@ -282,15 +282,20 @@ def q11_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_custkey IS NOT NULL AND o_totalprice > 150000)
     ORDER BY c_custkey NULLS LAST, c_name NULLS LAST
     """,
 )
 def q12_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join: customers with no orders."""
+    """Left anti join: customers with no high-value (>150k) orders.
+    (The unqualified "no orders at all" variant returns zero rows at
+    every fixture SF — a vacuous hash match; the price predicate keeps
+    both survivor and eliminated sets non-empty so the differential
+    check discriminates.)"""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    out = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    out = cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
     return ordered(out)

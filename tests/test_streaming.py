@@ -19,8 +19,24 @@ SCHEMA = T.StructType(
 )
 
 
-def _write_batch(spark, path, rows):
-    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(path)
+def _write_batch(spark, path, rows, mtime=None):
+    """Materialize rows as a single *leaf* parquet file at ``path`` —
+    the file stream source lists leaf files under its input dir; nested
+    ``dir/part-*.parquet`` layouts are not reliably discovered. The
+    source picks files up oldest-mtime-first, so tests that depend on
+    batch order pin ``mtime`` explicitly."""
+    import glob
+    import shutil
+
+    scratch = tempfile.mkdtemp(prefix="kdis_wb_")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(
+        scratch
+    )
+    part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(scratch, ignore_errors=True)
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
 
 
 def _drain(sdf, mode):
@@ -37,46 +53,63 @@ def _drain(sdf, mode):
     return sdf.sparkSession.table(name), q
 
 
-def test_watermark_drops_late_rows(spark):
-    """File 1 advances event time to 10:30; file 2 delivers a 09:00
-    straggler — older than (max_event_time − 10 min watermark), so the
-    09:00 window must never appear. maxFilesPerTrigger=1 forces the two
-    files into separate micro-batches (watermark only advances between
-    batches)."""
+def test_watermark_drops_late_rows_across_restart(spark):
+    """Run 1 advances the watermark to 10:20 (max event 10:30 − 10 min)
+    and commits it to the checkpoint. Run 2 — same checkpoint, i.e. a
+    restart — delivers a 09:00 straggler, which the restored watermark
+    must drop from the stateful dedup's input. (Within a single
+    ``availableNow`` run Spark 4.1 applies the query-start watermark to
+    every drained batch, so the drop is only observable across runs —
+    which is also the realistic at-least-once-redelivery scenario.)"""
     import datetime as dt
 
     base = dt.datetime(2024, 1, 1, 10, 0)
     src = tempfile.mkdtemp(prefix="kdis_wm_src_")
+    ckpt = tempfile.mkdtemp(prefix="kdis_wm_ckpt_")
+    got: list[tuple[str, int]] = []
+
+    def sink(batch_df, epoch_id):
+        got.extend((r["ts"].strftime("%H:%M"), r["v"]) for r in batch_df.collect())
+
+    def run():
+        sdf = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicates(["v", "ts"])
+        )
+        q = (
+            sdf.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
     _write_batch(
         spark,
         os.path.join(src, "f1.parquet"),
         [(base + dt.timedelta(minutes=m), 1) for m in (0, 5, 20, 30)],
     )
+    run()
     _write_batch(
         spark,
         os.path.join(src, "f2.parquet"),
         [(dt.datetime(2024, 1, 1, 9, 0), 99), (base + dt.timedelta(minutes=35), 1)],
     )
+    q2 = run()
 
-    sdf = (
-        spark.readStream.schema(SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "5 minutes"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    table, q = _drain(sdf, "update")
-    starts = {r["window"].start.strftime("%H:%M") for r in table.collect()}
-    assert "09:00" not in starts, f"late row leaked into {starts}"
-    assert "10:00" in starts and "10:30" in starts
-    # the engine itself must report the drop
+    times = {t for t, _ in got}
+    assert "09:00" not in times, f"late row leaked into {sorted(got)}"
+    assert {"10:00", "10:05", "10:20", "10:30", "10:35"} <= times
     dropped = sum(
         op.get("numRowsDroppedByWatermark", 0)
-        for p in q.recentProgress
+        for p in q2.recentProgress
         for op in p.get("stateOperators", [])
     )
-    assert dropped >= 1
+    assert dropped >= 1  # the engine itself reported the drop
 
 
 def test_multi_batch_equals_single_batch(spark):
