@@ -322,14 +322,6 @@ def q46c_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q47 — multimodal columns
 # --------------------------------------------------------------------------
 
-_FEATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("modality", T.StringType()),
-        T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("mean_byte", T.DoubleType()),
-    ]
-)
 
 
 @query(
@@ -374,27 +366,12 @@ def q47_multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q47b_multimodal_decode")  # no oracle: Arrow-UDF path; unit-tested
 def q47b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary payloads via ``mapInPandas``
-    (Arrow batches — the real plumbing for image/audio decode at scale).
-    The decoder itself is a deterministic stand-in (mean byte value);
-    a real image decoder drops in with the same signature. Real decode
-    libs are absent in this sandbox — see ``_decode_batch``."""
+    (Arrow batches — the real plumbing for image/audio decode at scale;
+    see multimodal/decode.py for the extractor registry and how codec
+    dependencies degrade in this sandbox)."""
+    from kafka_database_import_spark.multimodal.decode import extract_text_features
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-
-    def _decode_batch(batches):
-        import numpy as np
-
-        for pdf in batches:
-            # STAND-IN DECODER: real image/audio decode (PIL/librosa)
-            # is unavailable in the sandbox; mean-byte is deterministic
-            # and keeps the Arrow batch shape honest.
-            out = pdf[["doc_id"]].copy()
-            out["modality"] = "text"
-            out["n_bytes"] = pdf["payload"].map(len).astype("int32")
-            out["mean_byte"] = pdf["payload"].map(
-                lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if len(b) else 0.0
-            )
-            yield out
-
-    return docs.mapInPandas(_decode_batch, schema=_FEATURE_SCHEMA).orderBy("doc_id")
+    return extract_text_features(docs).orderBy("doc_id")
