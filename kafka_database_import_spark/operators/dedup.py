@@ -33,6 +33,19 @@ ROWS_PER_BAND = N_HASHES // BANDS
 HOT_BUCKET_CAP = 10_000
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row work (shingling, hashing) runs at the
+    cluster's parallelism. Scan parallelism follows input splits; a
+    small file is one split, serializing all downstream codegen work
+    onto one core (measured 9× on the sf0.1 fixture). At real scale the
+    split count exceeds the default parallelism and this is a no-op —
+    no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(text_hash, n_copies, keeper) per distinct text. One shuffle on
     the 256-bit content hash; group keys are uniform so no skew."""
@@ -58,7 +71,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     projection collapse: measured 16–256× recompute and a 378 s sf0.1
     run vs ~2 s for this plan.) Docs with no shingles (< 3 tokens) have
     no rows here; they cannot be near-duplicates by definition."""
-    sh_rows = df.select(
+    sh_rows = _fan_out(df).select(
         F.col(id_col), F.explode(word_shingles(tokens(F.col(text_col)))).alias("shingle")
     )
     aggs = [
@@ -131,7 +144,7 @@ def minhash_candidate_pairs(
         .unionAll(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    shingled = df.join(cand_ids, id_col, "left_semi").select(
+    shingled = _fan_out(df.join(cand_ids, id_col, "left_semi")).select(
         F.col(id_col), word_shingles(tokens(F.col(text_col))).alias("sh")
     )
     a = shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
@@ -156,7 +169,7 @@ def simhash63(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     aggregation over exploded tokens — JVM-side, map-side combinable,
     one shuffle on the doc id. Near-dup ⇔ small hamming distance
     (``bit_count(sig_a ^ sig_b)``)."""
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = _fan_out(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     h = F.xxhash64("tok")
     votes = [
         F.sum(

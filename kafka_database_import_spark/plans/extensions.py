@@ -105,6 +105,31 @@ def q19c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q07b_inlist_guard",
+    oracle="""
+    SELECT event_id, user_id
+    FROM events
+    WHERE user_id IN (SELECT u FROM unnest(range(1, 1201)) AS t(u))
+    ORDER BY event_id NULLS LAST, user_id NULLS LAST
+    """,
+)
+def q07b_inlist_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 1200-literal IN-list through the guard
+    (operators/inlist.filter_by_inlist): above the literal limit the
+    filter becomes a broadcast left-semi join — O(1) plan size instead
+    of a 1200-node expression tree. The reference ships its whole
+    filter table as one ``$in`` array (kafka-database-import.go:169-170);
+    this is the piece that keeps that pattern alive at scale."""
+    from kafka_database_import_spark.operators.inlist import filter_by_inlist
+
+    ev = load_table(spark, sf_dir, "events")
+    out = filter_by_inlist(ev, "user_id", list(range(1, 1201))).select(
+        "event_id", "user_id"
+    )
+    return ordered(out)
+
+
+@query(
     "q44d_embedding_neardup",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
