@@ -23,7 +23,6 @@ is faster than the transfer.
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import DataFrame, Window

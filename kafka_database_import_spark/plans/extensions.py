@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_database_import_spark.functions.numeric import dround, money, mround
+from kafka_database_import_spark.functions.numeric import dround, mround
 from kafka_database_import_spark.operators.similarity import _as_double, _dot, _norm
 from kafka_database_import_spark.plans.registry import ordered, query
 from kafka_database_import_spark.sources.readers import load_table

@@ -17,7 +17,6 @@ from pyspark.sql import types as T
 
 from kafka_database_import_spark.functions.numeric import mround
 from kafka_database_import_spark.functions.text import (
-    BPE_SPLIT_RE,
     LANG_MARKERS,
     language_guess,
     rolling_fingerprint,
