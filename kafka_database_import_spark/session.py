@@ -16,6 +16,7 @@ session tuned for scale:
 from __future__ import annotations
 
 import os
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -76,6 +77,12 @@ def get_spark(config: EngineConfig | None = None) -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", cfg.max_partition_bytes)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # keep managed tables (bucketed-join tests, scratch marts) out
+        # of the repo working dir — default warehouse is $PWD/spark-warehouse
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "kdis_warehouse"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

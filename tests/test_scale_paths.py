@@ -1,0 +1,88 @@
+"""Scale-technique demonstrations the fixture sizes can't motivate but
+whose plan shapes must be right (the brief's checklist: salting for
+skew, bucketing for co-located joins, partition pruning). Each test
+asserts the *physical plan property* that matters at 100 TB, plus
+result equivalence with the naive formulation."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_database_import_spark.operators.skew import salted_join
+from kafka_database_import_spark.sources.readers import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must be a pure physical rewrite: same rows out."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = ev.join(cust, ev.user_id == cust.c_custkey, "inner").drop("c_custkey")
+    salted = salted_join(ev, cust, "user_id", "c_custkey", n_salts=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_semi_equals_plain_semi(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    plain = ev.join(cust, ev.user_id == cust.c_custkey, "left_semi")
+    salted = salted_join(ev, cust, "user_id", "c_custkey", n_salts=8, how="left_semi")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_rejects_outer():
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        salted_join(None, None, "a", "b", how="left")
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Both sides bucketed on the join key → sort-merge join with NO
+    Exchange above either scan: the co-location survives restarts and
+    is the 100 TB answer to repeated fact-fact joins on one key."""
+    suffix = uuid.uuid4().hex[:8]
+    ev_t, cust_t = f"ev_b_{suffix}", f"cust_b_{suffix}"
+    load_table(spark, sf_dir, "events").select("event_id", "user_id").write.bucketBy(
+        8, "user_id"
+    ).sortBy("user_id").mode("overwrite").saveAsTable(ev_t)
+    load_table(spark, sf_dir, "customer").select("c_custkey").write.bucketBy(
+        8, "c_custkey"
+    ).sortBy("c_custkey").mode("overwrite").saveAsTable(cust_t)
+    try:
+        # disable auto-broadcast so the join exercises the bucketed path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ev, cust = spark.table(ev_t), spark.table(cust_t)
+        joined = ev.join(cust, ev.user_id == cust.c_custkey)
+        joined.count()
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "32m")
+        spark.sql(f"DROP TABLE IF EXISTS {ev_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {cust_t}")
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir):
+    """Writing partitioned by a derived date column and filtering on it
+    must prune at the file-listing level (PartitionFilters in the scan,
+    not a post-scan Filter over all partitions)."""
+    out = os.path.join(tempfile.mkdtemp(prefix="kdis_part_"), "events_by_type")
+    load_table(spark, sf_dir, "events").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    # pruned read returns exactly the partition's rows
+    expected = (
+        load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click").count()
+    )
+    assert df.count() == expected
