@@ -192,6 +192,43 @@ def q45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered(out, "query_id", "rank", "cand_id", "cosine_sim")
 
 
+@query(
+    "q45c_cosine_topk_blocked",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    sims AS (
+      SELECT q.query_id, c.cand_id,
+             FLOOR(list_dot_product(q.qv, c.cv)
+                   / greatest(sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(c.cv, c.cv)), 1e-12)
+                   * 10000 + 0.5) / 10000 AS cosine_sim
+      FROM q JOIN c ON c.cand_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, cand_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, rank, cand_id, cosine_sim FROM ranked WHERE rank <= 5
+    ORDER BY query_id NULLS LAST, rank NULLS LAST, cand_id NULLS LAST,
+             cosine_sim NULLS LAST
+    """,
+)
+def q45c_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 via per-partition BLAS matmul — same answer
+    and oracle as q45, different physical strategy (see
+    operators/similarity.cosine_topk_blocked for the crossover
+    rationale: Arrow+matmul wins as dim × |queries| grows)."""
+    from kafka_database_import_spark.operators.similarity import cosine_topk_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_blocked(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return ordered(out, "query_id", "rank", "cand_id", "cosine_sim")
+
+
 @query("q45b_lsh_ann")  # no oracle: approximate; recall property-tested vs q45
 def q45b_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k — the large-query-set scale path
