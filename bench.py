@@ -74,17 +74,18 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # BASELINE.md throughput target for the reference pipeline (>=10k rec/s)
+    if "q48_reference_pipeline" in timings and timings["q48_reference_pipeline"] > 0:
+        n48 = catalog["q48_reference_pipeline"].fn(spark, sf_dir).count()
+        result["q48_rec_per_s"] = round(n48 / timings["q48_reference_pipeline"])
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

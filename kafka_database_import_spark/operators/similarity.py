@@ -160,6 +160,99 @@ def cosine_topk_blocked(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sim_scale: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted file) coarse
+    quantization: k-means centroids partition the corpus into
+    ``n_lists`` cells; each query probes its ``n_probe`` nearest cells
+    and reranks exactly within them.
+
+    Scale shape: centroid training samples the corpus (here: full
+    fixture; at 100 TB a 1 % sample); assignment is one scan-local pass
+    (broadcast centroids); the probe join shuffles on ``cell`` — the
+    same bucket-join discipline as the LSH path, with data-adaptive
+    buckets (better recall on clustered embeddings, at the cost of a
+    training pass). Deterministic for a fixed seed."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dv = corpus.select(
+        F.col(id_col), array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(dv)
+    centroids = [c.tolist() for c in model.clusterCenters()]
+
+    def cell_exprs(v):
+        """Distance to each centroid, JVM-side (broadcast literals)."""
+        dists = []
+        for c in centroids:
+            lit_c = F.array(*[F.lit(x) for x in c])
+            d = F.aggregate(
+                F.zip_with(v, lit_c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dists.append(d)
+        return dists
+
+    c_assigned = model.transform(dv).select(
+        F.col(id_col).alias("cand_id"),
+        vector_to_array("features").alias("cv"),
+        F.col("prediction").alias("cell"),
+    ).withColumn("cn", _norm(F.col("cv")))
+
+    # queries probe their n_probe nearest cells: rank centroid
+    # distances and explode to (query, cell) rows
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    dist_arr = F.array(*cell_exprs(F.col("qv")))
+    probe = qv.withColumn(
+        "cells",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        dist_arr,
+                        lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                    )
+                ),
+                lambda s: s["cell"],
+            ),
+            1,
+            n_probe,
+        ),
+    ).select("query_id", "qv", "qn", F.explode("cells").alias("cell"))
+
+    sim = mround(
+        _dot(F.col("qv"), F.col("cv"))
+        / F.greatest(F.col("qn") * F.col("cn"), F.lit(1e-12)),
+        sim_scale,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        probe.join(c_assigned, "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cosine_sim")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> list[list[list[float]]]:
     """Deterministic random hyperplanes (seeded PRNG — rerunnable plans,
     no Date/random in the query path)."""
