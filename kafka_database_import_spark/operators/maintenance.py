@@ -1,0 +1,63 @@
+"""Table maintenance: small-file compaction.
+
+Streaming sinks and fine-grained partitioned writes accumulate small
+files; at 100 TB the file count — not the byte count — becomes the
+bottleneck (driver-side listing, task-per-file scheduling, NameNode/
+object-store metadata pressure). Compaction rewrites a directory to
+~target-sized files and atomically swaps it in.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Rewrite the parquet directory at ``path`` into ≈``target_file_
+    bytes`` files. Returns {files_before, files_after, bytes}.
+
+    Mechanics: size the output by actual on-disk bytes (not row count —
+    compression ratios vary wildly across columns), write to a sibling
+    staging dir, then swap via rename — readers never observe a
+    half-compacted table. No-op below ``min_files``. The local
+    filesystem swap models the cloud path (write new prefix + flip a
+    manifest/pointer); object stores have no atomic dir rename."""
+
+    def _list(p):
+        out = []
+        for root, _, files in os.walk(p):
+            out.extend(
+                os.path.join(root, f) for f in files if f.endswith(".parquet")
+            )
+        return out
+
+    before = _list(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    if len(before) < min_files:
+        return {"files_before": len(before), "files_after": len(before), "bytes": total_bytes}
+
+    n_out = max(1, round(total_bytes / target_file_bytes))
+    staging = path.rstrip("/") + ".__compact_tmp__"
+    shutil.rmtree(staging, ignore_errors=True)
+    # coalesce, not repartition: compaction must not shuffle — each
+    # output task concatenates input splits
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(staging)
+
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": len(before),
+        "files_after": len(_list(path)),
+        "bytes": total_bytes,
+    }

@@ -1,0 +1,167 @@
+"""Analytical surface beyond the SURVEY §2 minimum: pivot, subquery
+forms, exact percentiles, and TPC-H-shaped multi-join aggregations —
+the queries a user of a general engine writes on day two. All
+oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_database_import_spark.functions.numeric import dround, money
+from kafka_database_import_spark.plans.registry import ordered, query
+from kafka_database_import_spark.sources.readers import load_table
+
+
+@query(
+    "q51_pivot",
+    oracle="""
+    SELECT n_name,
+           COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                        THEN CAST(c_acctbal AS DECIMAL(12,2)) END), 0)::DOUBLE
+             AS automobile,
+           COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                        THEN CAST(c_acctbal AS DECIMAL(12,2)) END), 0)::DOUBLE
+             AS building,
+           COALESCE(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+                        THEN CAST(c_acctbal AS DECIMAL(12,2)) END), 0)::DOUBLE
+             AS machinery
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name NULLS LAST, automobile NULLS LAST, building NULLS LAST,
+             machinery NULLS LAST
+    """,
+)
+def q51_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): segment balances per nation. The pivot
+    values are declared explicitly — an undeclared pivot needs an extra
+    distinct-values job before planning, a full scan you never want at
+    100 TB."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    segs = ["AUTOMOBILE", "BUILDING", "MACHINERY"]
+    out = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .agg(F.sum(money("c_acctbal")))
+    )
+    cols = [F.col("n_name")] + [
+        F.coalesce(F.col(s), F.lit(0)).cast("double").alias(s.lower()) for s in segs
+    ]
+    return ordered(out.select(*cols))
+
+
+@query(
+    "q52_subqueries",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    ORDER BY c_custkey NULLS LAST, c_acctbal NULLS LAST
+    """,
+)
+def q52_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated-EXISTS subqueries through the SQL surface.
+    Catalyst rewrites the scalar subquery to a broadcast and the EXISTS
+    to a left-semi join — the same physical shapes as the DataFrame
+    catalog entries, arrived at from SQL."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    out = spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer_v c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_v)
+          AND EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        """
+    )
+    return ordered(out)
+
+
+@query(
+    "q53_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(quantile_cont(CAST(l_quantity AS DECIMAL(12,2)), 0.5)
+                 AS DECIMAL(18,6)), 2)::DOUBLE AS median_qty,
+           ROUND(CAST(quantile_cont(CAST(l_quantity AS DECIMAL(12,2)), 0.95)
+                 AS DECIMAL(18,6)), 2)::DOUBLE AS p95_qty,
+           quantile_disc(CAST(l_quantity AS DECIMAL(12,2)), 0.5)::DOUBLE
+             AS median_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag NULLS LAST, median_qty NULLS LAST, p95_qty NULLS LAST,
+             median_disc NULLS LAST
+    """,
+)
+def q53_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous + discrete) per group. Exact
+    percentile requires a per-group sort — at 100 TB prefer
+    ``approx_percentile`` (mergeable sketch, one pass); the exact form
+    is the oracle-checkable ground truth. Quantities are exact 2dp
+    decimals so interpolation happens on exact values in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = money("l_quantity")
+    out = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(qty, F.lit(0.5)).cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("median_qty"),
+        F.round(F.percentile(qty, F.lit(0.95)).cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("p95_qty"),
+        F.median(qty).cast("double").alias("median_disc"),
+    )
+    return ordered(out)
+
+
+@query(
+    "q54_tpch_shape",
+    oracle="""
+    SELECT n_name,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)::DOUBLE
+             AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY n_name
+    HAVING COUNT(DISTINCT o_orderkey) > 5
+    ORDER BY n_name NULLS LAST, n_orders NULLS LAST, revenue NULLS LAST
+    """,
+)
+def q54_tpch_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact → fact → three broadcast dims,
+    filtered on the smallest dim, grouped + HAVING. The plan to want at
+    100 TB: region/nation/customer broadcast, lineitem⋈orders as the
+    one big join, partial aggregation before the group shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dround(
+                F.sum(money("l_extendedprice") * (1 - money("l_discount")))
+            ).alias("revenue"),
+        )
+        .filter(F.col("n_orders") > 5)
+    )
+    return ordered(out)
