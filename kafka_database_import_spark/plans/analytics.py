@@ -120,6 +120,45 @@ def q53_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q55_resample_locf",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS slot,
+             COUNT(*) AS n, FLOOR(SUM(value) * 100 + 0.5) / 100 AS v
+      FROM events GROUP BY user_id, time_bucket(INTERVAL '15 minutes', ts)),
+    bounds AS (SELECT user_id, MIN(slot) AS lo, MAX(slot) AS hi
+               FROM agg GROUP BY user_id),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS slot
+             FROM bounds)
+    SELECT g.user_id, epoch_us(g.slot) AS slot_us,
+           COALESCE(a.n, 0) AS n_events,
+           last_value(a.v IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.slot
+                   ROWS UNBOUNDED PRECEDING) AS filled_sum
+    FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.slot = a.slot
+    ORDER BY g.user_id NULLS LAST, slot_us NULLS LAST, n_events NULLS LAST,
+             filled_sum NULLS LAST
+    """,
+)
+def q55_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 15-minute resample of the event stream with gap-fill
+    and LOCF (operators/timeseries.resample_locf) — the hypertable
+    rollup pattern as pure DataFrame composition."""
+    from kafka_database_import_spark.operators.timeseries import resample_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_locf(ev, "user_id", "ts", "value", interval_sec=900)
+    out = out.select(
+        "user_id",
+        F.unix_micros("slot").alias("slot_us"),
+        "n_events",
+        "filled_sum",
+    )
+    return ordered(out)
+
+
+@query(
     "q54_tpch_shape",
     oracle="""
     SELECT n_name,
