@@ -120,6 +120,61 @@ def q53_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q56_unpivot",
+    oracle="""
+    SELECT p_partkey, metric,
+           ROUND(CAST(val AS DECIMAL(12,2)), 2)::DOUBLE AS val
+    FROM (
+      SELECT p_partkey, 'retail_price' AS metric, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'size_units' AS metric, CAST(p_size AS DOUBLE) FROM part
+    )
+    ORDER BY p_partkey NULLS LAST, metric NULLS LAST, val NULLS LAST
+    """,
+)
+def q56_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of q51): wide part attributes to long
+    (key, metric, value) form via ``unpivot`` — scan-local 1→N row
+    expansion, no shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retail_price"),
+        F.col("p_size").cast("double").alias("size_units"),
+    )
+    out = wide.unpivot(
+        "p_partkey", ["retail_price", "size_units"], "metric", "raw_val"
+    ).select(
+        "p_partkey", "metric", dround(F.col("raw_val").cast("decimal(12,2)")).alias("val")
+    )
+    return ordered(out)
+
+
+@query(
+    "q57_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey NULLS LAST, nations NULLS LAST, n_nations NULLS LAST
+    """,
+)
+def q57_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg). ``collect_list`` order is
+    nondeterministic under parallelism — ``array_sort`` before the join
+    is what makes the result stable and cross-engine comparable (the
+    same discipline as any order-sensitive distributed aggregation)."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+    return ordered(out)
+
+
+@query(
     "q55_resample_locf",
     oracle="""
     WITH agg AS (
