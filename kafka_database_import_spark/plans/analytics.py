@@ -213,6 +213,24 @@ def q55_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered(out)
 
 
+@query("q53b_approx_percentiles")  # no oracle: sketch; error-bound property-tested
+def q53b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the mergeable KLL-style sketch
+    (``approx_percentile``) — the 100 TB path: one pass, map-side
+    partial sketches, no per-group sort. q53 is its exact ground truth;
+    tests/test_properties.py bounds the error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000))
+        .cast("double")
+        .alias("median_approx"),
+        F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000))
+        .cast("double")
+        .alias("p95_approx"),
+    )
+    return ordered(out)
+
+
 @query(
     "q54_tpch_shape",
     oracle="""

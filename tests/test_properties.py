@@ -95,6 +95,23 @@ def test_q45b_lsh_ann_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"recall={recall}"
 
 
+def test_q53b_approx_percentile_error_bound(spark, sf_dir):
+    """The sketch's medians must sit within 2 % (relative) of the exact
+    per-group percentiles at accuracy=10000."""
+    from kafka_database_import_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {r.l_returnflag: r for r in qs["q53_percentiles"].fn(spark, sf_dir).collect()}
+    approx = {
+        r.l_returnflag: r for r in qs["q53b_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.median_approx - e.median_qty) <= 0.02 * max(e.median_qty, 1)
+        assert abs(a.p95_approx - e.p95_qty) <= 0.02 * max(e.p95_qty, 1)
+
+
 def test_q45d_ivf_recall_vs_exact(spark, sf_dir):
     from kafka_database_import_spark.operators.similarity import ivf_topk
 
