@@ -85,6 +85,38 @@ def q02_csv_scan_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered(df.select("n_nationkey", "n_name", "n_regionkey"))
 
 
+@query(
+    "q02b_orc_scan",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey NULLS LAST, n_name NULLS LAST, n_regionkey NULLS LAST
+    """,
+)
+def q02b_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan (columnar alternative to parquet; Spark-native reader
+    with the same pushdown/pruning machinery). The ORC twin of the
+    nation table is lazily materialized with the same fingerprint-keyed
+    atomic cache as q02's CSV; the oracle reads the parquet original —
+    format round-trip equality is the check."""
+    src = os.path.join(sf_dir, "nation.parquet")
+    st = os.stat(src)
+    fingerprint = f"orc-{os.path.basename(os.path.normpath(sf_dir))}-{st.st_size}-{st.st_mtime_ns}"
+    cache = os.path.join(tempfile.gettempdir(), "kdis_orc_cache", fingerprint)
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        tmp = tempfile.mkdtemp(prefix="kdis_orc_stage_")
+        stage = os.path.join(tmp, "out")
+        _t(spark, sf_dir, "nation").select(
+            *[f.name for f in NATION_SCHEMA.fields]
+        ).coalesce(1).write.mode("overwrite").orc(stage)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        try:
+            os.rename(stage, cache)
+        except OSError:
+            pass  # concurrent run won the rename
+    df = spark.read.schema(NATION_SCHEMA).orc(cache)
+    return ordered(df.select("n_nationkey", "n_name", "n_regionkey"))
+
+
 # --------------------------------------------------------------------------
 # Projection / filter (Q06, Q07)
 # --------------------------------------------------------------------------

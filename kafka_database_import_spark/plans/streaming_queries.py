@@ -205,6 +205,37 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered(run_available_now(deduped, "append"))
 
 
+@query(
+    "q58_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id AS uid
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+    ORDER BY id_a NULLS LAST, id_b NULLS LAST, uid NULLS LAST
+    """,
+)
+def q58_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: pairs of same-user events within a
+    5-minute follow window. Both sides carry watermarks and the join
+    condition bounds event-time distance, so each side's state is
+    evictable — the requirement for an unbounded-input join at scale
+    (an un-watermarked stream-stream join accumulates state forever)."""
+    a = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes").alias("a")
+    b = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes").alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("interval 5 minutes")),
+    ).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.col("a.user_id").alias("uid"),
+    )
+    return ordered(run_available_now(joined, "append"))
+
+
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
