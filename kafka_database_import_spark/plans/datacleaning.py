@@ -1,0 +1,140 @@
+"""Training-corpus cleaning operators (the Dolma/C4 class of
+transforms): PII scrubbing, boilerplate-line removal, benchmark
+decontamination. All scan-local or single-shuffle, all DuckDB-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_database_import_spark.functions.text import tokens, word_shingles
+from kafka_database_import_spark.plans.registry import ordered, query
+from kafka_database_import_spark.sources.readers import load_table
+
+# Public-pattern PII regexes (C4/Dolma-style cleaning). Kept simple and
+# identical in both engines — the point is the pipeline shape, not
+# regex completeness.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+@query(
+    "q59_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{URL_RE}', '<URL>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+           length(text)
+             - length(regexp_replace(text, '{EMAIL_RE}', '', 'g')) AS email_chars
+    FROM documents
+    ORDER BY doc_id NULLS LAST, clean_text NULLS LAST, email_chars NULLS LAST
+    """,
+)
+def q59_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/URL/phone patterns replaced with typed
+    placeholder tokens — pure ``regexp_replace`` chain, scan-local,
+    whole-stage codegen. (Fixture text is synthetic word-soup, so most
+    rows pass through unchanged — the differential check still covers
+    the replacement semantics byte-for-byte on every row.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    out = docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", EMAIL_RE, ""))
+        ).alias("email_chars"),
+    )
+    return ordered(out)
+
+
+@query(
+    "q60_boilerplate_lines",
+    oracle="""
+    WITH toklines AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df
+      FROM toklines GROUP BY tok
+    )
+    SELECT tok, df
+    FROM freq
+    WHERE df >= 0.75 * (SELECT COUNT(*) FROM documents)
+    ORDER BY tok NULLS LAST, df NULLS LAST
+    """,
+)
+def q60_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (C4-style): units that appear in almost
+    every document are template noise, not content. Fixture docs have
+    no line structure, so the unit here is the token; the pipeline
+    shape (explode → document-frequency → threshold) is identical for
+    lines or paragraphs. One shuffle on the unit, count-distinct on
+    doc_id map-side partial. Threshold is a corpus-size fraction (75 %)
+    — a broadcast scalar, so the cutoff scales with the corpus instead
+    of going vacuous at small SFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    out = freq.crossJoin(F.broadcast(total)).filter(
+        F.col("df") >= 0.75 * F.col("n_docs")
+    ).select("tok", "df")
+    return ordered(out)
+
+
+@query(
+    "q61_decontamination",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 1, 1)),
+               i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
+                    string_split_regex(lower(text), '\\s+')[i+2])) AS grams
+      FROM documents
+    ),
+    bench AS (SELECT grams AS bgrams FROM sh WHERE doc_id < 5),
+    hits AS (
+      SELECT s.doc_id, SUM(len(list_intersect(s.grams, b.bgrams))) AS shared
+      FROM sh s, bench b
+      WHERE s.doc_id >= 5
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, shared FROM hits WHERE shared >= 1
+    ORDER BY doc_id NULLS LAST, shared NULLS LAST
+    """,
+)
+def q61_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing 3-gram
+    shingles with a benchmark set (docs 0–4 stand in for an eval set).
+    The benchmark side is tiny by definition → broadcast; the corpus is
+    scanned once and never shuffled for the overlap. At real scale the
+    benchmark shingles become a broadcast Bloom filter; the exact
+    intersect here is the oracle-checkable form."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", word_shingles(tokens(F.col("text"))).alias("grams"))
+    bench = sh.filter(F.col("doc_id") < 5).select(F.col("grams").alias("bgrams"))
+    corpus = sh.filter(F.col("doc_id") >= 5)
+    shared = F.size(F.array_intersect("grams", "bgrams"))
+    out = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("doc_id", shared.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("shared"))
+        .filter(F.col("shared") >= 1)
+    )
+    return ordered(out)

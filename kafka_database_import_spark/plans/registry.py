@@ -36,6 +36,7 @@ _CATALOG_MODULES = (
     "kafka_database_import_spark.plans.udfs",
     "kafka_database_import_spark.plans.extensions",
     "kafka_database_import_spark.plans.analytics",
+    "kafka_database_import_spark.plans.datacleaning",
     "kafka_database_import_spark.plans.llmops",
     "kafka_database_import_spark.plans.reference_pipeline",
     "kafka_database_import_spark.plans.streaming_queries",
