@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the scale properties of the headline
+queries, asserted against the executed plan. Correctness tests prove
+the answers; these prove the answers are computed the way a 1000-executor
+cluster needs them to be — a plan regression (lost broadcast, lost
+pushdown, lost partial top-k) changes no rows but 100×es the cost."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_database_import_spark.plans.registry import all_queries
+
+_QS = all_queries()
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = _QS[name].fn(spark, sf_dir)
+    df.count()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q48_semi_join_broadcasts_filter_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q48_reference_pipeline")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the events side must not shuffle for the join
+    assert "Exchange hashpartitioning(user_id" not in plan
+
+
+def test_q48_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q48_reference_pipeline")
+    assert "PushedFilters: [IsNotNull(user_id)]" in plan
+    # column pruning: props/event_id/user_id only, never the full row
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint,props:string>" in plan
+
+
+def test_q25_topk_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q25_topk_per_group")
+    assert "WindowGroupLimit" in plan  # partial top-k before the shuffle
+
+
+def test_q24_sort_limit_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q24_sort_limit")
+    assert "TakeOrderedAndProject" in plan  # never a full global sort
+
+
+def test_q16_agg_is_partial_then_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_agg_hash")
+    assert "partial_" in plan  # map-side combine before the one shuffle
+
+
+def test_q54_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q54_tpch_shape")
+    # three dimension joins broadcast; only lineitem join orders may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q45_brute_force_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q45_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # corpus never shuffles for the join
+    assert "WindowGroupLimit" in plan
+
+
+def test_q09_exercises_real_shuffle_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q09_join_shuffle")
+    assert "SortMergeJoin" in plan  # the merge hint holds against AQE demotion
+
+
+@pytest.mark.parametrize("name", ["q06_project_compute", "q07_filter_predicates"])
+def test_no_python_in_relational_hot_paths(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
