@@ -23,6 +23,7 @@ from kafka_database_import_spark.plans.registry import ordered, query
 from kafka_database_import_spark.sources.readers import (
     NATION_SCHEMA,
     csv_scan_with_schema,
+    json_scan_with_schema,
     load_table,
 )
 
@@ -82,6 +83,38 @@ def q02_csv_scan_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             pass  # concurrent run won the rename; its cache is identical
     df = csv_scan_with_schema(spark, cache, NATION_SCHEMA)
+    return ordered(df.select("n_nationkey", "n_name", "n_regionkey"))
+
+
+@query(
+    "q02c_json_scan_schema",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey NULLS LAST, n_name NULLS LAST, n_regionkey NULLS LAST
+    """,
+)
+def q02c_json_scan_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with explicit schema (the JSON half of SURVEY
+    Q02; PERMISSIVE mode mirrors the reference's skip-and-continue on
+    decode errors, kafka-database-import.go:192-197). Same
+    fingerprint-keyed atomic cache as the CSV/ORC twins; the oracle
+    reads the parquet original — format round-trip equality."""
+    src = os.path.join(sf_dir, "nation.parquet")
+    st = os.stat(src)
+    fingerprint = f"json-{os.path.basename(os.path.normpath(sf_dir))}-{st.st_size}-{st.st_mtime_ns}"
+    cache = os.path.join(tempfile.gettempdir(), "kdis_json_cache", fingerprint)
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        tmp = tempfile.mkdtemp(prefix="kdis_json_stage_")
+        stage = os.path.join(tmp, "out")
+        _t(spark, sf_dir, "nation").select(
+            *[f.name for f in NATION_SCHEMA.fields]
+        ).coalesce(1).write.mode("overwrite").json(stage)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        try:
+            os.rename(stage, cache)
+        except OSError:
+            pass  # concurrent run won the rename
+    df = json_scan_with_schema(spark, cache, NATION_SCHEMA)
     return ordered(df.select("n_nationkey", "n_name", "n_regionkey"))
 
 
