@@ -16,7 +16,7 @@ answer here is always bucketed:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_database_import_spark.functions.text import tokens, word_shingles
@@ -111,13 +111,16 @@ def minhash_candidate_pairs(
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
 
-    # Hot-bucket cap: count per bucket map-side-combinable, filter
-    # before the pair join (skew guard; see module docstring).
-    sizes = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("bn"))
-    bands = bands.join(
-        sizes.filter(F.col("bn") <= HOT_BUCKET_CAP).drop("bn"),
-        ["band_id", "band_hash"],
-        "left_semi",
+    # Hot-bucket cap (skew guard; see module docstring): a window count
+    # over the bucket key rather than a groupBy + semi-join — the
+    # window's shuffle on (band_id, band_hash) is the same partitioning
+    # the pair self-join needs, so the exchange is computed once and
+    # reused instead of re-deriving the signature pipeline per consumer.
+    w_bucket = Window.partitionBy("band_id", "band_hash")
+    bands = (
+        bands.withColumn("bn", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("bn") <= HOT_BUCKET_CAP)
+        .drop("bn")
     )
 
     left = bands.alias("l")
