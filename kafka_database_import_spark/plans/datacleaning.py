@@ -21,6 +21,73 @@ PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
 
 
 @query(
+    "q62_corpus_prep_pipeline",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT * FROM documents
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY sha256(text))
+    ),
+    kept AS (
+      SELECT * FROM survivors
+      WHERE (least(len(string_split_regex(lower(text), '\\s+'))::DOUBLE / 60, 1.0) * 0.5
+             + least(n_chars::DOUBLE / 300, 1.0) * 0.5) >= 0.5
+    ),
+    scrubbed AS (
+      SELECT lang,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{URL_RE}', '<URL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
+      FROM kept
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(length(clean_text)) AS total_chars
+    FROM scrubbed
+    GROUP BY lang
+    ORDER BY lang NULLS LAST, n_docs NULLS LAST, total_chars NULLS LAST
+    """,
+)
+def q62_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep flow as ONE composed pipeline — exact dedup
+    → quality filter → PII scrub → per-language accounting. This is the
+    LLM-pipeline analog of q48's relational pipeline: every stage is an
+    operator already verified in isolation (q43/q46d/q59); the
+    composition check proves they chain without re-shuffling — dedup's
+    hash shuffle is the only exchange, everything downstream is
+    scan-local on its output."""
+    from kafka_database_import_spark.operators.dedup import exact_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = exact_dedup_groups(docs, "doc_id", "text").select("keeper")
+    # No broadcast hint: the keeper set is ~|distinct docs| — at corpus
+    # scale it must shuffle-join on doc_id; AQE still picks broadcast
+    # when the build side is actually small.
+    survivors = docs.join(keepers, docs.doc_id == keepers.keeper, "left_semi")
+    t = tokens(F.col("text"))
+    quality = (
+        F.least(F.size(t).cast("double") / 60, F.lit(1.0)) * 0.5
+        + F.least(F.col("n_chars").cast("double") / 300, F.lit(1.0)) * 0.5
+    )
+    kept = survivors.filter(quality >= 0.5)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    out = (
+        kept.select("lang", clean.alias("clean_text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("clean_text")).alias("total_chars"),
+        )
+    )
+    return ordered(out)
+
+
+@query(
     "q59_pii_scrub",
     oracle=f"""
     SELECT doc_id,

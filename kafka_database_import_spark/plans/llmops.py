@@ -74,9 +74,11 @@ def q43b_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape a training pipeline actually consumes."""
     docs = load_table(spark, sf_dir, "documents")
     keepers = exact_dedup_groups(docs, "doc_id", "text").select("keeper")
-    out = docs.join(
-        F.broadcast(keepers), docs.doc_id == keepers.keeper, "left_semi"
-    ).select("doc_id", "lang")
+    # No broadcast hint: keeper cardinality ~= |distinct docs|; must be
+    # a shuffle semi-join at corpus scale (AQE broadcasts when small).
+    out = docs.join(keepers, docs.doc_id == keepers.keeper, "left_semi").select(
+        "doc_id", "lang"
+    )
     return ordered(out)
 
 
