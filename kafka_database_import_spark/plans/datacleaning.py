@@ -88,6 +88,45 @@ def q62_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q64_hash_split",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+             AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 100 < 90 THEN 'validation'
+                ELSE 'test' END AS split_name
+    FROM documents
+    ORDER BY doc_id NULLS LAST, bucket NULLS LAST, split_name NULLS LAST
+    """,
+)
+def q64_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment: bucket =
+    md5(doc_id) first-8-hex-digits mod 100 → 80/10/10. The reproducible
+    alternative to ``randomSplit`` for corpus curation — stable across
+    runs, engines, partitionings, and cluster sizes, because the split
+    is a pure function of the row key (both engines compute the
+    identical standard md5). Scan-local, no shuffle, no RNG state."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    out = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("split_name"),
+    )
+    return ordered(out)
+
+
+@query(
     "q59_pii_scrub",
     oracle=f"""
     SELECT doc_id,

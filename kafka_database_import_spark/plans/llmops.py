@@ -158,6 +158,54 @@ def q44c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered(out)
 
 
+@query(
+    "q63_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey < 2000
+    ),
+    sym AS (SELECT src AS u, dst AS v FROM pairs
+            UNION SELECT dst, src FROM pairs),
+    walk(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node
+    )
+    SELECT node AS part_key, MIN(label) AS component
+    FROM walk GROUP BY node
+    ORDER BY part_key NULLS LAST, component NULLS LAST
+    """,
+)
+def q63_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of a pair list into duplicate clusters —
+    the step between q44 (near-dup *pairs*) and "keep one per group":
+    A≈B, B≈C ⇒ {A,B,C} one cluster. Runs label-propagation connected
+    components (operators/graph.py; iterated join + min-agg with
+    per-round localCheckpoint) on a deterministic co-occurrence graph
+    — parts sharing an order — so the DuckDB twin is a recursive-CTE
+    reachability fixpoint over the identical edge set. On a real
+    corpus the edge input is q44's candidate-pair output."""
+    from kafka_database_import_spark.operators.graph import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    cc = connected_components(edges).select(
+        F.col("node").alias("part_key"), "component"
+    )
+    return ordered(cc)
+
+
 # --------------------------------------------------------------------------
 # Q45 — similarity search
 # --------------------------------------------------------------------------

@@ -135,3 +135,32 @@ def test_q45_exact_topk_is_symmetric_sane(spark, sf_dir):
         sims = [r.cosine_sim for r in sorted(rows, key=lambda r: r.rank)]
         assert sims == sorted(sims, reverse=True), f"q{qid} not sorted: {sims}"
         assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_connected_components_chain_and_island(spark):
+    from kafka_database_import_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21), (21, 20)],
+        ["src", "dst"],
+    )
+    got = {
+        (r.node, r.component) for r in connected_components(edges, max_iter=10).collect()
+    }
+    want = (
+        {(n, 1) for n in range(1, 7)}
+        | {(10, 10), (11, 10)}
+        | {(20, 20), (21, 20)}
+    )
+    assert got == want
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    from kafka_database_import_spark.operators.graph import connected_components
+
+    # A 12-hop path needs ~12 rounds of plain label propagation.
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["src", "dst"])
+    with _pytest.raises(RuntimeError):
+        connected_components(edges, max_iter=2)
