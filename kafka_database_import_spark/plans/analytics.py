@@ -277,3 +277,58 @@ def q54_tpch_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") > 5)
     )
     return ordered(out)
+
+
+@query(
+    "q65_scd2_history",
+    oracle="""
+    WITH ordered_ev AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER w AS prev_type
+      FROM events WHERE user_id < 200
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts
+      FROM ordered_ev
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    ORDER BY user_id NULLS LAST, event_type NULLS LAST,
+             valid_from NULLS LAST, valid_to NULLS LAST, is_current NULLS LAST
+    """,
+)
+def q65_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build: collapse an event stream into
+    validity intervals — rows survive only where the tracked attribute
+    *changes*, then each change opens an interval closed by the next
+    one (open-ended ⇒ current). Two window passes over the same
+    (user_id, ts) sort; Catalyst reuses the single sort-shuffle for
+    both, so at scale this is one exchange keyed on the entity id —
+    the standard way to build dimension history from a CDC feed."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    out = changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.when(F.lead("ts").over(w2).isNull(), 1).otherwise(0).alias("is_current"),
+    )
+    return ordered(out)

@@ -244,3 +244,39 @@ def q61_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= 1)
     )
     return ordered(out)
+
+
+@query(
+    "q66_stratified_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket FROM b
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 30 END)
+    ORDER BY doc_id NULLS LAST, lang NULLS LAST, bucket NULLS LAST
+    """,
+)
+def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates (10 % of
+    the dominant 'en' stratum, 30 % of the rest — i.e. downsample the
+    over-represented language) decided row-locally from the md5 key
+    bucket, same scheme as q64. No RNG, no shuffle, no per-stratum
+    pass: one scan-local predicate regardless of stratum count, which
+    is what makes it usable as a corpus-mixing primitive at 100 TB
+    (``sampleBy`` re-rolls per run; this is stable under retries and
+    across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 10).otherwise(30)
+    out = docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < rate
+    )
+    return ordered(out)

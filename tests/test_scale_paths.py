@@ -86,3 +86,54 @@ def test_partition_pruning_reaches_scan(spark, sf_dir):
         load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click").count()
     )
     assert df.count() == expected
+
+
+def test_bloom_runtime_filter_injected(spark, sf_dir):
+    """Runtime bloom-filter join pruning: a selective predicate on the
+    small (creation) side of a shuffle join gets turned into a bloom
+    filter applied at the big side's scan, cutting the shuffled volume
+    to ~the matching rows. This is free Catalyst machinery at 100 TB;
+    the fixture is far below the production size thresholds, so the
+    test drops them to 0 to prove the rewrite fires and that results
+    are unchanged."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "4GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # keep the join on the shuffle path so the bloom filter matters
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "BloomFilter" in plan, plan
+        n_bloom = joined.count()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    n_plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert n_bloom == n_plain
