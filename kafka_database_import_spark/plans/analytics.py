@@ -332,3 +332,53 @@ def q65_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.lead("ts").over(w2).isNull(), 1).otherwise(0).alias("is_current"),
     )
     return ordered(out)
+
+
+@query(
+    "q68_zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+             SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS svv
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, event_type, value,
+           FLOOR((value - sv::DOUBLE / n)
+                 / sqrt(svv::DOUBLE / n - (sv::DOUBLE / n) ^ 2)
+                 * 10000 + 0.5) / 10000 AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((value - sv::DOUBLE / n)
+              / sqrt(svv::DOUBLE / n - (sv::DOUBLE / n) ^ 2)) > 2.5
+    ORDER BY event_id NULLS LAST, event_type NULLS LAST, value NULLS LAST,
+             z NULLS LAST
+    """,
+)
+def q68_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection — the numeric-quality twin
+    of the text-quality filter (q46d): flag events > 2.5σ from their
+    type's mean. Moments are accumulated as exact decimals (sum and
+    sum-of-squares), so mean/σ are order-independent and bit-identical
+    across engines and partitionings — the same trick as q16's money
+    sums; the double math happens once, on the exact moments. Plan
+    shape: one partial-aggregated shuffle for the 5-row stats table,
+    broadcast back onto the scan — no second pass over the fact side
+    at 100 TB."""
+    from kafka_database_import_spark.functions.numeric import mround
+
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).alias("sv"),
+        F.sum(vdec * vdec).alias("svv"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    mean = F.col("sv").cast("double") / F.col("n")
+    sigma = F.sqrt(F.col("svv").cast("double") / F.col("n") - mean * mean)
+    z = (F.col("value") - mean) / sigma
+    out = joined.filter(F.abs(z) > 2.5).select(
+        "event_id", "event_type", "value", mround(z, 4).alias("z")
+    )
+    return ordered(out)

@@ -175,3 +175,74 @@ def q42_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = docs.select("doc_id", "text").mapInPandas(_tokenize, schema=_TOKEN_SCHEMA)
     return ordered(out)
+
+
+@query(
+    "q67_cogroup_merge",
+    oracle="""
+    WITH e AS (
+      SELECT user_id AS uid, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ),
+    o AS (
+      SELECT o_custkey AS uid, COUNT(*) AS n_orders,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(e.uid, o.uid) AS user_id,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(total_cents, 0) AS total_cents
+    FROM e FULL OUTER JOIN o ON e.uid = o.uid
+    ORDER BY user_id NULLS LAST, n_events NULLS LAST, n_orders NULLS LAST,
+             total_cents NULLS LAST
+    """,
+)
+def q67_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: two tables grouped on the same key,
+    each key's row sets handed to one Arrow-batched pandas function —
+    the escape hatch for per-entity logic that needs BOTH sides at once
+    (feature assembly, custom reconciliation). Here the merge is
+    deliberately SQL-expressible (two aggregates + full outer join) so
+    the DuckDB twin checks the cogroup machinery end-to-end. One
+    shuffle per side on the key — the same exchanges the equivalent
+    join would do. Money is summed in integer cents: float summation
+    order inside a pandas group is not deterministic cross-engine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid"), "o_totalprice"
+    )
+
+    def merge(events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
+        # nested: cloudpickled by value (module-ref functions break on
+        # foreign-session workers; see streaming/runner.py)
+        import numpy as np
+
+        uid_arr = (
+            events_pdf["uid"].to_numpy()
+            if len(events_pdf)
+            else orders_pdf["uid"].to_numpy()
+        )
+        cents = np.floor(orders_pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+            "int64"
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(uid_arr[0])],
+                "n_events": [len(events_pdf)],
+                "n_orders": [len(orders_pdf)],
+                "total_cents": [int(cents.sum())],
+            }
+        )
+
+    out = (
+        ev.groupBy("uid")
+        .cogroup(orders.groupBy("uid"))
+        .applyInPandas(
+            merge,
+            schema="user_id bigint, n_events bigint, n_orders bigint, "
+            "total_cents bigint",
+        )
+    )
+    return ordered(out)
