@@ -24,6 +24,8 @@ def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):  # Spark-written part-file directory
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 

@@ -23,18 +23,30 @@ _SEQ = itertools.count()
 
 
 def _stream_dir(file_path: str) -> str:
-    """Spark's file stream source requires a *directory*; fixtures are
-    single parquet files. Stage a per-file symlink directory (keyed by
-    the resolved source path, created once per process)."""
+    """Spark's file stream source requires a flat *directory of leaf
+    files*; fixtures are single parquet files (driver testdata) or
+    parquet part-file directories (Spark-written). Stage a per-source
+    symlink directory (keyed by the resolved source path, created once
+    per process) holding one link per leaf file — a nested
+    ``dir/part-*.parquet`` layout would not be listed by the source."""
     key = hashlib.sha1(os.path.realpath(file_path).encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), "kdis_stream_src", key)
-    link = os.path.join(d, os.path.basename(file_path))
-    if not os.path.islink(link):
-        os.makedirs(d, exist_ok=True)
-        try:
-            os.symlink(file_path, link)
-        except FileExistsError:
-            pass  # concurrent creator won
+    if os.path.isdir(file_path):
+        leaves = [
+            os.path.join(file_path, f)
+            for f in sorted(os.listdir(file_path))
+            if f.endswith(".parquet")
+        ]
+    else:
+        leaves = [file_path]
+    os.makedirs(d, exist_ok=True)
+    for leaf in leaves:
+        link = os.path.join(d, os.path.basename(leaf))
+        if not os.path.islink(link):
+            try:
+                os.symlink(leaf, link)
+            except FileExistsError:
+                pass  # concurrent creator won
     return d
 
 
