@@ -98,3 +98,44 @@ def language_guess(tokens_col: Column) -> Column:
     for lang in sorted(hits, reverse=True):
         expr = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def ordered_shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Positional (non-distinct) n-word shingles — winnowing needs
+    document order, unlike the set-semantics ``word_shingles``.
+    DuckDB twin::
+
+        CASE WHEN len(t) >= {n} THEN
+          list_transform(range(1, len(t) - {n-2}),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [] END
+    """
+    idx = F.when(
+        F.size(tokens_col) >= n,
+        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
+    )
+    return F.transform(idx, gram)
+
+
+POLY_MOD = 1073741789  # largest prime < 2^30: a*31+cp stays < 2^35 « 2^63
+
+
+def poly_hash(s: Column) -> Column:
+    """Engine-neutral string hash: polynomial over codepoints mod a
+    prime — identical arithmetic in Spark and DuckDB (no engine hash
+    functions, which never agree across engines).
+    DuckDB twin::
+
+        list_reduce(list_prepend(0::BIGINT,
+                    list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+                    (a, b) -> (a * 31 + b) % 1073741789)
+    """
+    codes = F.transform(F.split(s, ""), F.ascii)
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % POLY_MOD,
+    )

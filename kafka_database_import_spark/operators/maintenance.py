@@ -61,3 +61,36 @@ def compact_parquet(
         "files_after": len(_list(path)),
         "bytes": total_bytes,
     }
+
+
+def write_partitioned(
+    df,
+    path: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    max_records_per_file: int = 0,
+    dynamic_overwrite: bool = False,
+) -> None:
+    """Partitioned parquet write — the standard shape of a 100 TB sink.
+
+    * ``repartition(partition_by)`` first: without it every task holds
+      a writer per live partition value (tasks × partitions small
+      files, the classic dynamic-partition explosion); with it each
+      partition's rows land in one task's writer.
+    * ``sortWithinPartitions`` clusters rows inside each file so
+      downstream range predicates on the sort key skip row groups via
+      parquet min/max stats — free pruning, no index.
+    * ``maxRecordsPerFile`` bounds file size without another shuffle.
+    * ``partitionOverwriteMode=dynamic`` replaces only partitions
+      present in ``df`` — the idempotent daily-rewrite primitive;
+      static overwrite would drop every other partition of the table.
+    """
+    out = df.repartition(*partition_by)
+    if sort_by:
+        out = out.sortWithinPartitions(*partition_by, *sort_by)
+    writer = out.write
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.mode("overwrite").partitionBy(*partition_by).parquet(path)

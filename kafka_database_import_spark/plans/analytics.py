@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_database_import_spark.functions.numeric import dround, money
+from kafka_database_import_spark.functions.numeric import dround, money, mround
 from kafka_database_import_spark.plans.registry import ordered, query
 from kafka_database_import_spark.sources.readers import load_table
 
@@ -380,5 +380,69 @@ def q68_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - mean) / sigma
     out = joined.filter(F.abs(z) > 2.5).select(
         "event_id", "event_type", "value", mround(z, 4).alias("z")
+    )
+    return ordered(out)
+
+
+@query(
+    "q72_sessionize_batch",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM o
+    )
+    SELECT user_id, session_seq,
+           epoch_us(MIN(ts)) AS start_us,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value
+    FROM s
+    GROUP BY user_id, session_seq
+    ORDER BY user_id NULLS LAST, session_seq NULLS LAST, start_us NULLS LAST,
+             duration_us NULLS LAST, n_events NULLS LAST, sum_value NULLS LAST
+    """,
+)
+def q72_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): per-user sessions split
+    at >30-minute silences, with start/duration/count/value stats — the
+    batch twin of the streaming session window (q35), and the canonical
+    event-log → training-example grouping step. One shuffle on
+    ``user_id`` serves both window passes and the final aggregate
+    (Catalyst reuses the partitioning); tie-rows on ``ts`` are
+    order-insensitive by construction (a 0 gap never opens a session),
+    so the result is deterministic under any executor schedule."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    ev = ev.select("user_id", "ts", "value", new_s.alias("new_s"))
+    sid = F.sum("new_s").over(
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        ev.select("user_id", "ts", "value", sid.alias("session_seq"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            mround(F.sum("value")).alias("sum_value"),
+        )
     )
     return ordered(out)

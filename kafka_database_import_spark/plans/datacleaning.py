@@ -280,3 +280,95 @@ def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket") < rate
     )
     return ordered(out)
+
+
+@query(
+    "q70_winnow_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END AS grams
+      FROM toks
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, s ->
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1073741789)) AS hs
+      FROM sh
+    ),
+    fp AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4 THEN
+               list_distinct(list_transform(range(1, len(hs) - 2),
+                                            i -> list_min(hs[i:i+3])))
+             WHEN len(hs) >= 1 THEN [list_min(hs)]
+             ELSE [] END AS fps
+      FROM h
+    ),
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+    ORDER BY doc_a NULLS LAST, doc_b NULLS LAST, n_shared NULLS LAST
+    """,
+)
+def q70_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm) for corpus overlap detection: hash every
+    positional 3-word shingle with the engine-neutral polynomial hash,
+    keep the minimum hash of each sliding window of 4 (so any shared
+    run of ≥6 words is guaranteed to share a fingerprint), then find
+    document pairs sharing ≥2 fingerprints. The winnow keeps ~1/w of
+    the shingle hashes while preserving the overlap guarantee — that
+    density reduction is what makes the pair-finding shuffle affordable
+    at corpus scale. The shuffle itself is the LSH-band shape (explode
+    selected fingerprints → shuffle on fingerprint → emit co-bucketed
+    pairs), never an all-pairs comparison; hashing is scan-local JVM
+    expression work, linear in document length."""
+    from kafka_database_import_spark.functions.text import (
+        ordered_shingles,
+        poly_hash,
+        tokens,
+    )
+
+    w = 4
+    docs = load_table(spark, sf_dir, "documents")
+    hs = F.transform(ordered_shingles(tokens(F.col("text"))), poly_hash)
+    docs = docs.select("doc_id", hs.alias("hs"))
+    n_win = F.size("hs") - (w - 1)
+    fps = (
+        F.when(
+            F.size("hs") >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda i: F.array_min(F.slice("hs", i, w)),
+                )
+            ),
+        )
+        .when(F.size("hs") >= 1, F.array(F.array_min("hs")))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    ex = docs.select("doc_id", F.explode(fps).alias("fp"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return ordered(pairs)

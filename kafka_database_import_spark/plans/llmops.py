@@ -476,3 +476,66 @@ def q47b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return extract_text_features(docs).orderBy("doc_id")
+
+
+@query(
+    "q71_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127
+               AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> floor(x / scale + 0.5)::INT) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           len(qv) AS n_dims,
+           array_to_string(qv, ',') AS q_str,
+           FLOOR(scale * 1e6 + 0.5) / 1e6 AS scale_r,
+           FLOOR(list_max(list_transform(range(1, len(v) + 1),
+                   i -> abs(qv[i] * scale - v[i]))) * 1e6 + 0.5) / 1e6
+             AS max_err_r
+    FROM q
+    ORDER BY vec_id NULLS LAST, n_dims NULLS LAST, q_str NULLS LAST,
+             scale_r NULLS LAST, max_err_r NULLS LAST
+    """,
+)
+def q71_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — 4×
+    compression of the dominant storage/shuffle cost of an embedding
+    corpus (float32[64] → int8[64] + one f64 scale). Per-vector
+    absmax/127 scaling, round-half-up, all scan-local JVM expressions;
+    the oracle re-derives the identical arithmetic (explicit
+    FLOOR(x+0.5) rounding, engine-neutral). ``max_err_r`` bounds the
+    reconstruction error at ≤ scale/2 per dimension by construction —
+    the property that makes quantized cosine/L2 a safe first-pass
+    filter (rerank the top candidates at full precision, q45-style)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    emb = emb.select("vec_id", v.alias("v"))
+    absmax = F.array_max(F.transform("v", F.abs))
+    scale = F.greatest(absmax, F.lit(1e-12)) / 127
+    emb = emb.select("vec_id", "v", scale.alias("scale"))
+    qv = F.transform("v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"))
+    emb = emb.select("vec_id", "v", "scale", qv.alias("qv"))
+    err = F.array_max(
+        F.zip_with("qv", "v", lambda qi, xi: F.abs(qi * F.col("scale") - xi))
+    )
+    out = emb.select(
+        "vec_id",
+        F.size("qv").alias("n_dims"),
+        F.concat_ws(",", F.transform("qv", lambda x: x.cast("string"))).alias(
+            "q_str"
+        ),
+        (F.floor(F.col("scale") * 1e6 + 0.5) / 1e6).alias("scale_r"),
+        (F.floor(err * 1e6 + 0.5) / 1e6).alias("max_err_r"),
+    )
+    return ordered(out)

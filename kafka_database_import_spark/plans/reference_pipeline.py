@@ -182,3 +182,49 @@ def q50_observed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("users_out"),
     )
     return ordered(piped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events")))
+
+
+@query(
+    "q73_partitioned_sink",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           epoch_us(MIN(o_orderdate)::TIMESTAMP) AS first_date_us,
+           epoch_us(MAX(o_orderdate)::TIMESTAMP) AS last_date_us
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority NULLS LAST, n_rows NULLS LAST,
+             first_date_us NULLS LAST, last_date_us NULLS LAST
+    """,
+)
+def q73_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink round-trip: orders written
+    ``partitionBy(o_orderpriority)``, sorted within partitions by
+    ``o_orderdate`` (row-group min/max stats make date range scans
+    prune for free), file sizes bounded by ``maxRecordsPerFile``. The
+    oracle checks per-partition accounting of what was *read back from
+    the sink* — i.e. the write didn't drop, duplicate, or mis-route a
+    row. Dynamic partition overwrite (replace only touched partitions)
+    is unit-tested in tests/test_maintenance.py."""
+    from kafka_database_import_spark.operators.maintenance import write_partitioned
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="kdis_part_sink_") + "/orders"
+    write_partitioned(
+        orders,
+        path,
+        partition_by=["o_orderpriority"],
+        sort_by=["o_orderdate"],
+        max_records_per_file=50_000,
+    )
+    back = spark.read.parquet(path)
+    out = back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.unix_micros(F.min("o_orderdate").cast("timestamp")).alias(
+            "first_date_us"
+        ),
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias(
+            "last_date_us"
+        ),
+    )
+    return ordered(out)

@@ -30,3 +30,46 @@ def test_compaction_noop_below_min_files(spark, sf_dir):
     load_table(spark, sf_dir, "nation").coalesce(1).write.parquet(path)
     stats = compact_parquet(spark, path)
     assert stats["files_before"] == stats["files_after"] == 1
+
+
+def test_write_partitioned_dynamic_overwrite_touches_only_written(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.operators.maintenance import write_partitioned
+
+    path = str(tmp_path / "t")
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("p")
+    )
+    write_partitioned(base, path, partition_by=["p"])
+    assert spark.read.parquet(path).count() == 100
+
+    # Rewrite ONLY partition p=1 with half its rows; p=0/2/3 must survive.
+    patch = base.filter((F.col("p") == 1) & (F.col("id") < 50))
+    write_partitioned(patch, path, partition_by=["p"], dynamic_overwrite=True)
+    got = spark.read.parquet(path)
+    assert got.filter("p = 1").count() == patch.count()
+    assert got.filter("p != 1").count() == 75
+
+    # Static overwrite semantics (the default) replace the whole table.
+    write_partitioned(patch, path, partition_by=["p"])
+    assert spark.read.parquet(path).count() == patch.count()
+
+
+def test_write_partitioned_respects_max_records_per_file(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.operators.maintenance import write_partitioned
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).select(F.col("id"), F.lit("a").alias("p"))
+    write_partitioned(df, path, partition_by=["p"], max_records_per_file=100)
+    files = [
+        f
+        for f in os.listdir(os.path.join(path, "p=a"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 10
+    assert spark.read.parquet(path).count() == 1000

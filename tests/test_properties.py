@@ -164,3 +164,61 @@ def test_connected_components_raises_without_convergence(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["src", "dst"])
     with _pytest.raises(RuntimeError):
         connected_components(edges, max_iter=2)
+
+def test_q69_hll_sketch_accuracy_and_merge_consistency(spark, sf_dir):
+    """Per-group estimates within ±5 % of exact, and the union of
+    per-group sketches must equal one directly-built global sketch —
+    the merge path can't lose or invent information."""
+    from kafka_database_import_spark.plans.sketches import (
+        HLL_LGK,
+        build_sketches,
+        merge_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_type = build_sketches(ev, "event_type", "user_id")
+    est = {
+        r.event_type: r.est
+        for r in per_type.select(
+            "event_type", F.hll_sketch_estimate("sketch").alias("est")
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for t, e in exact.items():
+        assert abs(est[t] - e) <= 0.05 * max(e, 1), (t, e, est[t])
+
+    merged = merge_sketches(per_type).select(
+        F.hll_sketch_estimate("sketch").alias("est")
+    ).collect()[0].est
+    direct = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(HLL_LGK))
+        ).alias("est")
+    ).collect()[0].est
+    assert merged == direct, (merged, direct)
+
+
+def test_q69_sketches_survive_persistence(spark, sf_dir, tmp_path):
+    """The binary sketch column round-trips through parquet and still
+    unions — the store-now-merge-later contract."""
+    from kafka_database_import_spark.plans.sketches import (
+        build_sketches,
+        merge_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "sketches.parquet")
+    build_sketches(ev, "event_type", "user_id").write.parquet(path)
+    live = merge_sketches(build_sketches(ev, "event_type", "user_id")).select(
+        F.hll_sketch_estimate("sketch").alias("est")
+    ).collect()[0].est
+    stored = merge_sketches(spark.read.parquet(path)).select(
+        F.hll_sketch_estimate("sketch").alias("est")
+    ).collect()[0].est
+    assert stored == live
