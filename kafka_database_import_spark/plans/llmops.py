@@ -539,3 +539,148 @@ def q71_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(err * 1e6 + 0.5) / 1e6).alias("max_err_r"),
     )
     return ordered(out)
+
+
+@query(
+    "q74_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    )
+    SELECT term, COUNT(*) AS n
+    FROM tok GROUP BY term
+    ORDER BY n DESC, term ASC
+    LIMIT 20
+    """,
+)
+def q74_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 tokens (vocabulary heavy hitters) with a
+    deterministic tiebreak. explode → partial-agg → one shuffle on the
+    token → TakeOrderedAndProject: the map-side combine collapses each
+    partition to its local vocabulary before the exchange, so shuffle
+    volume is |vocab|·partitions, not |tokens| — the property that
+    makes corpus-scale term counting tractable. The mergeable-sketch
+    alternative for when even the vocabulary doesn't fit (Count-Min,
+    ``F.count_min_sketch``) is property-tested in
+    tests/test_properties.py against these exact counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    from kafka_database_import_spark.functions.text import tokens
+
+    out = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(20)
+    )
+    return out
+
+
+@query(
+    "q75_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+    r AS (
+      SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf DESC, d.doc_freq ASC,
+                                         t.term ASC) AS rnk
+      FROM tf t JOIN df d ON t.term = d.term
+    )
+    SELECT doc_id, term, tf, doc_freq, rnk FROM r WHERE rnk <= 3
+    ORDER BY doc_id NULLS LAST, term NULLS LAST, tf NULLS LAST,
+             doc_freq NULLS LAST, rnk NULLS LAST
+    """,
+)
+def q75_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinguishing terms, ranked tf-idf-style but
+    on the *integer* pair (tf DESC, doc-frequency ASC) with an
+    alphabetical tiebreak — the exact ordering float tf·idf induces,
+    without the cross-engine float-log divergence. Plan shape: one
+    shuffle to (doc, term), a vocabulary-sized aggregate for document
+    frequencies joined back on the term key, then the q25-style
+    WindowGroupLimit partial top-k per document. The df table is
+    |vocab| rows — at corpus scale it broadcast-joins; AQE picks that
+    up from runtime stats."""
+    from kafka_database_import_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
+    )
+    out = (
+        tf.join(dfreq, "term")
+        .select(
+            "doc_id", "term", "tf", "doc_freq",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    return ordered(out)
+
+
+@query(
+    "q76_repetition_filter",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents)
+      WHERE len(t) >= 2
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY doc_id, gram),
+    s AS (SELECT doc_id, MAX(n) AS top_n, SUM(n) AS total FROM c GROUP BY doc_id)
+    SELECT doc_id, top_n, total,
+           FLOOR(top_n::DOUBLE / total * 1e4 + 0.5) / 1e4 AS top_frac,
+           CASE WHEN top_n::DOUBLE / total > 0.2 THEN 1 ELSE 0 END AS flagged
+    FROM s
+    ORDER BY doc_id NULLS LAST, top_n NULLS LAST, total NULLS LAST,
+             top_frac NULLS LAST, flagged NULLS LAST
+    """,
+)
+def q76_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring (the Gopher/Dolma
+    "top-2-gram fraction" quality filter): share of a document's word
+    bigrams taken by its single most frequent bigram; >0.2 flags
+    boilerplate-/loop-generated text. Aggregation is per-document —
+    explode bigrams, count within (doc, gram), max/sum per doc — so the
+    shuffle key is the doc id and the op scales embarrassingly; no
+    corpus-wide state at all."""
+    from kafka_database_import_spark.functions.text import (
+        ordered_shingles,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(ordered_shingles(tokens(F.col("text")), n=2)).alias("gram"),
+    )
+    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
+    s = c.groupBy("doc_id").agg(
+        F.max("n").alias("top_n"), F.sum("n").alias("total")
+    )
+    frac = F.col("top_n").cast("double") / F.col("total")
+    out = s.select(
+        "doc_id", "top_n", "total",
+        (F.floor(frac * 1e4 + 0.5) / 1e4).alias("top_frac"),
+        F.when(frac > 0.2, 1).otherwise(0).alias("flagged"),
+    )
+    return ordered(out)

@@ -222,3 +222,26 @@ def test_q69_sketches_survive_persistence(spark, sf_dir, tmp_path):
         F.hll_sketch_estimate("sketch").alias("est")
     ).collect()[0].est
     assert stored == live
+
+
+def test_q74_count_min_sketch_bounds_vs_exact(spark, sf_dir):
+    """Count-Min never undercounts, and with eps=0.01/conf=0.95 (fixed
+    seed → deterministic) overcounts by at most eps·N on the fixture
+    vocabulary — the sketch alternative to q74's exact counts for
+    vocabularies that don't fit an aggregate."""
+    from kafka_database_import_spark.functions.text import tokens as toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(toks(F.col("text"))).alias("term"))
+    exact = {r.term: r.n for r in tok.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(exact.values())
+    sk_bytes = tok.agg(
+        F.count_min_sketch("term", F.lit(0.01), F.lit(0.95), F.lit(42)).alias("sk")
+    ).collect()[0].sk
+    jsk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_bytes)
+    )
+    for term, n in exact.items():
+        est = jsk.estimateCount(term)
+        assert est >= n, (term, n, est)
+        assert est <= n + 0.01 * total, (term, n, est, total)
