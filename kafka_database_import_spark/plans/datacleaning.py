@@ -204,44 +204,92 @@ def q60_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q61_decontamination",
     oracle="""
-    WITH sh AS (
+    WITH th AS (
       SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 1, 1)),
-               i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
-                    string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
-                    string_split_regex(lower(text), '\\s+')[i+2])) AS grams
+             list_transform(string_split_regex(lower(text), '\\s+'), w ->
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1073741789)) AS th
       FROM documents
     ),
-    bench AS (SELECT grams AS bgrams FROM sh WHERE doc_id < 5),
-    hits AS (
-      SELECT s.doc_id, SUM(len(list_intersect(s.grams, b.bgrams))) AS shared
-      FROM sh s, bench b
-      WHERE s.doc_id >= 5
-      GROUP BY s.doc_id
-    )
-    SELECT doc_id, shared FROM hits WHERE shared >= 1
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(th) >= 3 THEN
+               list_distinct(list_transform(range(1, len(th) - 1),
+                 i -> ((th[i] * 1000003 + th[i+1]) % 1073741789 * 1000003
+                       + th[i+2]) % 1073741789))
+             ELSE [] END AS grams
+      FROM th
+    ),
+    bg AS (SELECT unnest(grams) AS gram FROM sh WHERE doc_id < 5),
+    cg AS (SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id >= 5)
+    SELECT doc_id, COUNT(*) AS shared
+    FROM cg JOIN bg ON cg.gram = bg.gram
+    GROUP BY doc_id
     ORDER BY doc_id NULLS LAST, shared NULLS LAST
     """,
 )
 def q61_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing 3-gram
-    shingles with a benchmark set (docs 0–4 stand in for an eval set).
-    The benchmark side is tiny by definition → broadcast; the corpus is
-    scanned once and never shuffled for the overlap. At real scale the
-    benchmark shingles become a broadcast Bloom filter; the exact
-    intersect here is the oracle-checkable form."""
+    shingles with a benchmark set (docs 0-4 stand in for an eval set).
+    Shape: explode each doc's distinct shingle ids once, hash-join
+    against the broadcast benchmark shingle bag, count matches per doc
+    — each (corpus-gram, bench-doc) hit counts once, i.e. the sum of
+    per-bench-doc intersection sizes, without a bench-side crossJoin
+    multiplying the corpus |bench| times. Shingles are integer ids
+    (q70's token-poly-hash combine; the oracle runs the identical
+    arithmetic, so even hash collisions agree).
+
+    Expression-structure note: the shingle array is built as ONE
+    self-contained expression (slice the token-hash array at offsets
+    0/1/2, zip, combine) instead of referencing a ``th`` column from a
+    previous projection. This plan is consumed twice (broadcast bench
+    side + corpus side), and CollapseProject inlines cross-projection
+    column references into every use site — with per-element
+    ``element_at(th, i)`` references that meant re-evaluating the whole
+    token-hash pass per element (measured 96 s at sf0.1; this form is
+    ~2 s). Slicing references the array a bounded 3 times per ROW, not
+    per element. At real scale the broadcast bag becomes a broadcast
+    Bloom filter and the count degrades to a may-contain screen + exact
+    recheck of survivors."""
+    from kafka_database_import_spark.functions.text import (
+        POLY_MOD,
+        poly_hash,
+        tokens,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", word_shingles(tokens(F.col("text"))).alias("grams"))
-    bench = sh.filter(F.col("doc_id") < 5).select(F.col("grams").alias("bgrams"))
-    corpus = sh.filter(F.col("doc_id") >= 5)
-    shared = F.size(F.array_intersect("grams", "bgrams"))
+    th = F.transform(tokens(F.col("text")), poly_hash)
+    # Generate barrier: exploding a singleton array pins ``th`` as a real
+    # attribute — CollapseProject cannot merge a Project into a Generate,
+    # so the token-hash pass runs exactly once per row even though the
+    # slices below reference it three times and the plan is consumed by
+    # two join sides (without it: 3 evals/row; with cross-projection
+    # column refs instead: per-ELEMENT re-evaluation, measured 96 s at
+    # sf0.1 vs 1.3 s for this form).
+    d = docs.select("doc_id", F.explode(F.array(th)).alias("th"))
+    n_sh = F.greatest(F.size("th") - 2, F.lit(0))
+    z = F.arrays_zip(
+        F.slice("th", 1, n_sh).alias("a"),
+        F.slice("th", 2, n_sh).alias("b"),
+        F.slice("th", 3, n_sh).alias("c"),
+    )
+    grams = F.array_distinct(
+        F.transform(
+            z,
+            lambda s: ((s["a"] * 1000003 + s["b"]) % POLY_MOD * 1000003 + s["c"])
+            % POLY_MOD,
+        )
+    )
+    sh = d.select("doc_id", grams.alias("grams"))
+    bench = sh.filter(F.col("doc_id") < 5).select(F.explode("grams").alias("gram"))
+    corpus = sh.filter(F.col("doc_id") >= 5).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
     out = (
-        corpus.crossJoin(F.broadcast(bench))
-        .select("doc_id", shared.alias("s"))
+        corpus.join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
-        .agg(F.sum("s").alias("shared"))
-        .filter(F.col("shared") >= 1)
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
     return ordered(out)
 
@@ -288,21 +336,22 @@ def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
     ),
-    sh AS (
+    th AS (
       SELECT doc_id,
-             CASE WHEN len(t) >= 3 THEN
-               list_transform(range(1, len(t) - 1),
-                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-             ELSE [] END AS grams
+             list_transform(t, w ->
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1073741789)) AS th
       FROM toks
     ),
-    h AS (
+    sh AS (
       SELECT doc_id,
-             list_transform(grams, s ->
-               list_reduce(list_prepend(0::BIGINT,
-                 list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
-                 (a, b) -> (a * 31 + b) % 1073741789)) AS hs
-      FROM sh
+             CASE WHEN len(th) >= 3 THEN
+               list_transform(range(1, len(th) - 1),
+                 i -> ((th[i] * 1000003 + th[i+1]) % 1073741789 * 1000003
+                       + th[i+2]) % 1073741789)
+             ELSE [] END AS hs
+      FROM th
     ),
     fp AS (
       SELECT doc_id,
@@ -311,7 +360,7 @@ def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             i -> list_min(hs[i:i+3])))
              WHEN len(hs) >= 1 THEN [list_min(hs)]
              ELSE [] END AS fps
-      FROM h
+      FROM sh
     ),
     ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
     pairs AS (
@@ -326,25 +375,43 @@ def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q70_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     the MOSS algorithm) for corpus overlap detection: hash every
-    positional 3-word shingle with the engine-neutral polynomial hash,
-    keep the minimum hash of each sliding window of 4 (so any shared
-    run of ≥6 words is guaranteed to share a fingerprint), then find
-    document pairs sharing ≥2 fingerprints. The winnow keeps ~1/w of
-    the shingle hashes while preserving the overlap guarantee — that
-    density reduction is what makes the pair-finding shuffle affordable
-    at corpus scale. The shuffle itself is the LSH-band shape (explode
-    selected fingerprints → shuffle on fingerprint → emit co-bucketed
-    pairs), never an all-pairs comparison; hashing is scan-local JVM
-    expression work, linear in document length."""
+    positional 3-word shingle, keep the minimum hash of each sliding
+    window of 4 (so any shared run of >=6 words is guaranteed to share
+    a fingerprint), then find document pairs sharing >=2 fingerprints.
+    The winnow keeps ~1/w of the shingle hashes while preserving the
+    overlap guarantee — that density reduction is what makes the
+    pair-finding shuffle affordable at corpus scale. The shuffle itself
+    is the LSH-band shape (explode selected fingerprints → shuffle on
+    fingerprint → emit co-bucketed pairs), never an all-pairs compare.
+
+    Hashing cost note (measured at sf0.1): higher-order-function
+    lambdas evaluate interpreted, outside whole-stage codegen, so
+    per-CHARACTER work per shingle is 12 s; hashing each token's
+    characters ONCE (engine-neutral polynomial, functions/text.
+    poly_hash) and combining the three token hashes arithmetically per
+    shingle is the same fingerprint family at 2 s. Linear in document
+    length either way, but the constant matters when the expression
+    interpreter is the engine."""
     from kafka_database_import_spark.functions.text import (
-        ordered_shingles,
+        POLY_MOD,
         poly_hash,
         tokens,
     )
 
     w = 4
     docs = load_table(spark, sf_dir, "documents")
-    hs = F.transform(ordered_shingles(tokens(F.col("text"))), poly_hash)
+    th = F.transform(tokens(F.col("text")), poly_hash)
+    docs = docs.select("doc_id", th.alias("th"))
+    n_tok = F.size("th")
+    shingle = lambda i: (  # noqa: E731
+        (F.element_at("th", i) * 1000003 + F.element_at("th", i + 1))
+        % POLY_MOD
+        * 1000003
+        + F.element_at("th", i + 2)
+    ) % POLY_MOD
+    hs = F.when(
+        n_tok >= 3, F.transform(F.sequence(F.lit(1), n_tok - 2), shingle)
+    ).otherwise(F.array().cast("array<long>"))
     docs = docs.select("doc_id", hs.alias("hs"))
     n_win = F.size("hs") - (w - 1)
     fps = (

@@ -637,13 +637,19 @@ def q75_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q76_repetition_filter",
     oracle="""
-    WITH g AS (
+    WITH th AS (
       SELECT doc_id,
-             unnest(list_transform(range(1, len(t)),
-                                   i -> t[i] || ' ' || t[i+1])) AS gram
-      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
-            FROM documents)
-      WHERE len(t) >= 2
+             list_transform(string_split_regex(lower(text), '\\s+'), w ->
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1073741789)) AS th
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(th)),
+                    i -> th[i] * 1073741789 + th[i+1])) AS gram
+      FROM th WHERE len(th) >= 2
     ),
     c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY doc_id, gram),
     s AS (SELECT doc_id, MAX(n) AS top_n, SUM(n) AS total FROM c GROUP BY doc_id)
@@ -662,17 +668,24 @@ def q76_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-/loop-generated text. Aggregation is per-document —
     explode bigrams, count within (doc, gram), max/sum per doc — so the
     shuffle key is the doc id and the op scales embarrassingly; no
-    corpus-wide state at all."""
+    corpus-wide state at all. Bigrams are INTEGER ids (token poly-hash
+    pairs packed collision-free: a*P+b with both hashes < P), not
+    concatenated strings — same interpreted-lambda cost lesson as q70,
+    and the shuffle rows are 16 bytes instead of strings."""
     from kafka_database_import_spark.functions.text import (
-        ordered_shingles,
+        POLY_MOD,
+        poly_hash,
         tokens,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id",
-        F.explode(ordered_shingles(tokens(F.col("text")), n=2)).alias("gram"),
+    th = F.transform(tokens(F.col("text")), poly_hash)
+    docs = docs.select("doc_id", th.alias("th")).filter(F.size("th") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("th") - 1),
+        lambda i: F.element_at("th", i) * POLY_MOD + F.element_at("th", i + 1),
     )
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
     c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
     s = c.groupBy("doc_id").agg(
         F.max("n").alias("top_n"), F.sum("n").alias("total")
