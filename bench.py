@@ -33,6 +33,10 @@ HEADLINE = [
     "q46_text_stats",
     "q40_pandas_udf",
     "q33_stream_tumbling_window",  # streaming <= 30 s
+    "q70_winnow_overlap",      # corpus overlap detection (winnowing)
+    "q72_sessionize_batch",    # gaps-and-islands sessionization
+    "q75_tfidf_top_terms",     # tf-idf-ranked distinguishing terms
+    "q77_zorder_layout",       # multi-dim clustering key
 ]
 
 

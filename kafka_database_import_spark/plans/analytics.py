@@ -446,3 +446,77 @@ def q72_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ordered(out)
+
+
+@query(
+    "q77_zorder_layout",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(user_id) AS xlo, MAX(user_id) AS xhi,
+             MIN(event_id) AS ylo, MAX(event_id) AS yhi
+      FROM events
+    ),
+    n AS (
+      SELECT FLOOR((user_id - xlo)::DOUBLE * 65535 / greatest(xhi - xlo, 1))::BIGINT AS xn,
+             FLOOR((event_id - ylo)::DOUBLE * 65535 / greatest(yhi - ylo, 1))::BIGINT AS yn
+      FROM events, b
+    ),
+    z AS (
+      SELECT list_reduce(list_prepend(0::BIGINT, range(0, 16)), (acc, i) ->
+               acc | (((xn >> i) & 1) << (2*i))
+                   | (((yn >> i) & 1) << (2*i + 1))) AS zv
+      FROM n
+    )
+    SELECT zv >> 24 AS z_bucket,
+           COUNT(*) AS n,
+           MIN(zv) AS z_min,
+           MAX(zv) AS z_max
+    FROM z
+    GROUP BY z_bucket
+    ORDER BY z_bucket NULLS LAST, n NULLS LAST, z_min NULLS LAST,
+             z_max NULLS LAST
+    """,
+)
+def q77_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key (operators/zorder.py) over
+    (user_id, event_id), both first normalized to the 16-bit grid from
+    their observed min/max — without that normalization the wider key's
+    high bits dominate every range split and the layout degrades to a
+    1-D sort (operators/zorder.normalized16). This is the
+    multi-dimensional sort key that keeps every output file narrow in
+    BOTH dimensions so parquet min/max stats prune two-dimensional
+    predicates — the public Delta/Iceberg OPTIMIZE ZORDER technique as
+    plain DataFrame ops. The oracle recomputes the identical normalize
+    + bit interleave with a DuckDB list fold; the layout effect on real
+    written files is asserted in tests/test_scale_paths.py. The bounds
+    pre-pass is a broadcast scalar row, not a collect."""
+    from kafka_database_import_spark.operators.zorder import zvalue
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("user_id").alias("xlo"),
+        F.max("user_id").alias("xhi"),
+        F.min("event_id").alias("ylo"),
+        F.max("event_id").alias("yhi"),
+    )
+    ev = ev.crossJoin(F.broadcast(bounds))
+    xn = F.floor(
+        (F.col("user_id") - F.col("xlo")).cast("double")
+        * 65535
+        / F.greatest(F.col("xhi") - F.col("xlo"), F.lit(1))
+    ).cast("long")
+    yn = F.floor(
+        (F.col("event_id") - F.col("ylo")).cast("double")
+        * 65535
+        / F.greatest(F.col("yhi") - F.col("ylo"), F.lit(1))
+    ).cast("long")
+    out = (
+        ev.select(zvalue(xn, yn).alias("zv"))
+        .groupBy(F.shiftright("zv", 24).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zv").alias("z_min"),
+            F.max("zv").alias("z_max"),
+        )
+    )
+    return ordered(out)

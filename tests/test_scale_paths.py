@@ -137,3 +137,42 @@ def test_bloom_runtime_filter_injected(spark, sf_dir):
         .count()
     )
     assert n_bloom == n_plain
+
+
+def test_zorder_write_narrows_per_file_spans(spark, sf_dir, tmp_path):
+    """Z-ordered layout must give files that are narrow in BOTH key
+    dimensions; a 1-D sort leaves the second dimension's per-file span
+    at ~full range. Compares mean normalized span of user_id across
+    files between the two layouts."""
+    import pyspark.sql.functions as F
+
+    from kafka_database_import_spark.operators.zorder import zorder_write
+    from kafka_database_import_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "sorted1d")
+    zorder_write(ev, zpath, "user_id", "event_id", n_files=16)
+    (
+        ev.repartitionByRange(16, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.parquet(spath)
+    )
+
+    def mean_user_span(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max("user_id") - F.min("user_id")).alias("span"))
+        )
+        row = per_file.agg(F.avg("span").alias("m"), F.count("*").alias("n")).collect()[0]
+        assert row.n >= 16
+        return row.m
+
+    full = ev.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+    z_span = mean_user_span(zpath) / full
+    s_span = mean_user_span(spath) / full
+    # 1-D event_id sort leaves user_id unclustered (~full span per file);
+    # z-order must at least halve it.
+    assert s_span > 0.9, s_span
+    assert z_span < 0.5 * s_span, (z_span, s_span)
