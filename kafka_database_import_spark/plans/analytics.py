@@ -520,3 +520,95 @@ def q77_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ordered(out)
+
+
+@query(
+    "q78_table_diff",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+               WHERE o_orderkey % 10 != 3),
+    b AS (SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS v
+          FROM orders WHERE o_orderkey % 10 != 4),
+    j AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'only_right'
+                  WHEN b.k IS NULL THEN 'only_left'
+                  WHEN a.v != b.v THEN 'changed'
+                  ELSE 'same' END AS status
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT status, COUNT(*) AS n
+    FROM j WHERE status != 'same'
+    GROUP BY status
+    ORDER BY status NULLS LAST, n NULLS LAST
+    """,
+)
+def q78_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation (anti-entropy diff): classify keys as
+    only-left / only-right / changed between two table versions — the
+    validation step after any migration, backfill, or engine swap
+    (e.g. verifying this engine against the reference's output). One
+    full outer join on the key — a single co-partitioned shuffle of
+    both sides; at 100 TB the cheap screen is comparing per-partition
+    row-hash aggregates first and full-outer-joining only partitions
+    whose digests differ. The two 'versions' here are deterministic
+    perturbations of orders, so ground truth is exact in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    b = orders.filter(F.col("o_orderkey") % 10 != 4).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")).alias("v"),
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    j = aa.join(bb, F.col("a.k") == F.col("b.k"), "full_outer").select(
+        F.when(F.col("a.k").isNull(), "only_right")
+        .when(F.col("b.k").isNull(), "only_left")
+        .when(F.col("a.v") != F.col("b.v"), "changed")
+        .otherwise("same")
+        .alias("status")
+    )
+    out = (
+        j.filter(F.col("status") != "same")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return ordered(out)
+
+
+@query(
+    "q79_ntile_discretize",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    )
+    SELECT decile, COUNT(*) AS n, MIN(c_custkey) AS first_key
+    FROM t GROUP BY decile
+    ORDER BY decile NULLS LAST, n NULLS LAST, first_key NULLS LAST
+    """,
+)
+def q79_ntile_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization via ``ntile`` — feature binning /
+    cohort assignment. The unpartitioned ORDER BY makes this a single
+    total sort; the key (c_acctbal, c_custkey) is made unique so tile
+    boundaries are deterministic cross-engine. At 100 TB you don't run
+    a global ntile: the scale path is approx_percentile cut points
+    (mergeable sketch, one pass) + a scan-local bucket lookup — the
+    q53b/q69 pattern; this exact form is its oracle-checkable twin."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    out = (
+        cust.select("c_custkey", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("c_custkey").alias("first_key"))
+    )
+    return ordered(out)

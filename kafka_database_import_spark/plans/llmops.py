@@ -697,3 +697,70 @@ def q76_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(frac > 0.2, 1).otherwise(0).alias("flagged"),
     )
     return ordered(out)
+
+
+@query(
+    "q80_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 16 AS shard,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    p AS (
+      SELECT shard, FLOOR((cum - n_tokens) / 512)::BIGINT AS seq_id, n_tokens
+      FROM c
+    )
+    SELECT shard, seq_id, COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+    FROM p GROUP BY shard, seq_id
+    ORDER BY shard NULLS LAST, seq_id NULLS LAST, n_docs NULLS LAST,
+             seq_tokens NULLS LAST
+    """,
+)
+def q80_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing — concatenating documents into
+    fixed-token-budget training sequences (the step between a cleaned
+    corpus and a pretraining dataloader). Docs are packed in doc_id
+    order by running token count (BPE-ish pre-split, q46's counter);
+    a doc starts a new sequence when its START offset crosses the
+    512-token boundary. Packing is per-SHARD (doc_id mod 16): a global
+    ordered cumsum would be one total sort with a sequential tail —
+    sharding makes the window partitioned, so packing parallelizes
+    with the data and stays deterministic (shard + order are pure
+    functions of the key). One shuffle on shard; everything else is
+    window arithmetic."""
+    from pyspark.sql import Window
+
+    from kafka_database_import_spark.functions.text import token_count_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        token_count_bpe(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.select(
+        "shard", "n_tokens", F.sum("n_tokens").over(w).alias("cum")
+    )
+    p = c.select(
+        "shard",
+        F.floor((F.col("cum") - F.col("n_tokens")) / 512).cast("bigint").alias("seq_id"),
+        "n_tokens",
+    )
+    out = p.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+    return ordered(out)
