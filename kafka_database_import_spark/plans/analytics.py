@@ -612,3 +612,135 @@ def q79_ntile_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("c_custkey").alias("first_key"))
     )
     return ordered(out)
+
+
+@query(
+    "q81_funnel",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    w2 AS (
+      SELECT user_id, ts, event_type, t1,
+             MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM w
+    ),
+    w3 AS (
+      SELECT user_id, t1, t2,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ),
+    per_user AS (
+      SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      FROM w3 GROUP BY user_id
+    )
+    SELECT COUNT(t1) AS n_viewed,
+           COUNT(t2) AS n_clicked_after_view,
+           COUNT(t3) AS n_purchased_after_click
+    FROM per_user
+    """,
+)
+def q81_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click-after-view →
+    purchase-after-click): per-user milestone timestamps via THREE
+    STACKED unbounded windows over the same ``user_id`` partitioning —
+    Catalyst stacks the Window nodes on one exchange, so the whole
+    sequential-dependency chain (each milestone filters on the previous
+    one) costs a single shuffle, not a join per funnel step. The final
+    per-user collapse reuses the same partitioning; only the 3-number
+    global count crosses it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ev = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    ev = ev.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    ev = ev.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    out = per_user.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
+    )
+    return out
+
+
+@query(
+    "q82_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts,
+             date_trunc('day', MIN(ts) OVER (PARTITION BY user_id))
+               AS cohort_day
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, cohort_day,
+             date_diff('day', cohort_day, date_trunc('day', ts)) AS offset_days
+      FROM f
+    )
+    SELECT epoch_us(cohort_day) AS cohort_day_us, offset_days,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM o
+    WHERE offset_days IN (0, 1, 7, 14)
+    GROUP BY cohort_day, offset_days
+    ORDER BY cohort_day_us NULLS LAST, offset_days NULLS LAST,
+             n_users NULLS LAST
+    """,
+)
+def q82_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort analysis: users bucketed by first-activity day,
+    counted again at day offsets 0/1/7/14 — the standard growth metric
+    as two shuffles (a ``user_id`` window for the cohort day, then the
+    (cohort, offset) distinct-count). The distinct count is exact here;
+    at 100 TB the q69 HLL-sketch path computes the same matrix
+    incrementally (one sketch per (cohort, offset), merged daily)
+    without rescanning history."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.withColumn("cohort_day", F.date_trunc("day", F.min("ts").over(w)))
+    o = f.select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+            "offset_days"
+        ),
+    )
+    out = (
+        o.filter(F.col("offset_days").isin(0, 1, 7, 14))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.unix_micros("cohort_day").alias("cohort_day_us"),
+            "offset_days",
+            "n_users",
+        )
+    )
+    return ordered(out)
