@@ -69,3 +69,36 @@ def test_q09_exercises_real_shuffle_join(spark, sf_dir):
 def test_no_python_in_relational_hot_paths(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q61_token_hash_pass_not_reinlined(spark, sf_dir):
+    """The Generate barrier must keep the token poly-hash pass at one
+    evaluation per consumer side — CollapseProject re-inlining it into
+    per-element lambdas was a measured 70x regression (SCALE.md)."""
+    df = _QS["q61_decontamination"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # one aggregate( per join side (bench + corpus), never per element
+    assert plan.count("aggregate(") <= 2, plan.count("aggregate(")
+
+
+def test_q67_cogroup_is_bucketed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q67_cogroup_merge")
+    assert "FlatMapCoGroupsInPandas" in plan
+    # cogroup key is the hash bucket, not the raw entity id
+    assert "pmod" in plan or "bucket" in plan
+
+
+def test_q81_funnel_single_user_shuffle(spark, sf_dir):
+    """Three stacked windows + per-user collapse must share ONE
+    user_id exchange; only the final 3-number agg adds another."""
+    plan = _plan(spark, sf_dir, "q81_funnel")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert plan.count("Window") >= 3
+
+
+def test_q77_zorder_interleave_stays_codegen(spark, sf_dir):
+    """The Morton interleave is unrolled shift/mask arithmetic — no
+    higher-order function (HOFs evaluate interpreted)."""
+    plan = _plan(spark, sf_dir, "q77_zorder_layout")
+    assert "lambdafunction" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
