@@ -7,18 +7,25 @@ where "A≈B, B≈C ⇒ {A,B,C} keep one" requires transitive closure.
 Scale design (the 100 TB question): label propagation by iterated
 join — each iteration is one shuffle join of the label table (|V|
 rows, 2 narrow columns) against the symmetrized edge list, followed by
-a min-aggregate. Rounds needed = graph diameter, which for dedup
-graphs is tiny (near-dup clusters are dense blobs, diameter ≤ ~5; the
-alternating large-star/small-star algorithm of Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SOCC'14, converges in
-O(log²) rounds and is the drop-in upgrade if diameters grow). Two
-things keep the loop cluster-safe:
+a min-aggregate. Rounds needed = eccentricity of each component's
+minimum node (measured: 2 on the sf0.1 MinHash near-dup graph, 21 on
+the sparser q63 co-occurrence graph) — but every per-round join keys
+on a UNIQUE node id, so rounds stay flat-cost no matter how the label
+distribution degenerates. The tempting pointer-jumping upgrade
+(label := label-of-label, Kiveris et al. SOCC'14 style) was measured
+WORSE here: it joins on the label value, which concentrates onto one
+hot key exactly as components collapse — the last rounds went 0.5 s →
+4 s (and 33–150 s with a second label-keyed join) while saving only 2
+of 21 rounds. If diameters outgrow this, the fix is the full
+large-star/small-star alternation (which re-keys by node each phase),
+not a label-keyed shortcut join. Two things keep the loop
+cluster-safe:
 
 * ``localCheckpoint`` every round truncates lineage — without it the
   plan doubles per iteration and Catalyst analysis time explodes;
 * convergence is detected with a cheap ``changed == 0`` count on the
-  already-materialized checkpoint, so the loop runs diameter+1 rounds,
-  not ``max_iter``.
+  already-materialized checkpoint, so the loop runs exactly as many
+  rounds as the graph needs, not ``max_iter``.
 """
 
 from __future__ import annotations
@@ -31,7 +38,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     ``component`` is the minimum node id reachable via undirected

@@ -194,3 +194,60 @@ def q32_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("has_k"),
     )
     return ordered(out)
+
+
+@query(
+    "q83_map_funcs",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    agg AS (
+      SELECT user_id,
+             COALESCE(string_agg(event_type || ':' || (n * 2), ','
+                        ORDER BY event_type) FILTER (WHERE n >= 2), '')
+               AS packed,
+             COUNT(*) FILTER (WHERE n >= 2) AS n_keys,
+             COALESCE(MAX(CASE WHEN event_type = 'click' THEN n END), 0)
+               AS click_n
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, packed, n_keys, click_n FROM agg
+    ORDER BY user_id NULLS LAST, packed NULLS LAST, n_keys NULLS LAST,
+             click_n NULLS LAST
+    """,
+)
+def q83_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: build a per-user ``map<event_type, count>``
+    (``map_from_entries`` over an entry list sorted for deterministic
+    iteration order), then ``map_filter`` (counts ≥ 2),
+    ``transform_values`` (×2), ``element_at`` lookup with a null
+    default, and ``map_entries`` projection back to a comparable packed
+    string. Maps shuffle like any other column; the discipline is the
+    SAME as order-sensitive aggregation (q57): sort entries before
+    constructing, because map iteration order is construction order and
+    nothing else is deterministic under parallelism."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    filtered = F.map_filter("m", lambda k, v: v >= 2)
+    doubled = F.transform_values(filtered, lambda k, v: v * 2)
+    packed = F.array_join(
+        F.transform(
+            F.map_entries(doubled),
+            lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+        ),
+        ",",
+    )
+    out = m.select(
+        "user_id",
+        packed.alias("packed"),
+        F.size(doubled).alias("n_keys"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("click_n"),
+    )
+    return ordered(out)
