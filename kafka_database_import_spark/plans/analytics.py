@@ -744,3 +744,103 @@ def q82_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ordered(out)
+
+
+@query(
+    "q85_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey < 100
+    ORDER BY c_custkey NULLS LAST, o_orderkey NULLS LAST,
+             o_totalprice NULLS LAST
+    """,
+)
+def q85_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) through
+    the SQL surface — the "for each row, run this parameterized query"
+    form users port from OLTP engines. Catalyst DECORRELATES it: the
+    per-row ORDER BY/LIMIT becomes the same window-rank + filter plan
+    as q25 (one shuffle, partial top-k) rather than |customers|
+    query executions — which is the only form that survives 100 TB.
+    DuckDB executes the identical SQL natively as the oracle."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat_v")
+    out = spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat_v c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat_v o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 100
+        """
+    )
+    return ordered(out)
+
+
+@query(
+    "q86_interval_overlap_join",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1
+      FROM events WHERE user_id < 80
+      GROUP BY user_id, time_bucket(INTERVAL '6 hours', ts)
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS n_overlaps
+    FROM s a JOIN s b
+      ON a.user_id < b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
+    GROUP BY user_a, user_b
+    ORDER BY user_a NULLS LAST, user_b NULLS LAST, n_overlaps NULLS LAST
+    """,
+)
+def q86_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join — "which activity intervals of different
+    users overlap in time" — via BUCKETED candidate generation: explode
+    each interval into the 6-hour grid slots it touches, equi-join on
+    the slot (a hash shuffle), dedupe, then apply the exact overlap
+    predicate. The naive form is a pure theta-join (no equality
+    conjunct → BroadcastNestedLoopJoin, O(n²) compares); bucketing
+    turns it into the same band-bucket shape as q44's LSH join, with
+    the grid pitch trading candidate count against per-interval
+    explode width. The oracle runs the naive theta form in DuckDB —
+    same rows, different physical strategy; intervals here are per-user
+    6-hour activity spans (min/max event ts)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 80)
+    s = ev.groupBy(
+        "user_id", F.window("ts", "6 hours").alias("w")
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).drop("w")
+    slot = 6 * 3600 * 1_000_000  # grid pitch in microseconds
+    slots = F.sequence(
+        F.floor(F.unix_micros("t0") / slot).cast("long"),
+        F.floor(F.unix_micros("t1") / slot).cast("long"),
+    )
+    e = s.select("user_id", "t0", "t1", F.explode(slots).alias("slot"))
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.t0").alias("a0"),
+            F.col("a.t1").alias("a1"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.t0").alias("b0"),
+            F.col("b.t1").alias("b1"),
+        )
+        .distinct()
+    )
+    out = (
+        cand.filter((F.col("a0") <= F.col("b1")) & (F.col("b0") <= F.col("a1")))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+    return ordered(out)

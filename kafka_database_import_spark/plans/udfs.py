@@ -276,3 +276,47 @@ def q67_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ordered(out)
+
+
+@query(
+    "q84_chunk_udtf",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      WHERE doc_id < 100
+    )
+    SELECT doc_id, k AS chunk_id,
+           array_to_string(t[k*20+1 : k*20+20], ' ') AS chunk_text
+    FROM t, unnest(range(0, (len(t) + 19) // 20)) AS u(k)
+    ORDER BY doc_id NULLS LAST, chunk_id NULLS LAST, chunk_text NULLS LAST
+    """,
+)
+def q84_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (fixed 20-token windows — the RAG/pretraining
+    context-window splitter) through Spark 4's real Python UDTF surface
+    (``@udtf`` class, 1→N rows per input). The chunking itself is
+    JVM-expressible (the oracle is exactly that form in DuckDB); the
+    catalog runs it as a UDTF to cover the table-function API — and
+    documents the cost honestly: Python UDTFs evaluate row-at-a-time,
+    so on a fact table prefer the q42 ``mapInPandas`` Arrow-batched
+    shape or pure JVM `posexplode`; this is the escape hatch for
+    genuinely iterator-shaped logic (stateful parsers, generators)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id bigint, chunk_id int, chunk_text string")
+    class Chunker:
+        def eval(self, doc_id: int, text: str):
+            import re
+
+            toks = re.split(r"\s+", text)
+            for k in range(0, (len(toks) + 19) // 20):
+                yield doc_id, k, " ".join(toks[k * 20 : k * 20 + 20])
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("docs_to_chunk")
+    spark.udtf.register("chunk_doc", Chunker)
+    out = spark.sql(
+        "SELECT c.doc_id, c.chunk_id, c.chunk_text "
+        "FROM docs_to_chunk d, LATERAL chunk_doc(d.doc_id, d.text) c"
+    )
+    return ordered(out)
