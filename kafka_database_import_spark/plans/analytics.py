@@ -844,3 +844,77 @@ def q86_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlaps"))
     )
     return ordered(out)
+
+
+@query(
+    "q87_profile_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           COUNT(*) - COUNT(o_custkey) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           MIN(o_custkey)::VARCHAR AS min_v, MAX(o_custkey)::VARCHAR AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           strftime(MIN(o_orderdate), '%Y-%m-%d'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    ORDER BY col NULLS LAST, n_null NULLS LAST, n_distinct NULLS LAST,
+             min_v NULLS LAST, max_v NULLS LAST
+    """,
+)
+def q87_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling — null count / distinct count / min / max per
+    column, the first query anyone runs on unfamiliar data. ONE scan
+    computes every column's stats as parallel aggregates (Spark
+    evaluates all aggregate expressions in a single pass; the
+    three-branch UNION in the oracle is DuckDB's equivalent, not the
+    plan shape here), then unpivots to (col, stats) rows. At 100 TB
+    swap the exact distincts for approx_count_distinct/HLL (q18/q69) —
+    same single-scan shape. Values are stringified per-type for the
+    uniform schema, the same trade `df.summary()` makes."""
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = F.count(F.lit(1))
+
+    def stats(c, fmt=None):
+        mn, mx = F.min(c), F.max(c)
+        if fmt:
+            mn, mx = F.date_format(mn, fmt), F.date_format(mx, fmt)
+        return F.struct(
+            (cnt - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            mn.cast("string").alias("min_v"),
+            mx.cast("string").alias("max_v"),
+        )
+
+    wide = orders.agg(
+        stats("o_custkey").alias("o_custkey"),
+        stats("o_orderpriority").alias("o_orderpriority"),
+        stats("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    )
+    cols = ["o_custkey", "o_orderpriority", "o_orderdate"]
+    long = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"{c}.n_null").alias("n_null"),
+                        F.col(f"{c}.n_distinct").alias("n_distinct"),
+                        F.col(f"{c}.min_v").alias("min_v"),
+                        F.col(f"{c}.max_v").alias("max_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.n_null", "s.n_distinct", "s.min_v", "s.max_v")
+    return ordered(long)
