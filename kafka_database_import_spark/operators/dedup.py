@@ -82,7 +82,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, jaccard_threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.5,
+    signature_prefilter: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding.
 
@@ -92,10 +96,26 @@ def minhash_candidate_pairs(
     attributes; ``explode`` to (band_id, band_hash) buckets; the
     self-join keys on the bucket — Spark shuffles both sides on
     (band_id, band_hash), so only same-bucket docs ever meet. Exact
-    Jaccard re-verification runs on candidate pairs only."""
+    Jaccard re-verification runs on candidate pairs only.
+
+    Signature-estimate pre-filter: the h0..h15 attributes ride through
+    the band exchange (128 B/band-row wider — the price of NOT
+    re-deriving the whole shingle→signature pipeline via two joins back
+    to ``sig``), so the self-join can estimate Jaccard as the fraction
+    of equal minhashes and drop hopeless candidates BEFORE the
+    ``distinct`` exchange and the expensive re-shingle verification.
+    Default cut is ``0.7 × jaccard_threshold``: a candidate pair has ≥1
+    matching band (4 equal hashes) by construction, so for a true-J ≥
+    0.5 pair the estimate falls below 0.35 only when ≤1 of the other 12
+    hashes match — P ≈ 13·(1/2)^12 ≈ 0.3 % — measured several-fold
+    fewer verification pairs at no observed recall loss."""
+    if signature_prefilter is None:
+        signature_prefilter = 0.7 * jaccard_threshold
     sig = minhash_signatures(df, id_col, text_col)
+    hcols = [f"h{i}" for i in range(N_HASHES)]
     bands = sig.select(
         F.col(id_col),
+        *hcols,
         F.explode(
             F.array(
                 *[
@@ -109,7 +129,7 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    ).select(id_col, *hcols, "band.band_id", "band.band_hash")
 
     # Hot-bucket cap (skew guard; see module docstring): a window count
     # over the bucket key rather than a groupBy + semi-join — the
@@ -125,6 +145,13 @@ def minhash_candidate_pairs(
 
     left = bands.alias("l")
     right = bands.alias("r")
+    est = (
+        sum(
+            F.when(F.col(f"l.h{i}") == F.col(f"r.h{i}"), 1).otherwise(0)
+            for i in range(N_HASHES)
+        )
+        / N_HASHES
+    )
     cand = (
         left.join(
             right,
@@ -132,6 +159,7 @@ def minhash_candidate_pairs(
             & (F.col(f"l.band_hash") == F.col(f"r.band_hash"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .filter(est >= F.lit(signature_prefilter))
         .select(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )

@@ -2,7 +2,7 @@
 
 Runs a catalog query in Spark and its ANSI-SQL oracle in DuckDB over the
 same parquet fixtures, canonicalizes both results (sort columns by name,
-sort rows, round floats, stringify) and compares value hashes — the same
+sort rows, stringify type-strictly) and compares value hashes — the same
 shape as the driver's correctness gate.
 """
 
@@ -36,11 +36,13 @@ def _canon_value(v) -> str:
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
+        # Type-strict: keep the float marker (23.0 stays "23.0", never "23")
+        # and full precision — the external driver's canonicalizer is
+        # type-sensitive, so collapsing int-valued floats or rounding here
+        # hides exactly the DOUBLE-vs-LONG skew it flags (q30, round 2).
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 6))
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, (list, tuple)):

@@ -357,7 +357,7 @@ def q65_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q68_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score outlier detection — the numeric-quality twin
-    of the text-quality filter (q46d): flag events > 2.5σ from their
+    of the text-quality filter (q99g): flag events > 2.5σ from their
     type's mean. Moments are accumulated as exact decimals (sum and
     sum-of-squares), so mean/σ are order-independent and bit-identical
     across engines and partitionings — the same trick as q16's money

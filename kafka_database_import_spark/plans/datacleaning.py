@@ -51,7 +51,7 @@ def q62_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-prep flow as ONE composed pipeline — exact dedup
     → quality filter → PII scrub → per-language accounting. This is the
     LLM-pipeline analog of q48's relational pipeline: every stage is an
-    operator already verified in isolation (q43/q46d/q59); the
+    operator already verified in isolation (q43/q99g/q59); the
     composition check proves they chain without re-shuffling — dedup's
     hash shuffle is the only exchange, everything downstream is
     scan-local on its output."""

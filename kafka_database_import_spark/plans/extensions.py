@@ -16,7 +16,7 @@ from kafka_database_import_spark.sources.readers import load_table
 
 
 @query(
-    "q10c_join_right_outer",
+    "q92_join_right_outer",
     oracle="""
     SELECT o_orderkey, o_orderstatus, c_custkey, c_mktsegment
     FROM (SELECT * FROM orders WHERE o_totalprice > 250000) o
@@ -25,7 +25,7 @@ from kafka_database_import_spark.sources.readers import load_table
              c_custkey NULLS LAST, c_mktsegment NULLS LAST
     """,
 )
-def q10c_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q92_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right outer join: every customer, with their very-large orders
     where present (NULL order side for most). Build side = the filtered
     orders, preserved side = customer."""
@@ -38,7 +38,7 @@ def q10c_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q19b_agg_cube",
+    "q93_agg_cube",
     oracle="""
     SELECT c_mktsegment, o_orderstatus,
            GROUPING(c_mktsegment) AS g_seg, GROUPING(o_orderstatus) AS g_status,
@@ -50,7 +50,7 @@ def q10c_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
              g_status NULLS LAST, n_orders NULLS LAST, total_price NULLS LAST
     """,
 )
-def q19b_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q93_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (segment, status): all 4 grouping combinations in one
     pass — Spark expands grouping sets before the single hash
     aggregation, so the cost is one shuffle of the expanded rows, not
@@ -74,7 +74,7 @@ def q19b_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q19c_grouping_sets",
+    "q94_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_items,
@@ -85,7 +85,7 @@ def q19b_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
              n_items NULLS LAST, sum_qty NULLS LAST
     """,
 )
-def q19c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q94_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither pure rollup nor cube) through the
     engine's SQL surface — the catalog is DataFrame-first, but
     ``spark.sql`` over registered views is equally part of the engine
@@ -105,7 +105,7 @@ def q19c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q07b_inlist_guard",
+    "q90_inlist_guard",
     oracle="""
     SELECT event_id, user_id
     FROM events
@@ -113,7 +113,7 @@ def q19c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_id NULLS LAST, user_id NULLS LAST
     """,
 )
-def q07b_inlist_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q90_inlist_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A 1200-literal IN-list through the guard
     (operators/inlist.filter_by_inlist): above the literal limit the
     filter becomes a broadcast left-semi join — O(1) plan size instead
@@ -130,7 +130,7 @@ def q07b_inlist_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q44d_embedding_neardup",
+    "q99_embedding_neardup",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings WHERE vec_id < 100)
@@ -146,7 +146,7 @@ def q07b_inlist_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a NULLS LAST, id_b NULLS LAST, cosine_sim NULLS LAST
     """,
 )
-def q44d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q99_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over a bounded slice (vec_id <
     100): the exact ground-truth twin of the LSH-bucketed scale path
     (operators/similarity.lsh_ann_topk — at 100 TB candidates come from
@@ -170,7 +170,7 @@ def q44d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q46d_quality_filter",
+    "q99g_quality_filter",
     oracle="""
     SELECT doc_id,
            FLOOR((least(len(string_split_regex(lower(text), '\\s+'))::DOUBLE / 60, 1.0)
@@ -185,7 +185,7 @@ def q44d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id NULLS LAST, quality NULLS LAST, keep NULLS LAST
     """,
 )
-def q46d_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q99g_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality scoring + keep/drop decision — the filter stage of
     a training-data pipeline: score = saturating blend of token count
     and length, thresholded. (Real pipelines add model-based signals;

@@ -62,14 +62,14 @@ def q43_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q43b_dedup_survivors",
+    "q96_dedup_survivors",
     oracle="""
     SELECT doc_id, lang FROM documents
     WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY sha256(text))
     ORDER BY doc_id NULLS LAST, lang NULLS LAST
     """,
 )
-def q43b_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q96_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus itself: survivors semi-joined back —
     the shape a training pipeline actually consumes."""
     docs = load_table(spark, sf_dir, "documents")
@@ -99,8 +99,8 @@ def q44_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
-@query("q44b_simhash")  # no oracle: xxhash64 has no DuckDB twin; property-tested
-def q44b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q97_simhash")  # no oracle: xxhash64 has no DuckDB twin; property-tested
+def q97_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash signatures (near-dup ⇔ small hamming distance).
     One map-side-combinable aggregation; property-tested for the
     similar-text ⇒ close-signature invariant."""
@@ -109,7 +109,7 @@ def q44b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q44c_ngram_jaccard",
+    "q98_ngram_jaccard",
     oracle="""
     WITH sh AS (
       SELECT doc_id,
@@ -130,7 +130,7 @@ def q44b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a NULLS LAST, id_b NULLS LAST, jaccard NULLS LAST
     """,
 )
-def q44c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q98_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over a bounded slice (doc_id < 40) — the
     ground-truth twin of q44's approximate path, differentially
     verified. The all-pairs join is bounded by construction here; at
@@ -247,7 +247,7 @@ def q45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q45c_cosine_topk_blocked",
+    "q99c_cosine_topk_blocked",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 10),
@@ -271,7 +271,7 @@ def q45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              cosine_sim NULLS LAST
     """,
 )
-def q45c_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q99c_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 via per-partition BLAS matmul — same answer
     and oracle as q45, different physical strategy (see
     operators/similarity.cosine_topk_blocked for the crossover
@@ -283,8 +283,8 @@ def q45c_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered(out, "query_id", "rank", "cand_id", "cosine_sim")
 
 
-@query("q45d_ivf_ann")  # no oracle: approximate; recall property-tested vs q45
-def q45d_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q99d_ivf_ann")  # no oracle: approximate; recall property-tested vs q45
+def q99d_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (k-means cells + n_probe search,
     operators/similarity.ivf_topk). Measured at sf0.01: recall 0.72 at
     n_probe=4/16 lists, 0.90 at n_probe=8 — ahead of sign-LSH on the
@@ -294,8 +294,8 @@ def q45d_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank", "cand_id")
 
 
-@query("q45b_lsh_ann")  # no oracle: approximate; recall property-tested vs q45
-def q45b_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q99b_lsh_ann")  # no oracle: approximate; recall property-tested vs q45
+def q99b_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k — the large-query-set scale path
     (bucket join, never all-pairs). Recall vs the exact q45 is asserted
     in tests/test_properties.py."""
@@ -352,7 +352,7 @@ def q46_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q46b_quality_histogram",
+    "q99e_quality_histogram",
     oracle="""
     SELECT lang,
            CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket,
@@ -364,7 +364,7 @@ def q46_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              avg_chars NULLS LAST
     """,
 )
-def q46b_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q99e_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality histogram: language × length-bucket with counts —
     the filter-design view of a training corpus (width_bucket-style
     binning; low-cardinality groupBy, map-side combinable)."""
@@ -397,7 +397,7 @@ def _langid_oracle_case() -> str:
 
 
 @query(
-    "q46c_language_id",
+    "q99f_language_id",
     oracle=f"""
     SELECT doc_id, lang AS labeled_lang,
            {_langid_oracle_case()} AS guessed_lang
@@ -405,7 +405,7 @@ def _langid_oracle_case() -> str:
     ORDER BY doc_id NULLS LAST, labeled_lang NULLS LAST, guessed_lang NULLS LAST
     """,
 )
-def q46c_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q99f_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-frequency language-ID heuristic next to the fixture label.
     (Fixture text is synthetic shared-vocabulary word-soup, so the
     heuristic's *accuracy* is meaningless here — the differential check
@@ -464,8 +464,8 @@ def q47_multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered(out)
 
 
-@query("q47b_multimodal_decode")  # no oracle: Arrow-UDF path; unit-tested
-def q47b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q99h_multimodal_decode")  # no oracle: Arrow-UDF path; unit-tested
+def q99h_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary payloads via ``mapInPandas``
     (Arrow batches — the real plumbing for image/audio decode at scale;
     see multimodal/decode.py for the extractor registry and how codec
@@ -476,6 +476,64 @@ def q47b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return extract_text_features(docs).orderBy("doc_id")
+
+
+@query("q99i_image_decode")  # no oracle: Arrow-UDF decode; unit + self-check
+def q99i_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode at catalog level: synthesize a deterministic
+    BMP per document (seeded by doc_id) in one mapInPandas pass, then
+    run ``extract_image_features`` (codec-free BMP header parse +
+    NumPy) over the binary payloads — the full encode→Arrow→decode
+    round trip the multimodal pipeline would run on real media.
+    Self-checking by construction: ``width == 8 + doc_id % 16`` and the
+    stored per-image mean equals the extractor's recomputed mean."""
+    from kafka_database_import_spark.multimodal.decode import (
+        encode_bmp as _enc,
+        extract_image_features,
+    )
+
+    enc = _enc  # closure-capture for by-value pickling on workers
+
+    def _synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, means = [], []
+            for doc_id in pdf["doc_id"]:
+                rng = np.random.default_rng(int(doc_id))
+                w, h = 8 + int(doc_id) % 16, 8 + int(doc_id) % 8
+                img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                payloads.append(enc(img))
+                means.append(float(img.reshape(-1, 3).mean()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "gen_mean": means}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(500)
+    corpus = docs.mapInPandas(
+        _synth, schema="doc_id long, payload binary, gen_mean double"
+    )
+    feats = extract_image_features(corpus)
+    out = (
+        feats.join(corpus.select("doc_id", "gen_mean"), "doc_id")
+        .select(
+            "doc_id",
+            "format",
+            "width",
+            "height",
+            F.round((F.col("mean_r") + F.col("mean_g") + F.col("mean_b")) / 3, 6).alias(
+                "mean_rgb"
+            ),
+            F.round("gen_mean", 6).alias("gen_mean"),
+            (
+                F.abs((F.col("mean_r") + F.col("mean_g") + F.col("mean_b")) / 3 - F.col("gen_mean"))
+                < 1e-6
+            ).alias("mean_ok"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
 
 
 @query(

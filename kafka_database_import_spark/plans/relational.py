@@ -87,13 +87,13 @@ def q02_csv_scan_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q02c_json_scan_schema",
+    "q89_json_scan_schema",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     ORDER BY n_nationkey NULLS LAST, n_name NULLS LAST, n_regionkey NULLS LAST
     """,
 )
-def q02c_json_scan_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q89_json_scan_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines scan with explicit schema (the JSON half of SURVEY
     Q02; PERMISSIVE mode mirrors the reference's skip-and-continue on
     decode errors, kafka-database-import.go:192-197). Same
@@ -119,13 +119,13 @@ def q02c_json_scan_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q02b_orc_scan",
+    "q88_orc_scan",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     ORDER BY n_nationkey NULLS LAST, n_name NULLS LAST, n_regionkey NULLS LAST
     """,
 )
-def q02b_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q88_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC scan (columnar alternative to parquet; Spark-native reader
     with the same pushdown/pruning machinery). The ORC twin of the
     nation table is lazily materialized with the same fingerprint-keyed
@@ -292,7 +292,7 @@ def q10_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q10b_join_full_outer",
+    "q91_join_full_outer",
     oracle="""
     SELECT ck.k AS cust_side, sk.k AS supp_side
     FROM (SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_acctbal > 5000) ck
@@ -301,7 +301,7 @@ def q10_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cust_side NULLS LAST, supp_side NULLS LAST
     """,
 )
-def q10b_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q91_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join over two derived key sets (NULLs on both sides)."""
     ck = (
         _t(spark, sf_dir, "customer")
@@ -688,7 +688,7 @@ def q26_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q26b_union_distinct",
+    "q95_union_distinct",
     oracle="""
     SELECT nationkey FROM (
       SELECT c_nationkey AS nationkey FROM customer
@@ -698,7 +698,7 @@ def q26_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nationkey NULLS LAST
     """,
 )
-def q26b_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q95_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct): concat + hash-dedup shuffle on the full row."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))

@@ -100,8 +100,8 @@ def q29_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            ROUND(CAST(l_extendedprice AS DECIMAL(12,2)), 1)::DOUBLE AS price_r1,
            FLOOR(ABS(l_discount - 0.05) * 100 + 0.5) / 100 AS disc_dev,
-           CEIL(l_quantity) AS qty_ceil,
-           FLOOR(l_quantity / 7) AS qty_div7,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_div7,
            ROUND(POWER(l_quantity, 2), 2) AS qty_sq,
            l_orderkey % 7 AS key_mod
     FROM lineitem

@@ -47,6 +47,37 @@ def merge_sql(target: str, staging: str, key_cols: Sequence[str], all_cols: Sequ
     )
 
 
+def upsert_sql(
+    target: str,
+    staging: str,
+    key_cols: Sequence[str],
+    all_cols: Sequence[str],
+    dialect: str = "ansi",
+) -> str:
+    """Dialect-aware staging→target upsert.
+
+    * ``ansi`` — standard ``MERGE`` (Postgres 15+, Oracle, SQL Server,
+      DB2, Spark SQL on Delta/Iceberg).
+    * ``onconflict`` — ``INSERT … SELECT … ON CONFLICT (keys) DO UPDATE``
+      (Postgres 9.5+, SQLite 3.24+, DuckDB), semantically identical for
+      a staging table that is already key-unique. The ``WHERE true``
+      disambiguates the SQLite parser (INSERT…SELECT…ON CONFLICT).
+    """
+    if dialect == "ansi":
+        return merge_sql(target, staging, key_cols, all_cols)
+    if dialect != "onconflict":
+        raise ValueError(f"unknown upsert dialect: {dialect!r}")
+    cols = ", ".join(all_cols)
+    non_keys = [c for c in all_cols if c not in key_cols]
+    conflict = ", ".join(key_cols)
+    sets = ", ".join(f"{c} = excluded.{c}" for c in non_keys)
+    action = f"DO UPDATE SET {sets}" if non_keys else "DO NOTHING"
+    return (
+        f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {staging} WHERE true "
+        f"ON CONFLICT ({conflict}) {action}"
+    )
+
+
 class JdbcUpsertSink:
     """``foreachBatch`` target writing to a real JDBC database.
 
@@ -80,6 +111,76 @@ class JdbcUpsertSink:
 
     def _connect(self):  # pragma: no cover - needs a live DB
         raise NotImplementedError("provide a DB-API connection factory for MERGE execution")
+
+
+class DbApiUpsertSink:
+    """The same effectively-once algorithm executed over any PEP 249
+    (DB-API 2.0) connection — SQLite / DuckDB in tests, psycopg2 etc.
+    in deployments without a JVM JDBC driver.
+
+    Full contract, all four steps in ONE transaction per batch:
+
+    1. epoch already in ``<table>__epochs`` ledger → skip (stream
+       restart replays the last batch);
+    2. stage the batch into ``<table>__stage`` (truncate + executemany);
+    3. upsert staging → target (``upsert_sql``, dialect-selected);
+    4. record the epoch in the ledger.
+
+    Staging rows travel through the driver (``toLocalIterator``) — this
+    transport is for tests and low-volume control tables. The 100 TB
+    path is ``JdbcUpsertSink``: executor-parallel ``write.jdbc`` staging
+    with the same generated MERGE, so correctness tested here transfers.
+    """
+
+    def __init__(
+        self,
+        connection_factory,
+        table: str,
+        key_cols: Sequence[str],
+        dialect: str = "onconflict",
+        paramstyle: str = "qmark",
+    ):
+        self.connection_factory = connection_factory
+        self.table = table
+        self.key_cols = list(key_cols)
+        self.dialect = dialect
+        self.paramstyle = paramstyle
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        cols = batch_df.columns
+        rows = [tuple(r) for r in batch_df.toLocalIterator()]
+        self.upsert_rows(rows, cols, epoch_id)
+
+    def upsert_rows(self, rows: list[tuple], cols: Sequence[str], epoch_id: int) -> None:
+        staging = f"{self.table}__stage"
+        ledger = f"{self.table}__epochs"
+        ph = "?" if self.paramstyle == "qmark" else "%s"
+        conn = self.connection_factory()
+        try:
+            cur = conn.cursor()
+            cur.execute(
+                f"CREATE TABLE IF NOT EXISTS {ledger} (epoch_id BIGINT PRIMARY KEY)"
+            )
+            cur.execute(f"SELECT 1 FROM {ledger} WHERE epoch_id = {ph}", (epoch_id,))
+            if cur.fetchone():
+                return  # replayed batch — already durable
+            cur.execute(f"DROP TABLE IF EXISTS {staging}")
+            col_list = ", ".join(cols)
+            cur.execute(
+                f"CREATE TABLE {staging} AS SELECT {col_list} FROM {self.table} WHERE 1=0"
+            )
+            cur.executemany(
+                f"INSERT INTO {staging} ({col_list}) VALUES ({', '.join([ph] * len(cols))})",
+                rows,
+            )
+            cur.execute(upsert_sql(self.table, staging, self.key_cols, list(cols), self.dialect))
+            cur.execute(f"INSERT INTO {ledger} (epoch_id) VALUES ({ph})", (epoch_id,))
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
 
 
 class ParquetUpsertSink:

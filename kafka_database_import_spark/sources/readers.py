@@ -59,6 +59,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         floor_us = "(ts - ((ts % 1000) + 1000) % 1000) div 1000"
         df = df.withColumn("ts", F.timestamp_micros(F.expr(floor_us)))
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (LTZ).
+
+    Parquet timestamp[us] with isAdjustedToUTC=false infers as
+    TIMESTAMP_NTZ in Spark 4. The session timezone is pinned to UTC, so
+    the cast keeps wall-clock values identical to DuckDB's naive reading
+    while restoring the type every instant function (unix_micros,
+    window, watermark, datediff-vs-date) expects. Fixture generators may
+    emit either annotation across rounds; this makes the engine
+    insensitive to that."""
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 

@@ -40,6 +40,18 @@ def _stream_dir(file_path: str) -> str:
     else:
         leaves = [file_path]
     os.makedirs(d, exist_ok=True)
+    # Prune stale links first: if the source was rewritten with different
+    # part-file names (driver regenerates fixtures between rounds), old
+    # links would dangle — or worse, point at stale data — and the file
+    # stream source would fail or double-read.
+    wanted = {os.path.basename(leaf) for leaf in leaves}
+    for existing in os.listdir(d):
+        link = os.path.join(d, existing)
+        if existing not in wanted or not os.path.exists(link):
+            try:
+                os.unlink(link)
+            except FileNotFoundError:
+                pass  # concurrent pruner won
     for leaf in leaves:
         link = os.path.join(d, os.path.basename(leaf))
         if not os.path.islink(link):
@@ -69,7 +81,9 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     if dict(sdf.dtypes).get("ts") == "bigint":
         floor_us = "(ts - ((ts % 1000) + 1000) % 1000) div 1000"
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr(floor_us)))
-    return sdf
+    from kafka_database_import_spark.sources.readers import normalize_ntz
+
+    return normalize_ntz(sdf)
 
 
 def run_available_now(sdf: DataFrame, output_mode: str = "append") -> DataFrame:

@@ -1,14 +1,18 @@
-"""Multimodal decode plumbing (Q47b): the Arrow/mapInPandas path with
-the deterministic byte-statistics extractor, and the explicit
-degradation of codec-dependent extractors."""
+"""Multimodal decode plumbing (Q47b/q99h): the Arrow/mapInPandas path
+with the byte-statistics extractor, and the real codec-free image
+decode (BMP/PPM header parse + NumPy)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from kafka_database_import_spark.multimodal.decode import (
-    _HAS_PIL,
+    decode_image,
+    encode_bmp,
     extract_image_features,
     extract_text_features,
 )
@@ -41,8 +45,52 @@ def test_feature_schema_stable_over_fixture(spark, sf_dir):
     assert joined.filter(F.col("n_bytes") != F.col("n_chars")).count() == 0
 
 
-@pytest.mark.skipif(_HAS_PIL, reason="sandbox has PIL; stub path not reachable")
-def test_image_extractor_degrades_explicitly(spark):
-    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id LONG, payload BINARY")
-    with pytest.raises(NotImplementedError, match="PIL"):
-        extract_image_features(df)
+@given(
+    w=st.integers(min_value=1, max_value=37),
+    h=st.integers(min_value=1, max_value=23),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=50, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    """encode_bmp → decode_image is the identity for any geometry —
+    covers row padding at every width mod 4."""
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    fmt, back = decode_image(encode_bmp(img))
+    assert fmt == "bmp"
+    assert np.array_equal(back, img)
+
+
+def test_ppm_decode_with_comment():
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    buf = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+    fmt, back = decode_image(buf)
+    assert fmt == "ppm"
+    assert np.array_equal(back, img)
+
+
+def test_decode_rejects_garbage_without_raising():
+    assert decode_image(b"") == (None, None)
+    assert decode_image(b"\x89PNG\r\n\x1a\n not really") == (None, None)
+    assert decode_image(encode_bmp(np.zeros((4, 4, 3), np.uint8))[:20]) == (None, None)
+
+
+def test_image_extractor_decodes_bmp_in_spark(spark):
+    """End-to-end through mapInPandas: generated BMPs decode to exact
+    dimensions and channel means; a corrupt payload degrades to a
+    null-feature row in the same batch instead of failing it."""
+    rng = np.random.default_rng(42)
+    imgs = {i: rng.integers(0, 256, (5 + i, 7 + i, 3), dtype=np.uint8) for i in range(4)}
+    rows = [(i, bytearray(encode_bmp(img))) for i, img in imgs.items()]
+    rows.append((99, bytearray(b"not an image")))
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    got = {r.doc_id: r for r in extract_image_features(df).collect()}
+    assert len(got) == 5
+    for i, img in imgs.items():
+        r = got[i]
+        assert (r.format, r.width, r.height, r.channels) == ("bmp", 7 + i, 5 + i, 3)
+        means = img.reshape(-1, 3).mean(axis=0)
+        assert abs(r.mean_r - means[0]) < 1e-9
+        assert abs(r.mean_g - means[1]) < 1e-9
+        assert abs(r.mean_b - means[2]) < 1e-9
+    bad = got[99]
+    assert bad.format is None and bad.width is None and bad.mean_r is None

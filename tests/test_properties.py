@@ -67,7 +67,7 @@ def test_q44_hot_bucket_cap_drops_degenerate_buckets(spark, sf_dir, monkeypatch)
     assert minhash_candidate_pairs(same, "doc_id", "text").count() == 0
 
 
-def test_q44b_simhash_locality(spark, sf_dir):
+def test_q97_simhash_locality(spark, sf_dir):
     corpus = _planted(spark, sf_dir, 20)
     sigs = {r.doc_id: r.simhash for r in simhash63(corpus, "doc_id", "text").collect()}
 
@@ -82,7 +82,7 @@ def test_q44b_simhash_locality(spark, sf_dir):
     assert avg_planted < 10 < avg_unrelated, (avg_planted, avg_unrelated)
 
 
-def test_q45b_lsh_ann_recall_vs_exact(spark, sf_dir):
+def test_q99b_lsh_ann_recall_vs_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = cosine_topk(emb, queries, k=5)
@@ -112,7 +112,7 @@ def test_q53b_approx_percentile_error_bound(spark, sf_dir):
         assert abs(a.p95_approx - e.p95_qty) <= 0.02 * max(e.p95_qty, 1)
 
 
-def test_q45d_ivf_recall_vs_exact(spark, sf_dir):
+def test_q99d_ivf_recall_vs_exact(spark, sf_dir):
     from kafka_database_import_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -12,7 +12,12 @@ from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
 from kafka_database_import_spark.session import EngineConfig
-from kafka_database_import_spark.sinks.jdbc import ParquetUpsertSink, merge_sql
+from kafka_database_import_spark.sinks.jdbc import (
+    DbApiUpsertSink,
+    ParquetUpsertSink,
+    merge_sql,
+    upsert_sql,
+)
 from kafka_database_import_spark.sinks.kafka import (
     envelope_json,
     kafka_reader_options,
@@ -48,6 +53,64 @@ def test_parquet_upsert_sink_effectively_once(spark):
     sink(df2, 1)
     rows = {r.k: r.v for r in sink.read_back(spark).collect()}
     assert rows == {1: "a", 2: "B", 3: "c"}  # newest epoch wins per key
+
+
+def test_upsert_sql_onconflict_shape():
+    sql = upsert_sql("t", "t__stage", ["id"], ["id", "a", "b"], dialect="onconflict")
+    assert sql == (
+        "INSERT INTO t (id, a, b) SELECT id, a, b FROM t__stage WHERE true "
+        "ON CONFLICT (id) DO UPDATE SET a = excluded.a, b = excluded.b"
+    )
+    assert "DO NOTHING" in upsert_sql("t", "s", ["id"], ["id"], dialect="onconflict")
+
+
+def test_dbapi_upsert_executes_against_duckdb(tmp_path):
+    """The generated upsert actually runs and is row-verified against a
+    real database engine (DuckDB via DB-API), including the
+    epoch-ledger replay skip — the full effectively-once contract, not
+    just SQL string shape."""
+    import duckdb
+
+    db = str(tmp_path / "sink.duckdb")
+    duckdb.connect(db).execute(
+        "CREATE TABLE imported (id INTEGER PRIMARY KEY, v VARCHAR)"
+    ).close()
+    sink = DbApiUpsertSink(lambda: duckdb.connect(db), "imported", ["id"])
+
+    sink.upsert_rows([(1, "a"), (2, "b")], ["id", "v"], epoch_id=0)
+    sink.upsert_rows([(1, "STALE"), (2, "STALE")], ["id", "v"], epoch_id=0)  # replay
+    sink.upsert_rows([(2, "B"), (3, "c")], ["id", "v"], epoch_id=1)  # update+insert
+
+    con = duckdb.connect(db)
+    assert con.execute("SELECT id, v FROM imported ORDER BY id").fetchall() == [
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    ]
+    assert con.execute("SELECT COUNT(*) FROM imported__epochs").fetchone()[0] == 2
+    con.close()
+
+
+def test_dbapi_upsert_from_spark_batch_via_sqlite(spark, tmp_path):
+    """foreachBatch-shaped call path: a Spark batch DataFrame drains
+    through the DB-API sink into SQLite (stdlib DB-API) and the target
+    reflects newest-epoch-wins per key."""
+    import sqlite3
+
+    db = str(tmp_path / "sink.sqlite")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE imported (id INTEGER PRIMARY KEY, v TEXT)")
+    sink = DbApiUpsertSink(lambda: sqlite3.connect(db), "imported", ["id"])
+
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING"), 0)
+    sink(spark.createDataFrame([(2, "B"), (3, "c")], "id INT, v STRING"), 1)
+
+    with sqlite3.connect(db) as con:
+        assert con.execute("SELECT id, v FROM imported ORDER BY id").fetchall() == [
+            (1, "a"),
+            (2, "B"),
+            (3, "c"),
+        ]
 
 
 def test_kafka_option_wiring():
