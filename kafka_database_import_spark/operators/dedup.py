@@ -87,6 +87,7 @@ def minhash_candidate_pairs(
     text_col: str,
     jaccard_threshold: float = 0.5,
     signature_prefilter: float | None = None,
+    bucket_observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding.
 
@@ -137,14 +138,27 @@ def minhash_candidate_pairs(
     # the pair self-join needs, so the exchange is computed once and
     # reused instead of re-deriving the signature pipeline per consumer.
     w_bucket = Window.partitionBy("band_id", "band_hash")
-    bands = (
-        bands.withColumn("bn", F.count(F.lit(1)).over(w_bucket))
-        .filter(F.col("bn") <= HOT_BUCKET_CAP)
-        .drop("bn")
+    bands = bands.withColumn("bn", F.count(F.lit(1)).over(w_bucket))
+    # Surface how much the cap bit: rides the query as observe()
+    # metrics (zero extra scans). Pass an Observation to read them
+    # programmatically; the default string-named metric reaches any
+    # QueryExecutionListener (ops dashboards). Attached to the LEFT
+    # side of the self-join only — a CollectMetrics node duplicated by
+    # the self-join double-fires the observation (and breaks it
+    # outright when AQE empty-propagates one side). The shuffle below
+    # is still shared via ReusedExchange; the window above the exchange
+    # was always computed per-side.
+    observed = bands.observe(
+        bucket_observation or "minhash_lsh_buckets",
+        F.sum(F.when(F.col("bn") > HOT_BUCKET_CAP, 1).otherwise(0)).alias(
+            "capped_band_rows"
+        ),
+        F.count(F.lit(1)).alias("band_rows"),
+        F.max("bn").alias("max_bucket"),
     )
-
-    left = bands.alias("l")
-    right = bands.alias("r")
+    capped = F.col("bn") <= HOT_BUCKET_CAP
+    left = observed.filter(capped).drop("bn").alias("l")
+    right = bands.filter(capped).drop("bn").alias("r")
     est = (
         sum(
             F.when(F.col(f"l.h{i}") == F.col(f"r.h{i}"), 1).otherwise(0)

@@ -918,3 +918,73 @@ def q87_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     ).select("s.col", "s.n_null", "s.n_distinct", "s.min_v", "s.max_v")
     return ordered(long)
+
+
+@query(
+    "q99l_grouped_regression",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS TIMESTAMP)::DATE)::BIGINT AS x,
+             CAST(value AS DECIMAL(12,2)) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, n,
+           FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             AS slope,
+           FLOOR(((CAST(sy AS DOUBLE)
+                   - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             AS intercept
+    FROM s
+    ORDER BY event_type NULLS LAST, n NULLS LAST, slope NULLS LAST,
+             intercept NULLS LAST
+    """,
+)
+def q99l_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression (value vs day-of-month) from
+    the five classic sufficient statistics — the scale pattern for any
+    moment-based model fit: ONE map-side-combinable aggregation per
+    group, closed-form solve in the projection, no iteration and no
+    second pass. Cross-engine float hazard handled the repo's standard
+    way (functions/numeric.py): x is an exact integer day index, y an
+    exact DECIMAL(12,2), so all five sums are exact and
+    order-independent under distribution; slope/intercept are then the
+    same two float64 divisions on both engines — bit-identical before
+    the presentation rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.col("value").cast("decimal(12,2)").alias("y"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    out = s.select(
+        "event_type",
+        "n",
+        mround(slope, 6).alias("slope"),
+        mround(intercept, 6).alias("intercept"),
+    )
+    return ordered(out)

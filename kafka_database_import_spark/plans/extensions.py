@@ -206,3 +206,49 @@ def q99g_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(raw >= 0.5, 1).otherwise(0).alias("keep"),
     )
     return ordered(out)
+
+
+@query(
+    "q99k_editdist_blocked_join",
+    oracle="""
+    WITH p AS (SELECT p_partkey, lower(p_name) AS name FROM part)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.name, b.name) AS dist
+    FROM p a JOIN p b
+      ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.name) - length(b.name)) <= 2
+    WHERE levenshtein(a.name, b.name) <= 3
+    ORDER BY key_a NULLS LAST, key_b NULLS LAST, dist NULLS LAST
+    """,
+)
+def q99k_editdist_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution string-similarity join: pairs of part names
+    within Levenshtein distance 3, *blocked* so it is never all-pairs —
+    candidates must share their first token and differ ≤ 2 in length
+    (standard blocking from the entity-resolution literature; the
+    blocking predicate IS the declared semantics, and the oracle applies
+    the identical blocking). Plan shape: one shuffle of each side on the
+    block key, pairs formed inside blocks only, ``levenshtein`` runs in
+    whole-stage codegen on candidates — Σ|block|² bounded by the block
+    granularity, same scale law as the LSH band join (operators/
+    dedup.py). Both engines define levenshtein with unit costs, so the
+    distance is oracle-exact."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("name")
+    )
+    blocked = p.withColumn("blk", F.substring_index("name", " ", 1))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (
+            F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name"))) <= 2
+        ),
+    ).select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+    )
+    return ordered(pairs.filter(F.col("dist") <= 3))

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql import Window
 
 from kafka_database_import_spark.functions.numeric import mround
 from kafka_database_import_spark.functions.text import (
@@ -820,5 +821,86 @@ def q80_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = p.groupBy("shard", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("seq_tokens"),
+    )
+    return ordered(out)
+
+
+@query(
+    "q99m_vocab_build",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+      FROM documents
+    ),
+    c AS (
+      SELECT token, COUNT(*)::BIGINT AS freq FROM tok
+      GROUP BY token HAVING COUNT(*) >= 5
+    )
+    SELECT token, freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS vocab_id
+    FROM c
+    ORDER BY token NULLS LAST, freq NULLS LAST, vocab_id NULLS LAST
+    """,
+)
+def q99m_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction — the tokenizer-training precursor every
+    corpus pipeline runs: token frequencies (one (token) shuffle with
+    map-side combine), min-count threshold, then contiguous ids
+    assigned by (freq DESC, token ASC). The id assignment is a global
+    ROW_NUMBER — a single-partition window, which is correct HERE
+    because a min-count-thresholded vocabulary is orders of magnitude
+    smaller than the corpus (the 100 TB posture: ~1e6 rows through one
+    task after a corpus-sized distributed aggregation; if ids need not
+    be dense, zipWithIndex-free range partitioning would remove even
+    that)."""
+    from kafka_database_import_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    c = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    out = c.select("token", "freq", F.row_number().over(w).alias("vocab_id"))
+    return ordered(out)
+
+
+@query(
+    "q99n_source_rebalance",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*)::BIGINT AS cnt FROM documents GROUP BY source
+    ),
+    t AS (SELECT MIN(cnt) AS target FROM c)
+    SELECT doc_id, src AS source FROM (
+      SELECT d.doc_id AS doc_id, d.source AS src
+      FROM documents d JOIN c ON d.source = c.source CROSS JOIN t
+      WHERE (d.doc_id * 2654435761) % 1048576 * c.cnt < t.target * 1048576
+    )
+    ORDER BY doc_id NULLS LAST, source NULLS LAST
+    """,
+)
+def q99n_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: deterministically downsample every
+    source to the size of the smallest one. The keep decision is pure
+    integer arithmetic — Knuth multiplicative hash of the doc id into
+    2^20 buckets, kept iff ``bucket·cnt < target·2^20`` — so it is (a)
+    engine-reproducible (no rand(), no engine hash), (b) stable under
+    re-partitioning and re-runs, and (c) exact-rate without a second
+    pass. Plan: one tiny per-source count aggregate broadcast back onto
+    the scan (AQE turns the join into a broadcast automatically), the
+    global min crossed in as a 1-row broadcast — the corpus itself
+    never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    t = c.agg(F.min("cnt").alias("target"))
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1048576))
+    out = (
+        docs.join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+        .filter(bucket * F.col("cnt") < F.col("target") * F.lit(1048576))
+        .select("doc_id", "source")
     )
     return ordered(out)

@@ -128,6 +128,56 @@ def q04_jdbc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q99j_stream_dbapi_import",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE user_id IN (SELECT c_custkey FROM customer)
+    ORDER BY event_id NULLS LAST, user_id NULLS LAST, event_type NULLS LAST
+    """,
+)
+def q99j_stream_dbapi_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference topology end-to-end against a REAL SQL database:
+    stream → stream-static semi-join → ``foreachBatch`` →
+    ``DbApiUpsertSink`` (SQLite via the stdlib DB-API, executing the
+    generated ``upsert_sql`` with the epoch ledger) → read the imported
+    table back. Complements q04 (identical algorithm, parquet
+    transport): here the staging insert, ON CONFLICT upsert and ledger
+    commit all execute inside a real database transaction. The
+    differential oracle checks the final table contents — the whole
+    stream→SQL import, not a projection. Driver-side readback is
+    fixture-scale only; the 100 TB read path is a parallel JDBC scan."""
+    import os
+    import sqlite3
+
+    from kafka_database_import_spark.sinks.jdbc import DbApiUpsertSink
+    from kafka_database_import_spark.streaming.runner import (
+        events_stream,
+        run_foreach_batch,
+    )
+
+    db = os.path.join(tempfile.mkdtemp(prefix="kdis_dbapi_"), "import.sqlite")
+    with sqlite3.connect(db) as con:
+        con.execute(
+            "CREATE TABLE imported_events ("
+            "event_id INTEGER PRIMARY KEY, user_id INTEGER, event_type TEXT)"
+        )
+    users = load_table(spark, sf_dir, "customer").select("c_custkey")
+    stream = events_stream(spark, sf_dir)
+    filtered = stream.join(
+        F.broadcast(users), stream.user_id == users.c_custkey, "left_semi"
+    ).select("event_id", "user_id", "event_type")
+    sink = DbApiUpsertSink(lambda: sqlite3.connect(db), "imported_events", ["event_id"])
+    run_foreach_batch(filtered, sink)
+    with sqlite3.connect(db) as con:
+        rows = con.execute(
+            "SELECT event_id, user_id, event_type FROM imported_events"
+        ).fetchall()
+    out = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    return ordered(out)
+
+
+@query(
     "q49_dead_letter",
     oracle="""
     SELECT event_id,

@@ -65,6 +65,27 @@ def test_q44_hot_bucket_cap_drops_degenerate_buckets(spark, sf_dir, monkeypatch)
     assert minhash_candidate_pairs(same, "doc_id", "text").count() == 8 * 7 / 2
     monkeypatch.setattr(dedup, "HOT_BUCKET_CAP", 5)
     assert minhash_candidate_pairs(same, "doc_id", "text").count() == 0
+    # The cap's bite is observable. Mix in one small duplicate group
+    # that SURVIVES the cap: the observation must both report the
+    # degenerate bucket's drop and leave the healthy bucket alone.
+    # (The surviving pair also keeps the result non-empty — AQE's
+    # empty-relation propagation would otherwise prune the observed
+    # node entirely and the metric would never fire.)
+    from pyspark.sql import Observation
+
+    pair = same.sparkSession.createDataFrame(
+        [(900, "k l m n o p q r s t"), (901, "k l m n o p q r s t")],
+        "doc_id LONG, text STRING",
+    )
+    obs = Observation("capped")
+    got = minhash_candidate_pairs(
+        same.unionAll(pair), "doc_id", "text", bucket_observation=obs
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(900, 901)}
+    # all 8 boilerplate docs × 4 bands dropped; the pair's 2×4 rows kept
+    assert obs.get["capped_band_rows"] == 8 * 4
+    assert obs.get["max_bucket"] == 8
+    assert obs.get["band_rows"] == 10 * 4
 
 
 def test_q97_simhash_locality(spark, sf_dir):

@@ -150,6 +150,22 @@ def test_dead_letter_split_and_quarantine(spark):
     assert back.count() == 1 and back.collect()[0].id == 2
 
 
+def test_minhash_bucket_metrics_observable(spark, sf_dir):
+    """The hot-bucket cap's effect is observable per run: capped rows,
+    total band rows and the max bucket size ride the candidate query as
+    observe() metrics — no extra scan, readable via Observation."""
+    from kafka_database_import_spark.operators.dedup import minhash_candidate_pairs
+    from kafka_database_import_spark.sources.readers import load_table
+
+    obs = Observation("lsh_buckets")
+    docs = load_table(spark, sf_dir, "documents")
+    minhash_candidate_pairs(docs, "doc_id", "text", bucket_observation=obs).count()
+    got = obs.get
+    assert got["band_rows"] > 0
+    assert got["capped_band_rows"] == 0  # fixture corpus has no degenerate bucket
+    assert 1 <= got["max_bucket"] <= got["band_rows"]
+
+
 def test_observe_metrics_ride_the_query(spark, sf_dir):
     from kafka_database_import_spark.sources.readers import load_table
 

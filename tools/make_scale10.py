@@ -15,6 +15,7 @@ Usage: python tools/make_scale10.py [SRC_SF_DIR] [DST_DIR]
 """
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -22,7 +23,7 @@ from pyspark.sql import functions as F
 from kafka_database_import_spark.session import EngineConfig, get_spark
 from kafka_database_import_spark.sources.readers import load_table
 
-COPIES = 10
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
 # per-key-domain offsets: > max key in the sf0.1 fixture, so shifted
 # copies never collide
 OFFSETS = dict(cust=20_000, order=700_000, part=25_000, supp=2_000,
