@@ -63,14 +63,20 @@ def main() -> None:
                 except Exception:
                     pass  # warmup is best-effort; the timed run will surface errors
 
+    # Two timed runs, report the min: steady-state measurement (first
+    # run can absorb stragglers of JIT/codegen or page-cache warmup the
+    # sf0.001 pass missed; min-of-2 is the standard noise floor).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = catalog.get(name)
         if q is None:
             continue
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")

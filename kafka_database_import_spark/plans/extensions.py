@@ -252,3 +252,72 @@ def q99k_editdist_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
     )
     return ordered(pairs.filter(F.col("dist") <= 3))
+
+
+@query(
+    "q99o_bloom_prune_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_suppkey
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000)
+    ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST, l_suppkey NULLS LAST
+    """,
+)
+def q99o_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (the runtime-filter pattern, explicit —
+    operators/bloom.py): the selective supplier set aggregates into an
+    8 KiB bitmap via distributed bit_or partials; the lineitem scan is
+    pre-filtered by pure codegen bit probes (no join, no Python), and
+    the closing exact semi-join removes the bloom's false positives —
+    so the result is bit-identical to the plain semi-join the oracle
+    runs, while only bloom survivors ever reach the join shuffle. At
+    100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~matching slice."""
+    from kafka_database_import_spark.operators.bloom import bloom_prune_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey")
+    )
+    out = bloom_prune_semi_join(li, "l_suppkey", supp, "s_suppkey").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    return ordered(out)
+
+
+@query(
+    "q99r_salted_skew_join",
+    oracle="""
+    SELECT e.event_id,
+           CASE WHEN e.event_id % 10 < 9 THEN 1 ELSE e.user_id END AS uid,
+           c.c_mktsegment
+    FROM events e JOIN customer c
+      ON (CASE WHEN e.event_id % 10 < 9 THEN 1 ELSE e.user_id END) = c.c_custkey
+    ORDER BY event_id NULLS LAST, uid NULLS LAST, c_mktsegment NULLS LAST
+    """,
+)
+def q99r_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted join (operators/skew.py): 90 % of events are
+    deterministically rerouted to one customer key — the single-hot-key
+    shape that AQE's skew split cannot always fix (one key's rows can
+    exceed an executor even after splitting, and the dim side may be
+    too big to broadcast). The skewed side gets a 16-way deterministic
+    row-hash salt; the dim side explodes ×16 so every salted key still
+    matches — the hot key's rows spread over 16 shuffle partitions.
+    Result is bit-identical to the plain join the oracle runs."""
+    from kafka_database_import_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("uid"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_mktsegment"
+    )
+    out = salted_join(ev, cust, "uid", "c_custkey", n_salts=16, how="inner")
+    return ordered(out.select("event_id", "uid", "c_mktsegment"))

@@ -904,3 +904,18 @@ def q99n_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
     )
     return ordered(out)
+
+
+@query("q99p_pq_ann")  # no oracle: k-means-dependent; recall property-tested
+def q99p_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:pq_topk):
+    per-subspace k-means codebooks, 32× vector compression for the
+    candidate pass, asymmetric-distance scoring via per-query lookup
+    tables, exact rerank on a bounded shortlist. Recall ≥ 0.6 vs the
+    exact q45 path asserted in tests/test_properties.py (measured
+    ~0.84 at sf0.01 defaults)."""
+    from kafka_database_import_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, k=5).orderBy("query_id", "rank")

@@ -300,3 +300,51 @@ def q38_stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         final.select("user_id", F.col("s.n_events").alias("n_events"),
                      F.col("s.total_value").alias("total_value"))
     )
+
+
+@query(
+    "q99q_stream_outer_join",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id AS uid
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+    WHERE a.ts <= (SELECT MAX(ts) FROM events) - INTERVAL '16 minutes'
+    ORDER BY id_a NULLS LAST, id_b NULLS LAST, uid NULLS LAST
+    """,
+)
+def q99q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — q58's inner join plus the
+    null-extended rows for events with no follower. An outer row can
+    only emit once the watermark proves no match can still arrive, so
+    this exercises exactly the state-eviction machinery that makes
+    unbounded outer joins feasible: both sides watermarked, the
+    time-bound join condition limits how long a left row waits.
+    The final watermark of a bounded drain stops at ``max(ts) − delay``
+    — left rows newer than ``max(ts) − (delay + join window)`` are
+    never provably final and stay in state, which is CORRECT streaming
+    semantics, not loss. Both engines therefore compare the provably
+    final region (``a.ts ≤ max(ts) − 16 min``, one minute clear of the
+    15-minute finality boundary)."""
+    max_ts = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )  # 1-row bounds aggregate (test-harness drain only)
+    a = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .filter(F.col("ts") <= F.lit(max_ts) - F.expr("interval 16 minutes"))
+        .alias("a")
+    )
+    b = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes").alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("interval 5 minutes")),
+        "left_outer",
+    ).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.col("a.user_id").alias("uid"),
+    )
+    return ordered(run_available_now(joined, "append"))

@@ -102,3 +102,42 @@ def test_q77_zorder_interleave_stays_codegen(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q77_zorder_layout")
     assert "lambdafunction" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q99k_editdist_join_is_blocked_not_nested_loop(spark, sf_dir):
+    """The string-similarity join must key on the block (equi-join →
+    hash/sort-merge on blk), never fall back to a nested-loop over all
+    pairs; levenshtein must run post-join in codegen, not as a join
+    condition that forces BNLJ."""
+    plan = _plan(spark, sf_dir, "q99k_editdist_blocked_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_q99o_bloom_probe_prunes_before_join(spark, sf_dir):
+    """The bloom membership test must sit in a Filter on the fact scan
+    BELOW the semi-join (that is the whole point: survivors-only reach
+    the join), and stay JVM-side (no Python eval in the plan)."""
+    plan = _plan(spark, sf_dir, "q99o_bloom_prune_join")
+    assert "shiftright" in plan  # the bit probe made it into the plan
+    join_at = plan.index("Join")
+    probe_at = plan.index("shiftright")
+    assert probe_at > join_at  # executedPlan prints top-down: filter below join
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q99l_regression_is_one_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q99l_grouped_regression")
+    assert "partial_" in plan  # sufficient statistics combine map-side
+    # one aggregation pass: no join, no window, no second shuffle
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_q99n_rebalance_never_shuffles_corpus(spark, sf_dir):
+    """The keep-filter applies scan-local: the corpus must reach the
+    decision via broadcast joins only (counts + global min are the tiny
+    sides), with no hashpartitioning exchange of doc rows."""
+    plan = _plan(spark, sf_dir, "q99n_source_rebalance")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(doc_id" not in plan
