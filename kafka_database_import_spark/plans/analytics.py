@@ -6,10 +6,10 @@ oracle-checked against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_database_import_spark.functions.numeric import dround, money, mround
+from kafka_database_import_spark.functions.numeric import avg_exact, dround, money, mround
 from kafka_database_import_spark.plans.registry import ordered, query
 from kafka_database_import_spark.sources.readers import load_table
 
@@ -986,5 +986,134 @@ def q99l_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         mround(slope, 6).alias("slope"),
         mround(intercept, 6).alias("intercept"),
+    )
+    return ordered(out)
+
+
+@query(
+    "q99s_winsorized_stats",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(value AS DECIMAL(12,2)), event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT) THEN v END) AS p05,
+             MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN v END) AS p95
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n, mean_raw, mean_winsor, n_low, n_high FROM (
+      SELECT e.event_type AS event_type,
+             COUNT(*) AS n,
+             FLOOR(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*) * 100 + 0.5) / 100 AS mean_raw,
+             FLOOR(CAST(SUM(LEAST(GREATEST(CAST(e.value AS DECIMAL(12,2)),
+                                           b.p05), b.p95)) AS DOUBLE)
+                   / COUNT(*) * 100 + 0.5) / 100 AS mean_winsor,
+             SUM(CASE WHEN CAST(e.value AS DECIMAL(12,2)) < b.p05 THEN 1 ELSE 0 END)
+               AS n_low,
+             SUM(CASE WHEN CAST(e.value AS DECIMAL(12,2)) > b.p95 THEN 1 ELSE 0 END)
+               AS n_high
+      FROM events e JOIN b ON e.event_type = b.event_type
+      GROUP BY e.event_type
+    )
+    ORDER BY event_type NULLS LAST, n NULLS LAST, mean_raw NULLS LAST,
+             mean_winsor NULLS LAST, n_low NULLS LAST, n_high NULLS LAST
+    """,
+)
+def q99s_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) robust statistics per group — the
+    standard tail-taming step before training-signal aggregation. Two
+    passes: exact p05/p95 per group (tiny result, broadcast back), then
+    one clamped aggregation in exact decimal arithmetic (sums are
+    order-independent; the mean's float division is the same op on both
+    engines). At 100 TB swap the exact percentile for the mergeable
+    approx_percentile sketch (q53b path) — the clamp stage is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    val = money("value")
+    # Discrete rank-selected bounds (value at rank ceil(p·n), ties by
+    # event_id): pure integer index semantics, so both engines pick the
+    # same exact decimal — continuous interpolation differs between
+    # engines by an ulp on uneven data and would skew the clamp.
+    w_rank = Window.partitionBy("event_type").orderBy(val, F.col("event_id"))
+    w_all = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        val.alias("v"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.05 * F.col("n")).cast("bigint"), F.col("v"))
+        ).alias("p05"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"), F.col("v"))
+        ).alias("p95"),
+    )
+    clamped = F.least(F.greatest(val, F.col("p05")), F.col("p95"))
+    out = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            avg_exact(F.sum(val), F.count(F.lit(1))).alias("mean_raw"),
+            avg_exact(F.sum(clamped), F.count(F.lit(1))).alias("mean_winsor"),
+            F.sum(F.when(val < F.col("p05"), 1).otherwise(0)).alias("n_low"),
+            F.sum(F.when(val > F.col("p95"), 1).otherwise(0)).alias("n_high"),
+        )
+    )
+    return ordered(out)
+
+
+@query(
+    "q99t_embedding_centroids",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id % 4 AS grp,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    )
+    SELECT grp, dim, COUNT(*) AS n_vecs,
+           FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 1000000 * 1000000 + 0.5)
+             / 1000000 AS centroid
+    FROM q GROUP BY grp, dim
+    ORDER BY grp NULLS LAST, dim NULLS LAST, n_vecs NULLS LAST,
+             centroid NULLS LAST
+    """,
+)
+def q99t_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroids with ORDER-INDEPENDENT exact
+    arithmetic: float sums across a cluster are nondeterministic in the
+    last ulp (summation order), so each element is quantized to an
+    integer microunit first — the distributed LongType sum is then
+    exact, and only the final per-dimension division happens in float,
+    identically on both engines. Long-form output (grp, dim, centroid):
+    one posexplode + one (grp, dim)-keyed aggregation with map-side
+    combine — the centroid-update shape of distributed k-means and
+    embedding-drift monitoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        (F.col("vec_id") % 4).alias("grp"),
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+    ).select(
+        "grp",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qv"),
+    )
+    out = q.groupBy("grp", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        mround(F.sum("qv").cast("double") / F.count(F.lit(1)) / 1000000, 6).alias(
+            "centroid"
+        ),
     )
     return ordered(out)

@@ -321,3 +321,39 @@ def q99r_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = salted_join(ev, cust, "uid", "c_custkey", n_salts=16, how="inner")
     return ordered(out.select("event_id", "uid", "c_mktsegment"))
+
+
+@query(
+    "q99v_python_datasource",
+    oracle="""
+    SELECT i AS event_id,
+           (i * 2654435761) % 1000003 % 500 AS user_id,
+           CASE ((i * 2654435761) % 1000003) % 4
+                WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                WHEN 2 THEN 'purchase' ELSE 'error' END AS event_type,
+           CAST(((i * 2654435761) % 1000003) % 10000 AS DOUBLE) / 100
+             AS value
+    FROM range(0, 5000) t(i)
+    ORDER BY event_id NULLS LAST, user_id NULLS LAST,
+             event_type NULLS LAST, value NULLS LAST
+    """,
+)
+def q99v_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``) —
+    the connector extension point the reference's hand-rolled Mongo
+    cursor maps to (sources/pyds.py). The source is a deterministic
+    closed-form generator sharded into ``InputPartition``s, so the
+    oracle reproduces the identical rows from DuckDB ``range()`` —
+    differentially verifying the connector machinery itself
+    (registration, schema declaration, partition planning, the Arrow
+    return path), not just a transformation on top."""
+    from kafka_database_import_spark.sources.pyds import register
+
+    register(spark)
+    out = (
+        spark.read.format("kdis_synthetic_events")
+        .option("rows", "5000")
+        .option("partitions", "8")
+        .load()
+    )
+    return ordered(out)

@@ -348,3 +348,54 @@ def q99q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.user_id").alias("uid"),
     )
     return ordered(run_available_now(joined, "append"))
+
+
+@query(
+    "q99u_stream_chained_windows",
+    oracle="""
+    WITH s1 AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS w5, user_id,
+             COUNT(*) AS n
+      FROM events GROUP BY w5, user_id
+    ),
+    s2 AS (
+      SELECT time_bucket(INTERVAL '15 minutes', w5) AS w15,
+             SUM(n) AS total_events, COUNT(*) AS active_pairs
+      FROM s1 GROUP BY w15
+    )
+    SELECT epoch_us(w15) AS w15_us, total_events, active_pairs
+    FROM s2
+    WHERE w15 + INTERVAL '15 minutes'
+          <= (SELECT MAX(ts) FROM events) - INTERVAL '11 minutes'
+    ORDER BY w15_us NULLS LAST, total_events NULLS LAST,
+             active_pairs NULLS LAST
+    """,
+)
+def q99u_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in one append-mode stream
+    (Spark 3.4+ multi-stateful support): 5-minute window × user counts,
+    re-aggregated into 15-minute windows of (total events, active
+    user-window pairs) via ``window()`` over the first stage's window
+    column. Each stage's state evicts on the shared watermark; stage-2
+    rows emit only when their 15-minute window is provably final, so —
+    as in q99q — both engines compare the provably-final region
+    (window end ≤ max(ts) − 11 min, one minute clear of the 10-minute
+    watermark boundary)."""
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    s1 = stream.groupBy(F.window("ts", "5 minutes"), F.col("user_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s2 = s1.groupBy(F.window(F.col("window"), "15 minutes").alias("w15")).agg(
+        F.sum("n").alias("total_events"),
+        F.count(F.lit(1)).alias("active_pairs"),
+    )
+    drained = run_available_now(s2, "append")
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    out = drained.filter(
+        F.col("w15.end") <= F.lit(max_ts) - F.expr("interval 11 minutes")
+    ).select(
+        F.unix_micros(F.col("w15.start")).alias("w15_us"),
+        "total_events",
+        "active_pairs",
+    )
+    return ordered(out)

@@ -1,0 +1,90 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API) —
+the modern extension point for sources Spark has no built-in connector
+for (the reference's Mongo collection scan is exactly this shape:
+``kafka-database-import.go:148-158`` hand-rolls a cursor; Spark-side a
+custom source declares schema + partitions and the engine handles
+distribution, pushdown of limits, and scheduling).
+
+``SyntheticEventsDataSource`` is a deterministic closed-form event
+generator: every row is a pure function of ``event_id``, so (a) the
+source needs no external system, (b) it reads in parallel — one
+``InputPartition`` per shard, rows generated partition-local, never
+through the driver — and (c) a DuckDB ``range()`` query can produce the
+identical rows, giving a differential oracle for the *connector
+machinery itself* (registration, schema, partition planning, Arrow
+batch return path).
+
+All classes are built by a factory so their qualnames contain
+``<locals>`` — cloudpickle then serializes them BY VALUE when Spark
+ships the source to its Python workers, which must not need this
+package importable (the driver harness runs from a foreign cwd)."""
+
+from __future__ import annotations
+
+MULT = 2654435761  # Knuth multiplicative constant, also used in q99n
+TYPES = ("click", "view", "purchase", "error")
+
+
+def _make():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    mult = MULT
+    types = TYPES
+
+    def synth_row(i: int) -> tuple:
+        """Closed-form row for event_id = i. DuckDB twin (q99v oracle):
+        the same integer arithmetic over ``range(n)``."""
+        h = (i * mult) % 1_000_003
+        return (i, h % 500, types[h % 4], float(h % 10_000) / 100.0)
+
+    class _SynthPartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
+
+    class SyntheticEventsReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_rows = int(options.get("rows", "1000"))
+            self.n_parts = int(options.get("partitions", "8"))
+
+        def partitions(self):
+            step = max(1, (self.n_rows + self.n_parts - 1) // self.n_parts)
+            return [
+                _SynthPartition(lo, min(lo + step, self.n_rows))
+                for lo in range(0, self.n_rows, step)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                yield synth_row(i)
+
+    class SyntheticEventsDataSource(DataSource):
+        """``spark.read.format("kdis_synthetic_events")
+        .option("rows", n)``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "kdis_synthetic_events"
+
+        def schema(self) -> str:
+            return (
+                "event_id bigint, user_id bigint, "
+                "event_type string, value double"
+            )
+
+        def reader(self, schema):
+            return SyntheticEventsReader(self.options)
+
+    return SyntheticEventsDataSource, synth_row
+
+
+SyntheticEventsDataSource, synth_row = _make()
+
+
+def register(spark) -> None:
+    """Idempotent registration on a session."""
+    spark.dataSource.register(SyntheticEventsDataSource)
