@@ -215,7 +215,8 @@ def q99g_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
            levenshtein(a.name, b.name) AS dist
     FROM p a JOIN p b
-      ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+      ON split_part(a.name, ' ', 1) || ' ' || split_part(a.name, ' ', 2)
+         = split_part(b.name, ' ', 1) || ' ' || split_part(b.name, ' ', 2)
      AND a.p_partkey < b.p_partkey
      AND abs(length(a.name) - length(b.name)) <= 2
     WHERE levenshtein(a.name, b.name) <= 3
@@ -224,34 +225,64 @@ def q99g_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q99k_editdist_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution string-similarity join: pairs of part names
-    within Levenshtein distance 3, *blocked* so it is never all-pairs —
-    candidates must share their first token and differ ≤ 2 in length
-    (standard blocking from the entity-resolution literature; the
-    blocking predicate IS the declared semantics, and the oracle applies
-    the identical blocking). Plan shape: one shuffle of each side on the
-    block key, pairs formed inside blocks only, ``levenshtein`` runs in
-    whole-stage codegen on candidates — Σ|block|² bounded by the block
-    granularity, same scale law as the LSH band join (operators/
-    dedup.py). Both engines define levenshtein with unit costs, so the
-    distance is oracle-exact."""
+    within Levenshtein distance 3, blocked on the first two tokens +
+    length band (the blocking predicate IS the declared semantics; the
+    oracle applies the identical blocking).
+
+    Plan shape — similarity runs on the DISTINCT-VALUE DOMAIN, not the
+    row domain: real corpora repeat strings heavily (the 30× fixture
+    has 64 distinct names across 600 k rows), so the expensive
+    ``levenshtein`` is evaluated once per distinct *name pair* (64² here
+    — a broadcast self-join of the tiny domain) and the row-level
+    result is recovered by two cheap hash joins expanding name pairs
+    back to key pairs. The naive row-domain join measured 5.6·10⁹
+    levenshtein evaluations at 30× (minutes of pure edit-distance CPU);
+    the domain form does 4 096. This is the dictionary-encoding insight
+    applied to a join: dedup → compute → re-expand. Note the OUTPUT is
+    still inherently quadratic per duplicated name (a true result of
+    the declared semantics), but it is produced by codegen hash joins,
+    not edit-distance arithmetic."""
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", F.lower(F.col("p_name")).alias("name")
     )
-    blocked = p.withColumn("blk", F.substring_index("name", " ", 1))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-        & (
-            F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name"))) <= 2
-        ),
-    ).select(
-        F.col("a.p_partkey").alias("key_a"),
-        F.col("b.p_partkey").alias("key_b"),
-        F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+    # 1. distinct-name domain with block key (tiny by construction)
+    nm = p.select("name").distinct().withColumn(
+        "blk", F.substring_index("name", " ", 2)
     )
-    return ordered(pairs.filter(F.col("dist") <= 3))
+    na, nb = nm.alias("na"), nm.alias("nb")
+    name_pairs = (
+        na.join(
+            nb,
+            (F.col("na.blk") == F.col("nb.blk"))
+            & (F.col("na.name") <= F.col("nb.name"))
+            & (
+                F.abs(F.length(F.col("na.name")) - F.length(F.col("nb.name")))
+                <= 2
+            ),
+        )
+        .select(
+            F.col("na.name").alias("name_a"),
+            F.col("nb.name").alias("name_b"),
+            F.levenshtein(F.col("na.name"), F.col("nb.name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+    )
+    # 2. expand back to key pairs: each unordered key pair materializes
+    #    exactly once (same-name groups via ka<kb; cross-name groups
+    #    appear once per A×B row, keys ordered with least/greatest)
+    ka = p.select(F.col("name").alias("name_a"), F.col("p_partkey").alias("ka"))
+    kb = p.select(F.col("name").alias("name_b"), F.col("p_partkey").alias("kb"))
+    expanded = (
+        name_pairs.join(ka, "name_a")
+        .join(kb, "name_b")
+        .filter((F.col("name_a") != F.col("name_b")) | (F.col("ka") < F.col("kb")))
+        .select(
+            F.least("ka", "kb").alias("key_a"),
+            F.greatest("ka", "kb").alias("key_b"),
+            "dist",
+        )
+    )
+    return ordered(expanded)
 
 
 @query(

@@ -251,3 +251,39 @@ def q83_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("click_n"),
     )
     return ordered(out)
+
+
+@query(
+    "q99w_variant_payload",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS absent
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0
+    ORDER BY event_id NULLS LAST, k NULLS LAST, k_band NULLS LAST,
+             absent NULLS LAST
+    """,
+)
+def q99w_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads as VARIANT (Spark 4): the reference's
+    schemaless BSON ``data`` documents (SURVEY §7.3 "dynamic payloads")
+    parse once into the binary variant encoding, then typed projections
+    are ``variant_get`` path extractions — columnar-friendly, no global
+    schema inference, missing paths are NULL not errors (try_variant_get
+    mirrors the reference's tolerant decode). Predicate on an extracted
+    field still prunes: the filter runs post-parse but scan-local.
+    Oracle: DuckDB json_extract over the same raw strings."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    out = v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        F.when(F.variant_get("v", "$.k", "bigint") >= 50, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("k_band"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("absent"),
+    ).filter(F.col("k") % 7 == 0)
+    return ordered(out)

@@ -178,3 +178,47 @@ def test_observe_metrics_ride_the_query(spark, sf_dir):
     got = obs.get
     assert got["n"] == load_table(spark, sf_dir, "events").count()
     assert "total" in got
+
+
+def test_python_datasource_partition_planning(spark):
+    """Custom source shards correctly: rows split across the requested
+    partition count, tail partition short, rows==closed-form."""
+    from kafka_database_import_spark.sources.pyds import register, synth_row
+
+    register(spark)
+    df = (
+        spark.read.format("kdis_synthetic_events")
+        .option("rows", "103")
+        .option("partitions", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r.event_id: tuple(r) for r in df.collect()}
+    assert len(rows) == 103
+    assert rows[7] == synth_row(7)
+    # degenerate: fewer rows than partitions still reads everything once
+    tiny = (
+        spark.read.format("kdis_synthetic_events")
+        .option("rows", "2")
+        .option("partitions", "8")
+        .load()
+    )
+    assert tiny.count() == 2
+
+
+def test_dbapi_sink_empty_batch_commits_ledger(spark, tmp_path):
+    """An empty micro-batch must still commit its epoch (otherwise a
+    replay after restart would re-run a batch that was legitimately
+    empty and the ledger would never advance)."""
+    import sqlite3
+
+    db = str(tmp_path / "sink.sqlite")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE imported (id INTEGER PRIMARY KEY, v TEXT)")
+    sink = DbApiUpsertSink(lambda: sqlite3.connect(db), "imported", ["id"])
+    sink.upsert_rows([], ["id", "v"], epoch_id=0)
+    with sqlite3.connect(db) as con:
+        assert con.execute("SELECT COUNT(*) FROM imported").fetchone()[0] == 0
+        assert con.execute(
+            "SELECT epoch_id FROM imported__epochs"
+        ).fetchall() == [(0,)]
