@@ -388,3 +388,151 @@ def q99v_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return ordered(out)
+
+
+@query(
+    "q99x_data_quality_checks",
+    oracle="""
+    WITH checks AS (
+      SELECT 'lineitem_null_keys' AS check_name,
+             SUM(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+                      THEN 1 ELSE 0 END) AS violations,
+             COUNT(*) AS population
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_qty_range',
+             SUM(CASE WHEN l_quantity < 0 OR l_quantity > 50
+                      THEN 1 ELSE 0 END),
+             COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_price_positive',
+             SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END),
+             COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_orphan_customer',
+             SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END),
+             COUNT(*)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'orders_unique_key',
+             COUNT(*) - COUNT(DISTINCT o_orderkey),
+             COUNT(*)
+      FROM orders
+    )
+    SELECT check_name, violations, population,
+           CASE WHEN violations = 0 THEN 1 ELSE 0 END AS passed
+    FROM checks
+    ORDER BY check_name NULLS LAST, violations NULLS LAST,
+             population NULLS LAST, passed NULLS LAST
+    """,
+)
+def q99x_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation suite (the deequ/expectations pattern):
+    null-key, range, positivity, referential-integrity and uniqueness
+    checks produced as one violations report. Shape at 100 TB: the
+    three single-table checks share ONE scan (conditional aggregates in
+    a single pass, then unpivoted); the FK check is a broadcast-dim
+    left join counting orphans; uniqueness is COUNT(*) −
+    COUNT(DISTINCT). A violations report that is itself a DataFrame
+    composes with the rest of the engine — quarantine, alerting, or a
+    q04-style upsert into an audit table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li_checks = li.agg(
+        F.sum(
+            F.when(
+                F.col("l_orderkey").isNull() | F.col("l_partkey").isNull(), 1
+            ).otherwise(0)
+        ).alias("lineitem_null_keys"),
+        F.sum(
+            F.when((F.col("l_quantity") < 0) | (F.col("l_quantity") > 50), 1).otherwise(
+                0
+            )
+        ).alias("lineitem_qty_range"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias(
+            "lineitem_price_positive"
+        ),
+        F.count(F.lit(1)).alias("population"),
+    ).unpivot(
+        "population",
+        ["lineitem_null_keys", "lineitem_qty_range", "lineitem_price_positive"],
+        "check_name",
+        "violations",
+    ).select("check_name", "violations", "population")
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_outer"
+        )
+        .agg(
+            F.lit("orders_orphan_customer").alias("check_name"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
+                "violations"
+            ),
+            F.count(F.lit(1)).alias("population"),
+        )
+    )
+    unique = orders.agg(
+        F.lit("orders_unique_key").alias("check_name"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("violations"),
+        F.count(F.lit(1)).alias("population"),
+    )
+    out = li_checks.unionByName(orphans).unionByName(unique).select(
+        "check_name",
+        "violations",
+        "population",
+        F.when(F.col("violations") == 0, 1).otherwise(0).alias("passed"),
+    )
+    return ordered(out)
+
+
+@query(
+    "q99y_incremental_view_maintenance",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)::DOUBLE AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type NULLS LAST, n_events NULLS LAST, total_value NULLS LAST
+    """,
+)
+def q99y_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-group aggregate of the
+    full table is produced by MERGING a base aggregate with a delta
+    aggregate — ``agg(base ∪ delta) = merge(agg(base), agg(delta))`` —
+    never re-aggregating base rows together with delta rows. Here base/
+    delta are a deterministic split of events (id % 10); in production
+    the base aggregate is a persisted materialized view and only the
+    delta (one day, one CDC batch) is scanned — turning a 100 TB
+    re-aggregation into a delta-sized one. The merge is a full-outer
+    join on the group key with additive combine — valid exactly for
+    the decomposable aggregates used here (COUNT, decimal SUM; the same
+    algebra that makes map-side partial aggregation correct). The
+    oracle computes the direct full-table aggregate: merge == direct is
+    the IVM correctness property itself."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 10 != 0)
+    delta = ev.filter(F.col("event_id") % 10 == 0)
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+        )
+
+    b, d = agg(base).alias("b"), agg(delta).alias("d")
+    merged = b.join(d, F.col("b.event_type") == F.col("d.event_type"), "full_outer")
+    out = merged.select(
+        F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias("event_type"),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n_events"),
+        dround(
+            F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(12,2)"))
+            + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(12,2)"))
+        ).alias("total_value"),
+    )
+    return ordered(out)
