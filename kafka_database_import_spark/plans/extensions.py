@@ -536,3 +536,75 @@ def q99y_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         ).alias("total_value"),
     )
     return ordered(out)
+
+
+_PAGERANK_ITER_SQL = """
+    r{i} AS (
+      SELECT s.v AS node,
+             150000 + SUM((r.rank * 17) // (20 * g.d)) AS rank
+      FROM sym s JOIN r{j} r ON s.u = r.node JOIN deg g ON s.u = g.u
+      GROUP BY s.v
+    )"""
+
+
+@query(
+    "q99z_pagerank",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey < 2000
+    ),
+    sym AS (SELECT src AS u, dst AS v FROM pairs
+            UNION SELECT dst, src FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+    r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+    """
+    + ",\n    ".join(
+        _PAGERANK_ITER_SQL.format(i=i, j=i - 1).strip() for i in range(1, 6)
+    )
+    + """
+    SELECT node, rank FROM r5
+    ORDER BY node NULLS LAST, rank NULLS LAST
+    """,
+)
+def q99z_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, damping 0.85) over the same
+    bounded co-purchase graph as q63 — the weighted iterative-algorithm
+    counterpart to connected components. All arithmetic is INTEGER
+    (ranks in micro-units, contributions via integer division), so the
+    distributed per-node sums are order-independent and the DuckDB twin
+    — the identical five iterations unrolled as chained CTEs — matches
+    bit-for-bit; float PageRank would differ in the last ulp per
+    engine. Plan: per iteration one join of the rank vector against the
+    (static, re-usable) degree-annotated edge list and one node-keyed
+    aggregation — the exact dataflow of Pregel-style iterative
+    processing expressed declaratively. At 100 TB: edges pre-partition
+    once on src and every iteration reuses that partitioning; the
+    convergence-detected variant (Δrank threshold) reuses
+    operators/graph.py's loop scaffolding."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    sym = pairs.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(pairs.select(F.col("dst").alias("u"), F.col("src").alias("v"))).distinct()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    edges = sym.join(deg, "u")  # static per-iteration build side
+    r = deg.select(F.col("u").alias("node"), F.lit(1000000).cast("bigint").alias("rank"))
+    for _ in range(5):
+        contrib = edges.join(r, edges.u == r.node).select(
+            F.col("v"),
+            F.expr("(rank * 17) div (20 * d)").alias("c"),
+        )
+        r = contrib.groupBy("v").agg(
+            (F.lit(150000) + F.sum("c")).alias("rank")
+        ).select(F.col("v").alias("node"), "rank")
+    return ordered(r)
