@@ -79,3 +79,69 @@ def connected_components(
         if n_changed == 0:
             return labels.withColumnRenamed("label", "component")
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_ppm: int = 850_000,
+    tol_ppm: int = 100,
+    max_iter: int = 120,
+) -> DataFrame:
+    """(node, rank) PageRank over the undirected view of ``edges``,
+    converged to a per-node delta below ``tol_ppm`` micro-units.
+
+    Same loop discipline as :func:`connected_components`: per-round one
+    node-keyed join of the rank vector against the degree-annotated
+    edge list + one aggregation, ``localCheckpoint`` each round to
+    truncate lineage, convergence detected on the already-materialized
+    result. ALL arithmetic is integer micro-units (rank 1.0 =
+    1_000_000): distributed sums are order-independent, results are
+    bit-reproducible run-to-run and engine-to-engine — the property the
+    catalog's q99z differential check relies on. Damping is expressed
+    as the exact rational damping_ppm/1e6 via integer div. Round
+    budget: bipartite-ish structures (stars) oscillate with spectral
+    radius = damping, so reaching tol needs ~log(amplitude/tol)/
+    log(1/damping) rounds — ~60 for 100 ppm at 0.85; the default
+    budget leaves headroom."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    elist = sym.join(deg, "u").localCheckpoint()
+    base = 1_000_000 - damping_ppm
+    ranks = deg.select(
+        F.col("u").alias("node"), F.lit(1_000_000).cast("bigint").alias("rank")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        contrib = elist.join(ranks, elist.u == ranks.node).select(
+            F.col("v"),
+            ((F.col("rank") * damping_ppm).cast("bigint") / (F.lit(1_000_000) * F.col("d")))
+            .cast("bigint")
+            .alias("c"),
+        )
+        nxt = (
+            contrib.groupBy("v")
+            .agg((F.lit(base) + F.sum("c")).alias("new_rank"))
+            .select(F.col("v").alias("node"), "new_rank")
+        )
+        joined = (
+            ranks.join(nxt, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_rank", F.lit(base)).alias("rank"),
+                F.abs(F.coalesce("new_rank", F.lit(base)) - F.col("rank")).alias(
+                    "delta"
+                ),
+            )
+            .localCheckpoint()
+        )
+        max_delta = joined.agg(F.max("delta")).collect()[0][0]
+        ranks = joined.select("node", "rank")
+        if max_delta is not None and max_delta <= tol_ppm:
+            return ranks
+    raise RuntimeError(f"pagerank: no convergence in {max_iter} rounds")

@@ -399,3 +399,70 @@ def q99u_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_pairs",
     )
     return ordered(out)
+
+
+@query(
+    "q99za_stream_window_upsert",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_us,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL '5 minutes', ts)
+    ORDER BY window_start_us NULLS LAST, n_events NULLS LAST,
+             sum_value NULLS LAST
+    """,
+)
+def q99za_stream_window_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode windowed aggregation draining into the DB-API upsert
+    sink — the full production topology with MUTABLE rows: each
+    micro-batch re-emits windows whose counts changed, and the sink's
+    key-level upsert (window_start as primary key) makes the repeated
+    emissions converge to the final aggregate instead of duplicating —
+    update-mode output REQUIRES an idempotent keyed sink, which is
+    exactly what q04's epoch ledger + ON CONFLICT machinery provides.
+    The oracle checks the SQL table's final contents against the batch
+    aggregate over all events."""
+    import os
+    import sqlite3
+    import tempfile
+
+    from kafka_database_import_spark.sinks.jdbc import DbApiUpsertSink
+    from kafka_database_import_spark.streaming.runner import (
+        events_stream,
+        run_foreach_batch,
+    )
+
+    db = os.path.join(tempfile.mkdtemp(prefix="kdis_winup_"), "win.sqlite")
+    with sqlite3.connect(db) as con:
+        con.execute(
+            "CREATE TABLE win_agg (window_start_us INTEGER PRIMARY KEY, "
+            "n_events INTEGER, sum_value REAL)"
+        )
+    stream = events_stream(spark, sf_dir, max_files_per_trigger=4).withWatermark(
+        "ts", "10 minutes"
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            mround(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = DbApiUpsertSink(
+        lambda: sqlite3.connect(db), "win_agg", ["window_start_us"]
+    )
+    run_foreach_batch(agg, sink, output_mode="update")
+    with sqlite3.connect(db) as con:
+        rows = con.execute(
+            "SELECT window_start_us, n_events, sum_value FROM win_agg"
+        ).fetchall()
+    out = spark.createDataFrame(
+        rows, "window_start_us long, n_events long, sum_value double"
+    )
+    return ordered(out)

@@ -284,3 +284,25 @@ def test_q99p_pq_recall_vs_exact(spark, sf_dir):
     for r in pq_topk(emb, queries, k=5).collect():
         if (r.query_id, r.cand_id) in sims_exact:
             assert abs(r.cosine_sim - sims_exact[(r.query_id, r.cand_id)]) < 1e-9
+
+
+def test_pagerank_converges_and_orders_by_degree(spark):
+    from kafka_database_import_spark.operators.graph import pagerank
+
+    # star graph: hub 1 connected to 2..9, plus an isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, i) for i in range(2, 10)] + [(20, 21)], ["src", "dst"]
+    )
+    got = {r.node: r.rank for r in pagerank(edges).collect()}
+    # hub collects contributions from all leaves: highest rank
+    assert got[1] > got[2]
+    assert all(got[i] == got[2] for i in range(3, 10))  # leaves symmetric
+    assert got[20] == got[21]  # symmetric pair
+    # total rank mass conserved within integer-floor loss:
+    # n*(base + damping) >= sum >= n*base
+    n, total = len(got), sum(got.values())
+    assert n * 150_000 <= total <= n * 1_000_000 + n
+
+    # determinism: bit-identical on rerun (integer arithmetic)
+    again = {r.node: r.rank for r in pagerank(edges).collect()}
+    assert got == again
