@@ -463,24 +463,31 @@ def q99x_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orphans = (
+    # one orders scan serves BOTH checks: the left join preserves every
+    # orders row, so uniqueness (count - distinct) reads the same pass
+    # that counts FK orphans
+    o_checks = (
         orders.join(
             F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_outer"
         )
         .agg(
-            F.lit("orders_orphan_customer").alias("check_name"),
             F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
-                "violations"
+                "orders_orphan_customer"
+            ),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                "orders_unique_key"
             ),
             F.count(F.lit(1)).alias("population"),
         )
+        .unpivot(
+            "population",
+            ["orders_orphan_customer", "orders_unique_key"],
+            "check_name",
+            "violations",
+        )
+        .select("check_name", "violations", "population")
     )
-    unique = orders.agg(
-        F.lit("orders_unique_key").alias("check_name"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("violations"),
-        F.count(F.lit(1)).alias("population"),
-    )
-    out = li_checks.unionByName(orphans).unionByName(unique).select(
+    out = li_checks.unionByName(o_checks).select(
         "check_name",
         "violations",
         "population",

@@ -141,3 +141,27 @@ def test_q99n_rebalance_never_shuffles_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q99n_source_rebalance")
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning(doc_id" not in plan
+
+
+def test_q99x_quality_checks_share_scans(spark, sf_dir):
+    """Five checks, two fact scans: the three lineitem expectations run
+    as conditional aggregates in ONE pass, and the orders FK-orphan +
+    uniqueness checks share ONE joined pass."""
+    plan = _plan(spark, sf_dir, "q99x_data_quality_checks")
+    assert plan.count("Location: InMemoryFileIndex") <= 3  # lineitem + orders + customer
+
+
+def test_q99t_centroids_one_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q99t_embedding_centroids")
+    assert "partial_" in plan  # integer sums combine map-side
+    assert "Join" not in plan
+
+
+def test_q99y_ivm_merge_is_full_outer_of_two_aggs(spark, sf_dir):
+    """The IVM merge must aggregate base and delta separately and join
+    the two aggregates — never union raw rows into one aggregation
+    (that would be the full re-scan IVM exists to avoid)."""
+    plan = _plan(spark, sf_dir, "q99y_incremental_view_maintenance")
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x (partial+final)
+    assert "Union" not in plan
