@@ -615,3 +615,60 @@ def q99z_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(150000) + F.sum("c")).alias("rank")
         ).select(F.col("v").alias("node"), "rank")
     return ordered(r)
+
+
+@query(
+    "q99zb_stream_python_datasource",
+    oracle="""
+    SELECT i AS event_id,
+           (i * 2654435761) % 1000003 % 500 AS user_id,
+           CASE ((i * 2654435761) % 1000003) % 4
+                WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                WHEN 2 THEN 'purchase' ELSE 'error' END AS event_type,
+           CAST(((i * 2654435761) % 1000003) % 10000 AS DOUBLE) / 100
+             AS value
+    FROM range(0, 2000) t(i)
+    ORDER BY event_id NULLS LAST, user_id NULLS LAST,
+             event_type NULLS LAST, value NULLS LAST
+    """,
+)
+def q99zb_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING side of the custom Python connector (Spark 4
+    ``SimpleDataSourceStreamReader``): the synthetic source emits
+    micro-batches with row-index offsets and replayable
+    ``readBetweenOffsets`` recovery. Python stream sources don't support
+    availableNow (Spark logs the fallback), so the bounded drain polls
+    the memory sink until the source's cap is reached — each batch
+    commits through the normal offset log. Oracle: the identical
+    closed-form rows from DuckDB range(); the hash verifies that
+    batching + offset bookkeeping neither dropped nor duplicated a
+    single row across micro-batches."""
+    import tempfile
+    import time
+
+    from kafka_database_import_spark.sources.pyds import register
+
+    register(spark)
+    n_rows = 2000
+    sdf = (
+        spark.readStream.format("kdis_synthetic_events")
+        .option("rows", str(n_rows))
+        .option("batchSize", "300")
+        .load()
+    )
+    name = f"kdis_pyds_stream_{int(time.monotonic_ns() % 1_000_000)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdis_pyds_ckpt_"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= n_rows:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    return ordered(spark.table(name))

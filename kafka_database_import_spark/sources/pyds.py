@@ -30,6 +30,7 @@ def _make():
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     mult = MULT
@@ -62,9 +63,31 @@ def _make():
             for i in range(partition.start, partition.end):
                 yield synth_row(i)
 
+    class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+        """Micro-batch reader over the same closed-form rows: the
+        offset is just the next row index, so restart recovery
+        (``readBetweenOffsets``) replays any committed range exactly —
+        the contract a Kafka-like source must honor."""
+
+        def __init__(self, options):
+            self.n_rows = int(options.get("rows", "1000"))
+            self.batch = int(options.get("batchSize", "200"))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            end = min(pos + self.batch, self.n_rows)
+            return (iter([synth_row(i) for i in range(pos, end)]), {"pos": end})
+
+        def readBetweenOffsets(self, start, end):
+            return iter([synth_row(i) for i in range(start["pos"], end["pos"])])
+
     class SyntheticEventsDataSource(DataSource):
         """``spark.read.format("kdis_synthetic_events")
-        .option("rows", n)``."""
+        .option("rows", n)`` — batch and micro-batch stream over the
+        same deterministic rows."""
 
         @classmethod
         def name(cls) -> str:
@@ -78,6 +101,9 @@ def _make():
 
         def reader(self, schema):
             return SyntheticEventsReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return SyntheticEventsStreamReader(self.options)
 
     return SyntheticEventsDataSource, synth_row
 
