@@ -222,3 +222,28 @@ def test_dbapi_sink_empty_batch_commits_ledger(spark, tmp_path):
         assert con.execute(
             "SELECT epoch_id FROM imported__epochs"
         ).fetchall() == [(0,)]
+
+
+def test_normalize_ntz_casts_all_ntz_columns(spark):
+    """Fixture generators flip between timestamp annotations across
+    rounds (nanos-as-long, TIMESTAMP, TIMESTAMP_NTZ); the reader must
+    normalize every NTZ column to session-UTC TIMESTAMP so instant
+    functions (unix_micros, window, watermark) keep working."""
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.sources.readers import normalize_ntz
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00", "2024-02-01 00:30:00")],
+        "id INT, a STRING, b STRING",
+    ).select(
+        "id",
+        F.to_timestamp_ntz("a").alias("a"),
+        F.to_timestamp_ntz("b").alias("b"),
+    )
+    assert dict(df.dtypes)["a"] == "timestamp_ntz"
+    out = normalize_ntz(df)
+    assert dict(out.dtypes) == {"id": "int", "a": "timestamp", "b": "timestamp"}
+    row = out.collect()[0]
+    # session tz is UTC: wall-clock value unchanged
+    assert row.a.strftime("%Y-%m-%d %H:%M:%S") == "2024-01-01 12:00:00"
