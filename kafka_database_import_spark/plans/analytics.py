@@ -1117,3 +1117,71 @@ def q99t_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ordered(out)
+
+
+@query(
+    "q99zc_scd2_pointintime_join",
+    oracle="""
+    WITH segs AS (SELECT ['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD',
+                          'MACHINERY'] AS arr),
+    dim AS (
+      SELECT c_custkey,
+             arr[1 + (c_custkey + u) % 5] AS segment,
+             TIMESTAMP '2024-01-01' + u * INTERVAL '10 days' AS valid_from,
+             CASE WHEN u < 2
+                  THEN TIMESTAMP '2024-01-01' + (u + 1) * INTERVAL '10 days'
+             END AS valid_to
+      FROM customer, unnest([0, 1, 2]) AS t(u), segs
+    )
+    SELECT e.event_id, e.user_id, d.segment AS seg_at_event
+    FROM events e JOIN dim d
+      ON e.user_id = d.c_custkey
+     AND CAST(e.ts AS TIMESTAMP) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(e.ts AS TIMESTAMP) < d.valid_to)
+    ORDER BY event_id NULLS LAST, user_id NULLS LAST, seg_at_event NULLS LAST
+    """,
+)
+def q99zc_scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (effective-dated) dimension join — the warehouse
+    pattern q65's SCD2 history exists FOR: each fact row joins the one
+    dimension version whose [valid_from, valid_to) interval contains
+    the fact's event time. The history here is synthesized closed-form
+    (3 versions per customer over deterministic 10-day windows) so both
+    engines build the identical dimension. Scale shape: an SCD2
+    dimension is versions × entities — still dimension-sized — so it
+    BROADCASTS and the interval containment resolves scan-local on the
+    fact side; the fact table never shuffles. A fact time outside every
+    version would drop here (inner); production uses a left join + null
+    audit (q99x's violations pattern)."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    vers = spark.range(3).select(F.col("id").cast("int").alias("u"))
+    seg_arr = F.array(*[F.lit(s) for s in segs])
+    dim = (
+        cust.crossJoin(F.broadcast(vers))
+        .select(
+            "c_custkey",
+            F.element_at(
+                seg_arr, ((F.col("c_custkey") + F.col("u")) % 5 + 1).cast("int")
+            ).alias(
+                "segment"
+            ),
+            (
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(days=F.col("u") * 10)
+            ).alias("valid_from"),
+            F.when(
+                F.col("u") < 2,
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(days=(F.col("u") + 1) * 10),
+            ).alias("valid_to"),
+        )
+    )
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.join(
+        F.broadcast(dim),
+        (ev.user_id == dim.c_custkey)
+        & (ev.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (ev.ts < dim.valid_to)),
+    ).select("event_id", "user_id", F.col("segment").alias("seg_at_event"))
+    return ordered(out)
