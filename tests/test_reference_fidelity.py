@@ -109,3 +109,23 @@ def test_envelope_round_trips_dynamic_payloads(spark):
         df.select(envelope_json("payload").alias("v")).collect(), payloads
     ):
         assert json.loads(row.v) == {"data": json.loads(original), "source": "database"}
+
+
+def test_cli_writes_parquet_output(spark, tmp_path):
+    """The package runs as a CLI like the reference binary: query →
+    parquet sink, row-verified via read-back."""
+    from kafka_database_import_spark.__main__ import main
+
+    out = str(tmp_path / "cli_out.parquet")
+    rc = main(
+        ["--query", "q16_agg_hash", "--sf-dir", "/root/testdata/sf0.001",
+         "--output", out]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_rejects_unknown_query():
+    from kafka_database_import_spark.__main__ import main
+
+    assert main(["--query", "not_a_query"]) == 2
