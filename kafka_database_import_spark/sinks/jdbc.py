@@ -87,18 +87,35 @@ class JdbcUpsertSink:
         stream.writeStream.foreachBatch(sink).start()
     """
 
-    def __init__(self, url: str, table: str, key_cols: Sequence[str], properties: dict[str, str] | None = None):
+    def __init__(
+        self,
+        url: str,
+        table: str,
+        key_cols: Sequence[str],
+        properties: dict[str, str] | None = None,
+        connection_factory=None,
+        dialect: str = "ansi",
+    ):
+        """``connection_factory`` is a zero-arg PEP 249 connection maker
+        (psycopg2.connect bound to a DSN, etc.) used for the MERGE step;
+        the staging write itself goes executor-parallel via
+        ``write.jdbc``. ``dialect`` picks the upsert form
+        (:func:`upsert_sql`)."""
         self.url = url
         self.table = table
         self.key_cols = list(key_cols)
         self.properties = properties or {}
+        self.connection_factory = connection_factory
+        self.dialect = dialect
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         staging = f"{self.table}_stage"
         # Overwrite staging: a retried epoch simply re-stages, and the
         # MERGE is idempotent on the key columns.
         batch_df.write.jdbc(self.url, staging, mode="overwrite", properties=self.properties)
-        self._execute(merge_sql(self.table, staging, self.key_cols, batch_df.columns))
+        self._execute(
+            upsert_sql(self.table, staging, self.key_cols, batch_df.columns, self.dialect)
+        )
 
     def _execute(self, sql: str) -> None:  # pragma: no cover - needs a live DB
         conn = self._connect()
@@ -109,8 +126,14 @@ class JdbcUpsertSink:
         finally:
             conn.close()
 
-    def _connect(self):  # pragma: no cover - needs a live DB
-        raise NotImplementedError("provide a DB-API connection factory for MERGE execution")
+    def _connect(self):
+        if self.connection_factory is None:
+            raise ValueError(
+                "JdbcUpsertSink needs a DB-API connection_factory for the "
+                "MERGE step (the staging write uses write.jdbc); "
+                "DbApiUpsertSink covers driverless test environments"
+            )
+        return self.connection_factory()
 
 
 class DbApiUpsertSink:

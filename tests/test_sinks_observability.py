@@ -247,3 +247,30 @@ def test_normalize_ntz_casts_all_ntz_columns(spark):
     row = out.collect()[0]
     # session tz is UTC: wall-clock value unchanged
     assert row.a.strftime("%Y-%m-%d %H:%M:%S") == "2024-01-01 12:00:00"
+
+
+def test_jdbc_sink_merge_executes_via_connection_factory(tmp_path):
+    """JdbcUpsertSink's MERGE step runs through an injected DB-API
+    factory (no stub left): staging table pre-populated as write.jdbc
+    would, then _execute applies the generated upsert transactionally."""
+    import sqlite3
+
+    db = str(tmp_path / "jdbc.sqlite")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+        con.execute("INSERT INTO t VALUES (1, 'a')")
+        con.execute("CREATE TABLE t_stage (id INTEGER, v TEXT)")
+        con.execute("INSERT INTO t_stage VALUES (1, 'A'), (2, 'b')")
+    from kafka_database_import_spark.sinks.jdbc import JdbcUpsertSink, upsert_sql
+
+    sink = JdbcUpsertSink(
+        "jdbc:ignored", "t", ["id"],
+        connection_factory=lambda: sqlite3.connect(db),
+        dialect="onconflict",
+    )
+    sink._execute(upsert_sql("t", "t_stage", ["id"], ["id", "v"], "onconflict"))
+    with sqlite3.connect(db) as con:
+        assert con.execute("SELECT id, v FROM t ORDER BY id").fetchall() == [
+            (1, "A"),
+            (2, "b"),
+        ]
