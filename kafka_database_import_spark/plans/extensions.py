@@ -672,3 +672,37 @@ def q99zb_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         q.stop()
     return ordered(spark.table(name))
+
+
+@query(
+    "q99zd_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(node, root, depth) AS (
+      SELECT c_custkey, c_custkey, 0
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, w.root, w.depth + 1
+      FROM customer c JOIN walk w
+        ON CAST(FLOOR(c.c_custkey / 10) AS BIGINT) = w.node
+       AND c.c_custkey >= 10
+    )
+    SELECT node, root, depth FROM walk
+    ORDER BY node NULLS LAST, root NULLS LAST, depth NULLS LAST
+    """,
+)
+def q99zd_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive SQL (Spark 4 ``WITH RECURSIVE``): hierarchy
+    expansion — every customer resolved to its root and depth in a
+    synthetic parent tree (parent = key/10, the BOM / management-chain
+    / filesystem pattern). The IDENTICAL SQL text runs on both engines
+    (one shared string, so the Spark run and the DuckDB oracle can
+    never drift); arithmetic is FLOOR-division on positive keys —
+    engine-identical. Spark's recursive CTEs currently support UNION
+    ALL only, so the recursion must be acyclic — which hierarchies are;
+    cyclic fixpoints (q63's connected components) stay on the
+    hand-rolled loop in operators/graph.py, which also remains the
+    100 TB path (per-round lineage checkpoints, node-keyed joins)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    from kafka_database_import_spark.plans.registry import all_queries
+
+    return spark.sql(all_queries()["q99zd_recursive_cte"].oracle)
