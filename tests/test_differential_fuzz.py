@@ -1,0 +1,90 @@
+"""SQLancer-style differential fuzzing (SURVEY §5.2 t2, generalized):
+seeded random predicate/aggregation queries rendered to ONE SQL text
+that runs verbatim on Spark SQL and DuckDB, results compared by the
+same canonicalize-and-hash the driver uses. Where a hand-written oracle
+checks one plan, the fuzzer samples the expression space — comparison
+chains over mixed types, AND/OR/NOT nesting, NULL-propagating
+arithmetic — where engine disagreements (coercion, three-valued logic,
+rounding) actually live. Deterministic: fixed seeds, sorted output,
+integer-or-exact-decimal arithmetic only (no float noise by
+construction)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kafka_database_import_spark import oracle
+from kafka_database_import_spark.sources.readers import load_table
+
+# Columns usable in generated predicates: (name, kind)
+LINEITEM_COLS = [
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+]
+STR_LITERALS = ["'A'", "'N'", "'R'", "'O'", "'F'", "''"]
+CMP = ["=", "<>", "<", "<=", ">", ">="]
+
+
+def _num_expr(rng: random.Random, depth: int = 0) -> str:
+    """Integer-safe numeric expression over lineitem columns: +, -, *,
+    CASE — never /, never floats, so both engines compute identically."""
+    if depth >= 2 or rng.random() < 0.5:
+        col, kind = rng.choice([c for c in LINEITEM_COLS if c[1] in ("int", "num")])
+        if kind == "num":
+            # exact decimal scaled to integer cents
+            return f"CAST(CAST({col} AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        return col
+    op = rng.choice(["+", "-", "*"])
+    a, b = _num_expr(rng, depth + 1), _num_expr(rng, depth + 1)
+    if op == "*":
+        b = str(rng.randint(0, 7))  # bound growth
+    return f"({a} {op} {b})"
+
+
+def _predicate(rng: random.Random, depth: int = 0) -> str:
+    if depth >= 3 or rng.random() < 0.4:
+        if rng.random() < 0.25:
+            col, _ = rng.choice([c for c in LINEITEM_COLS if c[1] == "str"])
+            return f"({col} {rng.choice(CMP)} {rng.choice(STR_LITERALS)})"
+        lhs = _num_expr(rng)
+        rhs = rng.choice([_num_expr(rng), str(rng.randint(-1000, 1_000_000))])
+        return f"({lhs} {rng.choice(CMP)} {rhs})"
+    kind = rng.random()
+    if kind < 0.4:
+        return f"({_predicate(rng, depth + 1)} AND {_predicate(rng, depth + 1)})"
+    if kind < 0.8:
+        return f"({_predicate(rng, depth + 1)} OR {_predicate(rng, depth + 1)})"
+    return f"(NOT {_predicate(rng, depth + 1)})"
+
+
+def _query(seed: int) -> str:
+    rng = random.Random(seed)
+    pred = _predicate(rng)
+    agg_target = _num_expr(rng)
+    group_col = rng.choice(["l_returnflag", "l_linestatus", "l_linenumber"])
+    return (
+        f"SELECT {group_col} AS g, COUNT(*) AS n, SUM({agg_target}) AS s,"
+        f" MIN({agg_target}) AS mn, MAX({agg_target}) AS mx"
+        f" FROM lineitem WHERE {pred} GROUP BY {group_col}"
+        f" ORDER BY g NULLS LAST, n NULLS LAST, s NULLS LAST,"
+        f" mn NULLS LAST, mx NULLS LAST"
+    )
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_query_agrees_across_engines(spark, sf_dir, seed):
+    sql = _query(seed)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    s_df = spark.sql(sql)
+    con = oracle.duckdb_connection(sf_dir)
+    r = oracle.compare(f"fuzz_{seed}", s_df, sql, con)
+    assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
