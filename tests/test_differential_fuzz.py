@@ -88,3 +88,60 @@ def test_random_query_agrees_across_engines(spark, sf_dir, seed):
     con = oracle.duckdb_connection(sf_dir)
     r = oracle.compare(f"fuzz_{seed}", s_df, sql, con)
     assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
+
+
+ORDERS_COLS = [
+    ("o_custkey", "int"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _join_query(seed: int) -> str:
+    """Random LEFT/INNER equi-join + mixed-side predicate + group agg.
+    LEFT joins put NULLs into right-side columns, so the predicate
+    exercises three-valued logic — the classic engine-divergence zone."""
+    rng = random.Random(seed + 10_000)
+    join_type = rng.choice(["JOIN", "LEFT JOIN"])
+    pool = LINEITEM_COLS + ORDERS_COLS
+
+    def pred(depth=0):
+        if depth >= 3 or rng.random() < 0.4:
+            col, kind = rng.choice(pool)
+            if kind == "str":
+                lits = STR_LITERALS + ["'1-URGENT'", "'5-LOW'"]
+                return f"({col} {rng.choice(CMP)} {rng.choice(lits)})"
+            if kind == "num":
+                lhs = f"CAST(CAST({col} AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            else:
+                lhs = col
+            return f"({lhs} {rng.choice(CMP)} {rng.randint(-10, 30_000_000)})"
+        k = rng.random()
+        if k < 0.4:
+            return f"({pred(depth + 1)} AND {pred(depth + 1)})"
+        if k < 0.8:
+            return f"({pred(depth + 1)} OR {pred(depth + 1)})"
+        return f"(NOT {pred(depth + 1)})"
+
+    group_col = rng.choice(["l_returnflag", "l_linenumber", "o_orderstatus"])
+    return (
+        f"SELECT {group_col} AS g, COUNT(*) AS n,"
+        f" COUNT(o_custkey) AS n_matched,"
+        f" MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx"
+        f" FROM lineitem {join_type} orders ON l_orderkey = o_orderkey"
+        f" WHERE {pred()} GROUP BY {group_col}"
+        f" ORDER BY g NULLS LAST, n NULLS LAST, n_matched NULLS LAST,"
+        f" mn NULLS LAST, mx NULLS LAST"
+    )
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_random_join_query_agrees_across_engines(spark, sf_dir, seed):
+    sql = _join_query(seed)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    s_df = spark.sql(sql)
+    con = oracle.duckdb_connection(sf_dir)
+    r = oracle.compare(f"fuzzjoin_{seed}", s_df, sql, con)
+    assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
