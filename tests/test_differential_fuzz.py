@@ -145,3 +145,40 @@ def test_random_join_query_agrees_across_engines(spark, sf_dir, seed):
     con = oracle.duckdb_connection(sf_dir)
     r = oracle.compare(f"fuzzjoin_{seed}", s_df, sql, con)
     assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
+
+
+def _window_query(seed: int) -> str:
+    """Random windowed aggregation with an explicit ROWS frame.
+    Frame-boundary semantics and running-aggregate state are
+    engine-divergence zones. The fixture's (l_orderkey, l_linenumber)
+    is NOT unique (the fuzzer itself caught this: tie-dependent frames
+    diverged between engines — a generator bug, not an engine bug), so
+    the window orders by the join keys PLUS the aggregation target:
+    rows still tied are then fully interchangeable for the frame
+    aggregate, making the sorted-output comparison well-defined."""
+    rng = random.Random(seed + 20_000)
+    part = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey"])
+    target = _num_expr(rng)
+    lo = rng.randint(0, 5)
+    hi_choices = ["CURRENT ROW", f"{rng.randint(0, 3)} FOLLOWING"]
+    frame = f"ROWS BETWEEN {lo} PRECEDING AND {rng.choice(hi_choices)}"
+    fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+    order = f"l_orderkey, l_linenumber, l_partkey, l_suppkey, {target}"
+    return (
+        f"SELECT l_orderkey, l_linenumber,"
+        f" {fn}({target}) OVER (PARTITION BY {part}"
+        f" ORDER BY {order} {frame}) AS w"
+        f" FROM lineitem WHERE l_orderkey < 3000"
+        f" ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST,"
+        f" w NULLS LAST"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_window_query_agrees_across_engines(spark, sf_dir, seed):
+    sql = _window_query(seed)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    s_df = spark.sql(sql)
+    con = oracle.duckdb_connection(sf_dir)
+    r = oracle.compare(f"fuzzwin_{seed}", s_df, sql, con)
+    assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
