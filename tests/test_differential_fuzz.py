@@ -182,3 +182,35 @@ def test_random_window_query_agrees_across_engines(spark, sf_dir, seed):
     con = oracle.duckdb_connection(sf_dir)
     r = oracle.compare(f"fuzzwin_{seed}", s_df, sql, con)
     assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
+
+
+def _distinct_having_query(seed: int) -> str:
+    """Random COUNT(DISTINCT expr) + HAVING over a random predicate —
+    distinct-aggregate rewrite (expand/two-phase) and post-aggregation
+    filtering are additional planner paths the plain fuzzer misses."""
+    rng = random.Random(seed + 30_000)
+    pred = _predicate(rng)
+    target = _num_expr(rng)
+    group_col = rng.choice(["l_returnflag", "l_linestatus", "l_linenumber"])
+    having = rng.choice(
+        [f"COUNT(*) > {rng.randint(0, 2000)}",
+         f"COUNT(DISTINCT {target}) >= {rng.randint(1, 50)}"]
+    )
+    return (
+        f"SELECT {group_col} AS g, COUNT(*) AS n,"
+        f" COUNT(DISTINCT {target}) AS nd,"
+        f" SUM({target}) AS s"
+        f" FROM lineitem WHERE {pred} GROUP BY {group_col}"
+        f" HAVING {having}"
+        f" ORDER BY g NULLS LAST, n NULLS LAST, nd NULLS LAST, s NULLS LAST"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_distinct_having_agrees_across_engines(spark, sf_dir, seed):
+    sql = _distinct_having_query(seed)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    s_df = spark.sql(sql)
+    con = oracle.duckdb_connection(sf_dir)
+    r = oracle.compare(f"fuzzdh_{seed}", s_df, sql, con)
+    assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
