@@ -37,11 +37,15 @@ def _fan_out(df: DataFrame) -> DataFrame:
     """Ensure CPU-bound per-row work (shingling, hashing) runs at the
     cluster's parallelism. Scan parallelism follows input splits; a
     small file is one split, serializing all downstream codegen work
-    onto one core (measured 9× on the sf0.1 fixture). At real scale the
-    split count exceeds the default parallelism and this is a no-op —
-    no shuffle is added."""
+    onto one core (measured 9× on the sf0.1 fixture). The split count
+    is lower-bounded via ``inputFiles()`` — NOT ``df.rdd``, which
+    forces a full plan→RDD conversion per call. At real scale the file
+    count exceeds the default parallelism and this is a no-op — no
+    shuffle is added. Non-file sources (in-memory test corpora) report
+    zero files and are always fanned out, which is what a
+    single-partition ``createDataFrame`` corpus needs anyway."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 
@@ -99,21 +103,23 @@ def minhash_candidate_pairs(
     (band_id, band_hash), so only same-bucket docs ever meet. Exact
     Jaccard re-verification runs on candidate pairs only.
 
-    Signature-estimate pre-filter: the h0..h15 attributes ride through
-    the band exchange (128 B/band-row wider — the price of NOT
-    re-deriving the whole shingle→signature pipeline via two joins back
-    to ``sig``), so the self-join can estimate Jaccard as the fraction
-    of equal minhashes and drop hopeless candidates BEFORE the
-    ``distinct`` exchange and the expensive re-shingle verification.
-    Default cut is ``0.7 × jaccard_threshold``: a candidate pair has ≥1
+    Signature-estimate pre-filter (OPT-IN via ``signature_prefilter``;
+    default ``None`` = pure LSH-banding candidate semantics): when set,
+    the h0..h15 attributes ride through the band exchange (128
+    B/band-row wider — the price of NOT re-deriving the whole
+    shingle→signature pipeline via two joins back to ``sig``), so the
+    self-join can estimate Jaccard as the fraction of equal minhashes
+    and drop hopeless candidates BEFORE the ``distinct`` exchange and
+    the expensive re-shingle verification. The catalog query (q44)
+    passes ``0.7 × jaccard_threshold``: a candidate pair has ≥1
     matching band (4 equal hashes) by construction, so for a true-J ≥
     0.5 pair the estimate falls below 0.35 only when ≤1 of the other 12
     hashes match — P ≈ 13·(1/2)^12 ≈ 0.3 % — measured several-fold
-    fewer verification pairs at no observed recall loss."""
-    if signature_prefilter is None:
-        signature_prefilter = 0.7 * jaccard_threshold
+    fewer verification pairs at no observed recall loss. That ~0.3 %
+    borderline false-drop chance is a BEHAVIOR CHANGE vs pure banding,
+    which is why it is not the default here."""
     sig = minhash_signatures(df, id_col, text_col)
-    hcols = [f"h{i}" for i in range(N_HASHES)]
+    hcols = [f"h{i}" for i in range(N_HASHES)] if signature_prefilter is not None else []
     bands = sig.select(
         F.col(id_col),
         *hcols,
@@ -159,26 +165,24 @@ def minhash_candidate_pairs(
     capped = F.col("bn") <= HOT_BUCKET_CAP
     left = observed.filter(capped).drop("bn").alias("l")
     right = bands.filter(capped).drop("bn").alias("r")
-    est = (
-        sum(
-            F.when(F.col(f"l.h{i}") == F.col(f"r.h{i}"), 1).otherwise(0)
-            for i in range(N_HASHES)
-        )
-        / N_HASHES
+    cand = left.join(
+        right,
+        (F.col(f"l.band_id") == F.col(f"r.band_id"))
+        & (F.col(f"l.band_hash") == F.col(f"r.band_hash"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
     )
-    cand = (
-        left.join(
-            right,
-            (F.col(f"l.band_id") == F.col(f"r.band_id"))
-            & (F.col(f"l.band_hash") == F.col(f"r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    if signature_prefilter is not None:
+        est = (
+            sum(
+                F.when(F.col(f"l.h{i}") == F.col(f"r.h{i}"), 1).otherwise(0)
+                for i in range(N_HASHES)
+            )
+            / N_HASHES
         )
-        .filter(est >= F.lit(signature_prefilter))
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+        cand = cand.filter(est >= F.lit(signature_prefilter))
+    cand = cand.select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    ).distinct()
 
     # Exact-Jaccard verification on candidates only: re-shingle just the
     # docs that appear in some candidate pair (semi-join first), then

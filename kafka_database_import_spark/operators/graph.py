@@ -120,9 +120,12 @@ def pagerank(
     for _ in range(max_iter):
         contrib = elist.join(ranks, elist.u == ranks.node).select(
             F.col("v"),
-            ((F.col("rank") * damping_ppm).cast("bigint") / (F.lit(1_000_000) * F.col("d")))
-            .cast("bigint")
-            .alias("c"),
+            # `div` is true integer division; bigint `/` returns double
+            # and its IEEE rounding can cross an integer boundary for
+            # large degree × 1e6 denominators, breaking the
+            # bit-reproducibility contract (q99z uses div for the same
+            # reason).
+            F.expr(f"(rank * {damping_ppm}) div ({1_000_000} * d)").alias("c"),
         )
         nxt = (
             contrib.groupBy("v")

@@ -96,7 +96,12 @@ def q44_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall ≥ 0.9 on planted near-dups is asserted in
     tests/test_properties.py."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    # Prefilter is opt-in on the operator (pure-banding default); the
+    # catalog query opts in at 0.7×threshold — the measured-safe cut
+    # (see operators/dedup.py docstring for the false-drop analysis).
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", jaccard_threshold=0.5, signature_prefilter=0.7 * 0.5
+    )
     return pairs.orderBy("id_a", "id_b")
 
 

@@ -439,9 +439,14 @@ def q99za_stream_window_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CREATE TABLE win_agg (window_start_us INTEGER PRIMARY KEY, "
             "n_events INTEGER, sum_value REAL)"
         )
-    stream = events_stream(spark, sf_dir, max_files_per_trigger=4).withWatermark(
-        "ts", "10 minutes"
-    )
+    # No maxFilesPerTrigger here: combined with a finite watermark it
+    # would silently drop late rows if the fixture were ever split into
+    # multiple part files that are not event-time ordered (the file
+    # source orders batches by mtime, not ts). The multi-batch +
+    # watermark topology is exercised by
+    # tests/test_streaming.py::test_multifile_time_shuffled_window_upsert
+    # with a deliberately time-shuffled multi-file source.
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = (
         stream.groupBy(F.window("ts", "5 minutes"))
         .agg(

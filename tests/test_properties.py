@@ -306,3 +306,29 @@ def test_pagerank_converges_and_orders_by_degree(spark):
     # determinism: bit-identical on rerun (integer arithmetic)
     again = {r.node: r.rank for r in pagerank(edges).collect()}
     assert got == again
+
+
+def test_bloom_prune_handles_mixed_integer_widths(spark):
+    """xxhash64 is type-sensitive (int 5 and bigint 5 hash differently);
+    the bloom must normalize integral widths or every probe is a false
+    negative and matching rows are silently dropped."""
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.operators.bloom import bloom_prune_semi_join
+
+    fact = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(200)], "k long, payload string"
+    )
+    dim = spark.createDataFrame([(i,) for i in range(0, 200, 7)], "dk int")
+    got = sorted(
+        r.k for r in bloom_prune_semi_join(fact, "k", dim, "dk").collect()
+    )
+    assert got == list(range(0, 200, 7))
+
+    # incompatible (non-integral) key types are rejected up front,
+    # never silently empty
+    dim_str = spark.createDataFrame([("5",)], "dk string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="incompatible key types"):
+        bloom_prune_semi_join(fact, "k", dim_str, "dk")
