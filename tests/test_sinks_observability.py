@@ -82,7 +82,7 @@ def test_dbapi_upsert_executes_against_duckdb(tmp_path):
     sink.upsert_rows([(2, "B"), (3, "c")], ["id", "v"], epoch_id=1)  # update+insert
 
     con = duckdb.connect(db)
-    assert con.execute("SELECT id, v FROM imported ORDER BY id").fetchall() == [
+    assert con.execute("SELECT ID, V FROM imported ORDER BY ID").fetchall() == [
         (1, "a"),
         (2, "B"),
         (3, "c"),
@@ -103,10 +103,10 @@ def test_dbapi_upsert_from_spark_batch_via_sqlite(spark, tmp_path):
     sink = DbApiUpsertSink(lambda: sqlite3.connect(db), "imported", ["id"])
 
     sink(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING"), 0)
-    sink(spark.createDataFrame([(2, "B"), (3, "c")], "id INT, v STRING"), 1)
+    sink(spark.createDataFrame([(2, "B"), (3, "c")], "ID INT, V STRING"), 1)
 
     with sqlite3.connect(db) as con:
-        assert con.execute("SELECT id, v FROM imported ORDER BY id").fetchall() == [
+        assert con.execute("SELECT ID, V FROM imported ORDER BY ID").fetchall() == [
             (1, "a"),
             (2, "B"),
             (3, "c"),
@@ -274,3 +274,92 @@ def test_jdbc_sink_merge_executes_via_connection_factory(tmp_path):
             (1, "A"),
             (2, "b"),
         ]
+
+
+def _derby_dbapi(spark, db_name):
+    """Minimal PEP 249 adapter over a py4j java.sql.Connection to the
+    Derby engine embedded in Spark's JVM — a real JDBC database (ANSI
+    MERGE support since 10.11) with no extra install."""
+
+    class _Cursor:
+        def __init__(self, jconn):
+            self._jconn = jconn
+
+        def execute(self, sql):
+            st = self._jconn.createStatement()
+            try:
+                st.execute(sql)
+            finally:
+                st.close()
+
+    class _Conn:
+        def __init__(self, jconn):
+            self._jconn = jconn
+
+        def cursor(self):
+            return _Cursor(self._jconn)
+
+        def commit(self):
+            if not self._jconn.getAutoCommit():
+                self._jconn.commit()
+
+        def close(self):
+            self._jconn.close()
+
+    def factory():
+        jconn = spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:memory:{db_name};create=true"
+        )
+        return _Conn(jconn)
+
+    return factory
+
+
+def test_jdbc_sink_ansi_merge_executes_on_derby(spark):
+    """The generated ANSI MERGE dialect (merge_sql) executes against a
+    real JDBC database engine — Apache Derby, embedded in Spark's JVM —
+    through the FULL JdbcUpsertSink path: executor-parallel write.jdbc
+    staging, then the MERGE via the DB-API connection factory. Verifies
+    update+insert semantics and replayed-epoch idempotency (a retried
+    epoch re-stages and re-merges to the identical table)."""
+    from kafka_database_import_spark.sinks.jdbc import JdbcUpsertSink
+
+    url = "jdbc:derby:memory:kdis_merge;create=true"
+    factory = _derby_dbapi(spark, "kdis_merge")
+    boot = factory()
+    boot.cursor().execute(
+        "CREATE TABLE imported (ID INT PRIMARY KEY, V VARCHAR(20))"
+    )
+    boot.close()
+
+    # Uppercase frame columns: Spark's JDBC writer quotes identifiers
+    # in CREATE TABLE, while the generated MERGE references them
+    # unquoted (Derby folds unquoted to uppercase) — the same contract
+    # any case-folding database imposes on write.jdbc + raw-SQL users.
+    sink = JdbcUpsertSink(
+        url,
+        "imported",
+        ["ID"],
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+        connection_factory=factory,
+        dialect="ansi",
+    )
+
+    def table_rows():
+        jconn = spark._jvm.java.sql.DriverManager.getConnection(url)
+        st = jconn.createStatement()
+        rs = st.executeQuery("SELECT ID, V FROM imported ORDER BY ID")
+        rows = []
+        while rs.next():
+            rows.append((rs.getInt(1), rs.getString(2)))
+        jconn.close()
+        return rows
+
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], "ID INT, V STRING"), 0)
+    assert table_rows() == [(1, "a"), (2, "b")]
+    # replayed epoch: restage + re-MERGE is idempotent
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], "ID INT, V STRING"), 0)
+    assert table_rows() == [(1, "a"), (2, "b")]
+    # next epoch: update existing key, insert new key
+    sink(spark.createDataFrame([(2, "B"), (3, "c")], "ID INT, V STRING"), 1)
+    assert table_rows() == [(1, "a"), (2, "B"), (3, "c")]
