@@ -139,3 +139,181 @@ def test_multi_batch_equals_single_batch(spark):
         )
 
     assert run(one, 10) == run(two, 1)
+
+
+KV_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _write_kv(spark, path, rows, mtime):
+    import glob
+    import shutil
+
+    scratch = tempfile.mkdtemp(prefix="kdis_kv_")
+    spark.createDataFrame(rows, KV_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(scratch)
+    part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.utime(path, (mtime, mtime))
+
+
+def test_foreachbatch_crash_recovery_resumes_from_checkpoint(spark, tmp_path):
+    """Kill a foreachBatch import mid-stream — after its batch is STAGED
+    but before the ledger commit — and restart from the same checkpoint.
+    Spark replays the failed epoch (same epoch id); the sink's
+    drop-and-restage makes the replay idempotent and the final table
+    must equal the batch oracle. This crash-exercises the replay path
+    the epoch ledger promises (sinks/jdbc.py steps 1-4), not just a
+    polite double-call."""
+    import sqlite3
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from kafka_database_import_spark.sinks.jdbc import DbApiUpsertSink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    db = str(tmp_path / "sink.sqlite")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE imported (k INTEGER PRIMARY KEY, v TEXT)")
+
+    # three mtime-ordered files -> three micro-batches with
+    # maxFilesPerTrigger=1; keys overlap across batches so the upsert
+    # (not just append) semantics are what the oracle checks
+    _write_kv(spark, os.path.join(src, "f0.parquet"), [(1, "a"), (2, "b")], 1_000)
+    _write_kv(spark, os.path.join(src, "f1.parquet"), [(2, "B"), (3, "c")], 2_000)
+    _write_kv(spark, os.path.join(src, "f2.parquet"), [(1, "A2"), (4, "d")], 3_000)
+
+    sink = DbApiUpsertSink(lambda: sqlite3.connect(db), "imported", ["k"])
+    crashed = {"done": False}
+
+    def crashing(batch_df, epoch_id):
+        if epoch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            # simulate dying AFTER staging, BEFORE upsert+ledger: stage
+            # the rows in a committed table, then crash the query
+            rows = [tuple(r) for r in batch_df.collect()]
+            with sqlite3.connect(db) as con:
+                con.execute("DROP TABLE IF EXISTS imported__stage")
+                con.execute("CREATE TABLE imported__stage (k INTEGER, v TEXT)")
+                con.executemany("INSERT INTO imported__stage VALUES (?, ?)", rows)
+            raise RuntimeError("injected crash after staging")
+        sink(batch_df, epoch_id)
+
+    def run():
+        sdf = (
+            spark.readStream.schema(KV_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            sdf.writeStream.foreachBatch(crashing)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run()
+        raise AssertionError("expected the injected crash to kill run 1")
+    except StreamingQueryException:
+        pass
+    assert crashed["done"]
+    with sqlite3.connect(db) as con:
+        # epoch 0 landed, epoch 1 staged but never reached the target
+        assert con.execute("SELECT COUNT(*) FROM imported").fetchone()[0] == 2
+
+    run()  # restart from checkpoint: replays epoch 1, then epoch 2
+
+    with sqlite3.connect(db) as con:
+        got = dict(con.execute("SELECT k, v FROM imported ORDER BY k").fetchall())
+        epochs = sorted(
+            e for (e,) in con.execute("SELECT epoch_id FROM imported__epochs")
+        )
+    assert got == {1: "A2", 2: "B", 3: "c", 4: "d"}  # batch oracle
+    assert epochs == [0, 1, 2]  # failed epoch replayed under its own id
+
+
+def test_multifile_time_shuffled_window_upsert(spark, tmp_path):
+    """The q99za topology over a deliberately multi-file, time-SHUFFLED
+    source: the newest-timestamp file arrives in batch 0 (file source
+    orders by mtime, not event time). With a watermark wider than the
+    fixture span, update-mode re-emissions must converge through the
+    keyed upsert to exactly the batch aggregate — the multi-batch path
+    q99za itself no longer exercises (see plans/streaming_queries.py)."""
+    import datetime as dt
+    import sqlite3
+
+    from kafka_database_import_spark.sinks.jdbc import DbApiUpsertSink
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [(base + dt.timedelta(minutes=3 * i), i) for i in range(40)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # newest window first, oldest last — worst case for a finite watermark
+    _write_batch(spark, os.path.join(src, "late.parquet"), rows[30:], mtime=1_000)
+    _write_batch(spark, os.path.join(src, "mid.parquet"), rows[10:30], mtime=2_000)
+    _write_batch(spark, os.path.join(src, "early.parquet"), rows[:10], mtime=3_000)
+
+    db = str(tmp_path / "win.sqlite")
+    with sqlite3.connect(db) as con:
+        con.execute(
+            "CREATE TABLE win_agg (window_start_us INTEGER PRIMARY KEY, "
+            "n INTEGER, sum_v INTEGER)"
+        )
+
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "4 hours")  # wider than the 2 h fixture span
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n",
+            "sum_v",
+        )
+    )
+    sink = DbApiUpsertSink(
+        lambda: sqlite3.connect(db), "win_agg", ["window_start_us"]
+    )
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3  # genuinely multi-batch
+
+    batch = {
+        r.window_start_us: (r.n, r.sum_v)
+        for r in spark.createDataFrame(rows, SCHEMA)
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n",
+            "sum_v",
+        )
+        .collect()
+    }
+    with sqlite3.connect(db) as con:
+        got = {
+            w: (n, s)
+            for w, n, s in con.execute(
+                "SELECT window_start_us, n, sum_v FROM win_agg"
+            )
+        }
+    assert got == batch
