@@ -214,3 +214,101 @@ def test_random_distinct_having_agrees_across_engines(spark, sf_dir, seed):
     con = oracle.duckdb_connection(sf_dir)
     r = oracle.compare(f"fuzzdh_{seed}", s_df, sql, con)
     assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
+
+
+def _null_join_query(seed: int) -> str:
+    """Random LEFT/RIGHT/FULL OUTER join whose join keys are made
+    genuinely NULL on BOTH sides (NULLIF over a modulus) — NULL keys
+    never match under `=` but DO pair under IS NOT DISTINCT FROM, and
+    outer rows then flow through COALESCE'd grouping: three-valued
+    logic, null-safe equality, and outer-row padding in one query — the
+    classic engine-divergence pit the plain join fuzzer never reaches
+    (fixture keys are never NULL)."""
+    rng = random.Random(seed + 40_000)
+    join_type = rng.choice(["LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+    # small key domains force many-to-many groups AND a meaningful
+    # NULL share (1/k of rows per side)
+    kl, kr = rng.randint(4, 12), rng.randint(4, 12)
+    null_safe = rng.random() < 0.4
+    on = (
+        "l.jk IS NOT DISTINCT FROM r.jk"
+        if null_safe
+        else "l.jk = r.jk"
+    )
+    extra = rng.choice(
+        ["", f" AND l.v {rng.choice(CMP)} {rng.randint(0, 500_000)}"]
+    )
+    return (
+        f"WITH l AS (SELECT NULLIF(l_suppkey % {kl}, 0) AS jk, l_orderkey,"
+        f" CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v"
+        f" FROM lineitem WHERE l_orderkey < 2000),"
+        f" r AS (SELECT NULLIF(o_custkey % {kr}, 0) AS jk, o_orderkey"
+        f" FROM orders WHERE o_orderkey < 2000)"
+        f" SELECT COALESCE(l.jk, -1) AS gl, COALESCE(r.jk, -2) AS gr,"
+        f" COUNT(*) AS n, COUNT(l.l_orderkey) AS nl,"
+        f" COUNT(r.o_orderkey) AS nr, SUM(l.v) AS s"
+        f" FROM l {join_type} r ON {on}{extra}"
+        f" GROUP BY COALESCE(l.jk, -1), COALESCE(r.jk, -2)"
+        f" ORDER BY gl NULLS LAST, gr NULLS LAST, n NULLS LAST,"
+        f" nl NULLS LAST, nr NULLS LAST, s NULLS LAST"
+    )
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_random_null_outer_join_agrees_across_engines(spark, sf_dir, seed):
+    sql = _null_join_query(seed)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    s_df = spark.sql(sql)
+    con = oracle.duckdb_connection(sf_dir)
+    r = oracle.compare(f"fuzznj_{seed}", s_df, sql, con)
+    assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
+
+
+def _range_frame_query(seed: int) -> str:
+    """Random RANGE BETWEEN window frame over a numeric sort key —
+    value-based frames include ALL peers of the boundary rows (unlike
+    ROWS), so tie handling is deterministic by definition but the
+    peer-inclusion semantics themselves are an engine-divergence zone
+    (and exactly what the ROWS fuzzer cannot test). Mixes bounded
+    offsets, UNBOUNDED, and CURRENT ROW (= peer group, not row) ends;
+    NULL sort keys are injected via NULLIF to exercise the
+    NULLS-sort-placement interaction with frame evaluation. NULL
+    placement is pinned EXPLICITLY (and randomized): the engines'
+    defaults disagree — Spark windows sort NULLS FIRST for ASC, DuckDB
+    NULLS LAST — so bare `ORDER BY key` is ambiguous SQL whose
+    UNBOUNDED frames legitimately differ (this fuzzer's first catch:
+    8/45 initial seeds diverged exactly this way)."""
+    rng = random.Random(seed + 50_000)
+    part = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey % 7"])
+    target = _num_expr(rng)
+    # numeric sort key, sometimes NULL
+    key = rng.choice(
+        ["l_partkey", "l_suppkey * 3", f"NULLIF(l_partkey % {rng.randint(50, 500)}, 1)"]
+    )
+    key = f"{key} {rng.choice(['NULLS FIRST', 'NULLS LAST'])}"
+    lo = rng.choice(
+        ["UNBOUNDED PRECEDING", f"{rng.randint(0, 800)} PRECEDING", "CURRENT ROW"]
+    )
+    hi = rng.choice([f"{rng.randint(0, 800)} FOLLOWING", "CURRENT ROW"])
+    if lo == "CURRENT ROW" and hi == "CURRENT ROW":
+        hi = "100 FOLLOWING"
+    fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+    return (
+        f"SELECT l_orderkey, l_linenumber,"
+        f" {fn}({target}) OVER (PARTITION BY {part}"
+        f" ORDER BY {key} RANGE BETWEEN {lo} AND {hi}) AS w"
+        f" FROM lineitem WHERE l_orderkey < 3000"
+        f" ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST,"
+        f" w NULLS LAST"
+    )
+
+
+@pytest.mark.parametrize("seed", range(45))
+def test_random_range_frame_agrees_across_engines(spark, sf_dir, seed):
+    sql = _range_frame_query(seed)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    s_df = spark.sql(sql)
+    con = oracle.duckdb_connection(sf_dir)
+    r = oracle.compare(f"fuzzrf_{seed}", s_df, sql, con)
+    assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
