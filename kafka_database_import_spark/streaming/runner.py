@@ -105,15 +105,31 @@ def run_available_now(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
     return sdf.sparkSession.table(name)
 
 
-def run_foreach_batch(sdf: DataFrame, batch_fn, output_mode: str = "append") -> None:
+def run_foreach_batch(
+    sdf: DataFrame, batch_fn, output_mode: str = "append", listener=None
+) -> None:
     """Drain a streaming DataFrame through ``foreachBatch`` (the JDBC
-    sink path, SURVEY §4.2) with ``availableNow``."""
+    sink path, SURVEY §4.2) with ``availableNow``.
+
+    ``listener`` (e.g. :class:`~kafka_database_import_spark.streaming.
+    listener.EpochProgressLogger`) is attached for the run and detached
+    after draining its async event bus — per-epoch R9 progress without
+    touching the data path."""
     checkpoint = tempfile.mkdtemp(prefix="kdis_ckpt_")
-    q = (
-        sdf.writeStream.foreachBatch(batch_fn)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = sdf.sparkSession
+    if listener is not None:
+        spark.streams.addListener(listener)
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(batch_fn)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if listener is not None:
+            if hasattr(listener, "drain"):
+                listener.drain()
+            spark.streams.removeListener(listener)

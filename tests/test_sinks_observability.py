@@ -363,3 +363,50 @@ def test_jdbc_sink_ansi_merge_executes_on_derby(spark):
     # next epoch: update existing key, insert new key
     sink(spark.createDataFrame([(2, "B"), (3, "c")], "ID INT, V STRING"), 1)
     assert table_rows() == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_epoch_progress_listener_logs_per_epoch_counts(spark, sf_dir, caplog):
+    """R9 at the sink: a q99j-style import (stream -> semi-join ->
+    foreachBatch upsert) with EpochProgressLogger attached reports
+    per-epoch row counts AND the observe() metrics riding the query —
+    from the engine's progress bus, zero extra scans — and reproduces
+    the reference's every-1,000-records log cadence
+    (kafka-database-import.go:215-218)."""
+    import logging
+
+    from kafka_database_import_spark.sinks.jdbc import ParquetUpsertSink
+    from kafka_database_import_spark.sources.readers import load_table
+    from kafka_database_import_spark.streaming.listener import EpochProgressLogger
+    from kafka_database_import_spark.streaming.runner import (
+        events_stream,
+        run_foreach_batch,
+    )
+
+    users = load_table(spark, sf_dir, "customer").select("c_custkey")
+    stream = events_stream(spark, sf_dir)
+    filtered = (
+        stream.join(F.broadcast(users), stream.user_id == users.c_custkey, "left_semi")
+        .select("event_id", "user_id", "event_type")
+        .observe("import_progress", F.count(F.lit(1)).alias("rows_out"))
+    )
+    sink = ParquetUpsertSink(tempfile.mkdtemp(prefix="kdis_r9_"), ["event_id"])
+    listener = EpochProgressLogger(log_every=1000)
+    with caplog.at_level(logging.INFO, logger="kafka_database_import_spark.progress"):
+        run_foreach_batch(filtered, sink, listener=listener)
+
+    assert listener.terminated
+    assert len(listener.epochs) >= 1
+    imported = sink.read_back(spark).count()
+    assert listener.total_rows == sum(e["rows"] for e in listener.epochs)
+    # observe() metrics rode the progress events: per-epoch rows_out
+    # sums to exactly what landed in the sink
+    observed_total = sum(
+        e["observed"]["import_progress"]["rows_out"]
+        for e in listener.epochs
+        if e["observed"].get("import_progress")
+    )
+    assert observed_total == imported
+    # the reference's cadence: one "imported N records" line per
+    # crossed 1,000-mark
+    marks = [m for m in caplog.messages if m.startswith("imported ") and m.endswith(" records")]
+    assert len(marks) == listener.total_rows // 1000
