@@ -386,24 +386,13 @@ def _sqdist_to(v, centroid: list[float]) -> "F.Column":
     )
 
 
-def pq_encode(
-    df: DataFrame,
-    codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Scan-local PQ encoding: per subspace, argmin centroid id via an
-    ``array_min`` over (distance, code) structs — pure codegen, no
-    shuffle, no Python. Output: (id, vec, codes array<int>) —
-    ``n_subspaces`` small ints summarize the vector (the 100 TB story:
-    a dim-64 float vector compresses 32× into 8 codes for the
-    candidate pass; full vectors are only touched for the rerank
-    shortlist)."""
-    n_sub = len(codebooks)
+def _pq_code_exprs(v, codebooks: list[list[list[float]]]) -> "F.Column":
+    """``array<int>`` of per-subspace argmin centroid ids for vector
+    expression ``v`` — an ``array_min`` over (distance, code) structs
+    per subspace: pure codegen, no shuffle, no Python."""
     dim_per = len(codebooks[0][0])
-    v = _as_double(F.col(vec_col))
     codes = []
-    for s in range(n_sub):
+    for s in range(len(codebooks)):
         sv = F.slice(v, s * dim_per + 1, dim_per)
         cand = F.array(
             *[
@@ -415,8 +404,23 @@ def pq_encode(
             ]
         )
         codes.append(F.array_min(cand)["code"])
+    return F.array(*codes)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scan-local PQ encoding (see :func:`_pq_code_exprs`). Output:
+    (id, vec, codes array<int>) — ``n_subspaces`` small ints summarize
+    the vector (the 100 TB story: a dim-64 float vector compresses 32×
+    into 8 codes for the candidate pass; full vectors are only touched
+    for the rerank shortlist)."""
+    v = _as_double(F.col(vec_col))
     return df.select(
-        F.col(id_col), v.alias("vec"), F.array(*codes).alias("codes")
+        F.col(id_col), v.alias("vec"), _pq_code_exprs(v, codebooks).alias("codes")
     )
 
 
@@ -479,6 +483,153 @@ def pq_topk(
     shortlisted = (
         F.broadcast(qv)
         .crossJoin(enc)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= shortlist)
+    )
+    sim = mround(
+        _dot(F.col("qv"), F.col("cv"))
+        / F.greatest(F.col("qn") * F.col("cn"), F.lit(1e-12)),
+        sim_scale,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        shortlisted.withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cosine_sim")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 32,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    seed: int = 42,
+    sim_scale: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF-PQ: coarse k-means cells +
+    product quantization of the RESIDUAL (vector − cell centroid),
+    asymmetric distance within probed cells, exact cosine rerank.
+
+    Why residuals (measured, tools/ann_recall.py): on a clustered
+    corpus — the shape real embeddings have — flat PQ collapses,
+    because every same-cluster vector encodes to the SAME codes: ADC
+    cannot rank within a cluster and the shortlist degenerates to an
+    arbitrary tie-subset (measured recall 0.115 at shortlist=20 ≈
+    exactly shortlist/cluster-size; brute-forcing codebook resolution
+    to 16×64 recovered 0.92 but at ~4× the ADC cost). Subtracting the
+    coarse centroid first spends the SAME small codebook on
+    within-cluster variation — the whole point of IVF-PQ — giving
+    flat-PQ-at-16-codes cost with fine-codebook recall. The identity
+    ``q − c = (q − centroid) − (c − centroid)`` holds per cell, so
+    per-(query, cell) LUTs keep ADC exact w.r.t. the codebooks.
+
+    Plan shape (the 100 TB posture): centroid training samples the
+    corpus (full fixture here, 1 % sample at scale); cell assignment,
+    residuals and codes are scan-local expressions (broadcast centroid
+    literals — no shuffle, no Python); the candidate pass is a
+    (cell)-keyed join against the broadcast probe list — bucketed,
+    never |corpus| × |queries|; per-query ``shortlist`` bounds the
+    exact rerank exactly as in :func:`pq_topk`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dv = corpus.select(
+        F.col(id_col), array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(dv)
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+
+    # corpus: cell + residual + residual codes, all scan-local
+    assigned = model.transform(dv).select(
+        F.col(id_col).alias("cand_id"),
+        vector_to_array("features").alias("cv"),
+        F.col("prediction").alias("cell"),
+    )
+    resid = F.zip_with(
+        F.col("cv"), F.element_at(cent_arr, F.col("cell") + 1), lambda a, b: a - b
+    )
+    books = train_pq_codebooks(
+        assigned.select(resid.alias("resid")), "resid", n_subspaces, n_codes, seed
+    )
+    enc = assigned.select(
+        "cand_id",
+        "cell",
+        "cv",
+        _pq_code_exprs(resid, books).alias("codes"),
+    ).withColumn("cn", _norm(F.col("cv")))
+
+    # queries: n_probe nearest cells, then per-(query, cell) residual
+    # LUTs — lut[s][c] = ||(q − centroid)_s − books[s][c]||²
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    dists = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(x) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(F.col("qv"), lit_c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    probe = qv.withColumn(
+        "cells",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.array(*dists),
+                        lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                    )
+                ),
+                lambda s: s["cell"],
+            ),
+            1,
+            n_probe,
+        ),
+    ).select("query_id", "qv", "qn", F.explode("cells").alias("cell"))
+    q_resid = F.zip_with(
+        F.col("qv"), F.element_at(cent_arr, F.col("cell") + 1), lambda a, b: a - b
+    )
+    dim_per = len(books[0][0])
+    probe = probe.withColumn("qr", q_resid)
+    luts = [
+        F.array(
+            *[
+                _sqdist_to(F.slice(F.col("qr"), s * dim_per + 1, dim_per), books[s][c])
+                for c in range(n_codes)
+            ]
+        ).alias(f"lut{s}")
+        for s in range(n_subspaces)
+    ]
+    probe = probe.select("query_id", "qv", "qn", "cell", *luts)
+
+    adc = None
+    for s in range(n_subspaces):
+        term = F.element_at(
+            F.col(f"lut{s}"), F.element_at(F.col("codes"), s + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    shortlisted = (
+        enc.join(F.broadcast(probe), "cell")
         .filter(F.col("cand_id") != F.col("query_id"))
         .withColumn("adc", adc)
         .withColumn("srank", F.row_number().over(w_short))

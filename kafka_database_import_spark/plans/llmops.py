@@ -924,3 +924,20 @@ def q99p_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+@query("q99zf_ivfpq_ann")  # no oracle: k-means-dependent; recall property-tested
+def q99zf_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py:ivfpq_topk): coarse k-means
+    cells + product quantization of the RESIDUAL, asymmetric distance
+    within probed cells, exact rerank. The scale ANN path for clustered
+    embedding spaces, where flat PQ's codes collapse to per-cluster
+    ties (measured collapse + recovery in SCALE.md round 4). Recall vs
+    the exact q45 path asserted in tests/test_properties.py."""
+    from kafka_database_import_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(emb, queries, k=5, n_lists=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )

@@ -332,3 +332,84 @@ def test_bloom_prune_handles_mixed_integer_widths(spark):
 
     with _pytest.raises(ValueError, match="incompatible key types"):
         bloom_prune_semi_join(fact, "k", dim_str, "dk")
+
+
+def test_clustered_corpus_ann_recall(spark):
+    """Recall thresholds on a CLUSTERED corpus (mixture of Gaussians —
+    the shape real embeddings have; the fixture's near-random vectors
+    are LSH's documented worst case). Measured curves in SCALE.md
+    round 4; thresholds here sit under the measured points:
+
+    * LSH (6 planes, 8 tables): 0.993 measured → assert ≥ 0.9 (the
+      random-fixture test needed 16 tables for 0.9 — clustered data
+      buys the same recall at half the shuffle volume);
+    * IVF (8 lists, 2 probes): 1.0 measured → assert ≥ 0.9;
+    * IVF-PQ vs flat PQ at IDENTICAL codebook budget (8×16) and
+      shortlist: fat clusters (~300 members ≫ shortlist 30) collapse
+      flat PQ — same-cluster vectors share codes, ADC cannot rank
+      within the cluster, the shortlist degenerates toward an
+      arbitrary tie-subset (0.44 measured) — while residual encoding
+      spends the same codes on within-cluster variation (0.66
+      measured). Assert the gap, not just the level."""
+    import numpy as np
+
+    from kafka_database_import_spark.operators.similarity import (
+        cosine_topk_blocked,
+        ivf_topk,
+        ivfpq_topk,
+        lsh_ann_topk,
+        pq_topk,
+    )
+
+    dim, n_clusters, n, n_q, k = 32, 6, 1800, 15, 10
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0.0, 5.0, size=(n_clusters, dim))
+    pts = centers[rng.integers(0, n_clusters, size=n)] + rng.normal(
+        0.0, 1.75, size=(n, dim)
+    )
+    qp = centers[rng.integers(0, n_clusters, size=n_q)] + rng.normal(
+        0.0, 1.75, size=(n_q, dim)
+    )
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8).cache()
+    queries = spark.createDataFrame(
+        [(int(10_000 + i), [float(x) for x in qp[i]]) for i in range(n_q)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.cand_id)
+        return out
+
+    def recall(t, g):
+        return sum(len(t[q] & g.get(q, set())) for q in t) / sum(
+            len(t[q]) for q in t
+        )
+
+    truth = sets(cosine_topk_blocked(corpus, queries, k=k))
+    r_lsh = recall(
+        truth, sets(lsh_ann_topk(corpus, queries, k=k, dim=dim, n_planes=6, n_tables=8))
+    )
+    r_ivf = recall(truth, sets(ivf_topk(corpus, queries, k=k, n_lists=8, n_probe=2)))
+    r_ivfpq = recall(
+        truth,
+        sets(
+            ivfpq_topk(
+                corpus, queries, k=k, n_lists=8, n_probe=3,
+                n_subspaces=8, n_codes=16, shortlist=30,
+            )
+        ),
+    )
+    r_flatpq = recall(
+        truth,
+        sets(pq_topk(corpus, queries, k=k, n_subspaces=8, n_codes=16, shortlist=30)),
+    )
+    assert r_lsh >= 0.9, r_lsh
+    assert r_ivf >= 0.9, r_ivf
+    assert r_ivfpq >= 0.55, r_ivfpq
+    assert r_ivfpq >= r_flatpq + 0.1, (r_ivfpq, r_flatpq)
+    corpus.unpersist()
