@@ -73,3 +73,72 @@ def q69_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sketch").alias("n_users_est"),
     )
     return ordered(type_rows.unionAll(global_row))
+
+
+def build_bitmaps(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(group, bucket, bitmap) — EXACT mergeable distinct state.
+
+    Where the HLL path above trades exactness for fixed size, dense
+    non-negative integer id domains (user ids, doc ids) admit an exact
+    sketch: Spark's ``bitmap_construct_agg`` packs ids into 4 KB bitmap
+    segments, one per ``bitmap_bucket_number(id)`` (32 768 ids each).
+    The aggregation is map-side combinable (bitmaps OR together inside
+    each partition before the shuffle), and the stored (group, bucket,
+    bitmap) rows are a *mergeable exact* distinct state: tomorrow's
+    events OR into today's bitmaps without rescanning either day —
+    ``bitmap_or_agg`` — and re-counting any union of groups is a scan
+    of KB-sized bitmaps, not TB of raw events. At 100 TB this is the
+    exact counterpart of the HLL rollup: state is bounded by the id
+    domain (÷ 32 768 buckets × groups), not by event volume."""
+    return df.groupBy(
+        F.col(group_col),
+        F.bitmap_bucket_number(F.col(value_col).cast("long")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col(value_col).cast("long"))
+        ).alias("bitmap")
+    )
+
+
+def merge_bitmaps(bitmaps: DataFrame, group_cols: list[str]) -> DataFrame:
+    """OR previously-built bitmap states together (cross-day /
+    cross-source union) — bucket stays in the key so segments of the
+    same id range merge with each other."""
+    return bitmaps.groupBy(*group_cols, "bucket").agg(
+        F.bitmap_or_agg("bitmap").alias("bitmap")
+    )
+
+
+def bitmap_distinct(bitmaps: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse (group, bucket, bitmap) state to exact distinct counts:
+    buckets partition the id domain, so per-group counts are the SUM of
+    per-bucket popcounts."""
+    return bitmaps.groupBy(*group_cols).agg(
+        F.sum(F.bitmap_count("bitmap")).alias("n_distinct")
+    )
+
+
+@query(
+    "q99zg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type NULLS LAST, n_users NULLS LAST
+    """,
+)
+def q99zg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type computed through the
+    mergeable bitmap state (build → count), differentially checked
+    against plain COUNT(DISTINCT). Unlike q17's expand-based exact
+    count-distinct, the shuffled state here is one 4 KB bitmap per
+    (type, 32 768-id bucket) — at 100 TB the shuffle volume is bounded
+    by the id domain, not the event count, and the intermediate state
+    is persistable for incremental re-counting (see build_bitmaps)."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    state = build_bitmaps(events, "event_type", "user_id")
+    counts = bitmap_distinct(state, ["event_type"]).withColumnRenamed(
+        "n_distinct", "n_users"
+    )
+    return ordered(counts, "event_type", "n_users")

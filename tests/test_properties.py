@@ -413,3 +413,45 @@ def test_clustered_corpus_ann_recall(spark):
     assert r_ivfpq >= 0.55, r_ivfpq
     assert r_ivfpq >= r_flatpq + 0.1, (r_ivfpq, r_flatpq)
     corpus.unpersist()
+
+
+def test_bitmap_state_exact_and_merge_consistent(spark, sf_dir):
+    """The (group, bucket, bitmap) state is EXACT (equals
+    COUNT(DISTINCT)) and mergeable: building bitmaps on two disjoint
+    halves of events and OR-merging them must reproduce the
+    whole-corpus counts bit-for-bit — the incremental cross-day
+    re-count path build_bitmaps promises."""
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.plans.sketches import (
+        bitmap_distinct,
+        build_bitmaps,
+        merge_bitmaps,
+    )
+    from kafka_database_import_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    whole = bitmap_distinct(build_bitmaps(ev, "event_type", "user_id"),
+                            ["event_type"])
+    got = {r["event_type"]: r["n_distinct"] for r in whole.collect()}
+    assert got == exact
+
+    lo = ev.filter(F.col("user_id") % 2 == 0)
+    hi = ev.filter(F.col("user_id") % 2 == 1)
+    merged = merge_bitmaps(
+        build_bitmaps(lo, "event_type", "user_id").unionAll(
+            build_bitmaps(hi, "event_type", "user_id")
+        ),
+        ["event_type"],
+    )
+    got_merged = {
+        r["event_type"]: r["n_distinct"]
+        for r in bitmap_distinct(merged, ["event_type"]).collect()
+    }
+    assert got_merged == exact
