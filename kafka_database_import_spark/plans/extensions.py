@@ -788,3 +788,56 @@ def q99ze_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ordered(out)
+
+
+@query(
+    "q99zi_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey % 5000 AS k,
+             o_orderkey AS seq,
+             CASE WHEN (o_orderkey * 2654435761) % 10 >= 8
+                  THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS price,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT k, seq AS last_seq, price, status
+    FROM last
+    WHERE rn = 1 AND op <> 'D'
+    ORDER BY k NULLS LAST, last_seq NULLS LAST, price NULLS LAST,
+             status NULLS LAST
+    """,
+)
+def q99zi_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (operators/cdc.py apply_changelog): a
+    synthesized Debezium-shaped change stream (key, monotone seq,
+    op ∈ {U, D}, payload) collapses to final table state — last writer
+    wins per key, keys whose last op is DELETE vanish. The ×12 key
+    collapse (o_orderkey % 5000) forces real multi-version chains. The
+    plan is the q25 shape: one shuffle on k, row_number desc by seq,
+    rank-1 filter — Catalyst's WindowGroupLimit keeps per-key state at
+    one row, so a 100 TB changelog compacts without a global sort. The
+    payload (price/status) passes through untouched — no float
+    arithmetic — so the oracle matches bit-for-bit. The streaming twin
+    (CdcDbApiSink) is crash/replay-tested in tests/test_streaming.py."""
+    from kafka_database_import_spark.operators.cdc import apply_changelog
+
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        (F.col("o_orderkey") % 5000).alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when((F.col("o_orderkey") * 2654435761) % 10 >= 8, "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    out = apply_changelog(log, ["k"], "seq", "op").withColumnRenamed(
+        "seq", "last_seq"
+    )
+    return ordered(out, "k", "last_seq", "price", "status")

@@ -254,3 +254,107 @@ class ParquetUpsertSink:
             .filter(F.col("_rn") == 1)
             .drop("_rn", "epoch")
         )
+
+
+class CdcDbApiSink:
+    """Changelog → SQL mirror table over any PEP 249 connection — the
+    streaming half of ``operators/cdc.py``.
+
+    Per microbatch, inside ONE transaction (same ledger discipline as
+    :class:`DbApiUpsertSink`):
+
+    1. epoch in the ledger → skip (restart replay);
+    2. compact the batch changelog driver-side to last-op-per-key
+       (``apply_changelog`` semantics, keeping the final DELETE rows);
+    3. stage the compacted rows (key cols + seq + op + payload);
+    4. ``DELETE`` target keys whose staged final op is the delete op
+       AND whose staged seq is >= the mirrored seq;
+    5. upsert the non-delete rows with a ``WHERE excluded.seq >=
+       target.seq`` guard.
+
+    Steps 4–5's seq guards make the apply MONOTONIC: a replayed epoch,
+    an out-of-order file, or overlapping backfill can never regress the
+    mirror to an older version — last-writer-wins is enforced by the
+    database, which is what lets a 1000-executor ingest fan into the
+    same mirror without cross-batch coordination. The mirror table must
+    contain the seq column for the guard to bite.
+    """
+
+    def __init__(
+        self,
+        connection_factory,
+        table: str,
+        key_cols: Sequence[str],
+        seq_col: str,
+        op_col: str = "op",
+        delete_op: str = "D",
+        paramstyle: str = "qmark",
+    ):
+        self.connection_factory = connection_factory
+        self.table = table
+        self.key_cols = list(key_cols)
+        self.seq_col = seq_col
+        self.op_col = op_col
+        self.delete_op = delete_op
+        self.paramstyle = paramstyle
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col(self.seq_col).desc())
+        last = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        cols = last.columns
+        rows = [tuple(r) for r in last.toLocalIterator()]
+        self.apply_rows(rows, cols, epoch_id)
+
+    def apply_rows(self, rows: list[tuple], cols: Sequence[str], epoch_id: int) -> None:
+        staging = f"{self.table}__stage"
+        ledger = f"{self.table}__epochs"
+        ph = "?" if self.paramstyle == "qmark" else "%s"
+        k, seq, op = self.key_cols, self.seq_col, self.op_col
+        data_cols = [c for c in cols if c != op]
+        on_keys = " AND ".join(f"s.{c} = {self.table}.{c}" for c in k)
+        conn = self.connection_factory()
+        try:
+            cur = conn.cursor()
+            cur.execute(
+                f"CREATE TABLE IF NOT EXISTS {ledger} (epoch_id BIGINT PRIMARY KEY)"
+            )
+            cur.execute(f"SELECT 1 FROM {ledger} WHERE epoch_id = {ph}", (epoch_id,))
+            if cur.fetchone():
+                return  # replayed batch — already durable
+            col_list = ", ".join(cols)
+            cur.execute(f"DROP TABLE IF EXISTS {staging}")
+            cur.execute(
+                f"CREATE TABLE {staging} AS "
+                f"SELECT {', '.join(data_cols)}, '' AS {op} FROM {self.table} WHERE 1=0"
+            )
+            cur.executemany(
+                f"INSERT INTO {staging} ({col_list}) VALUES ({', '.join([ph] * len(cols))})",
+                rows,
+            )
+            cur.execute(
+                f"DELETE FROM {self.table} WHERE EXISTS ("
+                f"SELECT 1 FROM {staging} s WHERE {on_keys} "
+                f"AND s.{op} = '{self.delete_op}' AND s.{seq} >= {self.table}.{seq})"
+            )
+            non_keys = [c for c in data_cols if c not in k]
+            sets = ", ".join(f"{c} = excluded.{c}" for c in non_keys)
+            cur.execute(
+                f"INSERT INTO {self.table} ({', '.join(data_cols)}) "
+                f"SELECT {', '.join(data_cols)} FROM {staging} WHERE {op} <> '{self.delete_op}' "
+                f"ON CONFLICT ({', '.join(k)}) DO UPDATE SET {sets} "
+                f"WHERE excluded.{seq} >= {self.table}.{seq}"
+            )
+            cur.execute(f"INSERT INTO {ledger} (epoch_id) VALUES ({ph})", (epoch_id,))
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()

@@ -317,3 +317,99 @@ def test_multifile_time_shuffled_window_upsert(spark, tmp_path):
             )
         }
     assert got == batch
+
+
+def test_cdc_sink_applies_deletes_and_guards_out_of_order(spark, tmp_path):
+    """Stream a Debezium-shaped changelog (key, seq, op, payload) through
+    CdcDbApiSink into SQLite, one file per micro-batch. The final mirror
+    must equal batch apply_changelog over the full log — including a
+    DELETE landing after updates, a key resurrected... no: a key deleted
+    in the last batch staying gone, within-batch multi-version
+    compaction, and a STALE row (old seq) arriving in the last batch
+    that the seq guard must ignore. Then a replayed epoch must be a
+    no-op via the ledger."""
+    import sqlite3
+
+    from pyspark.sql import types as T
+
+    from kafka_database_import_spark.operators.cdc import apply_changelog
+    from kafka_database_import_spark.sinks.jdbc import CdcDbApiSink
+
+    cdc_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    batches = [
+        [(1, 10, "U", "a"), (2, 11, "U", "b"), (3, 12, "U", "c")],
+        [(4, 19, "U", "d-early"), (2, 20, "U", "B"), (3, 21, "D", None),
+         (4, 22, "U", "d")],
+        # stale (2, 5): older than the mirrored seq 20 — must NOT regress
+        [(1, 30, "D", None), (4, 31, "U", "D2"), (5, 32, "U", "e"),
+         (2, 5, "U", "stale")],
+    ]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import glob
+    import shutil
+
+    for i, rows in enumerate(batches):
+        scratch = tempfile.mkdtemp(prefix="kdis_cdc_")
+        spark.createDataFrame(rows, cdc_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"f{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(scratch, ignore_errors=True)
+        os.utime(dst, (1_000 * (i + 1),) * 2)
+
+    db = str(tmp_path / "mirror.sqlite")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE mirror (k INTEGER PRIMARY KEY, seq INTEGER, v TEXT)")
+
+    sink = CdcDbApiSink(lambda: sqlite3.connect(db), "mirror", ["k"], "seq")
+    sdf = (
+        spark.readStream.schema(cdc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    with sqlite3.connect(db) as con:
+        got = {
+            k: (seq, v)
+            for k, seq, v in con.execute("SELECT k, seq, v FROM mirror")
+        }
+        epochs = sorted(
+            e for (e,) in con.execute("SELECT epoch_id FROM mirror__epochs")
+        )
+    # batch oracle: apply_changelog over the concatenated log
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], cdc_schema
+    )
+    expect = {
+        r["k"]: (r["seq"], r["v"])
+        for r in apply_changelog(full, ["k"], "seq", "op").collect()
+    }
+    assert got == expect == {2: (20, "B"), 4: (31, "D2"), 5: (32, "e")}
+    assert epochs == [0, 1, 2]
+
+    # replayed epoch (ledger hit) is a no-op even with regressive rows
+    sink.apply_rows([(2, 1, "D", None)], ["k", "seq", "op", "v"], 1)
+    with sqlite3.connect(db) as con:
+        assert con.execute("SELECT seq, v FROM mirror WHERE k = 2").fetchone() == (
+            20,
+            "B",
+        )
