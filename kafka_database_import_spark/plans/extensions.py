@@ -841,3 +841,52 @@ def q99zi_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq", "last_seq"
     )
     return ordered(out, "k", "last_seq", "price", "status")
+
+
+@query(
+    "q99zj_snapshot_time_travel",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus
+    ORDER BY status NULLS LAST, n NULLS LAST, total NULLS LAST
+    """,
+)
+def q99zj_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on a versioned snapshot table (sources/snapshot.py —
+    manifest commits, Iceberg/Delta-style): v1 commits the 'F' orders,
+    v2 APPENDS the 'O' orders, v3 OVERWRITES the table with an
+    unrelated state. The query reads **version 2** — snapshot isolation
+    means v3's overwrite is invisible — and must reproduce the F∪O
+    aggregate straight off the base table. Sums go through
+    DECIMAL(14,2) so the distributed sum is exact and
+    order-independent. The read plans from one manifest (no directory
+    listing), which is the property that keeps planning O(KB) when the
+    table is 100 TB across millions of files."""
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(_tf.mkdtemp(prefix="kdis_snap_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl.commit(orders.filter(F.col("o_orderstatus") == "F"))
+    v2 = tbl.commit(orders.filter(F.col("o_orderstatus") == "O"))
+    tbl.commit(
+        orders.filter(F.col("o_orderstatus") == "P"), mode="overwrite"
+    )
+    out = (
+        tbl.read(spark, version=v2)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    return ordered(out, "status", "n", "total")

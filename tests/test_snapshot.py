@@ -1,0 +1,110 @@
+"""Snapshot table format (sources/snapshot.py): atomic manifest
+commits, snapshot isolation, time travel, optimistic concurrency, and
+state-preserving compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from kafka_database_import_spark.sources.snapshot import (
+    ConcurrentCommitError,
+    SnapshotTable,
+)
+
+SCHEMA = T.StructType(
+    [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v1 = tbl.commit(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = tbl.commit(_df(spark, [(3, "c")]))  # append
+    v3 = tbl.commit(_df(spark, [(9, "z")]), mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert _rows(tbl.read(spark)) == [(9, "z")]
+    assert _rows(tbl.read(spark, version=2)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(tbl.read(spark, version=1)) == [(1, "a"), (2, "b")]
+    assert tbl.versions() == [1, 2, 3]
+
+
+def test_snapshot_isolation_reader_pinned_while_writer_commits(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]))
+    pinned = tbl.read(spark)  # planned from manifest v1
+    tbl.commit(_df(spark, [(2, "b")]))
+    tbl.commit(_df(spark, [(9, "z")]), mode="overwrite")
+    # the pinned DataFrame still returns v1's rows after later commits
+    assert _rows(pinned) == [(1, "a")]
+    assert _rows(tbl.read(spark)) == [(9, "z")]
+
+
+def test_concurrent_commit_loses_atomically_and_retry_rebase_wins(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]))
+    # writer B publishes version 2 between A's head read and A's link:
+    # simulate by committing through a second handle first
+    other = SnapshotTable(str(tmp_path / "t"))
+    df_a = _df(spark, [(3, "c")])
+    head = tbl.latest_version()
+    files = tbl._write_data(df_a, head + 1)
+    other.commit(_df(spark, [(2, "b")]))  # B wins version 2
+    with pytest.raises(ConcurrentCommitError):
+        tbl._publish(
+            head + 1,
+            {
+                "version": head + 1,
+                "base": head,
+                "mode": "append",
+                "schema": df_a.schema.json(),
+                "files": tbl.manifest(head)["files"] + files,
+            },
+        )
+    # loser retries from the new head — standard optimistic loop
+    v3 = tbl.commit(df_a)
+    assert v3 == 3
+    assert _rows(tbl.read(spark)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_compaction_preserves_state_and_history(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    for i in range(4):
+        tbl.commit(_df(spark, [(i, f"v{i}")]))
+    before = _rows(tbl.read(spark))
+    n_files_before = len(tbl.manifest()["files"])
+    v = tbl.compact(spark, target_files=1)
+    assert _rows(tbl.read(spark, version=v)) == before
+    assert len(tbl.manifest(v)["files"]) == 1 < n_files_before
+    # pre-compaction versions still read their original immutable files
+    assert _rows(tbl.read(spark, version=2)) == [(0, "v0"), (1, "v1")]
+
+
+def test_empty_table_read_keeps_schema(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, []))
+    got = tbl.read(spark)
+    assert got.count() == 0
+    assert got.schema == SCHEMA
+
+
+def test_crashed_writer_leaves_no_visible_version(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]))
+    # a writer that died after writing data files but before publishing:
+    tbl._write_data(_df(spark, [(2, "b")]), 2)
+    assert tbl.versions() == [1]  # unreferenced files are invisible
+    assert _rows(tbl.read(spark)) == [(1, "a")]
+    # and the next successful commit takes version 2 cleanly
+    assert tbl.commit(_df(spark, [(3, "c")])) == 2
+    assert _rows(tbl.read(spark)) == [(1, "a"), (3, "c")]
