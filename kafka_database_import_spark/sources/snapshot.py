@@ -162,3 +162,148 @@ class SnapshotTable:
         versions keep reading their original immutable files."""
         current = self.read(spark).coalesce(target_files)
         return self.commit(current, mode="overwrite")
+
+
+def _file_stats(path: str, columns: list[str]) -> dict:
+    """Per-file column min/max from the parquet FOOTER (pyarrow) —
+    computed once at commit time, stored in the manifest. No data pages
+    are read."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for col in columns:
+        if col not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None:
+            out[col] = [lo, hi]
+    return out
+
+
+class StatsSnapshotTable(SnapshotTable):
+    """SnapshotTable that also records per-file column min/max in the
+    manifest and can PRUNE files manifest-side before Spark ever plans
+    the scan.
+
+    This is the second half of the Iceberg pattern: parquet row-group
+    stats prune *within* a file only after the scan has opened it; at
+    millions of files the win is never opening the file at all. The
+    manifest carries footer stats captured at commit time, so a
+    predicate like ``ts BETWEEN a AND b`` on time-ordered data plans
+    O(matching files) — file listing, footer fetches, and scheduling
+    for everything else disappear. Combine with Z-order clustering
+    (operators/zorder.py) to make multi-column ranges sparse in the
+    same way.
+
+    ``read_pruned`` is a planning optimization ONLY: files without
+    recorded stats are conservatively kept, and the predicate is
+    re-applied by Spark, so results are always identical to
+    ``read().filter(...)`` (asserted in tests/test_snapshot.py).
+    """
+
+    def __init__(self, root: str, stats_cols: list[str]):
+        super().__init__(root)
+        self.stats_cols = list(stats_cols)
+
+    def _write_data(self, df: DataFrame, version: int) -> list[str]:
+        files = super()._write_data(df, version)
+        stats = {
+            f: _file_stats(os.path.join(self.root, f), self.stats_cols)
+            for f in files
+        }
+        self._pending_stats = stats
+        return files
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown commit mode: {mode!r}")
+        head = self.latest_version()
+        version = (head + 1) if head is not None else 1
+        files = self._write_data(df, version)
+        new_stats = self._pending_stats
+        if head and mode == "append":
+            prev_m = self.manifest(head)
+            prev_files = prev_m["files"]
+            prev_stats = prev_m.get("stats", {})
+        else:
+            prev_files, prev_stats = [], {}
+        manifest = {
+            "version": version,
+            "base": head,
+            "mode": mode,
+            "schema": df.schema.json(),
+            "files": prev_files + files,
+            "stats": {**prev_stats, **new_stats},
+        }
+        self._publish(version, manifest)
+        return version
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Scan only files whose [min, max] for ``col`` overlaps
+        [lo, hi] (files lacking stats are kept), then re-apply the
+        predicate exactly."""
+        from pyspark.sql import functions as F
+
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        keep = []
+        for f in m["files"]:
+            rng = m.get("stats", {}).get(f, {}).get(col)
+            if rng is None or (rng[0] <= hi and rng[1] >= lo):
+                keep.append(os.path.join(self.root, f))
+        self.last_pruned_counts = (len(keep), len(m["files"]))
+        if not keep:
+            empty = spark.createDataFrame([], schema)
+            return empty.filter(F.col(col).between(lo, hi))
+        return (
+            spark.read.schema(schema)
+            .parquet(*keep)
+            .filter(F.col(col).between(lo, hi))
+        )
+
+
+def changes(
+    tbl: SnapshotTable, spark: SparkSession, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Incremental read: the rows ADDED between two versions, planned
+    from the manifest file-list diff — the consumer-side half of CDC.
+    A downstream job that processed version N yesterday reads only the
+    new files today (O(delta), not O(table)). Only meaningful across
+    append commits; an overwrite in the range resets lineage, which
+    this detects and rejects rather than silently double-counting."""
+    to_version = to_version if to_version is not None else tbl.latest_version()
+    base = tbl.manifest(from_version)
+    cur = tbl.manifest(to_version)
+    v = to_version
+    while v is not None and v > from_version:
+        m = tbl.manifest(v)
+        if m["mode"] != "append":
+            raise ValueError(
+                f"version {v} is {m['mode']!r}: file-diff changes are only "
+                f"defined across append commits — re-read the full snapshot"
+            )
+        v = m["base"]
+    new_files = [f for f in cur["files"] if f not in set(base["files"])]
+    schema = T.StructType.fromJson(json.loads(cur["schema"]))
+    if not new_files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(tbl.root, f) for f in new_files]
+    )

@@ -108,3 +108,60 @@ def test_crashed_writer_leaves_no_visible_version(spark, tmp_path):
     # and the next successful commit takes version 2 cleanly
     assert tbl.commit(_df(spark, [(3, "c")])) == 2
     assert _rows(tbl.read(spark)) == [(1, "a"), (3, "c")]
+
+
+def test_manifest_stats_prune_files_and_match_full_scan(spark, tmp_path):
+    """Footer min/max stats recorded at commit time let read_pruned plan
+    only overlapping files — and the result must equal the unpruned
+    scan + filter exactly (pruning is planning-only)."""
+    from kafka_database_import_spark.sources.snapshot import StatsSnapshotTable
+
+    tbl = StatsSnapshotTable(str(tmp_path / "t"), stats_cols=["k"])
+    # three single-file commits with disjoint k ranges
+    for base in (0, 100, 200):
+        tbl.commit(
+            _df(spark, [(base + i, f"r{base + i}") for i in range(10)]).coalesce(1)
+        )
+    pruned = tbl.read_pruned(spark, "k", 100, 109)
+    kept, total = tbl.last_pruned_counts
+    assert (kept, total) == (1, 3)  # only the middle file is planned
+    full = tbl.read(spark).filter("k BETWEEN 100 AND 109")
+    assert _rows(pruned) == _rows(full) == [(100 + i, f"r{100 + i}") for i in range(10)]
+    # empty overlap: zero files planned, empty result, schema intact
+    none = tbl.read_pruned(spark, "k", 900, 950)
+    assert tbl.last_pruned_counts == (0, 3)
+    assert none.count() == 0 and none.schema == SCHEMA
+
+
+def test_changes_reads_only_the_version_delta(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import changes
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v1 = tbl.commit(_df(spark, [(1, "a")]))
+    tbl.commit(_df(spark, [(2, "b")]))
+    v3 = tbl.commit(_df(spark, [(3, "c")]))
+    got = changes(tbl, spark, from_version=v1, to_version=v3)
+    assert _rows(got) == [(2, "b"), (3, "c")]
+    assert changes(tbl, spark, from_version=v3).count() == 0
+    # an overwrite in the range resets lineage: must refuse, not
+    # silently double-count
+    tbl.commit(_df(spark, [(9, "z")]), mode="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        changes(tbl, spark, from_version=v1)
+
+
+def test_stats_survive_append_and_compaction_recomputes(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import StatsSnapshotTable
+
+    tbl = StatsSnapshotTable(str(tmp_path / "t"), stats_cols=["k"])
+    tbl.commit(_df(spark, [(1, "a"), (5, "e")]).coalesce(1))
+    tbl.commit(_df(spark, [(100, "x")]).coalesce(1))
+    m = tbl.manifest()
+    assert len(m["files"]) == 2
+    ranges = sorted(tuple(s["k"]) for s in m["stats"].values())
+    assert ranges == [(1, 5), (100, 100)]
+    v = tbl.compact(spark, target_files=1)
+    m2 = tbl.manifest(v)
+    assert len(m2["files"]) == 1
+    (only_stats,) = m2["stats"].values()
+    assert tuple(only_stats["k"]) == (1, 100)
