@@ -6,7 +6,7 @@ Q43–Q46 dedup/quality story).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_database_import_spark.functions.numeric import dround, mround
@@ -890,3 +890,139 @@ def q99zj_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ordered(out, "status", "n", "total")
+
+
+@query(
+    "q99zk_triangle_count",
+    oracle="""
+    WITH raw AS (
+      SELECT o_custkey AS x, (o_orderkey * 40503) % 1500 AS y FROM orders
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+      FROM raw WHERE x <> y
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q99zk_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting with DEGREE-ORDERED orientation — the
+    standard trick that makes the wedge join survive skew: relabel
+    nodes by (degree, id) rank and orient every edge low→high, so each
+    triangle is counted exactly once AND every wedge pivots on its
+    LOWEST-degree vertex. Wedge work drops from Σ deg² (a single hub
+    node explodes the naive self-join — this graph's hubs come from
+    hot custkeys) to Σ outdeg², with outdeg ≤ O(√m) for any graph —
+    the classic bound that keeps the 100 TB wedge shuffle proportional
+    to the edge count, not the hub size. The oracle counts the same
+    triangles with the naive a<b<c triple join; both sides dedup the
+    synthesized multi-edges first, and the count is orientation-
+    independent so the implementations can differ — which is the
+    point."""
+    orders = load_table(spark, sf_dir, "orders")
+    raw = orders.select(
+        F.col("o_custkey").alias("x"),
+        ((F.col("o_orderkey") * 40503) % 1500).alias("y"),
+    ).filter(F.col("x") != F.col("y"))
+    edges = raw.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct()
+    # Orientation needs only the TOTAL ORDER (deg, id) — compared
+    # per-edge, never materialized as a global rank (a global
+    # row_number would itself be a single-partition bottleneck).
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        edges.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    lex_lt = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
+        (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    # wedges pivot on their lowest-(deg, id) vertex; each unordered
+    # (v, w) pair appears once, already oriented v -> w by lex_lt, so
+    # the closing edge (if it exists) is in `oriented` with that exact
+    # direction. Distinct wedges are distinct triangles -> inner join.
+    wedges = e1.join(
+        e2, (F.col("e1.src") == F.col("e2.src")) & lex_lt
+    ).select(F.col("e1.dst").alias("src"), F.col("e2.dst").alias("dst"))
+    tri = wedges.join(oriented.select("src", "dst"), ["src", "dst"], "inner")
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "q99zl_target_encode_loo",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             c_mktsegment AS segment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    g AS (
+      SELECT *,
+             SUM(cents) OVER (PARTITION BY segment) AS seg_cents,
+             COUNT(*) OVER (PARTITION BY segment) AS seg_n
+      FROM t
+    )
+    SELECT c_custkey, segment,
+           seg_cents - cents AS loo_cents,
+           seg_n - 1 AS loo_n,
+           CAST(seg_cents - cents AS DOUBLE) / (100.0 * (seg_n - 1))
+             AS loo_mean
+    FROM g
+    WHERE seg_n > 1
+    ORDER BY c_custkey NULLS LAST, segment NULLS LAST, loo_cents NULLS LAST,
+             loo_n NULLS LAST, loo_mean NULLS LAST
+    """,
+)
+def q99zl_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature
+    transform every tabular training pipeline ships: each row gets its
+    group's target mean EXCLUDING itself (plain group means leak the
+    row's own label). One unbounded window per group computes
+    (Σ target, n) and the row subtracts itself — no self-join, one
+    shuffle on the category. Targets ride as integer cents so the
+    distributed sum is exact and order-independent; the final mean is
+    one IEEE double division of two exact integers, bit-identical on
+    both engines (the q99l sufficient-statistics discipline). At
+    100 TB this is the same plan as q22's analytic windows: category-
+    partitioned, no sort (unbounded frame), skew handled by AQE."""
+    cust = load_table(spark, sf_dir, "customer")
+    t = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("segment")
+    g = t.withColumn("seg_cents", F.sum("cents").over(w)).withColumn(
+        "seg_n", F.count(F.lit(1)).over(w)
+    )
+    out = g.filter(F.col("seg_n") > 1).select(
+        "c_custkey",
+        "segment",
+        (F.col("seg_cents") - F.col("cents")).alias("loo_cents"),
+        (F.col("seg_n") - 1).alias("loo_n"),
+        (
+            (F.col("seg_cents") - F.col("cents")).cast("double")
+            / (100.0 * (F.col("seg_n") - 1))
+        ).alias("loo_mean"),
+    )
+    return ordered(out, "c_custkey", "segment", "loo_cents", "loo_n", "loo_mean")
