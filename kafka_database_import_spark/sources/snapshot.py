@@ -307,3 +307,49 @@ def changes(
     return spark.read.schema(schema).parquet(
         *[os.path.join(tbl.root, f) for f in new_files]
     )
+
+
+class SnapshotCommitSink:
+    """``foreachBatch`` target committing each micro-batch as one
+    snapshot version — the streaming writer of the table format.
+
+    Effectively-once WITHOUT a side ledger: the manifest itself records
+    ``epoch_id``, so a replayed batch (Spark re-runs the last epoch
+    after a crash-restart) is detected by scanning committed manifests
+    and skipped. A writer that crashed after writing data files but
+    before publishing left no visible version (snapshot atomicity), so
+    the replay re-writes and publishes cleanly — the exact contract the
+    epoch-ledger JDBC sinks provide, expressed in the table format's
+    own commit protocol. Appends-only by design: streaming upserts
+    belong to CdcDbApiSink / the keyed SQL sinks.
+    """
+
+    def __init__(self, table: SnapshotTable):
+        self.table = table
+
+    def committed_epochs(self) -> set[int]:
+        out = set()
+        for v in self.table.versions():
+            e = self.table.manifest(v).get("epoch_id")
+            if e is not None:
+                out.add(e)
+        return out
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in self.committed_epochs():
+            return  # replayed batch — its version is already visible
+        head = self.table.latest_version()
+        version = (head + 1) if head is not None else 1
+        files = self.table._write_data(batch_df, version)
+        prev = self.table.manifest(head)["files"] if head else []
+        self.table._publish(
+            version,
+            {
+                "version": version,
+                "base": head,
+                "mode": "append",
+                "epoch_id": epoch_id,
+                "schema": batch_df.schema.json(),
+                "files": prev + files,
+            },
+        )

@@ -165,3 +165,76 @@ def test_stats_survive_append_and_compaction_recomputes(spark, tmp_path):
     assert len(m2["files"]) == 1
     (only_stats,) = m2["stats"].values()
     assert tuple(only_stats["k"]) == (1, 100)
+
+
+def test_streaming_commit_sink_is_replay_idempotent(spark, tmp_path):
+    """writeStream -> SnapshotTable: one version per micro-batch; a
+    crash after data-write-before-publish plus Spark's epoch replay
+    must yield exactly one visible version per epoch and the batch-
+    oracle row set."""
+    import glob
+    import shutil
+    import tempfile
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotCommitSink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [[(1, "a"), (2, "b")], [(3, "c")], [(4, "d"), (5, "e")]]
+    for i, rows in enumerate(batches):
+        scratch = tempfile.mkdtemp(prefix="kdis_snapstream_")
+        _df(spark, rows).coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"f{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(scratch, ignore_errors=True)
+        os.utime(dst, (1_000 * (i + 1),) * 2)
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    sink = SnapshotCommitSink(tbl)
+    crashed = {"done": False}
+
+    def crashing(batch_df, epoch_id):
+        if epoch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            # die after writing data files, before publishing a manifest
+            tbl._write_data(batch_df, (tbl.latest_version() or 0) + 1)
+            raise RuntimeError("injected crash before publish")
+        sink(batch_df, epoch_id)
+
+    def run():
+        sdf = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            sdf.writeStream.foreachBatch(crashing)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    try:
+        run()
+        raise AssertionError("expected the injected crash")
+    except StreamingQueryException:
+        pass
+    assert tbl.versions() == [1]  # crashed epoch published nothing
+
+    run()  # restart: replays epoch 1, then epoch 2
+
+    assert tbl.versions() == [1, 2, 3]
+    assert sorted(
+        tbl.manifest(v)["epoch_id"] for v in tbl.versions()
+    ) == [0, 1, 2]
+    assert _rows(tbl.read(spark)) == [(i, c) for i, c in
+                                      [(1, "a"), (2, "b"), (3, "c"),
+                                       (4, "d"), (5, "e")]]
+    # replaying an already-visible epoch is a no-op
+    sink(_df(spark, [(9, "z")]), 2)
+    assert tbl.versions() == [1, 2, 3]
