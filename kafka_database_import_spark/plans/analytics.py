@@ -1185,71 +1185,3 @@ def q99zc_scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dim.valid_to.isNull() | (ev.ts < dim.valid_to)),
     ).select("event_id", "user_id", F.col("segment").alias("seg_at_event"))
     return ordered(out)
-
-
-@query(
-    "q99zh_sessionize_batch",
-    oracle="""
-    WITH e AS (
-      SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
-    ),
-    flagged AS (
-      SELECT user_id, event_id, ts_us,
-             CASE WHEN LAG(ts_us) OVER w IS NULL
-                    OR ts_us - LAG(ts_us) OVER w > 1800000000
-                  THEN 1 ELSE 0 END AS is_new
-      FROM e
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-    ),
-    sess AS (
-      SELECT user_id, ts_us,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_idx
-      FROM flagged
-    )
-    SELECT user_id, session_idx,
-           MIN(ts_us) AS session_start_us,
-           MAX(ts_us) AS session_end_us,
-           COUNT(*) AS n_events
-    FROM sess
-    GROUP BY user_id, session_idx
-    ORDER BY user_id NULLS LAST, session_idx NULLS LAST,
-             session_start_us NULLS LAST, session_end_us NULLS LAST,
-             n_events NULLS LAST
-    """,
-)
-def q99zh_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization in BATCH (30-min inactivity gap) — the
-    offline twin of q35's streaming session window, and the classic
-    lag→flag→cumsum pattern: one shuffle on ``user_id`` serves the lag
-    window, the running session counter, and the per-session rollup
-    (Catalyst keeps all three in the same hash-partitioning — no
-    second exchange). Timestamps flow as integer epoch-microseconds so
-    the 1800-second gap test and the output are engine-exact; ties on
-    ts break by event_id to keep lag deterministic. At 100 TB user_id
-    partitioning bounds a session to one task; there is no global sort
-    and no state beyond the window frame (contrast the streaming path,
-    which must hold open sessions in a state store)."""
-    gap_us = 1800 * 1_000_000
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    flagged = ev.withColumn(
-        "is_new",
-        F.when(
-            F.lag("ts_us").over(w).isNull()
-            | (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us),
-            1,
-        ).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "session_idx",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    out = sess.groupBy("user_id", "session_idx").agg(
-        F.min("ts_us").alias("session_start_us"),
-        F.max("ts_us").alias("session_end_us"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    return ordered(out)
