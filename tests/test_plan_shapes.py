@@ -165,3 +165,27 @@ def test_q99y_ivm_merge_is_full_outer_of_two_aggs(spark, sf_dir):
     assert "FullOuter" in plan or "full_outer" in plan.lower()
     assert plan.count("HashAggregate") >= 4  # 2 aggs x (partial+final)
     assert "Union" not in plan
+
+
+def test_q99zg_bitmap_distinct_partial_aggregates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q99zg_bitmap_distinct")
+    # bitmaps OR together map-side before the one (type, bucket) shuffle
+    assert "partial_bitmap_construct_agg" in plan
+    # and the state shuffled is bitmaps, never raw user_ids (no Expand
+    # plan as in q17's exact count-distinct)
+    assert "Expand" not in plan
+
+
+def test_q99zi_cdc_apply_is_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q99zi_cdc_apply")
+    # last-writer-wins must ride the partial top-1 machinery: rank-1
+    # filter pushed into the sort, one shuffle on the key
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning(k") <= 2  # window + order
+
+
+def test_q99zl_target_encode_single_category_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q99zl_target_encode_loo")
+    # one unbounded window over segment: no self-join, no extra exchange
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(segment") == 1
