@@ -312,3 +312,145 @@ def test_random_range_frame_agrees_across_engines(spark, sf_dir, seed):
     con = oracle.duckdb_connection(sf_dir)
     r = oracle.compare(f"fuzzrf_{seed}", s_df, sql, con)
     assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
+
+
+def _nullable_scalar(rng: random.Random, kind: str) -> str:
+    """Small-cardinality, NULL-injecting scalar of a FIXED kind —
+    set-op semantics only bite when branches overlap AND carry NULLs
+    (set ops treat NULLs as equal; WHERE treats them as unknown — the
+    classic divergence pit). The kind is pinned per output column
+    because cross-branch INT-vs-STRING coercion is a dialect choice
+    (Spark picks BIGINT and ANSI-fails on 'A'; DuckDB picks VARCHAR) —
+    a generator that mixes them fuzzes the dialect, not the engine."""
+    if kind == "str":
+        return (
+            f"CASE WHEN CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            f" > {rng.randint(500, 4000)} THEN l_returnflag END"
+        )
+    if rng.random() < 0.5:
+        return f"NULLIF(l_linenumber % {rng.randint(2, 5)}, {rng.randint(0, 2)})"
+    return f"(l_suppkey % {rng.randint(2, 7)})"
+
+
+def _setop_query(seed: int) -> str:
+    rng = random.Random(seed)
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+    )
+    kx, ky = rng.choice(["int", "str"]), rng.choice(["int", "str"])
+    x1, y1 = _nullable_scalar(rng, kx), _nullable_scalar(rng, ky)
+    # branch 2 reuses branch 1's shape ~half the time so the set op has
+    # real overlap to dedup/subtract
+    if rng.random() < 0.5:
+        x2, y2 = x1, y1
+    else:
+        x2, y2 = _nullable_scalar(rng, kx), _nullable_scalar(rng, ky)
+    p1, p2 = _predicate(rng), _predicate(rng)
+    return (
+        f"SELECT x, y FROM ("
+        f"(SELECT {x1} AS x, {y1} AS y FROM lineitem WHERE {p1})"
+        f" {op} "
+        f"(SELECT {x2} AS x, {y2} AS y FROM lineitem WHERE {p2})"
+        f") t ORDER BY x NULLS LAST, y NULLS LAST"
+    )
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_random_set_operation_agrees_across_engines(spark, sf_dir, seed):
+    """UNION/INTERSECT/EXCEPT [ALL] with NULL-bearing, overlapping
+    branches: NULL-equality in set semantics, ALL-multiplicity
+    bookkeeping, and mixed-type branch coercion."""
+    sql = _setop_query(seed)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    s_df = spark.sql(sql)
+    con = oracle.duckdb_connection(sf_dir)
+    r = oracle.compare(f"fuzz_setop_{seed}", s_df, sql, con)
+    assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
+
+
+def _grouping_sets_query(seed: int) -> str:
+    rng = random.Random(seed)
+    # one NULL-injected key: its NULL-key groups are distinguishable
+    # from super-aggregate rows ONLY via GROUPING() — the pit this
+    # generator aims at
+    keys = [
+        f"NULLIF(l_linenumber, {rng.randint(1, 4)})",
+        "l_returnflag",
+        f"(l_suppkey % {rng.randint(2, 4)})",
+    ]
+    rng.shuffle(keys)
+    a, b, c = keys
+    # every pool entry's UNION covers all three keys: Spark rejects
+    # GROUPING(x) for x absent from the grouping columns
+    sets_pool = [
+        f"(({a}, {b}, {c}), ({a}, {b}), ({a}), ())",
+        f"(({a}, {b}), ({b}, {c}), ({a}, {c}))",
+        f"(({a}), ({b}), ({c}))",
+        f"(({a}, {b}, {c}), ({c}), ())",
+    ]
+    sets = rng.choice(sets_pool)
+    agg = _num_expr(rng)
+    pred = _predicate(rng)
+    sql = (
+        f"SELECT {a} AS ka, {b} AS kb, {c} AS kc,"
+        f" GROUPING({a}) AS ga, GROUPING({b}) AS gb, GROUPING({c}) AS gc,"
+        f" COUNT(*) AS n, SUM({agg}) AS s"
+        f" FROM lineitem WHERE {pred}"
+        f" GROUP BY GROUPING SETS {sets}"
+        f" ORDER BY ka NULLS LAST, kb NULLS LAST, kc NULLS LAST,"
+        f" ga NULLS LAST, gb NULLS LAST, gc NULLS LAST,"
+        f" n NULLS LAST, s NULLS LAST"
+    )
+    return sql, sets.endswith("())"), pred
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_grouping_sets_agrees_across_engines(spark, sf_dir, seed):
+    """GROUPING SETS where one key is NULL-injected: the NULL-as-value
+    vs NULL-as-super-aggregate-marker distinction must agree, including
+    GROUPING() bits and duplicate grouping sets.
+
+    FOUND DIVERGENCE (this fuzzer, round 4): over an EMPTY filtered
+    input, DuckDB emits the () super-aggregate row (COUNT=0, standard
+    UNION-ALL-of-sets semantics) while Spark emits no rows at all —
+    inconsistently with Spark's own plain ungrouped aggregate, which
+    does return the 0-count row. Pinned in
+    test_empty_input_grouping_sets_divergence_is_pinned; seeds whose
+    predicate filters everything assert that exact shape instead."""
+    sql, has_empty_set, pred = _grouping_sets_query(seed)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    base_n = spark.sql(f"SELECT COUNT(*) AS n FROM lineitem WHERE {pred}").collect()[0]["n"]
+    s_df = spark.sql(sql)
+    con = oracle.duckdb_connection(sf_dir)
+    r = oracle.compare(f"fuzz_gsets_{seed}", s_df, sql, con)
+    if base_n == 0:
+        assert r.spark_rows == 0, f"seed={seed}: Spark changed empty-input behavior"
+        assert r.oracle_rows == (1 if has_empty_set else 0), (
+            f"seed={seed}: oracle shape changed\nsql={sql}"
+        )
+        return
+    assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
+
+
+def test_empty_input_grouping_sets_divergence_is_pinned(spark):
+    """The divergence the grouping-sets fuzzer caught, pinned so a
+    future Spark that fixes it fails loudly here (then drop the guard
+    in the random test): GROUPING SETS (()) over an empty relation
+    yields 0 rows in Spark but the standard one 0-count row in DuckDB
+    — and Spark's own ungrouped aggregate DOES yield that row."""
+    import duckdb
+
+    empty_gs = spark.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT 1 AS x WHERE false) "
+        "GROUP BY GROUPING SETS (())"
+    ).collect()
+    plain = spark.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT 1 AS x WHERE false)"
+    ).collect()
+    duck = duckdb.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT 1 AS x WHERE false) "
+        "GROUP BY GROUPING SETS (())"
+    ).fetchall()
+    assert empty_gs == []          # Spark: no rows
+    assert [r["n"] for r in plain] == [0]  # Spark plain agg: the 0 row
+    assert duck == [(0,)]          # DuckDB: the standard 0 row
