@@ -37,6 +37,9 @@ HEADLINE = [
     "q72_sessionize_batch",    # gaps-and-islands sessionization
     "q75_tfidf_top_terms",     # tf-idf-ranked distinguishing terms
     "q77_zorder_layout",       # multi-dim clustering key
+    "q99zg_bitmap_distinct",   # exact mergeable distinct state (round 4)
+    "q99zi_cdc_apply",         # changelog last-writer-wins compaction (round 4)
+    "q99zk_triangle_count",    # degree-oriented wedge join (round 4)
 ]
 
 
