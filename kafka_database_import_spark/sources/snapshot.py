@@ -353,3 +353,44 @@ class SnapshotCommitSink:
                 "files": prev + files,
             },
         )
+
+
+def vacuum(tbl: SnapshotTable, retain_last: int = 1) -> dict:
+    """Garbage-collect the table: keep the newest ``retain_last``
+    manifests, delete older manifests AND any data file no retained
+    version references. Returns counts for observability.
+
+    This is the piece that stops an append/compact workload from
+    growing without bound: compaction rewrites data but the OLD files
+    stay on disk for time travel until vacuum reclaims them — exactly
+    Delta VACUUM / Iceberg expire_snapshots. Ordering matters for
+    crash safety: manifests are deleted FIRST, so a crash mid-vacuum
+    can orphan data files (harmless, re-vacuumable) but can never
+    leave a live manifest pointing at deleted data."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    versions = tbl.versions()
+    keep_v = set(versions[-retain_last:])
+    drop_v = [v for v in versions if v not in keep_v]
+    referenced: set[str] = set()
+    for v in keep_v:
+        referenced.update(tbl.manifest(v)["files"])
+    for v in drop_v:  # manifests first — see docstring
+        os.unlink(tbl._manifest_path(v))
+    removed_files = 0
+    data_root = os.path.join(tbl.root, "data")
+    if os.path.isdir(data_root):
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for name in filenames:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, tbl.root)
+                if name.endswith(".parquet") and rel not in referenced:
+                    os.unlink(full)
+                    removed_files += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+    return {
+        "dropped_versions": len(drop_v),
+        "removed_files": removed_files,
+        "retained_versions": sorted(keep_v),
+    }

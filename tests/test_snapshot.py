@@ -238,3 +238,44 @@ def test_streaming_commit_sink_is_replay_idempotent(spark, tmp_path):
     # replaying an already-visible epoch is a no-op
     sink(_df(spark, [(9, "z")]), 2)
     assert tbl.versions() == [1, 2, 3]
+
+
+def test_vacuum_reclaims_unreferenced_files_keeps_live_versions(spark, tmp_path):
+    import glob
+
+    from kafka_database_import_spark.sources.snapshot import vacuum
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    for i in range(3):
+        tbl.commit(_df(spark, [(i, f"v{i}")]))
+    v4 = tbl.compact(spark, target_files=1)  # rewrites into 1 file
+    n_files_before = len(glob.glob(str(tmp_path / "t" / "data" / "*" / "*.parquet")))
+    assert n_files_before > 1  # pre-compaction files + 1 compacted
+
+    report = vacuum(tbl, retain_last=1)
+    assert report["dropped_versions"] == 3
+    assert report["removed_files"] == n_files_before - 1  # all but compacted
+    assert report["retained_versions"] == [v4]
+    # live version reads fine; history is gone
+    assert _rows(tbl.read(spark)) == [(0, "v0"), (1, "v1"), (2, "v2")]
+    assert tbl.versions() == [v4]
+    n_files_after = len(glob.glob(str(tmp_path / "t" / "data" / "*" / "*.parquet")))
+    assert n_files_after == 1
+    # next commit continues the version sequence past the vacuum
+    assert tbl.commit(_df(spark, [(9, "z")])) == v4 + 1
+
+
+def test_vacuum_retains_multiple_versions_shared_files(spark, tmp_path):
+    """Append-lineage versions SHARE files: vacuum must keep any file
+    referenced by ANY retained manifest."""
+    from kafka_database_import_spark.sources.snapshot import vacuum
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]))
+    tbl.commit(_df(spark, [(2, "b")]))
+    tbl.commit(_df(spark, [(3, "c")]))
+    report = vacuum(tbl, retain_last=2)
+    assert report["dropped_versions"] == 1
+    assert report["removed_files"] == 0  # v2's files are inside v3's list
+    assert _rows(tbl.read(spark, version=2)) == [(1, "a"), (2, "b")]
+    assert _rows(tbl.read(spark, version=3)) == [(1, "a"), (2, "b"), (3, "c")]
