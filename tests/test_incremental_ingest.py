@@ -57,3 +57,49 @@ def test_incremental_runs_upsert_only_new_data(spark):
     # epoch ledger grew by one committed epoch per non-empty run
     ledger = os.listdir(os.path.join(sink.root, "_ledger"))
     assert len(ledger) >= 2
+
+
+def test_snapshot_changes_drive_incremental_aggregation(spark, tmp_path):
+    """The consumer side of the table format: a downstream aggregate is
+    maintained from changes() deltas only (the q99y IVM merge law:
+    agg(state) ⊕ agg(delta) == agg(all)) and must equal the full
+    recompute at every version. This is the O(delta) pipeline shape —
+    the aggregating job never rescans the table."""
+    from pyspark.sql import types as T
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable, changes
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    batches = [
+        [("a", 1), ("b", 2)],
+        [("a", 10), ("c", 3)],
+        [("b", 5), ("c", 30), ("a", 100)],
+    ]
+
+    def agg(df):
+        return df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+
+    def merge(state, delta):
+        u = state.unionByName(delta)
+        return u.groupBy("k").agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+
+    state = None
+    seen_version = None
+    for rows in batches:
+        v = tbl.commit(spark.createDataFrame(rows, schema))
+        if state is None:
+            state = agg(tbl.read(spark, v))
+        else:
+            delta = changes(tbl, spark, from_version=seen_version, to_version=v)
+            state = merge(state, agg(delta))
+        seen_version = v
+        got = {r["k"]: (r["s"], r["n"]) for r in state.collect()}
+        want = {
+            r["k"]: (r["s"], r["n"]) for r in agg(tbl.read(spark, v)).collect()
+        }
+        assert got == want, f"version {v}: incremental {got} != full {want}"
