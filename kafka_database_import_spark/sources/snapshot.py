@@ -48,6 +48,34 @@ class ConcurrentCommitError(RuntimeError):
     and retry (optimistic concurrency, Iceberg-style)."""
 
 
+class SchemaEvolutionError(ValueError):
+    """An append changed an existing column's TYPE. Adding columns is
+    schema evolution; changing a type silently corrupts every reader —
+    rejected at commit time, the only place it can be caught cheaply."""
+
+
+def _merge_schema(prev_json: str, new_schema: "T.StructType") -> str:
+    """Additive schema evolution for append commits: the manifest
+    schema is previous fields + any NEW fields, in stable order. Old
+    data files simply lack the new columns — Spark fills NULL when the
+    read supplies the manifest schema — and new files may omit old
+    columns the writer dropped (also NULL). Same-name type changes are
+    refused."""
+    prev = T.StructType.fromJson(json.loads(prev_json))
+    by_name = {f.name: f for f in prev.fields}
+    merged = list(prev.fields)
+    for f in new_schema.fields:
+        if f.name in by_name:
+            if f.dataType != by_name[f.name].dataType:
+                raise SchemaEvolutionError(
+                    f"column {f.name!r}: {by_name[f.name].dataType.simpleString()} "
+                    f"-> {f.dataType.simpleString()} is a type CHANGE, not evolution"
+                )
+        else:
+            merged.append(f)
+    return T.StructType(merged).json()
+
+
 class SnapshotTable:
     """A versioned parquet table rooted at ``root``.
 
@@ -99,13 +127,19 @@ class SnapshotTable:
             raise ValueError(f"unknown commit mode: {mode!r}")
         head = self.latest_version()
         version = (head or 0) + 1 if head is not None else 1
+        if head and mode == "append":
+            prev_m = self.manifest(head)
+            prev, schema_json = prev_m["files"], _merge_schema(
+                prev_m["schema"], df.schema
+            )
+        else:
+            prev, schema_json = [], df.schema.json()
         files = self._write_data(df, version)
-        prev = self.manifest(head)["files"] if (head and mode == "append") else []
         manifest = {
             "version": version,
             "base": head,
             "mode": mode,
-            "schema": df.schema.json(),
+            "schema": schema_json,
             "files": prev + files,
         }
         self._publish(version, manifest)
@@ -235,13 +269,15 @@ class StatsSnapshotTable(SnapshotTable):
             prev_m = self.manifest(head)
             prev_files = prev_m["files"]
             prev_stats = prev_m.get("stats", {})
+            schema_json = _merge_schema(prev_m["schema"], df.schema)
         else:
             prev_files, prev_stats = [], {}
+            schema_json = df.schema.json()
         manifest = {
             "version": version,
             "base": head,
             "mode": mode,
-            "schema": df.schema.json(),
+            "schema": schema_json,
             "files": prev_files + files,
             "stats": {**prev_stats, **new_stats},
         }
@@ -340,8 +376,14 @@ class SnapshotCommitSink:
             return  # replayed batch — its version is already visible
         head = self.table.latest_version()
         version = (head + 1) if head is not None else 1
+        if head:
+            prev_m = self.table.manifest(head)
+            prev, schema_json = prev_m["files"], _merge_schema(
+                prev_m["schema"], batch_df.schema
+            )
+        else:
+            prev, schema_json = [], batch_df.schema.json()
         files = self.table._write_data(batch_df, version)
-        prev = self.table.manifest(head)["files"] if head else []
         self.table._publish(
             version,
             {
@@ -349,7 +391,7 @@ class SnapshotCommitSink:
                 "base": head,
                 "mode": "append",
                 "epoch_id": epoch_id,
-                "schema": batch_df.schema.json(),
+                "schema": schema_json,
                 "files": prev + files,
             },
         )

@@ -279,3 +279,39 @@ def test_vacuum_retains_multiple_versions_shared_files(spark, tmp_path):
     assert report["removed_files"] == 0  # v2's files are inside v3's list
     assert _rows(tbl.read(spark, version=2)) == [(1, "a"), (2, "b")]
     assert _rows(tbl.read(spark, version=3)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_schema_evolution_appends_columns_and_rejects_type_changes(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from kafka_database_import_spark.sources.snapshot import SchemaEvolutionError
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]))
+    wide = T.StructType(
+        SCHEMA.fields + [T.StructField("w", T.DoubleType())]
+    )
+    tbl.commit(spark.createDataFrame([(2, "b", 2.5)], wide))
+    got = {
+        r["k"]: (r["v"], r["w"]) for r in tbl.read(spark).collect()
+    }
+    # old files yield NULL for the evolved column
+    assert got == {1: ("a", None), 2: ("b", 2.5)}
+    # time travel keeps the historical schema
+    assert tbl.read(spark, version=1).columns == ["k", "v"]
+    assert tbl.read(spark).columns == ["k", "v", "w"]
+
+    # a writer that dropped a column appends fine (NULL-filled)...
+    narrow = T.StructType([T.StructField("k", T.LongType())])
+    tbl.commit(spark.createDataFrame([(3,)], narrow))
+    got3 = {r["k"]: (r["v"], r["w"]) for r in tbl.read(spark).collect()}
+    assert got3[3] == (None, None)
+
+    # ...but a TYPE change is refused at commit time
+    bad = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    with pytest.raises(SchemaEvolutionError, match="type CHANGE"):
+        tbl.commit(spark.createDataFrame([(4, 4)], bad))
+    # and the failed commit published nothing
+    assert tbl.latest_version() == 3
