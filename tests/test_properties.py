@@ -455,3 +455,56 @@ def test_bitmap_state_exact_and_merge_consistent(spark, sf_dir):
         for r in bitmap_distinct(merged, ["event_type"]).collect()
     }
     assert got_merged == exact
+
+
+def test_cdc_apply_matches_sequential_replay_model(spark):
+    """Model-based check: apply_changelog over random changelogs must
+    equal a literal one-op-at-a-time dict replay. Randomized ops/keys/
+    seqs (fixed seeds), including keys that end deleted, keys updated
+    after a delete (resurrection), and single-op keys."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from kafka_database_import_spark.operators.cdc import apply_changelog
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    for seed in range(5):
+        rng = random.Random(seed)
+        n_keys = rng.randint(3, 12)
+        rows = []
+        seqs = list(range(1, rng.randint(20, 60)))
+        rng.shuffle(seqs)
+        for seq in seqs:
+            k = rng.randrange(n_keys)
+            op = "D" if rng.random() < 0.3 else "U"
+            rows.append((k, seq, op, f"v{seq}" if op == "U" else None))
+        # model: replay ops in seq order
+        state: dict[int, tuple[int, str]] = {}
+        for k, seq, op, v in sorted(rows, key=lambda r: r[1]):
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = (seq, v)
+        want = {k: (seq, v) for k, (seq, v) in state.items()}
+
+        # model semantics: LAST op wins — a delete followed by a later
+        # update resurrects the key; apply_changelog must agree
+        got = {
+            r["k"]: (r["seq"], r["v"])
+            for r in apply_changelog(
+                spark.createDataFrame(rows, schema), ["k"], "seq", "op"
+            ).collect()
+        }
+        # dict-replay keeps a key iff its LAST op was an update; but
+        # note the subtlety: replay applies every op, apply_changelog
+        # looks only at the final one — they agree exactly because
+        # upserts carry full rows (no partial updates in this model)
+        assert got == want, f"seed={seed}: {got} != {want}"

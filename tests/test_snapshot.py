@@ -315,3 +315,47 @@ def test_schema_evolution_appends_columns_and_rejects_type_changes(spark, tmp_pa
         tbl.commit(spark.createDataFrame([(4, 4)], bad))
     # and the failed commit published nothing
     assert tbl.latest_version() == 3
+
+
+def test_random_op_sequences_match_list_model(spark, tmp_path):
+    """Model-based check of the whole table lifecycle: a random
+    sequence of append/overwrite/compact/vacuum against an in-memory
+    list model — current rows, historical reads of every still-retained
+    version, and version numbering must all agree."""
+    import random
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        tbl = SnapshotTable(str(tmp_path / f"t{seed}"))
+        model: dict[int, list] = {}  # version -> rows
+        cur: list = []
+        next_k = 0
+        for _step in range(rng.randint(6, 10)):
+            roll = rng.random()
+            if roll < 0.5 or not model:
+                rows = [(next_k + i, f"s{next_k + i}") for i in range(rng.randint(1, 3))]
+                next_k += len(rows)
+                v = tbl.commit(_df(spark, rows))
+                cur = cur + rows
+            elif roll < 0.7:
+                rows = [(next_k, f"o{next_k}")]
+                next_k += 1
+                v = tbl.commit(_df(spark, rows), mode="overwrite")
+                cur = list(rows)
+            elif roll < 0.85:
+                v = tbl.compact(spark, target_files=1)
+            else:
+                from kafka_database_import_spark.sources.snapshot import vacuum
+
+                keep = rng.randint(1, len(model))
+                vacuum(tbl, retain_last=keep)
+                dropped = sorted(model)[:-keep]
+                for d in dropped:
+                    model.pop(d)
+                continue
+            model[v] = list(cur)
+        assert tbl.versions() == sorted(model)
+        for v, rows in model.items():
+            assert _rows(tbl.read(spark, version=v)) == sorted(rows), (
+                f"seed={seed} version={v}"
+            )
