@@ -359,3 +359,41 @@ def test_random_op_sequences_match_list_model(spark, tmp_path):
             assert _rows(tbl.read(spark, version=v)) == sorted(rows), (
                 f"seed={seed} version={v}"
             )
+
+
+def test_time_sorted_commits_prune_most_files_on_time_ranges(spark, tmp_path):
+    """The layout discipline that makes manifest pruning BITE at scale:
+    committing time-range-partitioned files (repartitionByRange on ts)
+    gives each file a narrow ts span, so a time-window query plans a
+    small fraction of files from the manifest alone. This is the
+    snapshot-format analog of the Z-order per-file span narrowing
+    (operators/zorder.py) — same stats, layout chosen to make them
+    selective."""
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.sources.readers import load_table
+    from kafka_database_import_spark.sources.snapshot import StatsSnapshotTable
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id"
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+
+    tbl = StatsSnapshotTable(str(tmp_path / "t"), stats_cols=["ts_us"])
+    tbl.commit(ev.repartitionByRange(8, "ts_us"))
+    n_files = len(tbl.manifest()["files"])
+    assert n_files == 8
+
+    span = hi - lo
+    q_lo, q_hi = lo + span // 2, lo + span // 2 + span // 20  # 5% window
+    pruned = tbl.read_pruned(spark, "ts_us", q_lo, q_hi)
+    kept, total = tbl.last_pruned_counts
+    assert total == 8 and kept <= 2, f"kept {kept}/{total} — layout not selective"
+    full = tbl.read(spark).filter(F.col("ts_us").between(q_lo, q_hi))
+    assert pruned.count() == full.count() > 0
+    # contrast: the same data committed UNSORTED prunes nothing
+    messy = StatsSnapshotTable(str(tmp_path / "m"), stats_cols=["ts_us"])
+    messy.commit(ev.repartition(8))
+    messy.read_pruned(spark, "ts_us", q_lo, q_hi)
+    kept_m, total_m = messy.last_pruned_counts
+    assert (kept_m, total_m) == (8, 8)  # every file spans ~the whole range
