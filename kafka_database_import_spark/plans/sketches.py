@@ -142,3 +142,117 @@ def q99zg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct", "n_users"
     )
     return ordered(counts, "event_type", "n_users")
+
+
+def build_histogram_sketch(
+    df: DataFrame, group_col: str, value_col: str, lo: int, hi: int, n_buckets: int
+) -> DataFrame:
+    """(group, bucket, cnt) — a fixed-range equi-width histogram as a
+    MERGEABLE quantile sketch (the fourth classic sketch next to HLL
+    distinct, count-min frequency, and bitmap exact-distinct).
+
+    State is ≤ ``n_buckets`` integer counts per group regardless of row
+    count; two days' histograms merge by ADDING counts; any quantile
+    reads off the cumulative counts with error ≤ one bucket width —
+    deterministic, integer-only, engine-exact. Honest trade-off vs
+    KLL/t-digest: the value range must be known up front (true for
+    bounded business domains — prices, latencies with a cap, scores)
+    and error is absolute in VALUE space, not rank space. Values
+    outside [lo, hi) clamp into the edge buckets."""
+    width = (hi - lo) // n_buckets
+    if width <= 0:
+        raise ValueError("hi - lo must be >= n_buckets (integer bucket width)")
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bucket = F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)).cast("long")
+    return df.groupBy(F.col(group_col), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def merge_histogram_sketches(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Add counts bucket-wise — cross-day/cross-source union without
+    rescanning raw data."""
+    return sketches.groupBy(*group_cols, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    sketches: DataFrame, group_col: str, qs_pct: list[int], lo: int, hi: int, n_buckets: int
+) -> DataFrame:
+    """(group, q_pct, bucket_lo) — for each requested percentile, the
+    lower edge of the first bucket whose cumulative count reaches
+    ``ceil(q% · total)`` (percentile_disc rank semantics, integer
+    arithmetic end to end)."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) // n_buckets
+    w = Window.partitionBy(group_col).orderBy("bucket")
+    cum = sketches.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy(group_col))
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(q,) for q in qs_pct], "q_pct LONG"
+    )
+    hit = cum.crossJoin(F.broadcast(qdf)).filter(
+        F.col("cum") * 100 >= F.col("q_pct") * F.col("total")
+    )
+    first = (
+        hit.groupBy(group_col, "q_pct")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            group_col,
+            "q_pct",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bucket_lo"),
+        )
+    )
+    return first
+
+
+@query(
+    "q99zm_histogram_quantiles",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ),
+    b AS (
+      SELECT status,
+             LEAST(GREATEST(CAST(FLOOR(c / 60000) AS BIGINT), 0), 999) AS bucket,
+             COUNT(*) AS cnt
+      FROM cents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT status, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY status ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY status) AS total
+      FROM b
+    ),
+    qs AS (SELECT unnest([50, 90, 99]) AS q_pct)
+    SELECT status, q_pct,
+           MIN(bucket) * 60000 AS bucket_lo
+    FROM cum CROSS JOIN qs
+    WHERE cum * 100 >= q_pct * total
+    GROUP BY status, q_pct
+    ORDER BY status NULLS LAST, q_pct NULLS LAST, bucket_lo NULLS LAST
+    """,
+)
+def q99zm_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of order value per status THROUGH the mergeable
+    histogram sketch (1,000 buckets over [0, 600k) in integer cents,
+    bucket width 60000 = $600): build → cumulative-rank extraction,
+    integer arithmetic end to end so DuckDB running the identical
+    bucket formula matches bit-for-bit. Contrast q53's exact
+    percentiles (full sort per group — the right answer when you can
+    afford a rescan) and q53b's approx_percentile (better error, not
+    mergeable-persistable): this state is ≤1,000 longs per group,
+    persists, and merges across days by addition
+    (merge_histogram_sketches; merge-consistency property-tested)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    sk = build_histogram_sketch(cents, "status", "c", 0, 60_000_000, 1000)
+    out = histogram_quantiles(sk, "status", [50, 90, 99], 0, 60_000_000, 1000)
+    return ordered(out, "status", "q_pct", "bucket_lo")

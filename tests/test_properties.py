@@ -508,3 +508,60 @@ def test_cdc_apply_matches_sequential_replay_model(spark):
         # looks only at the final one — they agree exactly because
         # upserts carry full rows (no partial updates in this model)
         assert got == want, f"seed={seed}: {got} != {want}"
+
+
+def test_histogram_sketch_merges_exactly_and_bounds_quantile_error(spark, sf_dir):
+    """(1) Building histograms on two disjoint halves and merging must
+    equal the whole-corpus build EXACTLY (counts are integers — merge
+    is addition). (2) Every sketch quantile must sit within one bucket
+    width of the exact percentile_disc value."""
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.plans.sketches import (
+        build_histogram_sketch,
+        histogram_quantiles,
+        merge_histogram_sketches,
+    )
+    from kafka_database_import_spark.sources.readers import load_table
+
+    LO, HI, NB = 0, 60_000_000, 1000
+    width = (HI - LO) // NB
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+        F.col("o_orderkey"),
+    )
+    whole = build_histogram_sketch(cents, "status", "c", LO, HI, NB)
+    halves = build_histogram_sketch(
+        cents.filter(F.col("o_orderkey") % 2 == 0), "status", "c", LO, HI, NB
+    ).unionAll(
+        build_histogram_sketch(
+            cents.filter(F.col("o_orderkey") % 2 == 1), "status", "c", LO, HI, NB
+        )
+    )
+    merged = merge_histogram_sketches(halves, ["status"])
+    as_map = lambda df: {
+        (r["status"], r["bucket"]): r["cnt"] for r in df.collect()
+    }
+    assert as_map(merged) == as_map(whole)  # byte-exact merge
+
+    got = {
+        (r["status"], r["q_pct"]): r["bucket_lo"]
+        for r in histogram_quantiles(whole, "status", [50, 90, 99], LO, HI, NB).collect()
+    }
+    exact = {
+        (r["status"], q): r[f"p{q}"]
+        for r in cents.groupBy("status")
+        .agg(
+            *[
+                F.expr(f"percentile_disc(0.{q}) WITHIN GROUP (ORDER BY c)").alias(f"p{q}")
+                for q in (50, 90, 99)
+            ]
+        )
+        .collect()
+        for q in (50, 90, 99)
+    }
+    for key, bucket_lo in got.items():
+        assert abs(bucket_lo - exact[key]) <= width, (
+            f"{key}: sketch {bucket_lo} vs exact {exact[key]} (width {width})"
+        )
