@@ -565,3 +565,37 @@ def test_histogram_sketch_merges_exactly_and_bounds_quantile_error(spark, sf_dir
         assert abs(bucket_lo - exact[key]) <= width, (
             f"{key}: sketch {bucket_lo} vs exact {exact[key]} (width {width})"
         )
+
+
+def test_bitmap_state_survives_persistence(spark, sf_dir, tmp_path):
+    """The build-once/merge-forever contract requires the bitmap state
+    to round-trip storage: write (group, bucket, bitmap) to parquet,
+    read back, counts must be identical — binary column fidelity."""
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.plans.sketches import (
+        bitmap_distinct,
+        build_bitmaps,
+    )
+    from kafka_database_import_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    state = build_bitmaps(ev, "event_type", "user_id")
+    before = {
+        r["event_type"]: r["n_distinct"]
+        for r in bitmap_distinct(state, ["event_type"]).collect()
+    }
+    path = str(tmp_path / "bitmap_state")
+    state.write.parquet(path)
+    restored = spark.read.parquet(path)
+    after = {
+        r["event_type"]: r["n_distinct"]
+        for r in bitmap_distinct(restored, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert before == after == exact
