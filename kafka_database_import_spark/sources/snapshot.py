@@ -362,14 +362,21 @@ class SnapshotCommitSink:
 
     def __init__(self, table: SnapshotTable):
         self.table = table
+        self._epochs: set[int] | None = None  # seeded from disk on first use
 
     def committed_epochs(self) -> set[int]:
-        out = set()
-        for v in self.table.versions():
-            e = self.table.manifest(v).get("epoch_id")
-            if e is not None:
-                out.add(e)
-        return out
+        """Epoch ids already visible on disk. Scanned ONCE per sink
+        instance (a restart builds a fresh instance, re-seeding from
+        the manifests); within a run the set grows in memory — a
+        per-batch rescan would make a long-running stream O(versions²)
+        in manifest reads."""
+        if self._epochs is None:
+            self._epochs = set()
+            for v in self.table.versions():
+                e = self.table.manifest(v).get("epoch_id")
+                if e is not None:
+                    self._epochs.add(e)
+        return self._epochs
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id in self.committed_epochs():
@@ -395,6 +402,7 @@ class SnapshotCommitSink:
                 "files": prev + files,
             },
         )
+        self.committed_epochs().add(epoch_id)
 
 
 def vacuum(tbl: SnapshotTable, retain_last: int = 1) -> dict:
