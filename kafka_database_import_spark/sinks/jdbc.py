@@ -278,6 +278,13 @@ class CdcDbApiSink:
     database, which is what lets a 1000-executor ingest fan into the
     same mirror without cross-batch coordination. The mirror table must
     contain the seq column for the guard to bite.
+
+    Transport note (same split as :class:`DbApiUpsertSink`): compacted
+    rows travel through the driver (``toLocalIterator``) — right for
+    tests and control tables. The 100 TB path stages executor-parallel
+    via ``write.jdbc`` and runs the SAME delete/upsert SQL, and the
+    per-batch volume is already compacted to ≤ one row per touched key
+    before transport either way.
     """
 
     def __init__(
