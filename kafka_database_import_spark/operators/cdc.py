@@ -36,6 +36,7 @@ def apply_changelog(
     seq_col: str,
     op_col: str,
     delete_op: str = "D",
+    valid_ops: Sequence[str] | None = None,
 ) -> DataFrame:
     """Compact a changelog to final state: per key, keep the row with
     the highest ``seq_col``; if that row's ``op_col`` is ``delete_op``
@@ -43,10 +44,37 @@ def apply_changelog(
     within a key (ties would make "last" ambiguous — CDC sources
     guarantee this by construction: LSNs are unique per row).
 
+    Every op other than ``delete_op`` is an upsert — which silently
+    absorbs CORRUPT op codes. Pass ``valid_ops`` (e.g. Debezium's
+    ``("c", "u", "r", "d")``) to fail the job on the first unknown op
+    instead: a poisoned feed should stop the pipeline, not write
+    garbage rows into the mirror (the q49 dead-letter split is the
+    right tool when quarantine is preferred over failure).
+
     The output keeps ``seq_col`` and drops ``op_col`` — downstream
     consumers (and :class:`CdcDbApiSink`'s mirror table) need the seq
     for monotonic-apply guards but not the already-applied op.
     """
+    if valid_ops is not None:
+        if delete_op not in valid_ops:
+            raise ValueError(f"delete_op {delete_op!r} not in valid_ops {valid_ops}")
+        # the check rides the op column itself — a side-channel assert
+        # column would be pruned away by the optimizer before executing
+        df = df.withColumn(
+            op_col,
+            F.when(F.col(op_col).isin(*valid_ops), F.col(op_col)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "unknown CDC op (expected one of "
+                            + ", ".join(f"'{o}'" for o in valid_ops)
+                            + "): "
+                        ),
+                        F.col(op_col),
+                    )
+                )
+            ),
+        )
     w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
     return (
         df.withColumn("_rn", F.row_number().over(w))

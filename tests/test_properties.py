@@ -599,3 +599,33 @@ def test_bitmap_state_survives_persistence(spark, sf_dir, tmp_path):
         .collect()
     }
     assert before == after == exact
+
+
+def test_cdc_apply_valid_ops_rejects_corrupt_feed(spark):
+    """With valid_ops set, a poisoned op code fails the job instead of
+    silently upserting; without it, unknown ops upsert (documented)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from pyspark.sql import types as T
+
+    from kafka_database_import_spark.operators.cdc import apply_changelog
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    rows = [(1, 1, "U", "a"), (2, 2, "X", "poison"), (1, 3, "D", None)]
+    df = spark.createDataFrame(rows, schema)
+    # lenient default: 'X' upserts
+    got = {r["k"]: r["v"] for r in apply_changelog(df, ["k"], "seq", "op").collect()}
+    assert got == {2: "poison"}
+    # strict: job fails on the unknown op
+    with pytest.raises(SparkRuntimeException, match="unknown CDC op"):
+        apply_changelog(df, ["k"], "seq", "op", valid_ops=("U", "D")).collect()
+    # misconfiguration caught eagerly
+    with pytest.raises(ValueError, match="delete_op"):
+        apply_changelog(df, ["k"], "seq", "op", delete_op="D", valid_ops=("U",))
