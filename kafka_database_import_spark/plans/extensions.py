@@ -934,49 +934,14 @@ def q99zk_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized multi-edges first, and the count is orientation-
     independent so the implementations can differ — which is the
     point."""
+    from kafka_database_import_spark.operators.graph import count_triangles
+
     orders = load_table(spark, sf_dir, "orders")
-    raw = orders.select(
-        F.col("o_custkey").alias("x"),
-        ((F.col("o_orderkey") * 40503) % 1500).alias("y"),
-    ).filter(F.col("x") != F.col("y"))
-    edges = raw.select(
-        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
-    ).distinct()
-    # Orientation needs only the TOTAL ORDER (deg, id) — compared
-    # per-edge, never materialized as a global rank (a global
-    # row_number would itself be a single-partition bottleneck).
-    deg = (
-        edges.select(F.col("a").alias("node"))
-        .unionAll(edges.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    edges = orders.select(
+        F.col("o_custkey").alias("a"),
+        ((F.col("o_orderkey") * 40503) % 1500).alias("b"),
     )
-    with_deg = (
-        edges.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
-        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
-    )
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = with_deg.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
-    )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    lex_lt = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
-        (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
-        & (F.col("e1.dst") < F.col("e2.dst"))
-    )
-    # wedges pivot on their lowest-(deg, id) vertex; each unordered
-    # (v, w) pair appears once, already oriented v -> w by lex_lt, so
-    # the closing edge (if it exists) is in `oriented` with that exact
-    # direction. Distinct wedges are distinct triangles -> inner join.
-    wedges = e1.join(
-        e2, (F.col("e1.src") == F.col("e2.src")) & lex_lt
-    ).select(F.col("e1.dst").alias("src"), F.col("e2.dst").alias("dst"))
-    tri = wedges.join(oriented.select("src", "dst"), ["src", "dst"], "inner")
-    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return count_triangles(edges)
 
 
 @query(

@@ -629,3 +629,34 @@ def test_cdc_apply_valid_ops_rejects_corrupt_feed(spark):
     # misconfiguration caught eagerly
     with pytest.raises(ValueError, match="delete_op"):
         apply_changelog(df, ["k"], "seq", "op", delete_op="D", valid_ops=("U",))
+
+
+def test_triangle_count_matches_brute_force_on_random_graphs(spark):
+    """Model-based check of the degree-oriented wedge algorithm:
+    random G(n, p) graphs (with deliberate multi-edges, reversed
+    duplicates, and self-loops thrown in) vs an itertools brute force
+    over all vertex triples."""
+    import itertools
+    import random
+
+    from kafka_database_import_spark.operators.graph import count_triangles
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        n = rng.randint(8, 16)
+        edges = set()
+        for u, v in itertools.combinations(range(n), 2):
+            if rng.random() < 0.35:
+                edges.add((u, v))
+        want = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in edges and (b, c) in edges and (a, c) in edges
+        )
+        rows = [list(e) for e in edges]
+        # adversarial noise the operator must normalize away
+        rows += [[v, u] for (u, v) in list(edges)[: len(edges) // 3]]  # reversed dups
+        rows += [[u, u] for u in range(0, n, 3)]  # self-loops
+        df = spark.createDataFrame(rows, "a LONG, b LONG")
+        got = count_triangles(df).collect()[0]["n_triangles"]
+        assert got == want, f"seed={seed}: {got} != brute-force {want}"
