@@ -444,3 +444,21 @@ def vacuum(tbl: SnapshotTable, retain_last: int = 1) -> dict:
         "removed_files": removed_files,
         "retained_versions": sorted(keep_v),
     }
+
+
+def commit_with_retry(
+    tbl: SnapshotTable, df: DataFrame, mode: str = "append", attempts: int = 5
+) -> int:
+    """The standard optimistic-concurrency loop around
+    :meth:`SnapshotTable.commit`: on losing a version race, re-read the
+    head and try again (append lineage re-bases cleanly; data files of
+    lost attempts stay unreferenced for vacuum). Gives up after
+    ``attempts`` losses — sustained contention means the writers should
+    be batched, not retried forever."""
+    last: ConcurrentCommitError | None = None
+    for _ in range(attempts):
+        try:
+            return tbl.commit(df, mode)
+        except ConcurrentCommitError as e:
+            last = e
+    raise last  # type: ignore[misc]

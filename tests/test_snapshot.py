@@ -397,3 +397,32 @@ def test_time_sorted_commits_prune_most_files_on_time_ranges(spark, tmp_path):
     messy.read_pruned(spark, "ts_us", q_lo, q_hi)
     kept_m, total_m = messy.last_pruned_counts
     assert (kept_m, total_m) == (8, 8)  # every file spans ~the whole range
+
+
+def test_commit_with_retry_wins_after_races_and_gives_up_eventually(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import (
+        ConcurrentCommitError,
+        commit_with_retry,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]))
+    other = SnapshotTable(str(tmp_path / "t"))
+
+    real_publish = tbl._publish
+    races = {"left": 2}
+
+    def racing_publish(version, manifest):
+        if races["left"] > 0:
+            races["left"] -= 1
+            other.commit(_df(spark, [(50 + races["left"], "r")]))  # rival wins
+        return real_publish(version, manifest)
+
+    tbl._publish = racing_publish
+    v = commit_with_retry(tbl, _df(spark, [(2, "b")]))
+    assert v == 4  # two rivals took 2 and 3
+    assert (2, "b") in _rows(tbl.read(spark))
+
+    races["left"] = 99  # permanent contention: must give up, not spin
+    with pytest.raises(ConcurrentCommitError):
+        commit_with_retry(tbl, _df(spark, [(3, "c")]), attempts=3)
