@@ -94,8 +94,12 @@ def compare(
     if sh != oh:
         sc = canonicalize(s_rows, s_cols)
         oc = canonicalize(o_rows, o_cols)
-        only_s = [x for x in sc if x not in set(oc)][:3]
-        only_o = [x for x in oc if x not in set(sc)][:3]
+        # sets hoisted: building them inside the comprehension predicate
+        # re-evaluates set() PER ELEMENT — O(n²) — which turned a large
+        # mismatch diff into a multi-hour hang (caught on the 10× sweep)
+        oc_set, sc_set = set(oc), set(sc)
+        only_s = [x for x in sc if x not in oc_set][:3]
+        only_o = [x for x in oc if x not in sc_set][:3]
         diff = (
             f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)} "
             f"spark-only={only_s} oracle-only={only_o}"
