@@ -122,3 +122,31 @@ def run_all(
         df = q.fn(spark, sf_dir)
         results.append(compare(name, df, q.oracle, con))
     return results
+
+
+def compare_checksum(
+    name: str,
+    spark_df: DataFrame,
+    oracle_sql: str,
+    con: "duckdb.DuckDBPyConnection",
+    sum_cols: list[str],
+) -> DiffResult:
+    """Differential comparison for queries whose OUTPUT is too large to
+    hash driver-side (q99k emits 313M rows at 10×): each engine
+    aggregates its own result to ``COUNT(*)`` plus exact integer SUMs
+    of ``sum_cols``, and only those few integers cross the wire.
+    Column sums are order-insensitive and bit-exact for integer
+    columns, so a count+sums match over hundreds of millions of rows
+    is strong evidence at ~zero transfer cost; value-hash comparison
+    (:func:`compare`) remains the method wherever results fit."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(c).alias(f"s_{c}") for c in sum_cols
+    ]
+    s = tuple(spark_df.agg(*aggs).collect()[0])
+    sums = ", ".join(f"SUM({c})" for c in sum_cols)
+    o = con.sql(f"SELECT COUNT(*), {sums} FROM ({oracle_sql})").fetchone()
+    sh, oh = str(s), str(tuple(o))
+    return DiffResult(name, s[0], o[0], sh, oh, s == tuple(o),
+                      "" if s == tuple(o) else f"spark={sh} oracle={oh}")

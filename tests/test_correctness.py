@@ -36,3 +36,19 @@ def test_smoke(spark, sf_dir, name):
     df = q.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_checksum_compare_agrees_with_hash_compare(spark, sf_dir, con):
+    """compare_checksum must agree with full hash compare on a query
+    where both are feasible — and detect an injected off-by-one."""
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.oracle import compare_checksum
+
+    q = _QUERIES["q99zi_cdc_apply"]
+    df = q.fn(spark, sf_dir)
+    r = compare_checksum("q99zi", df, q.oracle, con, ["k", "last_seq"])
+    assert r.match and r.spark_rows == r.oracle_rows > 0
+    tampered = df.withColumn("last_seq", F.col("last_seq") + (F.col("k") == 7).cast("long"))
+    r2 = compare_checksum("q99zi_tampered", tampered, q.oracle, con, ["k", "last_seq"])
+    assert not r2.match
