@@ -941,3 +941,258 @@ def q99zf_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, queries, k=5, n_lists=16, n_probe=4).orderBy(
         "query_id", "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# Q47 extensions — audio / video / resize (multimodal/media.py)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q99zn_audio_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INT) AS channels,
+             CAST(500 + doc_id % 7 AS BIGINT) AS n_frames
+      FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+    ),
+    fr AS (SELECT doc_id, channels, n_frames,
+                  unnest(generate_series(0, n_frames - 1)) AS i
+           FROM d),
+    s AS (SELECT doc_id, channels, n_frames, i,
+                 unnest(generate_series(0, channels - 1)) AS ch
+          FROM fr),
+    x AS (SELECT doc_id, channels, n_frames, i, ch,
+                 ((doc_id*3 + i*5 + ch*11) % 256 - 128) * 64 AS v
+          FROM s),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+             CAST(MAX(ABS(v)) AS INT) AS peak
+      FROM x GROUP BY doc_id
+    ),
+    zc AS (
+      SELECT doc_id, COUNT(*) AS zero_crossings
+      FROM (
+        SELECT doc_id, (v >= 0) AS sgn,
+               LAG(v >= 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM x WHERE ch = 0
+      ) WHERE prev IS NOT NULL AND sgn <> prev
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, 8000 AS sample_rate, d.channels, d.n_frames,
+           agg.sum_sq, agg.peak,
+           CAST(COALESCE(zc.zero_crossings, 0) AS BIGINT) AS zero_crossings,
+           d.n_frames * 125 AS duration_us
+    FROM d JOIN agg USING (doc_id) LEFT JOIN zc USING (doc_id)
+    ORDER BY doc_id NULLS LAST
+    """,
+)
+def q99zn_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode at catalog level: synthesize a deterministic
+    16-bit PCM WAV per document (mono/stereo alternating, sample value
+    a closed-form function of (doc_id, i, channel)), push the bytes
+    through the full RIFF encode → Arrow → chunk-walk decode →
+    feature-extract path (``multimodal/media.py``), and emit the
+    integer-exact features (Σx², peak, zero-crossings). Because the
+    waveform is closed-form, DuckDB recomputes every feature from
+    ``generate_series`` — a full hash oracle over a binary-codec path.
+    ``duration_us`` is derived integer arithmetic
+    (``n_frames·10⁶ div rate``), exact at 8 kHz."""
+    from kafka_database_import_spark.multimodal.media import (
+        encode_wav as _enc,
+        extract_audio_features,
+    )
+
+    enc = _enc  # closure-capture for by-value pickling on workers
+
+    def _synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                channels = 1 + doc_id % 2
+                n = 500 + doc_id % 7
+                i = np.arange(n, dtype=np.int64)[:, None]
+                ch = np.arange(channels, dtype=np.int64)[None, :]
+                x = ((doc_id * 3 + i * 5 + ch * 11) % 256 - 128) * 64
+                payloads.append(enc(x.astype(np.int16), 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(200)
+    corpus = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    feats = extract_audio_features(corpus)
+    out = feats.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "sum_sq",
+        "peak",
+        "zero_crossings",
+        F.expr("n_frames * 1000000 div sample_rate").alias("duration_us"),
+    )
+    return ordered(out, "doc_id")
+
+
+@query(
+    "q99zo_video_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 8 AS INT) AS width,
+             CAST(8 + doc_id % 4 AS INT) AS height,
+             CAST(4 + doc_id % 9 AS INT) AS n_frames
+      FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150)
+    ),
+    fr AS (
+      SELECT doc_id, width, height, n_frames,
+             unnest(generate_series(0, n_frames - 1)) AS f
+      FROM d
+    ),
+    sampled AS (SELECT * FROM fr WHERE f % 3 = 0),
+    rr AS (SELECT doc_id, width, height, n_frames, f,
+                  unnest(generate_series(0, height - 1)) AS r
+           FROM sampled),
+    cc AS (SELECT doc_id, width, height, n_frames, f, r,
+                  unnest(generate_series(0, width - 1)) AS c
+           FROM rr)
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           n_frames, width, height,
+           CAST(SUM((doc_id*31 + f*17 + r + c) % 256) AS BIGINT) AS y_sum
+    FROM cc
+    GROUP BY doc_id, f, n_frames, width, height
+    ORDER BY doc_id NULLS LAST, frame_idx NULLS LAST
+    """,
+)
+def q99zo_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling at catalog level: synthesize a
+    deterministic YUV4MPEG2 (C444) stream per document — per-frame Y
+    plane a closed-form gradient of (doc_id, frame, row, col) — then
+    run the one-to-many ``sample_video_frames`` pass (every 3rd frame,
+    integer luma sum per sampled frame). The decode fan-out shape
+    (rows out ≠ rows in, single Arrow pass) that real frame extraction
+    uses at 100 TB; the closed-form pixels give DuckDB a full hash
+    oracle over the container parse + plane geometry."""
+    from kafka_database_import_spark.multimodal.media import (
+        encode_y4m as _enc,
+        sample_video_frames,
+    )
+
+    enc = _enc
+
+    def _synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 16 + doc_id % 8, 8 + doc_id % 4
+                n_frames = 4 + doc_id % 9
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                frames = []
+                for f in range(n_frames):
+                    y = ((doc_id * 31 + f * 17 + r + c) % 256).astype(np.uint8)
+                    uv = np.full((h, w), 128, np.uint8)
+                    frames.append(np.stack([y, uv, uv]))
+                payloads.append(enc(frames, fps=25))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(150)
+    corpus = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    out = sample_video_frames(corpus, every_n=3)
+    return ordered(out, "doc_id", "frame_idx")
+
+
+@query(
+    "q99zp_image_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 16 AS BIGINT) AS src_w,
+             CAST(8 + doc_id % 8 AS BIGINT) AS src_h
+      FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 300)
+    ),
+    rr AS (SELECT doc_id, src_w, src_h, unnest(generate_series(0, 4)) AS r FROM d),
+    cc AS (SELECT doc_id, src_w, src_h, r, unnest(generate_series(0, 6)) AS c FROM rr)
+    SELECT doc_id,
+           7 AS width, 5 AS height,
+           CAST(SUM((doc_id + (r * src_h) // 5 + (c * src_w) // 7) % 256) AS BIGINT)
+             AS y_sum,
+           CAST(MAX(doc_id % 256) AS INT) AS tl,
+           CAST(MAX((doc_id + (4 * src_h) // 5 + (6 * src_w) // 7) % 256) AS INT) AS br
+    FROM cc
+    GROUP BY doc_id
+    ORDER BY doc_id NULLS LAST
+    """,
+)
+def q99zp_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (thumbnail) pass at catalog level: synthesize a
+    deterministic gradient BMP per document (pixel value
+    ``(doc_id + row + col) % 256`` in all channels, per-doc geometry),
+    run ``resize_images`` (codec-free decode → nearest-neighbor
+    ``(dst·src)//out`` index mapping → BMP re-encode), then decode the
+    RESIZED payloads and emit integer pixel evidence (channel-0 sum +
+    corner pixels). Both the resize arithmetic and the BMP round trip
+    are closed-form, so DuckDB recomputes the expected thumbnail
+    pixels exactly — a hash oracle over a binary→binary media op."""
+    from kafka_database_import_spark.multimodal.decode import (
+        decode_image,
+        encode_bmp as _enc,
+    )
+    from kafka_database_import_spark.multimodal.media import resize_images
+
+    enc, dec = _enc, decode_image
+
+    def _synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 16, 8 + doc_id % 8
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                px = ((doc_id + r + c) % 256).astype(np.uint8)
+                payloads.append(enc(np.broadcast_to(px, (h, w, 3)).copy()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def _evidence(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, px = dec(bytes(buf))
+                rows.append(
+                    (
+                        doc_id,
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        int(px[:, :, 0].sum(dtype="int64")),
+                        int(px[0, 0, 0]),
+                        int(px[-1, -1, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "y_sum", "tl", "br"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(300)
+    corpus = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    resized = resize_images(corpus, out_w=7, out_h=5)
+    out = resized.mapInPandas(
+        _evidence,
+        schema="doc_id long, width int, height int, y_sum long, tl int, br int",
+    )
+    return ordered(out, "doc_id")
