@@ -1003,3 +1003,69 @@ def q99zl_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("loo_mean"),
     )
     return ordered(out, "c_custkey", "segment", "loo_cents", "loo_n", "loo_mean")
+
+
+@query(
+    "q99zq_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS cust,
+           o_orderstatus AS status,
+           epoch_us(o_orderdate) AS odate_us,
+           o_orderpriority AS prio,
+           o_orderkey % 7 AS m7,
+           (o_orderkey % 11) + (o_orderkey % 13) AS tag_sum
+    FROM orders
+    ORDER BY o_orderkey NULLS LAST
+    """,
+)
+def q99zq_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 ``to_xml`` / ``from_xml``): every
+    order is serialized to an XML document (nested struct + repeated
+    ``tags`` elements), then parsed back with a typed ``from_xml``
+    schema and unnested — the semi-structured round trip a feed
+    ingesting XML payloads runs, entirely JVM-side (both functions are
+    Catalyst expressions, no Python in the path). Timestamps travel as
+    integer epoch-micros inside the document, so the oracle recomputes
+    every extracted field from the base table exactly — the hash match
+    proves serializer and parser agree on nesting, arrays, and types.
+    (No Avro twin: the spark-avro connector module is not in this
+    runtime and packages cannot be installed — documented boundary.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    doc = orders.select(
+        "o_orderkey",
+        F.to_xml(
+            F.struct(
+                F.col("o_custkey").alias("cust"),
+                F.col("o_orderstatus").alias("status"),
+                F.unix_micros(F.col("o_orderdate")).alias("odate_us"),
+                F.struct(
+                    F.col("o_orderpriority").alias("prio"),
+                    (F.col("o_orderkey") % 7).alias("m7"),
+                ).alias("meta"),
+                F.array(
+                    F.col("o_orderkey") % 11, F.col("o_orderkey") % 13
+                ).alias("tags"),
+            )
+        ).alias("xml"),
+    )
+    parsed = doc.select(
+        "o_orderkey",
+        F.from_xml(
+            F.col("xml"),
+            "cust LONG, status STRING, odate_us LONG, "
+            "meta STRUCT<prio: STRING, m7: LONG>, tags ARRAY<LONG>",
+        ).alias("p"),
+    )
+    out = parsed.select(
+        "o_orderkey",
+        F.col("p.cust").alias("cust"),
+        F.col("p.status").alias("status"),
+        F.col("p.odate_us").alias("odate_us"),
+        F.col("p.meta.prio").alias("prio"),
+        F.col("p.meta.m7").alias("m7"),
+        F.aggregate(
+            F.col("p.tags"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("tag_sum"),
+    )
+    return ordered(out, "o_orderkey")
