@@ -320,3 +320,125 @@ def q84_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM docs_to_chunk d, LATERAL chunk_doc(d.doc_id, d.text) c"
     )
     return ordered(out)
+
+
+@query(
+    "q99zr_grouped_map",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    g AS (
+      SELECT c_custkey, segment, cents,
+             SUM(cents) OVER (PARTITION BY segment) AS seg_cents,
+             COUNT(*) OVER (PARTITION BY segment) AS seg_n,
+             RANK() OVER (PARTITION BY segment ORDER BY cents) AS bal_rank
+      FROM t
+    )
+    SELECT c_custkey, segment,
+           cents * seg_n - seg_cents AS dev_scaled,
+           CAST(bal_rank AS BIGINT) AS bal_rank
+    FROM g
+    ORDER BY c_custkey NULLS LAST, segment NULLS LAST,
+             dev_scaled NULLS LAST, bal_rank NULLS LAST
+    """,
+)
+def q99zr_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``groupBy().applyInPandas`` — the per-group pandas
+    transform API (one pandas frame per group), completing the Q39–Q42
+    UDF family alongside the grouped-AGG (q41) and COGROUPED (q67)
+    variants. Each market segment arrives as one frame; the function
+    emits an integer-exact within-group deviation (``cents·n − Σcents``
+    — no float mean, so both engines agree bit-for-bit) and a min-rank.
+    Scale note: groups here are the 5 segments — fine for a demo, but
+    the operator contract at 100 TB is the same as q67's: key the
+    grouping by a HASH BUCKET when real groups are unbounded, since
+    one group must fit one executor's memory."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = pdf["cents"]
+        n = len(pdf)
+        out = pdf[["c_custkey", "segment"]].copy()
+        out["dev_scaled"] = cents * n - cents.sum()
+        out["bal_rank"] = cents.rank(method="min").astype("int64")
+        return out
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    out = cust.groupBy("segment").applyInPandas(
+        per_group,
+        schema="c_custkey long, segment string, dev_scaled long, bal_rank long",
+    )
+    return ordered(out, "c_custkey", "segment", "dev_scaled", "bal_rank")
+
+
+@query(
+    "q99zs_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS q100,
+           CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) % 7 AS bucket7
+    FROM lineitem
+    WHERE l_quantity > 45
+    ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST,
+             q100 NULLS LAST, bucket7 NULLS LAST
+    """,
+)
+def q99zs_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy Arrow-native batch API (one
+    ``pyarrow.RecordBatch`` in/out, no pandas conversion), the fastest
+    Python escape hatch when an operator needs columnar compute Spark
+    lacks. The batch function runs entirely in ``pyarrow.compute``
+    kernels (C++ SIMD), showing the pattern: filter/compute stay in
+    Arrow memory end-to-end. The predicate is applied BEFORE the
+    Python boundary so Parquet pushdown still sees it."""
+
+    def arrow_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            col = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            t = pa.table(
+                {
+                    "l_orderkey": col["l_orderkey"],
+                    "l_linenumber": col["l_linenumber"],
+                    "q100": pc.cast(
+                        pc.floor(
+                            pc.add(pc.multiply(col["l_quantity"], pa.scalar(100.0)), pa.scalar(0.5))
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+            t = t.append_column(
+                "bucket7",
+                pc.subtract(
+                    t.column("q100"),
+                    pc.multiply(
+                        pc.cast(
+                            pc.floor(pc.divide(pc.cast(t.column("q100"), pa.float64()), pa.scalar(7.0))),
+                            pa.int64(),
+                        ),
+                        pa.scalar(7, pa.int64()),
+                    ),
+                ),
+            )
+            for out in t.to_batches():
+                yield out
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    out = li.mapInArrow(
+        arrow_batches,
+        schema="l_orderkey long, l_linenumber int, q100 long, bucket7 long",
+    )
+    return ordered(out, "l_orderkey", "l_linenumber", "q100", "bucket7")
