@@ -454,3 +454,77 @@ def test_empty_input_grouping_sets_divergence_is_pinned(spark):
     assert empty_gs == []          # Spark: no rows
     assert [r["n"] for r in plain] == [0]  # Spark plain agg: the 0 row
     assert duck == [(0,)]          # DuckDB: the standard 0 row
+
+
+def _subquery_query(seed: int) -> str:
+    """Random scalar + correlated-membership subqueries: (NOT) EXISTS /
+    (NOT) IN against a correlated lineitem subquery, a correlated
+    scalar COUNT/MAX in the SELECT list, and optionally an uncorrelated
+    scalar-aggregate comparison in WHERE. Decorrelation (subquery →
+    join rewrite) and NOT IN's three-valued NULL semantics are the two
+    places engines classically diverge; every construct here forces
+    one of those rewrites. Arithmetic is integer-only by construction."""
+    rng = random.Random(seed + 70_000)
+
+    def li_pred():
+        col, kind = rng.choice([c for c in LINEITEM_COLS if c[1] != "num"])
+        if kind == "str":
+            return f"(l.{col} {rng.choice(CMP)} {rng.choice(STR_LITERALS)})"
+        return f"(l.{col} {rng.choice(CMP)} {rng.randint(0, 40)})"
+
+    membership = rng.choice(["EXISTS", "NOT EXISTS", "IN", "NOT IN"])
+    if membership in ("EXISTS", "NOT EXISTS"):
+        member = (
+            f"{membership} (SELECT 1 FROM lineitem l"
+            f" WHERE l.l_orderkey = o.o_orderkey AND {li_pred()})"
+        )
+    else:
+        # membership over a key subquery; NOT IN exercises 3VL if the
+        # inner side were NULL-able — engines must agree either way
+        member = (
+            f"o.o_custkey {membership} (SELECT c_custkey FROM customer"
+            f" WHERE c_mktsegment {rng.choice(CMP)} 'HOUSEHOLD')"
+        )
+    scalar_kind = rng.choice(["count", "max", "min"])
+    if scalar_kind == "count":
+        scalar = (
+            "(SELECT COUNT(*) FROM lineitem l"
+            f" WHERE l.l_orderkey = o.o_orderkey AND {li_pred()})"
+        )
+    else:
+        agg = "MAX" if scalar_kind == "max" else "MIN"
+        scalar = (
+            f"COALESCE((SELECT {agg}(l.l_linenumber * 100 + l.l_suppkey)"
+            f" FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
+            f" AND {li_pred()}), -1)"
+        )
+    where = [f"o.o_orderkey % {rng.choice([83, 97, 113])} = {rng.randint(0, 3)}", member]
+    if rng.random() < 0.5:
+        # Uncorrelated scalar-aggregate comparison. The mean threshold
+        # is Σcents/COUNT with BOTH operands exact integers promoted to
+        # double at the division — bit-identical across engines. (NOT
+        # CAST(AVG(..) AS BIGINT): Spark truncates double→bigint where
+        # DuckDB rounds, a guaranteed divergence at a boundary collision.)
+        where.append(
+            "CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) >"
+            " (SELECT CAST(SUM(CAST(CAST(o2.o_totalprice AS DECIMAL(14,2))"
+            " * 100 AS BIGINT)) AS BIGINT) FROM orders o2)"
+            " / (SELECT COUNT(*) FROM orders o2)"
+        )
+    return (
+        f"SELECT o.o_orderkey, o.o_custkey, {scalar} AS sc"
+        f" FROM orders o WHERE {' AND '.join(where)}"
+        f" ORDER BY o_orderkey NULLS LAST, o_custkey NULLS LAST, sc NULLS LAST"
+    )
+
+
+@pytest.mark.parametrize("seed", range(50))
+def test_random_subquery_agrees_across_engines(spark, sf_dir, seed):
+    sql = _subquery_query(seed)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    s_df = spark.sql(sql)
+    con = oracle.duckdb_connection(sf_dir)
+    r = oracle.compare(f"fuzzsubq_{seed}", s_df, sql, con)
+    assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
