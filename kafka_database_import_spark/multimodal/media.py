@@ -371,3 +371,30 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     return src.mapInPandas(_resize_batches, schema=RESIZED_IMAGE_SCHEMA)
+
+
+def _make_chunker():
+    """Factory for the same by-value-pickling reason as the codecs:
+    producers closure-capture ``yield_chunked`` into worker-side
+    generators, so it must not pickle by module reference."""
+
+    def yield_chunked(pdf, max_rows: int = 512):
+        for lo in range(0, len(pdf), max_rows):
+            yield pdf.iloc[lo : lo + max_rows]
+
+    return yield_chunked
+
+
+yield_chunked = _make_chunker()
+yield_chunked.__doc__ = """Slice a produced pandas frame into ≤``max_rows`` pieces before
+    yielding from a ``mapInPandas`` producer.
+
+    Why this exists (measured, SCALE.md round 4): JVM→Python transfer
+    is byte-capped (``spark.sql.execution.arrow.maxBytesPerBatch``,
+    64 MB default), but Python→JVM is NOT — each yielded frame becomes
+    Arrow batches sliced by RECORD count only, so a producer that
+    synthesizes fat binary payloads from thin input rows (10 k-row
+    input batch × 12 KB payloads = 120 MB) hands the JVM direct-memory
+    allocations that overflow netty's cap (1 GiB default) at 32
+    concurrent tasks. Producers of payload columns must bound their
+    own frames; 512 rows × ≤64 KB payloads ≈ 32 MB worst case."""

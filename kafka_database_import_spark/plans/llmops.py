@@ -1003,9 +1003,11 @@ def q99zn_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_database_import_spark.multimodal.media import (
         encode_wav as _enc,
         extract_audio_features,
+        yield_chunked,
     )
 
-    enc = _enc  # closure-capture for by-value pickling on workers
+    # closure-capture for by-value pickling on workers (both factory-made)
+    enc, chunk = _enc, yield_chunked
 
     def _synth(batches):
         import numpy as np
@@ -1021,7 +1023,9 @@ def q99zn_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ch = np.arange(channels, dtype=np.int64)[None, :]
                 x = ((doc_id * 3 + i * 5 + ch * 11) % 256 - 128) * 64
                 payloads.append(enc(x.astype(np.int16), 8000))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+            yield from chunk(
+                pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+            )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(200)
     corpus = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
@@ -1082,9 +1086,10 @@ def q99zo_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_database_import_spark.multimodal.media import (
         encode_y4m as _enc,
         sample_video_frames,
+        yield_chunked,
     )
 
-    enc = _enc
+    enc, chunk = _enc, yield_chunked
 
     def _synth(batches):
         import numpy as np
@@ -1104,7 +1109,7 @@ def q99zo_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     uv = np.full((h, w), 128, np.uint8)
                     frames.append(np.stack([y, uv, uv]))
                 payloads.append(enc(frames, fps=25))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+            yield from chunk(pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads}))
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(150)
     corpus = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
@@ -1148,9 +1153,9 @@ def q99zp_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_image,
         encode_bmp as _enc,
     )
-    from kafka_database_import_spark.multimodal.media import resize_images
+    from kafka_database_import_spark.multimodal.media import resize_images, yield_chunked
 
-    enc, dec = _enc, decode_image
+    enc, dec, chunk = _enc, decode_image, yield_chunked
 
     def _synth(batches):
         import numpy as np
@@ -1165,7 +1170,7 @@ def q99zp_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 c = np.arange(w, dtype=np.int64)[None, :, None]
                 px = ((doc_id + r + c) % 256).astype(np.uint8)
                 payloads.append(enc(np.broadcast_to(px, (h, w, 3)).copy()))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+            yield from chunk(pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads}))
 
     def _evidence(batches):
         import pandas as pd

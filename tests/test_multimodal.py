@@ -268,3 +268,14 @@ def test_resize_images_roundtrip_in_spark(spark):
         assert fmt == "bmp"
         assert np.array_equal(px, resize_nearest(img, 5, 4))
     assert got[99].payload is None
+
+
+def test_yield_chunked_covers_frame_exactly():
+    from kafka_database_import_spark.multimodal.media import yield_chunked
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": range(1300)})
+    parts = list(yield_chunked(pdf, max_rows=512))
+    assert [len(p) for p in parts] == [512, 512, 276]
+    assert pd.concat(parts)["a"].tolist() == list(range(1300))
+    assert "<locals>" in yield_chunked.__qualname__  # by-value pickling contract
