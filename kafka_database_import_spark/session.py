@@ -49,7 +49,52 @@ class EngineConfig:
     # kafka-database-import.go:111,180-185). We implement the documented
     # intent: exactly max_records.
     max_records: int = 250_000
+    # Streaming state backend. The default HDFS-backed provider keeps
+    # every state row on the executor HEAP — fine for tests, a hard
+    # ceiling for 100-TB streaming aggregations/joins whose state
+    # exceeds memory. RocksDB spills to local SSD with changelog
+    # checkpointing; equality with the default provider (including
+    # checkpoint restart) is asserted in tests/test_streaming.py.
+    rocksdb_state: bool = False
     extra_conf: dict[str, str] = field(default_factory=dict)
+
+
+def resolve_conf(cfg: EngineConfig) -> dict[str, str]:
+    """Resolve an :class:`EngineConfig` into the concrete Spark conf
+    pairs ``get_spark`` applies — pure, so config wiring is unit-
+    testable without building a session (the same split the reference
+    makes between env parsing and dialing, kafka-database-import.go:52-111)."""
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(cfg.shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": cfg.max_partition_bytes,
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # keep managed tables (bucketed-join tests, scratch marts) out
+        # of the repo working dir — default warehouse is $PWD/spark-warehouse
+        "spark.sql.warehouse.dir": os.path.join(
+            tempfile.gettempdir(), "kdis_warehouse"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": "32m",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.shuffle.spill.compress": "true",
+    }
+    if cfg.rocksdb_state:
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        )
+        # incremental changelog upload instead of full SST snapshots
+        # per commit — the knob that keeps checkpoint traffic O(delta)
+        conf[
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ] = "true"
+    conf.update(cfg.extra_conf)
+    return conf
 
 
 def get_spark(config: EngineConfig | None = None) -> SparkSession:
@@ -68,28 +113,7 @@ def get_spark(config: EngineConfig | None = None) -> SparkSession:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         builder = builder.master(f"local[{cpus}]")
 
-    builder = (
-        builder.config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", cfg.max_partition_bytes)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # keep managed tables (bucketed-join tests, scratch marts) out
-        # of the repo working dir — default warehouse is $PWD/spark-warehouse
-        .config(
-            "spark.sql.warehouse.dir",
-            os.path.join(tempfile.gettempdir(), "kdis_warehouse"),
-        )
-        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
-        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.spill.compress", "true")
-    )
-    for k, v in cfg.extra_conf.items():
+    for k, v in resolve_conf(cfg).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

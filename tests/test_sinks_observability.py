@@ -410,3 +410,27 @@ def test_epoch_progress_listener_logs_per_epoch_counts(spark, sf_dir, caplog):
     # crossed 1,000-mark
     marks = [m for m in caplog.messages if m.startswith("imported ") and m.endswith(" records")]
     assert len(marks) == listener.total_rows // 1000
+
+
+def test_rocksdb_state_config_wiring():
+    """EngineConfig.rocksdb_state=True resolves to the RocksDB provider
+    + changelog-checkpointing confs; off leaves both unset. Live
+    provider behavior (metrics, restart recovery, cross-provider
+    equality) is asserted in tests/test_streaming.py."""
+    from kafka_database_import_spark.session import resolve_conf
+
+    on = resolve_conf(EngineConfig(rocksdb_state=True))
+    assert on["spark.sql.streaming.stateStore.providerClass"].endswith(
+        "RocksDBStateStoreProvider"
+    )
+    assert (
+        on["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"]
+        == "true"
+    )
+    off = resolve_conf(EngineConfig())
+    assert "spark.sql.streaming.stateStore.providerClass" not in off
+    # extra_conf still wins last
+    over = resolve_conf(
+        EngineConfig(rocksdb_state=True, extra_conf={"spark.ui.enabled": "true"})
+    )
+    assert over["spark.ui.enabled"] == "true"
