@@ -1069,3 +1069,68 @@ def q99zq_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tag_sum"),
     )
     return ordered(out, "o_orderkey")
+
+
+@query(
+    "q99zt_collated_group",
+    oracle="""
+    WITH m AS (
+      SELECT c_custkey,
+             CASE c_custkey % 3
+               WHEN 0 THEN upper(c_mktsegment)
+               WHEN 1 THEN lower(c_mktsegment)
+               ELSE c_mktsegment
+             END AS seg_mixed,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT lower(seg_mixed) AS seg,
+           COUNT(*) AS n,
+           SUM(cents) AS sum_cents,
+           CAST(SUM(CASE WHEN lower(seg_mixed) = 'household' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hh
+    FROM m
+    GROUP BY lower(seg_mixed)
+    ORDER BY seg NULLS LAST, n NULLS LAST, sum_cents NULLS LAST, n_hh NULLS LAST
+    """,
+)
+def q99zt_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation surface (Spark 4 ``COLLATE UTF8_LCASE``):
+    case-insensitive GROUP BY and equality WITHOUT rewriting every
+    expression to ``lower()`` — the collation is carried by the type,
+    so grouping, comparison, and (at scale) shuffle hashing all honor
+    it engine-side. The fixture's segments are re-cased deterministically
+    per row to force real case variance; DuckDB plays the classic
+    ``lower()`` formulation of the same query. The output key is
+    lowercased explicitly because which representative a collated
+    group surfaces is engine-internal."""
+    cust = load_table(spark, sf_dir, "customer")
+    mixed = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_mixed"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    collated = mixed.select(
+        F.expr("seg_mixed COLLATE UTF8_LCASE").alias("seg_ci"),
+        "cents",
+    )
+    out = (
+        collated.groupBy("seg_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(
+                F.when(F.col("seg_ci") == F.lit("HOUSEHOLD"), 1).otherwise(0)
+            ).alias("n_hh"),
+        )
+        .select(
+            F.lower(F.col("seg_ci")).cast("string").alias("seg"),
+            "n",
+            "sum_cents",
+            "n_hh",
+        )
+    )
+    return ordered(out, "seg", "n", "sum_cents", "n_hh")
