@@ -280,6 +280,8 @@ def sample_video_frames(
 
     dec = decode_y4m
     step = int(every_n)
+    if step < 1:
+        raise ValueError(f"sample_video_frames: every_n must be >= 1, got {every_n}")
 
     def _frame_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -349,6 +351,8 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
 
     dec, enc, rsz = decode_image, encode_bmp, resize_nearest
     ow, oh = int(out_w), int(out_h)
+    if ow < 1 or oh < 1:
+        raise ValueError(f"resize_images: target dims must be >= 1, got {out_w}x{out_h}")
 
     def _resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

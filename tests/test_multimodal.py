@@ -279,3 +279,16 @@ def test_yield_chunked_covers_frame_exactly():
     assert [len(p) for p in parts] == [512, 512, 276]
     assert pd.concat(parts)["a"].tolist() == list(range(1300))
     assert "<locals>" in yield_chunked.__qualname__  # by-value pickling contract
+
+
+def test_degenerate_parameters_rejected_on_driver(spark):
+    """every_n=0 and non-positive resize dims must fail fast on the
+    driver (a ZeroDivisionError inside a worker batch would otherwise
+    surface as an opaque task failure)."""
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id LONG, payload BINARY")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="every_n"):
+        sample_video_frames(df, every_n=0)
+    with _pt.raises(ValueError, match="target dims"):
+        resize_images(df, out_w=0, out_h=4)
