@@ -1134,3 +1134,53 @@ def q99zt_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ordered(out, "seg", "n", "sum_cents", "n_hh")
+
+
+@query(
+    "q99zu_python_datasource_write",
+    oracle="""
+    SELECT i AS event_id,
+           (i * 2654435761) % 1000003 % 500 AS user_id,
+           CASE ((i * 2654435761) % 1000003) % 4
+                WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                WHEN 2 THEN 'purchase' ELSE 'error' END AS event_type,
+           CAST(((i * 2654435761) % 1000003) % 10000 AS DOUBLE) / 100
+             AS value
+    FROM range(0, 4000) t(i)
+    ORDER BY event_id NULLS LAST, user_id NULLS LAST,
+             event_type NULLS LAST, value NULLS LAST
+    """,
+)
+def q99zu_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE half of the Spark 4 Python connector API (q99v covers the
+    read half): 4,000 closed-form rows flow source → ``kdis_jsonl_sink``
+    (executor-parallel two-phase file commit: per-task temp files,
+    atomic rename on driver commit, ``_SUCCESS`` stamp) → JSON scan
+    back. The DuckDB ``range()`` twin recomputes every row, so the hash
+    match certifies the writer's task/commit protocol lost and
+    duplicated nothing — the all-or-nothing contract a custom sink must
+    honor. Overwrite mode makes the query idempotent across runs."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kafka_database_import_spark.sources.pyds import register
+
+    register(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "kdis_pyds_sink_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    src = (
+        spark.read.format("kdis_synthetic_events")
+        .option("rows", "4000")
+        .option("partitions", "8")
+        .load()
+    )
+    src.write.format("kdis_jsonl_sink").option("path", out_dir).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).json(os.path.join(out_dir, "part-*.jsonl"))
+    return ordered(back, "event_id", "user_id", "event_type", "value")

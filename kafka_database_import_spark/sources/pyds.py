@@ -111,6 +111,107 @@ def _make():
 SyntheticEventsDataSource, synth_row = _make()
 
 
+
+
+
+def _make_sink():
+    """JSON-lines writer DataSource — the WRITE half of the Spark 4
+    Python connector API (``DataSource.writer`` → executor-side
+    ``write(iterator) -> WriterCommitMessage`` → driver-side
+    ``commit/abort``), implementing the classic two-phase file commit:
+
+    * each task writes to a uniquely-named ``_tmp_*.jsonl`` and reports
+      it in its commit message — a retried/speculative attempt leaves a
+      stray temp, never a visible file;
+    * ``commit`` publishes ONLY reported temps via atomic ``os.replace``
+      renames, removes strays, and stamps ``_SUCCESS`` with the row
+      count — readers see all-or-nothing;
+    * ``abort`` deletes every temp, leaving the directory untouched.
+
+    The same factory/by-value-pickling discipline as the reader classes
+    above (workers must not need this package importable)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Done(WriterCommitMessage):
+        def __init__(self, tmp_name: str, rows: int):
+            self.tmp_name = tmp_name
+            self.rows = rows
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("kdis_jsonl_sink: 'path' option is required")
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            tmp = f"_tmp_{uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(os.path.join(self.path, tmp), "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), sort_keys=True, default=str))
+                    f.write("\n")
+                    n += 1
+            return _Done(tmp, n)
+
+        def commit(self, messages):
+            import glob
+            import json
+            import os
+            import uuid
+
+            keep = {m.tmp_name for m in messages if m is not None}
+            if self.overwrite:
+                for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                    os.remove(old)
+            total = 0
+            for i, m in enumerate(m for m in messages if m is not None):
+                final = f"part-{i:05d}-{uuid.uuid4().hex[:8]}.jsonl"
+                os.replace(
+                    os.path.join(self.path, m.tmp_name),
+                    os.path.join(self.path, final),
+                )
+                total += m.rows
+            for stray in glob.glob(os.path.join(self.path, "_tmp_*.jsonl")):
+                if os.path.basename(stray) not in keep:
+                    os.remove(stray)
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                json.dump({"rows": total}, f)
+
+        def abort(self, messages):
+            import glob
+            import os
+
+            for stray in glob.glob(os.path.join(self.path, "_tmp_*.jsonl")):
+                os.remove(stray)
+
+    class JsonlSinkDataSource(DataSource):
+        """``df.write.format("kdis_jsonl_sink").option("path", d)`` —
+        append or overwrite; schema is whatever the frame carries."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "kdis_jsonl_sink"
+
+        def writer(self, schema, overwrite: bool):
+            return JsonlWriter(self.options, overwrite)
+
+    return JsonlSinkDataSource
+
+
+JsonlSinkDataSource = _make_sink()
+
+
 def register(spark) -> None:
     """Idempotent registration on a session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)

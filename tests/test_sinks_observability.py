@@ -434,3 +434,60 @@ def test_rocksdb_state_config_wiring():
         EngineConfig(rocksdb_state=True, extra_conf={"spark.ui.enabled": "true"})
     )
     assert over["spark.ui.enabled"] == "true"
+
+
+def test_jsonl_sink_two_phase_commit_and_abort(spark, tmp_path):
+    """Writer half of the Python DataSource: commit publishes
+    all-or-nothing (atomic renames + _SUCCESS, no temp residue);
+    a failing task aborts the whole write leaving the directory
+    untouched; overwrite replaces prior parts."""
+    import glob
+    import json
+    import os
+
+    from kafka_database_import_spark.sources.pyds import register
+
+    register(spark)
+    out = str(tmp_path / "sink")
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}") for i in range(100)], "id long, user string"
+    ).repartition(4)
+    df.write.format("kdis_jsonl_sink").option("path", out).mode("append").save()
+
+    parts = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
+    assert len(parts) == 4
+    assert not glob.glob(os.path.join(out, "_tmp_*.jsonl"))  # no residue
+    rows = [json.loads(l) for p in parts for l in open(p)]
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    success = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert success["rows"] == 100
+
+    # overwrite replaces, never accumulates
+    df2 = spark.createDataFrame([(7, "x")], "id long, user string").coalesce(1)
+    df2.write.format("kdis_jsonl_sink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    parts = glob.glob(os.path.join(out, "part-*.jsonl"))
+    assert len(parts) == 1
+    assert json.load(open(os.path.join(out, "_SUCCESS")))["rows"] == 1
+
+    # abort: one poisoned partition fails the job; directory unchanged
+    before = sorted(os.listdir(out))
+
+    @F.udf("long")
+    def poison(v):
+        if v == 3:
+            raise RuntimeError("poisoned row")
+        return v
+
+    bad = spark.createDataFrame(
+        [(i,) for i in range(8)], "id long"
+    ).repartition(4).select(poison("id").alias("id"))
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        bad.write.format("kdis_jsonl_sink").option("path", out).mode(
+            "append"
+        ).save()
+    assert sorted(os.listdir(out)) == before  # no temps, no new parts
