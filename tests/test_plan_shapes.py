@@ -189,3 +189,39 @@ def test_q99zl_target_encode_single_category_shuffle(spark, sf_dir):
     # one unbounded window over segment: no self-join, no extra exchange
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning(segment") == 1
+
+
+def test_q99zs_filter_pushed_before_arrow_boundary(spark, sf_dir):
+    """mapInArrow must not defeat pushdown: the l_quantity predicate
+    sits BEFORE the Python boundary, so it must reach the parquet scan
+    (survivors-only cross the Arrow transfer)."""
+    plan = _plan(spark, sf_dir, "q99zs_map_in_arrow")
+    assert "MapInArrow" in plan or "MapInPandas" in plan
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity,45" in plan
+
+
+def test_q99zr_grouped_map_single_exchange(spark, sf_dir):
+    """Grouped-map applyInPandas: exactly one hash exchange (the
+    group-by key); the pandas stage must not add another."""
+    plan = _plan(spark, sf_dir, "q99zr_grouped_map")
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q99zq_xml_roundtrip_scan_local(spark, sf_dir):
+    """to_xml→from_xml is per-row Catalyst expression work — the plan
+    must contain no exchange at all before the final order-by and no
+    Python evaluation anywhere."""
+    plan = _plan(spark, sf_dir, "q99zq_xml_roundtrip")
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "Exchange hashpartitioning" not in plan  # only the sort's range exchange
+
+
+def test_media_extractors_are_single_pass_no_shuffle(spark, sf_dir):
+    """Audio decode: synth → WAV encode → decode → features is one
+    Arrow pipeline over the 200-doc slice; the only exchanges are the
+    bounded TakeOrdered limit and final sort, never a payload
+    repartition."""
+    plan = _plan(spark, sf_dir, "q99zn_audio_decode")
+    assert plan.count("MapInPandas") == 2  # synth + extract, fused scan between
+    assert "Exchange hashpartitioning(payload" not in plan
