@@ -1184,3 +1184,65 @@ def q99zu_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_id bigint, user_id bigint, event_type string, value double"
     ).json(os.path.join(out_dir, "part-*.jsonl"))
     return ordered(back, "event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "q99zv_sql_scripting",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    t AS (
+      SELECT CAST(SUM(cents) AS BIGINT) / COUNT(*) AS thr FROM c
+    )
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           SUM(cents) AS sum_cents,
+           4 AS acc
+    FROM c, t
+    WHERE cents > thr
+    GROUP BY o_orderstatus
+    ORDER BY status NULLS LAST, n NULLS LAST, sum_cents NULLS LAST,
+             acc NULLS LAST
+    """,
+)
+def q99zv_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.1 ``BEGIN … END`` compound statements):
+    procedural variables, a scalar-subquery assignment, and a WHILE
+    loop drive a parameterized aggregation — the stored-procedure-
+    shaped surface users migrate from warehouse engines. The script's
+    result is its final SELECT; the loop's accumulator has the closed
+    form ((0·2+0)·2+1)·2+2 = 4 and the threshold is the exact-integer
+    mean promoted to double at the division (the engine-identical
+    form), so DuckDB replays the whole computation as plain SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sv")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE;
+          DECLARE i INT DEFAULT 0;
+          DECLARE acc BIGINT DEFAULT 0;
+          SET thr = (
+            SELECT SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   / COUNT(*)
+            FROM orders_sv
+          );
+          WHILE i < 3 DO
+            SET acc = acc * 2 + i;
+            SET i = i + 1;
+          END WHILE;
+          SELECT o_orderstatus AS status,
+                 COUNT(*) AS n,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS sum_cents,
+                 acc
+          FROM orders_sv
+          WHERE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) > thr
+          GROUP BY o_orderstatus
+          ORDER BY status NULLS LAST, n NULLS LAST, sum_cents NULLS LAST,
+                   acc NULLS LAST;
+        END
+        """
+    )
