@@ -132,6 +132,7 @@ def _make_sink():
     above (workers must not need this package importable)."""
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceStreamWriter,
         DataSourceWriter,
         WriterCommitMessage,
     )
@@ -194,6 +195,68 @@ def _make_sink():
             for stray in glob.glob(os.path.join(self.path, "_tmp_*.jsonl")):
                 os.remove(stray)
 
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        """Epoch-aware variant: Structured Streaming calls
+        ``commit(messages, batchId)`` per micro-batch. Effectively-once
+        by the same epoch-ledger discipline as ``sinks/jdbc``: commit
+        first checks ``_epoch_<batchId>``; a replayed epoch (restart
+        after a crash between publish and checkpoint advance) discards
+        its temps and publishes nothing, so every row lands exactly
+        once no matter how many times the batch re-runs."""
+
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("kdis_jsonl_sink: 'path' option is required")
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            tmp = f"_tmp_{uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(os.path.join(self.path, tmp), "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), sort_keys=True, default=str))
+                    f.write("\n")
+                    n += 1
+            return _Done(tmp, n)
+
+        def commit(self, messages, batchId):
+            import json
+            import os
+
+            ledger = os.path.join(self.path, f"_epoch_{batchId}")
+            done = [m for m in messages if m is not None]
+            if os.path.exists(ledger):  # replayed epoch: discard, no-op
+                for m in done:
+                    tmp = os.path.join(self.path, m.tmp_name)
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+                return
+            total = 0
+            for i, m in enumerate(done):
+                final = f"part-{batchId:05d}-{i:05d}.jsonl"
+                os.replace(
+                    os.path.join(self.path, m.tmp_name),
+                    os.path.join(self.path, final),
+                )
+                total += m.rows
+            with open(ledger + ".inprogress", "w") as f:
+                json.dump({"rows": total}, f)
+            os.replace(ledger + ".inprogress", ledger)  # atomic publish
+
+        def abort(self, messages, batchId):
+            import os
+
+            for m in messages:
+                if m is not None:
+                    tmp = os.path.join(self.path, m.tmp_name)
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+
     class JsonlSinkDataSource(DataSource):
         """``df.write.format("kdis_jsonl_sink").option("path", d)`` —
         append or overwrite; schema is whatever the frame carries."""
@@ -204,6 +267,9 @@ def _make_sink():
 
         def writer(self, schema, overwrite: bool):
             return JsonlWriter(self.options, overwrite)
+
+        def streamWriter(self, schema, overwrite: bool):
+            return JsonlStreamWriter(self.options, overwrite)
 
     return JsonlSinkDataSource
 

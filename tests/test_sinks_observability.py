@@ -491,3 +491,80 @@ def test_jsonl_sink_two_phase_commit_and_abort(spark, tmp_path):
             "append"
         ).save()
     assert sorted(os.listdir(out)) == before  # no temps, no new parts
+
+
+def test_jsonl_stream_writer_is_replay_idempotent(spark, tmp_path):
+    """Streaming half of the Python DataSource writer: the synthetic
+    Python stream source feeds the JSONL stream sink; every micro-batch
+    publishes under an epoch ledger (Python stream sources don't
+    support availableNow, so the bounded drain polls like q99zb). A
+    replayed epoch — commit() re-invoked with an already-ledgered
+    batchId, the crash-between-publish-and-checkpoint case — discards
+    its temps and publishes nothing."""
+    import glob
+    import json
+    import os
+    import time
+
+    from kafka_database_import_spark.sources.pyds import (
+        JsonlSinkDataSource,
+        register,
+        synth_row,
+    )
+
+    register(spark)
+    out = str(tmp_path / "stream_sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    sdf = (
+        spark.readStream.format("kdis_synthetic_events")
+        .option("rows", "500")
+        .option("batchSize", "200")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("kdis_jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 240
+        while time.monotonic() < deadline:
+            parts = glob.glob(os.path.join(out, "part-*.jsonl"))
+            if sum(1 for p in parts for _ in open(p)) >= 500:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+
+    parts = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
+    rows = [json.loads(l) for p in parts for l in open(p)]
+    assert len(rows) == 500
+    expect = {synth_row(i)[0]: synth_row(i) for i in range(500)}
+    for r in rows:
+        e = expect[r["event_id"]]
+        assert (r["user_id"], r["event_type"], r["value"]) == (e[1], e[2], e[3])
+    ledgers = sorted(glob.glob(os.path.join(out, "_epoch_*")))
+    assert len(ledgers) >= 2  # multiple micro-batches committed
+
+    # replay an already-committed epoch directly against the writer:
+    # stage a temp as a re-run task would, re-commit the ledgered
+    # batchId — the temp must be discarded and nothing published
+    replayed_batch = int(os.path.basename(ledgers[0]).split("_")[-1])
+    ds = JsonlSinkDataSource(options={"path": out})
+    w = ds.streamWriter(None, overwrite=False)
+    tmp_name = "_tmp_replay_attempt.jsonl"
+    with open(os.path.join(out, tmp_name), "w") as f:
+        f.write(json.dumps({"event_id": 0}) + "\n")
+    msg = type("M", (), {"tmp_name": tmp_name, "rows": 1})()
+    before = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
+    w.commit([msg], replayed_batch)
+    assert sorted(glob.glob(os.path.join(out, "part-*.jsonl"))) == before
+    assert not os.path.exists(os.path.join(out, tmp_name))
+    rows2 = [
+        json.loads(l)
+        for p in glob.glob(os.path.join(out, "part-*.jsonl"))
+        for l in open(p)
+    ]
+    assert len(rows2) == 500  # replay added nothing
