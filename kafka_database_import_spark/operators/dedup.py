@@ -235,3 +235,141 @@ def simhash63(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig + term
     return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def signature_band_rows(sig: DataFrame, id_col: str) -> DataFrame:
+    """Explode a signature table (id, h0..h15) to (id, h0..h15,
+    band_id, band_hash) rows — the shared banding step of the batch
+    (``minhash_candidate_pairs``) and incremental paths."""
+    return sig.select(
+        F.col(id_col),
+        *[f"h{i}" for i in range(N_HASHES)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, *[f"h{i}" for i in range(N_HASHES)], "band.band_id", "band.band_hash")
+
+
+def neardup_matches_against(
+    sig_new: DataFrame,
+    sig_store: DataFrame | None,
+    id_col: str,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """(id_new, id_base, est) near-dup matches of NEW signatures
+    within the batch AND against the historical STORE (whose ids must
+    be disjoint from the batch — the caller's epoch discipline
+    guarantees it): band-bucket joins — never all-pairs — then the
+    16-hash Jaccard estimate as the accept rule. Within-batch pairs
+    are emitted once (``id_new < id_base``); store matches keep their
+    natural orientation (new → base). Signature-estimate matching is
+    the deliberate contract of the INCREMENTAL path: the store keeps
+    136 bytes/doc of signature, never the text, so exact re-shingle
+    verification is impossible by design and the estimate's resolution
+    (1/16) is documented at the call sites."""
+    ln = signature_band_rows(sig_new, id_col).alias("l")
+    est = (
+        sum(
+            F.when(F.col(f"l.h{i}") == F.col(f"r.h{i}"), 1).otherwise(0)
+            for i in range(N_HASHES)
+        )
+        / N_HASHES
+    )
+    within = (
+        ln.join(
+            signature_band_rows(sig_new, id_col).alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .filter(est >= F.lit(est_threshold))
+        .select(
+            F.col(f"l.{id_col}").alias("id_new"),
+            F.col(f"r.{id_col}").alias("id_base"),
+            est.alias("est"),
+        )
+    )
+    if sig_store is None:
+        return within.distinct()
+    vs_store = (
+        ln.join(
+            signature_band_rows(sig_store, id_col).alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .filter(est >= F.lit(est_threshold))
+        .select(
+            F.col(f"l.{id_col}").alias("id_new"),
+            F.col(f"r.{id_col}").alias("id_base"),
+            est.alias("est"),
+        )
+    )
+    return within.unionByName(vs_store).distinct()
+
+
+def incremental_neardup_sink(
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_threshold: float = 0.5,
+):
+    """``foreachBatch`` function for STREAMING near-duplicate detection
+    against a growing historical corpus — the online variant of q44
+    (q37 covers exact streaming dedup; this is the LSH analogue).
+
+    Per micro-batch: (1) minhash the batch, (2) band-join it against
+    the signature STORE ∪ itself (new-vs-history and new-vs-new),
+    (3) publish flagged pairs and the batch's signatures. Replay
+    safety is the snapshot trick, not a ledger row: each epoch's
+    signatures and matches land as ``epoch=<id>`` directories written
+    to a temp path and atomically ``os.replace``d — a replayed epoch
+    sees its directory exists and becomes a no-op, so the store never
+    double-counts a document no matter how the stream crashes.
+
+    100 TB design: the store holds 17 longs/doc (id + 16 minhashes,
+    ~136 B) — 10¹¹ docs ≈ 14 TB of signatures vs petabytes of text;
+    matching is bucketed (band join) and estimate-based (resolution
+    1/16), with exact verification deferred to an offline pass that
+    still has the text."""
+    import os
+    import shutil
+
+    sig_dir = os.path.join(store_dir, "signatures")
+    match_dir = os.path.join(store_dir, "matches")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch_sig = os.path.join(sig_dir, f"epoch={epoch_id}")
+        epoch_match = os.path.join(match_dir, f"epoch={epoch_id}")
+        if os.path.exists(epoch_sig):  # replayed epoch: already published
+            return
+        sig_new = minhash_signatures(batch_df, id_col, text_col).localCheckpoint()
+        have_store = os.path.isdir(sig_dir) and any(
+            e.startswith("epoch=") for e in os.listdir(sig_dir)
+        )
+        sig_store = (
+            spark.read.parquet(os.path.join(sig_dir, "epoch=*"))
+            if have_store
+            else None
+        )
+        matches = neardup_matches_against(sig_new, sig_store, id_col, est_threshold)
+
+        for final, df_out in ((epoch_match, matches), (epoch_sig, sig_new)):
+            tmp = final + ".inprogress"
+            shutil.rmtree(tmp, ignore_errors=True)
+            df_out.write.mode("overwrite").parquet(tmp)
+            os.replace(tmp, final)  # atomic publish; matches before sigs,
+            # so a crash between the two replays the epoch (sig dir is
+            # the commit marker) and overwrites the same match dir
+
+    return sink

@@ -1201,3 +1201,58 @@ def q99zp_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, y_sum long, tl int, br int",
     )
     return ordered(out, "doc_id")
+
+
+@query("q99zw_stream_neardup")  # no oracle: streaming + estimate-based; unit-tested
+def q99zw_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-duplicate detection (the online q44;
+    operators/dedup.incremental_neardup_sink): the documents corpus
+    arrives as two micro-batches (split by doc_id parity, mtime-pinned
+    file stream); each batch is minhashed, band-joined against the
+    growing signature store, and its matches + signatures are published
+    as atomic epoch snapshots — replay-idempotent by directory
+    existence, no ledger rows. Returns all flagged pairs; the estimate
+    rule (≥ 8/16 equal minhashes ≈ J ≥ 0.5) matches the batch q44
+    threshold, and the store holds signatures only (136 B/doc — the
+    100 TB contract: history never re-reads text)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_database_import_spark.operators.dedup import incremental_neardup_sink
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    work = os.path.join(tempfile.gettempdir(), f"kdis_stream_nd_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    store = os.path.join(work, "store")
+    os.makedirs(src)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for parity, mtime in ((0, 1_000), (1, 2_000)):
+        scratch = tempfile.mkdtemp(prefix="kdis_nd_stage_")
+        docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{parity}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(scratch, ignore_errors=True)
+        os.utime(dst, (mtime, mtime))
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(incremental_neardup_sink(store))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(os.path.join(store, "matches", "epoch=*")).select(
+        "id_new", "id_base", mround(F.col("est"), 4).alias("est_q4")
+    )
+    return ordered(out, "id_new", "id_base", "est_q4")

@@ -511,3 +511,73 @@ def test_rocksdb_state_store_matches_default_and_survives_restart(spark, tmp_pat
         r.k: (r.s, r.n) for r in spark.table("rocks_sum_default").collect()
     }
     assert got_default == expect
+
+
+def test_incremental_neardup_stream_flags_history_and_batch(spark, tmp_path):
+    """Streaming LSH near-dup (operators/dedup.incremental_neardup_sink):
+    batch 2's near-copy of a batch-1 doc is flagged against the STORE,
+    batch-internal near-copies are flagged once, unrelated docs aren't,
+    and a replayed epoch is a no-op (atomic epoch=<id> snapshot dirs)."""
+    import glob
+
+    from kafka_database_import_spark.operators.dedup import incremental_neardup_sink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles carefully watch the harvest moon rise over the bay"
+    )
+    other = (
+        "completely different prose about distributed query engines and "
+        "columnar storage formats with vectorized execution pipelines here"
+    )
+    b1 = [(1, base), (2, other)]
+    b2 = [
+        (101, base + " tonight"),          # near-dup of store doc 1
+        (102, "unrelated third text about alpine meadows and quiet rivers flowing north through limestone valleys"),
+        (103, base + " tonight again"),    # near-dup of 101 within batch (and of 1)
+    ]
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    store = str(tmp_path / "store")
+
+    def write_docs(path, rows, mtime):
+        import glob as g, shutil
+        scratch = tempfile.mkdtemp(prefix="kdis_nd_")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = g.glob(os.path.join(scratch, "part-*.parquet"))[0]
+        shutil.move(part, path)
+        shutil.rmtree(scratch, ignore_errors=True)
+        os.utime(path, (mtime, mtime))
+
+    write_docs(os.path.join(src, "b1.parquet"), b1, 1_000)
+    write_docs(os.path.join(src, "b2.parquet"), b2, 2_000)
+
+    sink = incremental_neardup_sink(store, est_threshold=0.5)
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sig_epochs = sorted(glob.glob(os.path.join(store, "signatures", "epoch=*")))
+    assert len(sig_epochs) == 2
+    matches = spark.read.parquet(os.path.join(store, "matches", "epoch=*"))
+    pairs = {(r.id_new, r.id_base) for r in matches.collect()}
+    assert (101, 1) in pairs          # new vs history
+    assert (103, 1) in pairs
+    assert (101, 103) in pairs        # within batch, single orientation
+    assert (103, 101) not in pairs
+    assert all(102 not in p and 2 not in p for p in pairs)
+
+    # replayed epoch: same batch df re-sent with a committed epoch id
+    before = sorted(glob.glob(os.path.join(store, "*", "epoch=*")))
+    sink(spark.createDataFrame(b2, "doc_id long, text string"), 1)
+    assert sorted(glob.glob(os.path.join(store, "*", "epoch=*"))) == before
+    assert spark.read.parquet(os.path.join(store, "signatures", "epoch=*")).count() == 5
