@@ -660,3 +660,73 @@ def test_triangle_count_matches_brute_force_on_random_graphs(spark):
         df = spark.createDataFrame(rows, "a LONG, b LONG")
         got = count_triangles(df).collect()[0]["n_triangles"]
         assert got == want, f"seed={seed}: {got} != brute-force {want}"
+
+
+def test_incremental_neardup_matches_brute_force_model(spark):
+    """neardup_matches_against == the brute-force model (every pair
+    with ≥1 colliding band AND a 16-hash estimate ≥ t), on random
+    corpora of templated near-copies — within-batch orientation
+    emitted once, store matches in natural orientation, ids disjoint
+    by the caller contract."""
+    import random
+
+    from kafka_database_import_spark.operators.dedup import (
+        BANDS,
+        N_HASHES,
+        ROWS_PER_BAND,
+        minhash_signatures,
+        neardup_matches_against,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    for seed in range(3):
+        rng = random.Random(seed)
+        base_texts = [
+            " ".join(rng.choices(words, k=rng.randint(12, 20))) for _ in range(4)
+        ]
+
+        def doc(i):
+            t = base_texts[rng.randrange(len(base_texts))]
+            if rng.random() < 0.5:  # perturb: drop/append a word
+                t = t + " " + rng.choice(words)
+            return (i, t)
+
+        store_rows = [doc(i) for i in range(0, 6)]
+        new_rows = [doc(i) for i in range(100, 106)]
+        sig_store = minhash_signatures(
+            spark.createDataFrame(store_rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        )
+        sig_new = minhash_signatures(
+            spark.createDataFrame(new_rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        )
+        got = {
+            (r.id_new, r.id_base)
+            for r in neardup_matches_against(
+                sig_new, sig_store, "doc_id", est_threshold=0.5
+            ).collect()
+        }
+
+        # brute-force model over the collected signatures
+        sN = {r.doc_id: [r[f"h{i}"] for i in range(N_HASHES)] for r in sig_new.collect()}
+        sS = {r.doc_id: [r[f"h{i}"] for i in range(N_HASHES)] for r in sig_store.collect()}
+
+        def hits(sa, sb):
+            band = any(
+                sa[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                == sb[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                for b in range(BANDS)
+            )
+            est = sum(x == y for x, y in zip(sa, sb)) / N_HASHES
+            return band and est >= 0.5
+
+        want = {
+            (a, b)
+            for a in sN
+            for b in sN
+            if a < b and hits(sN[a], sN[b])
+        } | {(a, b) for a in sN for b in sS if hits(sN[a], sS[b])}
+        assert got == want, f"seed={seed} got^want={got ^ want}"
