@@ -340,7 +340,13 @@ def incremental_neardup_sink(
     ~136 B) — 10¹¹ docs ≈ 14 TB of signatures vs petabytes of text;
     matching is bucketed (band join) and estimate-based (resolution
     1/16), with exact verification deferred to an offline pass that
-    still has the text."""
+    still has the text. The honest cost: each batch re-SCANS the whole
+    signature store (O(corpus) per batch, O(n²) cumulative over a long
+    stream). At real scale the store must be laid out for pruning —
+    banded rows partitioned by ``pmod(band_hash, K)`` so the batch's
+    band keys prune partitions at the scan (×4 storage for ×K less
+    read), plus periodic epoch compaction; the epoch-snapshot commit
+    protocol here is unchanged by that layout."""
     import os
     import shutil
 
