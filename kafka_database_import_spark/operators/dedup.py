@@ -317,11 +317,63 @@ def neardup_matches_against(
     return within.unionByName(vs_store).distinct()
 
 
+def neardup_matches_against_banded(
+    sig_new: DataFrame,
+    store_bands: DataFrame | None,
+    id_col: str,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-store variant of :func:`neardup_matches_against`: the
+    store side arrives ALREADY as band rows (id, h0..h15, band_id,
+    band_hash[, pb]) — the pruning layout — so only the batch is
+    banded here. Semantics identical; the model-based property test
+    asserts both paths produce the same matches."""
+    ln = signature_band_rows(sig_new, id_col).alias("l")
+    est = (
+        sum(
+            F.when(F.col(f"l.h{i}") == F.col(f"r.h{i}"), 1).otherwise(0)
+            for i in range(N_HASHES)
+        )
+        / N_HASHES
+    )
+    within = (
+        ln.join(
+            signature_band_rows(sig_new, id_col).alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .filter(est >= F.lit(est_threshold))
+        .select(
+            F.col(f"l.{id_col}").alias("id_new"),
+            F.col(f"r.{id_col}").alias("id_base"),
+            est.alias("est"),
+        )
+    )
+    if store_bands is None:
+        return within.distinct()
+    vs_store = (
+        ln.join(
+            store_bands.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .filter(est >= F.lit(est_threshold))
+        .select(
+            F.col(f"l.{id_col}").alias("id_new"),
+            F.col(f"r.{id_col}").alias("id_base"),
+            est.alias("est"),
+        )
+    )
+    return within.unionByName(vs_store).distinct()
+
+
 def incremental_neardup_sink(
     store_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     est_threshold: float = 0.5,
+    banded_layout_k: int | None = None,
 ):
     """``foreachBatch`` function for STREAMING near-duplicate detection
     against a growing historical corpus — the online variant of q44
@@ -363,17 +415,48 @@ def incremental_neardup_sink(
         have_store = os.path.isdir(sig_dir) and any(
             e.startswith("epoch=") for e in os.listdir(sig_dir)
         )
-        sig_store = (
-            spark.read.parquet(os.path.join(sig_dir, "epoch=*"))
-            if have_store
-            else None
-        )
-        matches = neardup_matches_against(sig_new, sig_store, id_col, est_threshold)
+        if banded_layout_k is None:
+            sig_store = (
+                spark.read.parquet(os.path.join(sig_dir, "epoch=*"))
+                if have_store
+                else None
+            )
+            matches = neardup_matches_against(
+                sig_new, sig_store, id_col, est_threshold
+            )
+            store_epoch_df = sig_new
+        else:
+            # Pruning layout: the store holds BAND rows hive-partitioned
+            # by pb = pmod(band_hash, K). The batch's distinct pb set is
+            # bounded by 4×|batch|, so the store read prunes to those
+            # partitions at planning time — the O(store)-per-batch scan
+            # becomes O(store × |batch_pbs|/K).
+            new_bands = signature_band_rows(sig_new, id_col).withColumn(
+                "pb", F.pmod(F.col("band_hash"), F.lit(banded_layout_k))
+            )
+            store_bands = None
+            if have_store:
+                batch_pbs = [
+                    r.pb for r in new_bands.select("pb").distinct().collect()
+                ]
+                store_bands = spark.read.option("basePath", sig_dir).parquet(
+                    os.path.join(sig_dir, "epoch=*")
+                ).filter(F.col("pb").isin(batch_pbs))
+            matches = neardup_matches_against_banded(
+                sig_new, store_bands, id_col, est_threshold
+            )
+            store_epoch_df = new_bands
 
-        for final, df_out in ((epoch_match, matches), (epoch_sig, sig_new)):
+        for final, df_out, part_cols in (
+            (epoch_match, matches, None),
+            (epoch_sig, store_epoch_df, ["pb"] if banded_layout_k else None),
+        ):
             tmp = final + ".inprogress"
             shutil.rmtree(tmp, ignore_errors=True)
-            df_out.write.mode("overwrite").parquet(tmp)
+            w = df_out.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(tmp)
             os.replace(tmp, final)  # atomic publish; matches before sigs,
             # so a crash between the two replays the epoch (sig dir is
             # the commit marker) and overwrites the same match dir

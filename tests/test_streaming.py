@@ -581,3 +581,56 @@ def test_incremental_neardup_stream_flags_history_and_batch(spark, tmp_path):
     sink(spark.createDataFrame(b2, "doc_id long, text string"), 1)
     assert sorted(glob.glob(os.path.join(store, "*", "epoch=*"))) == before
     assert spark.read.parquet(os.path.join(store, "signatures", "epoch=*")).count() == 5
+
+
+def test_incremental_neardup_banded_layout_same_matches(spark, tmp_path):
+    """banded_layout_k: the partition-pruned store layout produces the
+    IDENTICAL match set as the plain signature store on the same
+    staged stream, and the store directories are hive-partitioned by
+    pb so the per-batch read can prune."""
+    import glob
+
+    from kafka_database_import_spark.operators.dedup import incremental_neardup_sink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles carefully watch the harvest moon rise over the bay"
+    )
+    b1 = [(1, base), (2, "a wholly different passage regarding compiler design and register allocation strategies for modern pipelines")]
+    b2 = [(101, base + " tonight"), (103, base + " tonight again")]
+
+    def write_docs(src, path, rows, mtime):
+        import glob as g, shutil
+        scratch = tempfile.mkdtemp(prefix="kdis_ndb_")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = g.glob(os.path.join(scratch, "part-*.parquet"))[0]
+        shutil.move(part, path)
+        shutil.rmtree(scratch, ignore_errors=True)
+        os.utime(path, (mtime, mtime))
+
+    results = {}
+    for mode, kwargs in (("plain", {}), ("banded", {"banded_layout_k": 16})):
+        src = str(tmp_path / f"src_{mode}"); os.makedirs(src)
+        store = str(tmp_path / f"store_{mode}")
+        write_docs(src, os.path.join(src, "b1.parquet"), b1, 1_000)
+        write_docs(src, os.path.join(src, "b2.parquet"), b2, 2_000)
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(incremental_neardup_sink(store, **kwargs))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{mode}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        m = spark.read.parquet(os.path.join(store, "matches", "epoch=*"))
+        results[mode] = {(r.id_new, r.id_base, r.est) for r in m.collect()}
+        if mode == "banded":
+            pbs = glob.glob(os.path.join(store, "signatures", "epoch=*", "pb=*"))
+            assert pbs, "banded store must be hive-partitioned by pb"
+
+    assert results["plain"] == results["banded"]
+    assert (101, 1) in {(a, b) for a, b, _ in results["plain"]}  # history match present
