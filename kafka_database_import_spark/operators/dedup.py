@@ -462,3 +462,45 @@ def incremental_neardup_sink(
             # the commit marker) and overwrites the same match dir
 
     return sink
+
+
+def compact_neardup_store(spark, store_dir: str) -> int:
+    """Compact the incremental near-dup signature store: merge every
+    ``epoch=<id>`` directory into one ``epoch=c<maxid>`` snapshot
+    (atomic temp + rename, preserving the pb partitioning if present),
+    then drop the source epochs. Keeps the per-batch store read at
+    O(files-in-one-snapshot) instead of O(epochs) after long streams.
+
+    Crash safety is deliberately cheap here: a crash between publish
+    and source-epoch removal leaves DUPLICATE signature rows, which is
+    benign — the matcher ends in ``distinct()`` so duplicated store
+    rows can only produce identical match rows, never wrong ones (the
+    next compaction removes them). Returns the number of epochs
+    merged."""
+    import os
+    import re
+    import shutil
+
+    sig_dir = os.path.join(store_dir, "signatures")
+    epochs = [
+        e
+        for e in os.listdir(sig_dir)
+        if e.startswith("epoch=") and not e.endswith(".inprogress")
+    ]
+    if len(epochs) <= 1:
+        return len(epochs)
+    max_id = max(int(re.sub(r"\D", "", e) or 0) for e in epochs)
+    df = spark.read.option("basePath", sig_dir).parquet(
+        *[os.path.join(sig_dir, e) for e in epochs]
+    ).drop("epoch")
+    final = os.path.join(sig_dir, f"epoch=c{max_id}")
+    tmp = final + ".inprogress"
+    shutil.rmtree(tmp, ignore_errors=True)
+    w = df.write.mode("overwrite")
+    if "pb" in df.columns:
+        w = w.partitionBy("pb")
+    w.parquet(tmp)
+    os.replace(tmp, final)
+    for e in epochs:
+        shutil.rmtree(os.path.join(sig_dir, e), ignore_errors=True)
+    return len(epochs)

@@ -634,3 +634,62 @@ def test_incremental_neardup_banded_layout_same_matches(spark, tmp_path):
 
     assert results["plain"] == results["banded"]
     assert (101, 1) in {(a, b) for a, b, _ in results["plain"]}  # history match present
+
+
+def test_neardup_store_compaction_preserves_history(spark, tmp_path):
+    """compact_neardup_store merges all signature epochs into one
+    snapshot; a batch arriving AFTER compaction still matches
+    pre-compaction history, and duplicate rows from a simulated
+    crash-between-publish-and-removal stay benign (identical matches
+    only, thanks to the matcher's distinct())."""
+    import glob
+
+    from kafka_database_import_spark.operators.dedup import (
+        compact_neardup_store,
+        incremental_neardup_sink,
+    )
+
+    base = (
+        "pack my box with five dozen liquor jugs while zephyrs vex the "
+        "quick daft sphinx and waltzing nymphs judge the bad fox quiver"
+    )
+    store = str(tmp_path / "store")
+    sink = incremental_neardup_sink(store)
+    sink(spark.createDataFrame([(1, base)], "doc_id long, text string"), 0)
+    sink(
+        spark.createDataFrame(
+            [(2, "entirely unrelated text about tidal estuaries and migratory birds resting on sandbars at dusk")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    assert compact_neardup_store(spark, store) == 2
+    sig_epochs = glob.glob(os.path.join(store, "signatures", "epoch=*"))
+    assert len(sig_epochs) == 1 and sig_epochs[0].endswith("epoch=c1")
+
+    # post-compaction batch still sees pre-compaction history
+    sink(
+        spark.createDataFrame([(50, base + " nightly")], "doc_id long, text string"),
+        2,
+    )
+    pairs = {
+        (r.id_new, r.id_base)
+        for r in spark.read.parquet(os.path.join(store, "matches", "epoch=*")).collect()
+    }
+    assert (50, 1) in pairs
+
+    # simulated crash: duplicate an epoch dir, matches stay identical
+    import shutil
+
+    shutil.copytree(
+        os.path.join(store, "signatures", "epoch=c1"),
+        os.path.join(store, "signatures", "epoch=9"),
+    )
+    sink(
+        spark.createDataFrame([(60, base + " nightly too")], "doc_id long, text string"),
+        3,
+    )
+    m = spark.read.parquet(os.path.join(store, "matches", "epoch=3"))
+    got = [(r.id_new, r.id_base) for r in m.collect()]
+    assert len(got) == len(set(got))  # duplicates collapsed, not multiplied
+    assert (60, 1) in set(got)
