@@ -176,3 +176,49 @@ def test_zorder_write_narrows_per_file_spans(spark, sf_dir, tmp_path):
     # z-order must at least halve it.
     assert s_span > 0.9, s_span
     assert z_span < 0.5 * s_span, (z_span, s_span)
+
+
+def test_neardup_banded_store_read_prunes_partitions(spark, tmp_path):
+    """The banded near-dup store layout must actually PRUNE: a
+    single-doc batch (≤4 distinct pb values) against a K=16 store
+    reads strictly fewer files than the store holds — partition
+    pruning at planning time, the property that bounds the
+    O(store)-per-batch scan documented in operators/dedup."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.operators.dedup import (
+        incremental_neardup_sink,
+        minhash_signatures,
+        signature_band_rows,
+    )
+
+    store = str(tmp_path / "store")
+    K = 16
+    sink = incremental_neardup_sink(store, banded_layout_k=K)
+    corpus = [
+        (i, " ".join(f"tok{i}x{j}" for j in range(20))) for i in range(200)
+    ]
+    sink(spark.createDataFrame(corpus, "doc_id long, text string"), 0)
+    sig_dir = os.path.join(store, "signatures")
+
+    probe = spark.createDataFrame([(999, corpus[7][1])], "doc_id long, text string")
+    bands = signature_band_rows(
+        minhash_signatures(probe, "doc_id", "text"), "doc_id"
+    ).withColumn("pb", F.pmod(F.col("band_hash"), F.lit(K)))
+    pbs = [r.pb for r in bands.select("pb").distinct().collect()]
+    assert 1 <= len(pbs) <= 4
+
+    full = spark.read.option("basePath", sig_dir).parquet(
+        os.path.join(sig_dir, "epoch=*")
+    )
+    pruned = full.filter(F.col("pb").isin(pbs))
+    # inputFiles() lists BEFORE partition pruning; count what the scan
+    # actually reads, and assert the pruning predicate reached the scan
+    n_full = len(full.inputFiles())
+    n_read = pruned.select(F.input_file_name()).distinct().count()
+    assert n_read < n_full, (n_read, n_full)
+    assert n_read <= len(pbs)  # exactly the probed partitions
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pb" in plan
