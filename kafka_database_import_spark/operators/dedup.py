@@ -184,31 +184,50 @@ def minhash_candidate_pairs(
         F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
     ).distinct()
 
-    # Exact-Jaccard verification on candidates only: re-shingle just the
-    # docs that appear in some candidate pair (semi-join first), then
-    # join pairs back — never broadcast shingle sets, never re-shingle
-    # the full corpus for a sparse candidate list.
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .unionAll(cand.select(F.col("id_b").alias(id_col)))
+    # Exact-Jaccard verification on candidates only (shared with the
+    # streaming path's offline verifier).
+    return exact_jaccard_for_pairs(
+        cand, df, id_col, text_col, "id_a", "id_b"
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def exact_jaccard_for_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Exact Jaccard for an explicit pair list: re-shingle ONLY docs
+    that appear in some pair (semi-join first), then join pairs back —
+    never broadcast shingle sets, never re-shingle the full corpus for
+    a sparse pair list. This is both q44's verification tail and the
+    OFFLINE verifier for the streaming near-dup path, whose signature
+    store cannot verify exactly (it never keeps text): feed it the
+    published ``matches/epoch=*`` pairs plus the text-bearing corpus
+    and it returns ``(a_col, b_col, jaccard)`` to threshold at will."""
+    ids = (
+        pairs.select(F.col(a_col).alias(id_col))
+        .unionAll(pairs.select(F.col(b_col).alias(id_col)))
         .distinct()
     )
-    shingled = _fan_out(df.join(cand_ids, id_col, "left_semi")).select(
+    shingled = _fan_out(docs.join(ids, id_col, "left_semi")).select(
         F.col(id_col), word_shingles(tokens(F.col(text_col))).alias("sh")
     )
-    a = shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
-    b = shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    a = shingled.withColumnRenamed(id_col, a_col).withColumnRenamed("sh", "sh_a")
+    b = shingled.withColumnRenamed(id_col, b_col).withColumnRenamed("sh", "sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        pairs.select(a_col, b_col)
+        .join(a, a_col)
+        .join(b, b_col)
         .select(
-            "id_a",
-            "id_b",
+            a_col,
+            b_col,
             (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= jaccard_threshold)
     )
 
 

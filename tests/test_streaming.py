@@ -693,3 +693,37 @@ def test_neardup_store_compaction_preserves_history(spark, tmp_path):
     got = [(r.id_new, r.id_base) for r in m.collect()]
     assert len(got) == len(set(got))  # duplicates collapsed, not multiplied
     assert (60, 1) in set(got)
+
+
+def test_offline_exact_verify_of_streaming_matches(spark, tmp_path):
+    """The documented offline pass: streaming matches (estimate-based,
+    store has no text) re-verified exactly by joining the published
+    pairs back to the text-bearing corpus via exact_jaccard_for_pairs.
+    True near-dups keep high exact Jaccard; the estimate and the exact
+    value agree within the 16-hash resolution."""
+    import os
+
+    from kafka_database_import_spark.operators.dedup import (
+        exact_jaccard_for_pairs,
+        incremental_neardup_sink,
+    )
+
+    base = (
+        "how vexingly quick daft zebras jump over the lazy river stones "
+        "while bright jackdaws love my big sphinx of quartz at dawn"
+    )
+    docs = [(1, base), (2, base + " extra"), (3, "different text entirely about orchestral tuning and concert hall acoustics in winter")]
+    store = str(tmp_path / "store")
+    sink = incremental_neardup_sink(store)
+    sink(spark.createDataFrame(docs[:1], "doc_id long, text string"), 0)
+    sink(spark.createDataFrame(docs[1:], "doc_id long, text string"), 1)
+
+    matches = spark.read.parquet(os.path.join(store, "matches", "epoch=*"))
+    assert matches.count() >= 1
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    verified = exact_jaccard_for_pairs(
+        matches, corpus, "doc_id", "text", "id_new", "id_base"
+    )
+    rows = {(r.id_new, r.id_base): r.jaccard for r in verified.collect()}
+    assert rows[(2, 1)] > 0.8  # true near-dup confirmed exactly
+    assert all(j > 0.4 for j in rows.values())  # no estimate-only garbage
