@@ -287,3 +287,49 @@ def q99w_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("v", "$.missing", "bigint").alias("absent"),
     ).filter(F.col("k") % 7 == 0)
     return ordered(out)
+
+
+@query(
+    "q99zx_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+             / NULLIF(o_custkey % 5, 0) AS safe_ratio,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           CASE WHEN o_custkey % 5 = 0 THEN NULL
+                ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                     // (o_custkey % 5) END AS safe_int_div
+    FROM orders
+    ORDER BY o_orderkey NULLS LAST, safe_ratio NULLS LAST,
+             prio_int NULLS LAST, prio_digit NULLS LAST,
+             safe_int_div NULLS LAST
+    """,
+)
+def q99zx_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant scalar family (``try_divide`` / ``try_cast`` /
+    ``div`` guarded): the NULL-on-failure arithmetic an ingest pipeline
+    uses instead of job-failing exceptions (and instead of disabling
+    ANSI mode globally). ``try_divide`` → NULL on zero divisor;
+    ``try_cast`` → NULL on malformed input ('1-URGENT' is not an INT,
+    its first character is). DuckDB expresses the same semantics with
+    NULLIF guards and TRY_CAST — the hash match pins the engines to
+    identical NULL-propagation, including double vs integer division
+    paths."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    divisor = F.col("o_custkey") % 5
+    out = orders.select(
+        "o_orderkey",
+        F.try_divide(cents, divisor).alias("safe_ratio"),
+        F.col("o_orderpriority").try_cast("int").alias("prio_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.when(divisor == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.expr(
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) div (o_custkey % 5)"
+        ))
+        .alias("safe_int_div"),
+    )
+    return ordered(
+        out, "o_orderkey", "safe_ratio", "prio_int", "prio_digit", "safe_int_div"
+    )
