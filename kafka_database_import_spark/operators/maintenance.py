@@ -94,3 +94,42 @@ def write_partitioned(
     if dynamic_overwrite:
         writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def metadata_stats(spark, path: str, cols: list[str]):
+    """COUNT/MIN/MAX answered from parquet FOOTERS, not data pages —
+    Spark's V2 aggregate pushdown (``PushedAggregation`` at the scan).
+    At 100 TB this is the difference between a metadata read (KBs per
+    file) and a full-table scan for the pre-flight questions every
+    pipeline asks (row counts, key ranges, date spans).
+
+    The engine session reads through the V1 parquet path (the default;
+    broader feature coverage), and ``useV1SourceList`` is a runtime
+    conf — so this helper flips to the V2 reader + aggregatePushdown
+    just for this plan and restores both confs afterward. Returns one
+    Row: ``n, min_<c>, max_<c>...``. The pushdown silently degrades to
+    a normal scan when a column's type doesn't support footer stats —
+    results are identical either way (asserted in tests); only the
+    plan shape changes."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.sources.useV1SourceList",
+            "spark.sql.parquet.aggregatePushdown",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        return spark.read.parquet(path).agg(*aggs).collect()[0]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

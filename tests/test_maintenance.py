@@ -73,3 +73,52 @@ def test_write_partitioned_respects_max_records_per_file(spark, tmp_path):
     ]
     assert len(files) >= 10
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_metadata_stats_pushes_aggregates_to_parquet_footers(spark, sf_dir):
+    """metadata_stats answers COUNT/MIN/MAX from footer statistics
+    (PushedAggregation visible in the V2 plan) and agrees exactly with
+    the full-scan answer; the engine session's confs are restored."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.operators.maintenance import metadata_stats
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    before = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+
+    row = metadata_stats(spark, path, ["o_orderkey", "o_custkey"])
+    full = (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("mn1"),
+            F.max("o_orderkey").alias("mx1"),
+            F.min("o_custkey").alias("mn2"),
+            F.max("o_custkey").alias("mx2"),
+        )
+        .collect()[0]
+    )
+    assert (row.n, row.min_o_orderkey, row.max_o_orderkey) == (full.n, full.mn1, full.mx1)
+    assert (row.min_o_custkey, row.max_o_custkey) == (full.mn2, full.mx2)
+    assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == before
+
+    # the plan really pushes: rebuild under the V2 confs and inspect
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        plan = (
+            spark.read.parquet(path)
+            .agg(F.count(F.lit(1)), F.min("o_orderkey"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedAggregation: [COUNT(*), MIN(o_orderkey)]" in plan
+    finally:
+        if before is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", before)
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
