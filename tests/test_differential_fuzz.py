@@ -528,3 +528,45 @@ def test_random_subquery_agrees_across_engines(spark, sf_dir, seed):
     con = oracle.duckdb_connection(sf_dir)
     r = oracle.compare(f"fuzzsubq_{seed}", s_df, sql, con)
     assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
+
+
+def _collation_queries(seed: int) -> tuple[str, str]:
+    """(spark_sql, duckdb_sql) pair: random per-row re-casing of a
+    string key, then case-insensitive GROUP BY — Spark via COLLATE
+    UTF8_LCASE (collation-aware hashing/equality), DuckDB via the
+    classic lower() rewrite. ASCII domain by construction, so the two
+    formulations must agree exactly; divergence would mean collated
+    grouping and lower()-grouping partition rows differently."""
+    rng = random.Random(seed + 80_000)
+    key = rng.choice(["o_orderstatus", "o_orderpriority"])
+    casing = rng.choice(
+        [
+            f"CASE o_custkey % 3 WHEN 0 THEN upper({key}) WHEN 1 THEN lower({key}) ELSE {key} END",
+            f"CASE o_orderkey % 2 WHEN 0 THEN lower({key}) ELSE upper({key}) END",
+        ]
+    )
+    having = rng.randint(0, 3)
+    spark_sql = (
+        f"SELECT lower(CAST(g AS STRING)) AS gk, COUNT(*) AS n,"
+        f" MIN(o_orderkey) AS mn FROM ("
+        f"  SELECT {casing} COLLATE UTF8_LCASE AS g, o_orderkey FROM orders)"
+        f" GROUP BY g HAVING COUNT(*) > {having}"
+        f" ORDER BY gk NULLS LAST, n NULLS LAST, mn NULLS LAST"
+    )
+    duck_sql = (
+        f"SELECT lower(g) AS gk, COUNT(*) AS n, MIN(o_orderkey) AS mn FROM ("
+        f"  SELECT {casing} AS g, o_orderkey FROM orders)"
+        f" GROUP BY lower(g) HAVING COUNT(*) > {having}"
+        f" ORDER BY gk NULLS LAST, n NULLS LAST, mn NULLS LAST"
+    )
+    return spark_sql, duck_sql
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_collated_grouping_agrees_with_lower_rewrite(spark, sf_dir, seed):
+    spark_sql, duck_sql = _collation_queries(seed)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    s_df = spark.sql(spark_sql)
+    con = oracle.duckdb_connection(sf_dir)
+    r = oracle.compare(f"fuzzcoll_{seed}", s_df, duck_sql, con)
+    assert r.match, f"seed={seed}\nspark={spark_sql}\nduck={duck_sql}\ndiff={r.sample_diff[:400]}"
