@@ -40,6 +40,8 @@ HEADLINE = [
     "q99zg_bitmap_distinct",   # exact mergeable distinct state (round 4)
     "q99zi_cdc_apply",         # changelog last-writer-wins compaction (round 4)
     "q99zk_triangle_count",    # degree-oriented wedge join (round 4)
+    "q99zq_xml_roundtrip",     # to_xml/from_xml Catalyst path (round 4, late)
+    "q99zs_map_in_arrow",      # zero-copy Arrow batch path (round 4, late)
 ]
 
 
