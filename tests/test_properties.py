@@ -730,3 +730,48 @@ def test_incremental_neardup_matches_brute_force_model(spark):
             if a < b and hits(sN[a], sN[b])
         } | {(a, b) for a in sN for b in sS if hits(sN[a], sS[b])}
         assert got == want, f"seed={seed} got^want={got ^ want}"
+
+
+def test_random_projection_preserves_pairwise_distances(spark):
+    """JL property of random_projection: with K=64 output dims, squared
+    pairwise distances after projection (rescaled by 1/(scale²·K))
+    approximate the originals — loose ε bounds appropriate to K=64,
+    plus exactness: the projection is integer arithmetic, so re-running
+    it must be bit-identical."""
+    import random
+
+    import numpy as np
+
+    from kafka_database_import_spark.operators.similarity import random_projection
+
+    rng = random.Random(7)
+    D, K, n = 64, 64, 10
+    vecs = {i: [rng.gauss(0, 1) for _ in range(D)] for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    long = random_projection(df, out_dim=K).collect()
+    proj = {}
+    for r in long:
+        proj.setdefault(r.vec_id, [0] * K)[r.k] = r.proj
+    # bit-identical rerun
+    again = random_projection(df, out_dim=K).collect()
+    assert {(r.vec_id, r.k): r.proj for r in again} == {
+        (r.vec_id, r.k): r.proj for r in long
+    }
+
+    qvecs = {i: np.floor(np.array(v) * 1000 + 0.5) for i, v in vecs.items()}
+    ratios = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            d_orig = float(((qvecs[a] - qvecs[b]) ** 2).sum())
+            pa, pb = np.array(proj[a], float), np.array(proj[b], float)
+            d_proj = float(((pa - pb) ** 2).sum()) / K
+            ratios.append(d_proj / d_orig)
+    ratios = np.array(ratios)
+    # K=64 JL distortion: all pair ratios in a loose (0.4, 2.2) band
+    # and the mean ratio near 1 (sign matrix is unbiased). The linear
+    # PRF this operator first shipped with failed exactly here
+    # (ratios 0.01-6.5: columns were ±copies) — keep this test honest.
+    assert ratios.min() > 0.4 and ratios.max() < 2.2, (ratios.min(), ratios.max())
+    assert 0.8 < ratios.mean() < 1.25, ratios.mean()
