@@ -471,3 +471,37 @@ def q99za_stream_window_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "window_start_us long, n_events long, sum_value double"
     )
     return ordered(out)
+
+
+@query(
+    "q99zz_stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT event_id FROM events
+    ORDER BY event_id NULLS LAST
+    """,
+)
+def q99zz_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the retry-tolerant dedup
+    variant q37 can't express: the dedup KEY excludes event time, so
+    at-least-once redeliveries that carry a DIFFERENT timestamp (the
+    realistic Kafka-retry shape — producer re-sends stamp new times)
+    still collapse to one row, while the watermark bounds state by
+    time rather than by key cardinality. Simulated here by unioning
+    the stream with a 30-second-shifted copy of itself: plain
+    dropDuplicates(["event_id"]) without the time column would keep
+    state forever, and dropDuplicates(["event_id", "ts"]) would let
+    every shifted retry through (2× rows); this operator is the only
+    one that both dedups and evicts. The oracle is the batch DISTINCT
+    over the key — the retry copies must vanish entirely."""
+    s1 = events_stream(spark, sf_dir).select("event_id", "ts")
+    retries = (
+        events_stream(spark, sf_dir)
+        .select("event_id", (F.col("ts") + F.expr("INTERVAL 30 SECONDS")).alias("ts"))
+    )
+    doubled = s1.unionAll(retries)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    return ordered(run_available_now(deduped, "append"))
