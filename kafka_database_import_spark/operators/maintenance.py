@@ -133,3 +133,37 @@ def metadata_stats(spark, path: str, cols: list[str]):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def metadata_stats_by_partition(spark, path: str, part_col: str, cols: list[str]):
+    """Per-partition COUNT/MIN/MAX from parquet footers — the grouped
+    variant of :func:`metadata_stats`. Group-by pushdown only exists
+    for PARTITION columns (the group key must be derivable from file
+    paths, not data pages), so this is also the measured argument for
+    partitioning by your reporting dimension: the same question on an
+    unpartitioned layout is a full scan. Returns a list of Rows
+    ``(part_col, n, min_<c>, max_<c>...)``."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.sources.useV1SourceList",
+            "spark.sql.parquet.aggregatePushdown",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        return (
+            spark.read.parquet(path).groupBy(part_col).agg(*aggs).collect()
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

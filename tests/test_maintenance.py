@@ -122,3 +122,51 @@ def test_metadata_stats_pushes_aggregates_to_parquet_footers(spark, sf_dir):
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", before)
         spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+
+
+def test_metadata_stats_by_partition_pushes_group_by(spark, sf_dir, tmp_path):
+    """Grouped footer stats: GROUP BY a partition column pushes both
+    the aggregation and the group-by to the scan (scan schema becomes
+    [part, count(*), min(...)]) and agrees with the full-scan answer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.operators.maintenance import (
+        metadata_stats_by_partition,
+    )
+
+    d = str(tmp_path / "by_part")
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        (F.col("o_custkey") % 4).alias("p"), "o_orderkey"
+    )
+    src.write.partitionBy("p").mode("overwrite").parquet(d)
+
+    rows = {r.p: (r.n, r.min_o_orderkey, r.max_o_orderkey)
+            for r in metadata_stats_by_partition(spark, d, "p", ["o_orderkey"])}
+    full = {
+        r.p: (r.n, r.mn, r.mx)
+        for r in spark.read.parquet(d)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("mn"),
+             F.max("o_orderkey").alias("mx"))
+        .collect()
+    }
+    assert rows == full and len(rows) == 4
+
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        plan = (
+            spark.read.parquet(d)
+            .groupBy("p")
+            .agg(F.count(F.lit(1)), F.min("o_orderkey"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "count(*)" in plan and "min(o_orderkey)" in plan and "BatchScan" in plan
+        assert "PushedGroupBy: [p]" in plan or "PushedGroupBy" in plan
+    finally:
+        spark.conf.unset("spark.sql.sources.useV1SourceList")
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
