@@ -570,3 +570,80 @@ def test_random_collated_grouping_agrees_with_lower_rewrite(spark, sf_dir, seed)
     con = oracle.duckdb_connection(sf_dir)
     r = oracle.compare(f"fuzzcoll_{seed}", s_df, duck_sql, con)
     assert r.match, f"seed={seed}\nspark={spark_sql}\nduck={duck_sql}\ndiff={r.sample_diff[:400]}"
+
+
+def _string_expr(rng: random.Random, depth: int = 0) -> str:
+    """Random string expression over orders string columns. Arguments
+    stay inside the CROSS-ENGINE-AGREEING domain: substr offsets >= 1
+    and lengths >= 0, left/right lengths >= 0 — the divergent edges
+    (offset 0, negative lengths) are pinned separately in
+    test_string_function_divergences_are_pinned."""
+    if depth >= 2 or rng.random() < 0.45:
+        return rng.choice(
+            ["o_orderstatus", "o_orderpriority", "'URGENT'", "'x'", "''"]
+        )
+    inner = lambda: _string_expr(rng, depth + 1)
+    k = rng.randrange(9)
+    if k == 0:
+        return f"substr({inner()}, {rng.randint(1, 4)}, {rng.randint(0, 5)})"
+    if k == 1:
+        return f"lpad({inner()}, {rng.randint(0, 8)}, 'ab')"
+    if k == 2:
+        return f"rpad({inner()}, {rng.randint(0, 8)}, 'yz')"
+    if k == 3:
+        return f"replace({inner()}, 'R', 'Q')"
+    if k == 4:
+        return f"translate({inner()}, 'LOW', 'low')"
+    if k == 5:
+        return f"reverse({inner()})"
+    if k == 6:
+        return f"concat_ws('-', {inner()}, {inner()})"
+    if k == 7:
+        return f"right({inner()}, {rng.randint(0, 4)})"
+    return f"split_part({inner()}, '-', {rng.randint(1, 2)})"
+
+
+def _string_query(seed: int) -> str:
+    rng = random.Random(seed + 90_000)
+    e1, e2 = _string_expr(rng), _string_expr(rng)
+    return (
+        f"SELECT {e1} AS s1, COUNT(*) AS n, MIN({e2}) AS m2,"
+        f" MAX(length({e2})) AS l2"
+        f" FROM orders WHERE o_orderkey % 7 = {rng.randint(0, 6)}"
+        f" GROUP BY {e1}"
+        f" ORDER BY s1 NULLS LAST, n NULLS LAST, m2 NULLS LAST, l2 NULLS LAST"
+    )
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_string_functions_agree_across_engines(spark, sf_dir, seed):
+    sql = _string_query(seed)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    s_df = spark.sql(sql)
+    con = oracle.duckdb_connection(sf_dir)
+    r = oracle.compare(f"fuzzstr_{seed}", s_df, sql, con)
+    assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
+
+
+def test_string_function_divergences_are_pinned(spark, sf_dir):
+    """The string-function edges where Spark and DuckDB genuinely
+    disagree — documented so the fuzzer's domain restriction is
+    auditable, and so a future Spark/DuckDB upgrade that RESOLVES one
+    shows up as a failure here:
+    - substr(s, 0, n): Spark treats offset 0 as 1 → 'abc'; DuckDB
+      counts position 0 against the length → 'ab'.
+    - substr(s, 2, -1): Spark → '' (negative length = empty); DuckDB
+      interprets it relative to the start → 'a'.
+    - left(s, -1): Spark → ''; DuckDB → all-but-last → 'ab'."""
+    con = oracle.duckdb_connection(sf_dir)
+    cases = [
+        ("substr('abcdef', 0, 3)", "abc", "ab"),
+        ("substr('abcdef', 2, -1)", "", "a"),
+        ("left('abc', -1)", "", "ab"),
+    ]
+    for expr, spark_want, duck_want in cases:
+        got_s = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+        got_d = con.sql(f"SELECT {expr} AS v").fetchall()[0][0]
+        assert got_s == spark_want, (expr, got_s)
+        assert got_d == duck_want, (expr, got_d)
+        assert got_s != got_d
