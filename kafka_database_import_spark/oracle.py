@@ -141,12 +141,18 @@ def compare_checksum(
     (:func:`compare`) remains the method wherever results fit."""
     from pyspark.sql import functions as F
 
+    # Sums run in DECIMAL(38,0): a bigint SUM over hundreds of millions
+    # of large values (epoch micros × 4.5M rows ≈ 8×10²¹) overflows
+    # int64 under ANSI — DuckDB silently widens to HUGEINT, Spark must
+    # be told to. Both sides normalize to Python int before comparing.
     aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(c).alias(f"s_{c}") for c in sum_cols
+        F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}") for c in sum_cols
     ]
-    s = tuple(spark_df.agg(*aggs).collect()[0])
+    raw = spark_df.agg(*aggs).collect()[0]
+    s = tuple(int(v) if v is not None else None for v in raw)
     sums = ", ".join(f"SUM({c})" for c in sum_cols)
-    o = con.sql(f"SELECT COUNT(*), {sums} FROM ({oracle_sql})").fetchone()
-    sh, oh = str(s), str(tuple(o))
-    return DiffResult(name, s[0], o[0], sh, oh, s == tuple(o),
-                      "" if s == tuple(o) else f"spark={sh} oracle={oh}")
+    o_raw = con.sql(f"SELECT COUNT(*), {sums} FROM ({oracle_sql})").fetchone()
+    o = tuple(int(v) if v is not None else None for v in o_raw)
+    sh, oh = str(s), str(o)
+    return DiffResult(name, s[0], o[0], sh, oh, s == o,
+                      "" if s == o else f"spark={sh} oracle={oh}")
