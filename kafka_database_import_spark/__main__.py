@@ -49,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--rows", type=int, default=20, help="rows to print without --output"
     )
+    parser.add_argument(
+        "--lint",
+        action="store_true",
+        help="lint the query's physical plan for scale anti-patterns "
+        "(operators/plan_lint) instead of executing it",
+    )
     args = parser.parse_args(argv)
 
     from kafka_database_import_spark.plans.registry import all_queries
@@ -69,6 +75,17 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark()
     t0 = time.perf_counter()
     df = catalog[args.query].fn(spark, args.sf_dir)
+    if args.lint:
+        from kafka_database_import_spark.operators.plan_lint import lint
+
+        findings = lint(df)
+        for f in findings:
+            print(f"{f.rule}: {f.detail}")
+        print(
+            f"{args.query}: {len(findings)} finding(s) "
+            f"in {time.perf_counter() - t0:.2f}s"
+        )
+        return 1 if findings else 0
     if args.output:
         df.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
