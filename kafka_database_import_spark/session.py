@@ -73,6 +73,12 @@ def resolve_conf(cfg: EngineConfig) -> dict[str, str]:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.files.maxPartitionBytes": cfg.max_partition_bytes,
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Read NTZ parquet timestamps as LTZ directly: with the session
+        # pinned to UTC the values are identical, and it removes the
+        # normalize_ntz cast that blocked parquet filter pushdown for
+        # any OR-predicate touching a timestamp column (found by
+        # plan_lint on q07 — PushedFilters was empty).
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         # keep managed tables (bucketed-join tests, scratch marts) out
         # of the repo working dir — default warehouse is $PWD/spark-warehouse
         "spark.sql.warehouse.dir": os.path.join(

@@ -55,6 +55,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # get_spark() sets this at build time; guard for foreign sessions
         # (the driver harness constructs its own) without re-setting per scan.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        # same foreign-session guard: NTZ inference wraps every
+        # timestamp in a cast downstream (normalize_ntz), which blocks
+        # parquet pushdown for OR-predicates; under a UTC session the
+        # LTZ reading is value-identical (verified differentially).
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         floor_us = "(ts - ((ts % 1000) + 1000) % 1000) div 1000"
