@@ -79,3 +79,54 @@ _HEADLINE = [
 def test_headline_queries_lint_clean(spark, sf_dir, name):
     df = _QS[name].fn(spark, sf_dir)
     assert_clean(df, allow=_ALLOW.get(name, set()))
+
+
+# Full-catalog audit as a regression test: every batch query's plan
+# stays lint-clean under the documented allowances. (Streaming-module
+# queries are excluded — building them executes the stream; their plan
+# shapes are locked by their own tests.) This audit's first run caught
+# a real regression: q07's OR-predicate had silently lost pushdown to
+# an NTZ cast (fixed in session.resolve_conf).
+_AUDIT_ALLOW = {
+    # SURVEY-mandated surface
+    "q13_join_cross": {"cartesian-product"},
+    "q39_scalar_udf": {"python-row-udf"},
+    "q84_chunk_udtf": {"python-row-udf"},  # class UDTFs are row-at-a-time by API
+    # broadcast-1-row bounds crosses (audited in VERDICT r3: tiny side
+    # by construction; the linter cannot see cardinality)
+    "q77_zorder_layout": {"cartesian-product"},
+    "q99zc_scd2_pointintime_join": {"cartesian-product"},
+    # global-order semantics: the op IS a total order (ntile/contiguous
+    # ranks); documented single-task reduce over pre-aggregated input
+    "q79_ntile_discretize": {"unbounded-window"},
+    "q99m_vocab_build": {"unbounded-window"},
+    # computed predicates (corrupt-injection CASE, length/token
+    # blocking) are inherently non-convertible to parquet filters
+    "q49_dead_letter": {"no-pushed-filters"},
+    "q99k_editdist_blocked_join": {"no-pushed-filters"},
+    "q76_repetition_filter": {"no-pushed-filters"},  # Gopher text ratios (computed)
+    "q99r_salted_skew_join": {"no-pushed-filters"},  # null-injection CASE synth
+}
+
+
+def test_full_catalog_lints_clean(spark, sf_dir):
+    import time
+
+    findings = {}
+    for name, q in _QS.items():
+        if q.fn.__module__.endswith("streaming_queries"):
+            continue
+        if name in ("q99zw_stream_neardup", "q99j_stream_sql_import", "q99zj_snapshot_time_travel"):
+            continue  # building these runs streams / stateful side effects
+        try:
+            fs = [
+                f
+                for f in lint(q.fn(spark, sf_dir))
+                if f.rule not in _AUDIT_ALLOW.get(name, set())
+            ]
+        except Exception as e:  # building must not crash either
+            findings[name] = [f"build-error: {e!r}"[:120]]
+            continue
+        if fs:
+            findings[name] = [f"{f.rule}: {f.detail}" for f in fs]
+    assert not findings, findings
