@@ -1305,3 +1305,49 @@ def q99zy_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = random_projection(emb, "vec_id", "embedding", out_dim=16)
     return ordered(out, "vec_id", "k", "proj")
+
+
+@query(
+    "q99zza_weighted_sample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             pow(((doc_id * 2654435761 + 12345) % 1000003 + 1) / 1000004.0,
+                 1.0 / greatest(n_chars, 1)) AS pri
+      FROM documents
+    ),
+    top AS (SELECT * FROM p ORDER BY pri DESC, doc_id LIMIT 50)
+    SELECT doc_id, n_chars, FLOOR(pri * 1e9 + 0.5) / 1e9 AS pri_q9
+    FROM top
+    ORDER BY doc_id NULLS LAST, n_chars NULLS LAST, pri_q9 NULLS LAST
+    """,
+)
+def q99zza_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each document draws priority
+    ``u^(1/w)`` with weight w = n_chars and u a PRF-uniform from its
+    id — the top-k by priority IS a weighted sample, reproducible
+    run-to-run and engine-to-engine because u is integer arithmetic
+    (no rand()). The top-k runs as TakeOrderedAndProject: per-partition
+    partial top-k, only k rows per partition reach the driver-side
+    merge — the distributed shape weighted corpus subsampling needs at
+    100 TB (same plan class as q24). Priorities are quantized to 1e-9
+    in the OUTPUT only (libm pow may differ in the last ulp across
+    engines; the k-boundary gap is ~1.8e-5 at sf0.01, so membership is
+    robust) — selection itself uses full precision."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(2654435761) + 12345) % 1000003 + 1) / F.lit(
+        1000004.0
+    )
+    pri = F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)))
+    top = (
+        docs.select("doc_id", "n_chars", pri.alias("pri"))
+        .orderBy(F.col("pri").desc(), "doc_id")
+        .limit(50)
+    )
+    out = top.select(
+        "doc_id",
+        "n_chars",
+        (F.floor(F.col("pri") * 1e9 + 0.5) / 1e9).alias("pri_q9"),
+    )
+    return ordered(out, "doc_id", "n_chars", "pri_q9")
