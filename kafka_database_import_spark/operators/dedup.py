@@ -431,15 +431,22 @@ def incremental_neardup_sink(
         if os.path.exists(epoch_sig):  # replayed epoch: already published
             return
         sig_new = minhash_signatures(batch_df, id_col, text_col).localCheckpoint()
-        have_store = os.path.isdir(sig_dir) and any(
-            e.startswith("epoch=") for e in os.listdir(sig_dir)
-        )
-        if banded_layout_k is None:
-            sig_store = (
-                spark.read.parquet(os.path.join(sig_dir, "epoch=*"))
-                if have_store
-                else None
+        # COMMITTED epochs only, as an explicit path list: a crash
+        # leaves an epoch=N.inprogress directory behind, and the glob
+        # "epoch=*" would read its partial parquet into the store —
+        # silent signature corruption on the restart path.
+        committed = (
+            sorted(
+                os.path.join(sig_dir, e)
+                for e in os.listdir(sig_dir)
+                if e.startswith("epoch=") and not e.endswith(".inprogress")
             )
+            if os.path.isdir(sig_dir)
+            else []
+        )
+        have_store = bool(committed)
+        if banded_layout_k is None:
+            sig_store = spark.read.parquet(*committed) if have_store else None
             matches = neardup_matches_against(
                 sig_new, sig_store, id_col, est_threshold
             )
@@ -459,7 +466,7 @@ def incremental_neardup_sink(
                     r.pb for r in new_bands.select("pb").distinct().collect()
                 ]
                 store_bands = spark.read.option("basePath", sig_dir).parquet(
-                    os.path.join(sig_dir, "epoch=*")
+                    *committed
                 ).filter(F.col("pb").isin(batch_pbs))
             matches = neardup_matches_against_banded(
                 sig_new, store_bands, id_col, est_threshold

@@ -55,7 +55,12 @@ def lint(df: DataFrame) -> list[Finding]:
         out.append(Finding("cartesian-product", "CartesianProduct node present"))
     # BNLJ with a real condition is a bounded theta-join; the pattern
     # without one is a disguised cartesian
-    if re.search(r"BroadcastNestedLoopJoin [^,\n]+, (Inner|Cross)\s*$", plan, re.M):
+    if re.search(
+        r"BroadcastNestedLoopJoin [^,\n]+,"
+        r" (Inner|Cross|LeftOuter|RightOuter|FullOuter)\s*$",
+        plan,
+        re.M,
+    ):
         out.append(
             Finding(
                 "cartesian-product",

@@ -1252,7 +1252,13 @@ def q99zw_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    out = spark.read.parquet(os.path.join(store, "matches", "epoch=*")).select(
+    mdir = os.path.join(store, "matches")
+    committed = sorted(
+        os.path.join(mdir, e)
+        for e in os.listdir(mdir)
+        if e.startswith("epoch=") and not e.endswith(".inprogress")
+    )
+    out = spark.read.parquet(*committed).select(
         "id_new", "id_base", mround(F.col("est"), 4).alias("est_q4")
     )
     return ordered(out, "id_new", "id_base", "est_q4")

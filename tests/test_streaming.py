@@ -727,3 +727,39 @@ def test_offline_exact_verify_of_streaming_matches(spark, tmp_path):
     rows = {(r.id_new, r.id_base): r.jaccard for r in verified.collect()}
     assert rows[(2, 1)] > 0.8  # true near-dup confirmed exactly
     assert all(j > 0.4 for j in rows.values())  # no estimate-only garbage
+
+
+def test_neardup_sink_ignores_inprogress_residue(spark, tmp_path):
+    """A crash can leave an epoch=N.inprogress directory in the store;
+    the next batch must read only COMMITTED epochs (explicit path
+    list, not the epoch=* glob that also matches the residue) — a
+    partial parquet dir in the glob would poison the store read."""
+    import os as _os
+
+    from kafka_database_import_spark.operators.dedup import incremental_neardup_sink
+
+    base = (
+        "sphinx of black quartz judge my vow while five boxing wizards "
+        "jump quickly over the lazy brown river dog tonight"
+    )
+    store = str(tmp_path / "store")
+    sink = incremental_neardup_sink(store)
+    sink(spark.createDataFrame([(1, base)], "doc_id long, text string"), 0)
+
+    # simulate a crash: an in-progress epoch dir with a corrupt file
+    residue = _os.path.join(store, "signatures", "epoch=9.inprogress")
+    _os.makedirs(residue)
+    with open(_os.path.join(residue, "part-00000.parquet"), "w") as f:
+        f.write("not parquet at all")
+
+    sink(
+        spark.createDataFrame([(50, base + " again")], "doc_id long, text string"),
+        1,
+    )
+    pairs = {
+        (r.id_new, r.id_base)
+        for r in spark.read.parquet(
+            _os.path.join(store, "matches", "epoch=1")
+        ).collect()
+    }
+    assert (50, 1) in pairs  # committed history still matched, residue ignored
