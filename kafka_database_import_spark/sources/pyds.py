@@ -189,6 +189,11 @@ def _make_sink():
                 json.dump({"rows": total}, f)
 
         def abort(self, messages):
+            """Remove every temp. A straggler task killed AFTER this
+            sweep can still drop its temp file — harmless: temps are
+            invisible to readers and the next successful commit's
+            stray sweep removes them (two-phase commit only guarantees
+            the VISIBLE namespace, parts + _SUCCESS)."""
             import glob
             import os
 

@@ -11,9 +11,20 @@ construction)."""
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
+
+# Seed-count multiplier: default 1 keeps CI fast; KDIS_FUZZ_SCALE=3
+# triples every family's seed range for deep sweeps (new seeds explore
+# NEW queries — the generators key off the seed value, so scale-up
+# extends coverage rather than re-running the same inputs).
+_FUZZ_SCALE = max(1, int(os.environ.get("KDIS_FUZZ_SCALE", "1")))
+
+
+def _seeds(n: int) -> range:
+    return range(n * _FUZZ_SCALE)
 
 from kafka_database_import_spark import oracle
 from kafka_database_import_spark.sources.readers import load_table
@@ -80,7 +91,7 @@ def _query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", _seeds(40))
 def test_random_query_agrees_across_engines(spark, sf_dir, seed):
     sql = _query(seed)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -136,7 +147,7 @@ def _join_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(25))
+@pytest.mark.parametrize("seed", _seeds(25))
 def test_random_join_query_agrees_across_engines(spark, sf_dir, seed):
     sql = _join_query(seed)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -174,7 +185,7 @@ def _window_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(15))
+@pytest.mark.parametrize("seed", _seeds(15))
 def test_random_window_query_agrees_across_engines(spark, sf_dir, seed):
     sql = _window_query(seed)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -206,7 +217,7 @@ def _distinct_having_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(15))
+@pytest.mark.parametrize("seed", _seeds(15))
 def test_random_distinct_having_agrees_across_engines(spark, sf_dir, seed):
     sql = _distinct_having_query(seed)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -254,7 +265,7 @@ def _null_join_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(60))
+@pytest.mark.parametrize("seed", _seeds(60))
 def test_random_null_outer_join_agrees_across_engines(spark, sf_dir, seed):
     sql = _null_join_query(seed)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -304,7 +315,7 @@ def _range_frame_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(45))
+@pytest.mark.parametrize("seed", _seeds(45))
 def test_random_range_frame_agrees_across_engines(spark, sf_dir, seed):
     sql = _range_frame_query(seed)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -355,7 +366,7 @@ def _setop_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(60))
+@pytest.mark.parametrize("seed", _seeds(60))
 def test_random_set_operation_agrees_across_engines(spark, sf_dir, seed):
     """UNION/INTERSECT/EXCEPT [ALL] with NULL-bearing, overlapping
     branches: NULL-equality in set semantics, ALL-multiplicity
@@ -404,7 +415,7 @@ def _grouping_sets_query(seed: int) -> str:
     return sql, sets.endswith("())"), pred
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", _seeds(40))
 def test_random_grouping_sets_agrees_across_engines(spark, sf_dir, seed):
     """GROUPING SETS where one key is NULL-injected: the NULL-as-value
     vs NULL-as-super-aggregate-marker distinction must agree, including
@@ -518,7 +529,7 @@ def _subquery_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(50))
+@pytest.mark.parametrize("seed", _seeds(50))
 def test_random_subquery_agrees_across_engines(spark, sf_dir, seed):
     sql = _subquery_query(seed)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -562,7 +573,7 @@ def _collation_queries(seed: int) -> tuple[str, str]:
     return spark_sql, duck_sql
 
 
-@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize("seed", _seeds(20))
 def test_random_collated_grouping_agrees_with_lower_rewrite(spark, sf_dir, seed):
     spark_sql, duck_sql = _collation_queries(seed)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
@@ -615,7 +626,7 @@ def _string_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", _seeds(40))
 def test_random_string_functions_agree_across_engines(spark, sf_dir, seed):
     sql = _string_query(seed)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
@@ -676,7 +687,7 @@ def _datetime_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(30))
+@pytest.mark.parametrize("seed", _seeds(30))
 def test_random_datetime_functions_agree_across_engines(spark, sf_dir, seed):
     sql = _datetime_query(seed)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
