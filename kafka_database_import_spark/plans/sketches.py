@@ -256,3 +256,185 @@ def q99zm_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = build_histogram_sketch(cents, "status", "c", 0, 60_000_000, 1000)
     out = histogram_quantiles(sk, "status", [50, 90, 99], 0, 60_000_000, 1000)
     return ordered(out, "status", "q_pct", "bucket_lo")
+
+
+@query(
+    "q99zzb_kmv_theta_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             (user_id * 2654435761 + 98765) % 2000003 AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS r
+      FROM h
+    ),
+    sk AS (
+      SELECT event_type,
+             list(hv ORDER BY hv) FILTER (r <= 256) AS vals,
+             CAST(COUNT(*) AS BIGINT) AS n_t,
+             CAST(MAX(CASE WHEN r <= 256 THEN hv END) AS BIGINT) AS kth
+      FROM ranked GROUP BY event_type
+    ),
+    sk2 AS (
+      SELECT event_type, vals, n_t,
+             CASE WHEN n_t < 256 THEN 2000003 ELSE kth END AS theta
+      FROM sk
+    ),
+    est AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             least(a.theta, b.theta) AS theta,
+             CAST(len(list_filter(list_intersect(a.vals, b.vals),
+                                  x -> x < least(a.theta, b.theta)))
+                  AS BIGINT) AS inter_cnt,
+             CAST(len(list_filter(list_distinct(list_concat(a.vals, b.vals)),
+                                  x -> x < least(a.theta, b.theta)))
+                  AS BIGINT) AS union_cnt
+      FROM sk2 a JOIN sk2 b ON a.event_type < b.event_type
+    ),
+    ex AS (
+      SELECT x.type_a, x.type_b,
+             CAST(SUM(CASE WHEN x.in_a + x.in_b = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS exact_inter,
+             CAST(COUNT(*) AS BIGINT) AS exact_union
+      FROM (
+        SELECT p.type_a, p.type_b, h.hv,
+               MAX(CASE WHEN h.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN h.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+        FROM (SELECT DISTINCT a.event_type AS type_a, b.event_type AS type_b
+              FROM (SELECT DISTINCT event_type FROM h) a
+              JOIN (SELECT DISTINCT event_type FROM h) b
+                ON a.event_type < b.event_type) p
+        JOIN h ON h.event_type IN (p.type_a, p.type_b)
+        GROUP BY p.type_a, p.type_b, h.hv
+      ) x
+      GROUP BY x.type_a, x.type_b
+    )
+    SELECT est.type_a AS type_a, est.type_b AS type_b, est.theta,
+           est.inter_cnt * 2000003 // est.theta AS est_inter,
+           est.union_cnt * 2000003 // est.theta AS est_union,
+           ex.exact_inter, ex.exact_union
+    FROM est JOIN ex ON est.type_a = ex.type_a AND est.type_b = ex.type_b
+    ORDER BY type_a NULLS LAST, type_b NULLS LAST, theta NULLS LAST,
+             est_inter NULLS LAST, est_union NULLS LAST,
+             exact_inter NULLS LAST, exact_union NULLS LAST
+    """,
+)
+def q99zzb_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketches — the sketch family member HLL can't be:
+    set-EXPRESSION estimates (intersection as well as union) from k
+    minimum hash values. The hash is a PRF (integer arithmetic, no
+    rand()), so the k-minimums, thetas, and every estimate are
+    deterministic integers both engines reproduce bit-for-bit — a full
+    hash oracle over a sketch algorithm, with the exact pair counts
+    alongside for calibration. Sets smaller than k degrade to exact
+    (theta = M) by construction.
+
+    Plan shape at 100 TB: one distinct shuffle on (type, hash), the
+    per-type k-minimums via WindowGroupLimit (partial top-k before the
+    shuffle — q25's plan class), then all pair algebra on a 5-row
+    broadcast frame of ≤256-element arrays. The sketch IS the shuffle
+    bound: no pairwise work ever touches the fact table."""
+    M, K = 2_000_003, 256
+    events = load_table(spark, sf_dir, "events")
+    h = (
+        events.select(
+            "event_type",
+            ((F.col("user_id") * F.lit(2654435761) + 98765) % M).alias("hv"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    r = Window.partitionBy("event_type").orderBy("hv")
+    ranked = h.withColumn("r", F.row_number().over(r))
+    sk = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("r") <= K, F.col("hv")))
+            ).alias("vals"),
+            F.count(F.lit(1)).alias("n_t"),
+            F.max(F.when(F.col("r") <= K, F.col("hv"))).alias("kth"),
+        )
+        .withColumn(
+            "theta",
+            F.when(F.col("n_t") < K, F.lit(M)).otherwise(F.col("kth")),
+        )
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("vals").alias("va"),
+        F.col("theta").alias("ta"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("vals").alias("vb"),
+        F.col("theta").alias("tb"),
+    )
+    theta = F.least("ta", "tb")
+    below = lambda arr: F.size(F.filter(arr, lambda x: x < theta))
+    est = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            theta.alias("theta"),
+            below(F.array_intersect("va", "vb")).cast("long").alias("inter_cnt"),
+            below(F.array_union("va", "vb")).cast("long").alias("union_cnt"),
+        )
+    )
+    pairs = (
+        h.select(F.col("event_type").alias("type_a"))
+        .distinct()
+        .join(
+            h.select(F.col("event_type").alias("type_b")).distinct(),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    member = pairs.join(
+        h,
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    ex = (
+        member.groupBy("type_a", "type_b", "hv")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.when(F.col("in_a") + F.col("in_b") == 2, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("exact_inter"),
+            F.count(F.lit(1)).alias("exact_union"),
+        )
+    )
+    out = est.join(ex, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "theta",
+        F.expr("inter_cnt * 2000003 div theta").alias("est_inter"),
+        F.expr("union_cnt * 2000003 div theta").alias("est_union"),
+        "exact_inter",
+        "exact_union",
+    )
+    return ordered(
+        out,
+        "type_a",
+        "type_b",
+        "theta",
+        "est_inter",
+        "est_union",
+        "exact_inter",
+        "exact_union",
+    )

@@ -775,3 +775,37 @@ def test_random_projection_preserves_pairwise_distances(spark):
     # (ratios 0.01-6.5: columns were ±copies) — keep this test honest.
     assert ratios.min() > 0.4 and ratios.max() < 2.2, (ratios.min(), ratios.max())
     assert 0.8 < ratios.mean() < 1.25, ratios.mean()
+
+
+def test_kmv_theta_estimates_partial_overlaps(spark):
+    """KMV/theta set-expression accuracy on CONSTRUCTED partial
+    overlaps (the events fixture's types share all users, so the
+    catalog query only exercises the full-overlap corner): two 20k-id
+    sets overlapping by 10k must estimate union/intersection within
+    the k=256 error envelope (~3σ ≈ 19%), and the estimates must be
+    deterministic across reruns."""
+    from kafka_database_import_spark.plans.registry import all_queries
+
+    rows = [("a", i) for i in range(20_000)] + [
+        ("b", i) for i in range(10_000, 30_000)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="kdis_kmv_")
+    # reuse the catalog query's pipeline by staging a fixture-shaped dir
+    df.withColumn("event_id", df.user_id).withColumn(
+        "ts", (df.user_id.cast("timestamp"))
+    ).withColumn("value", df.user_id.cast("double")).withColumn(
+        "props", df.event_type
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    q = all_queries()["q99zzb_kmv_theta_sketch"]
+    out = {(r.type_a, r.type_b): r for r in q.fn(spark, d).collect()}
+    r = out[("a", "b")]
+    assert abs(r.est_union - 30_000) / 30_000 < 0.19, r
+    assert abs(r.est_inter - 10_000) / 10_000 < 0.19, r
+    out2 = {(r2.type_a, r2.type_b): r2 for r2 in q.fn(spark, d).collect()}
+    assert (out2[("a", "b")].est_union, out2[("a", "b")].est_inter) == (
+        r.est_union,
+        r.est_inter,
+    )
