@@ -292,3 +292,25 @@ def test_degenerate_parameters_rejected_on_driver(spark):
         sample_video_frames(df, every_n=0)
     with _pt.raises(ValueError, match="target dims"):
         resize_images(df, out_w=0, out_h=4)
+
+
+def test_codec_golden_bytes_match_specs():
+    """Wire formats pinned byte-for-byte against spec-derived goldens
+    (hand-verified field by field: RIFF/fmt/data chunk layout, BMP
+    header offsets + BGR order + 4-byte row padding, YUV4MPEG2
+    parameter line). Guards the encoders against silent drift — any
+    layout change breaks real consumers, not just our decoders."""
+    from kafka_database_import_spark.multimodal.media import encode_wav, encode_y4m
+
+    wav = encode_wav(np.array([[1000], [-1000]], np.int16), 8000)
+    assert wav.hex() == (
+        "524946462800000057415645666d7420100000000100010040"
+        "1f0000803e0000020010006461746104000000e80318fc"
+    )
+    bmp = encode_bmp(np.array([[[255, 0, 128]]], np.uint8))
+    assert bmp.hex() == (
+        "424d3a00000000000000360000002800000001000000010000000100"
+        "18000000000004000000000000000000000000000000000000008000ff00"
+    )
+    y4m = encode_y4m([np.array([[7]], np.uint8)])
+    assert y4m == b"YUV4MPEG2 W1 H1 F25:1 Ip A1:1 Cmono\nFRAME\n\x07"
