@@ -324,7 +324,12 @@ def neardup_matches_against(
         ln.join(
             signature_band_rows(sig_store, id_col).alias("r"),
             (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash")),
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            # Defense in depth for the disjoint-ids contract: if a
+            # replay anomaly ever lands a batch's own ids in the store,
+            # refuse to emit the degenerate self-match rather than
+            # publishing est=1.0 self-pairs.
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
         )
         .filter(est >= F.lit(est_threshold))
         .select(
@@ -375,7 +380,9 @@ def neardup_matches_against_banded(
         ln.join(
             store_bands.alias("r"),
             (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash")),
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            # Same disjoint-ids defense as the unbanded path.
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
         )
         .filter(est >= F.lit(est_threshold))
         .select(
@@ -385,6 +392,21 @@ def neardup_matches_against_banded(
         )
     )
     return within.unionByName(vs_store).distinct()
+
+
+def _compacted_epochs(sig_dir: str) -> set[int]:
+    """Epoch ids whose ``epoch=<id>`` replay-marker directories were
+    merged away by :func:`compact_neardup_store`. The manifest keeps
+    the sink's replay guard sound after compaction: a replayed epoch
+    whose directory no longer exists is still recognized as committed."""
+    import json
+    import os
+
+    path = os.path.join(sig_dir, "_compacted_epochs.json")
+    if not os.path.exists(path):
+        return set()
+    with open(path) as fh:
+        return set(json.load(fh))
 
 
 def incremental_neardup_sink(
@@ -428,7 +450,12 @@ def incremental_neardup_sink(
         spark = batch_df.sparkSession
         epoch_sig = os.path.join(sig_dir, f"epoch={epoch_id}")
         epoch_match = os.path.join(match_dir, f"epoch={epoch_id}")
-        if os.path.exists(epoch_sig):  # replayed epoch: already published
+        # Replay guard: the epoch directory is the commit marker, and
+        # after compaction folds markers into one snapshot the manifest
+        # remembers them — a replay-after-compaction must stay a no-op,
+        # or the batch band-joins against a store that now contains its
+        # own ids (self-matches, corrupt match dir).
+        if os.path.exists(epoch_sig) or epoch_id in _compacted_epochs(sig_dir):
             return
         sig_new = minhash_signatures(batch_df, id_col, text_col).localCheckpoint()
         # COMMITTED epochs only, as an explicit path list: a crash
@@ -501,8 +528,16 @@ def compact_neardup_store(spark, store_dir: str) -> int:
     and source-epoch removal leaves DUPLICATE signature rows, which is
     benign — the matcher ends in ``distinct()`` so duplicated store
     rows can only produce identical match rows, never wrong ones (the
-    next compaction removes them). Returns the number of epochs
+    next compaction removes them). The one sequence that is NOT benign
+    — a stream crash after sink publish but before the checkpoint
+    commit, with compaction running before restart — is covered by the
+    ``_compacted_epochs.json`` manifest: the merged epochs' ids are
+    recorded (atomic tmp+replace, BEFORE the marker directories are
+    dropped) so the sink's replay guard still recognizes the replayed
+    epoch as committed instead of band-joining the batch against a
+    snapshot holding its own ids. Returns the number of epochs
     merged."""
+    import json
     import os
     import re
     import shutil
@@ -527,6 +562,18 @@ def compact_neardup_store(spark, store_dir: str) -> int:
         w = w.partitionBy("pb")
     w.parquet(tmp)
     os.replace(tmp, final)
+    # Record the merged replay markers before dropping them. Plain
+    # numeric epochs are checkpoint batch ids; `epoch=c*` snapshots are
+    # compaction artifacts already covered by earlier manifest entries.
+    merged_ids = {
+        int(e.split("=", 1)[1]) for e in epochs if re.fullmatch(r"epoch=\d+", e)
+    }
+    manifest = os.path.join(sig_dir, "_compacted_epochs.json")
+    all_ids = sorted(_compacted_epochs(sig_dir) | merged_ids)
+    tmp_manifest = manifest + ".inprogress"
+    with open(tmp_manifest, "w") as fh:
+        json.dump(all_ids, fh)
+    os.replace(tmp_manifest, manifest)
     for e in epochs:
         shutil.rmtree(os.path.join(sig_dir, e), ignore_errors=True)
     return len(epochs)

@@ -16,9 +16,10 @@ that turn a correct query into a 100-TB incident:
 * ``unbounded-window``       — a Window with no PARTITION BY: the whole
   input sorts into one task's window state.
 * ``single-partition-sort``  — a Sort directly over an
-  ``Exchange SinglePartition`` that is not a bounded
-  TakeOrderedAndProject: all rows funnel through one task. (A plain
-  ``orderBy`` is fine — Spark range-partitions it.)
+  ``Exchange SinglePartition``: all rows funnel through one task. (A
+  plain ``orderBy`` is fine — Spark range-partitions it; a bounded
+  sort+limit plans as TakeOrderedAndProject, which never produces this
+  Sort/Exchange pair in the first place.)
 
 The linter is advisory (findings, not exceptions) and deliberately
 string-based: plan nodes are stable, public ``explain`` vocabulary, so
@@ -28,6 +29,7 @@ the checks run against any DataFrame with no private APIs beyond
 
 from __future__ import annotations
 
+import bisect
 import re
 from dataclasses import dataclass
 
@@ -96,12 +98,25 @@ def lint(df: DataFrame) -> list[Finding]:
     # one task. (A full orderBy is FINE — Spark range-partitions it;
     # Range-backed sorts are even eliminated. The single-task shape
     # appears exactly two ways: a Window with no PARTITION BY, or an
-    # explicit repartition(1)/coalesce(1) under a sort.)
-    sort_over_single = re.search(
-        r"Sort \[[^\n]*\n\s*\+- Exchange SinglePartition", plan
-    )
-    if sort_over_single and "TakeOrderedAndProject" not in plan:
-        if re.search(r"^\s*\+?-? ?Window ", plan, re.M) or "Window [" in plan:
+    # explicit repartition(1)/coalesce(1) under a sort.) Classification
+    # is anchored to each matched Sort/Exchange SUBTREE — the node one
+    # line above the Sort is its parent, and a partitioned window's
+    # sort sits over `Exchange hashpartitioning`, never SinglePartition,
+    # so parent-is-Window here implies an empty partition spec. A node
+    # name merely appearing ELSEWHERE in the plan neither suppresses
+    # nor re-labels a finding.
+    lines = plan.split("\n")
+    line_starts: list[int] = []
+    pos = 0
+    for ln in lines:
+        line_starts.append(pos)
+        pos += len(ln) + 1
+    for m in re.finditer(
+        r"Sort \[[^\n]*\n[\s:]*[+-]- Exchange SinglePartition", plan
+    ):
+        li = bisect.bisect_right(line_starts, m.start()) - 1
+        parent = lines[li - 1] if li > 0 else ""
+        if re.search(r"\bWindow \[", parent):
             out.append(
                 Finding(
                     "unbounded-window",

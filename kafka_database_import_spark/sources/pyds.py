@@ -230,6 +230,7 @@ def _make_sink():
             return _Done(tmp, n)
 
         def commit(self, messages, batchId):
+            import glob
             import json
             import os
 
@@ -241,6 +242,16 @@ def _make_sink():
                     if os.path.exists(tmp):
                         os.remove(tmp)
                 return
+            # A crash mid-commit (some part files renamed, ledger not
+            # stamped) replays the batch; if the replay plans FEWER
+            # partitions, part files with i >= the new count would
+            # survive as orphans and be double-read. Sweep the batch's
+            # namespace before publishing so a replay fully replaces
+            # any partial first attempt.
+            for stale in glob.glob(
+                os.path.join(self.path, f"part-{batchId:05d}-*.jsonl")
+            ):
+                os.remove(stale)
             total = 0
             for i, m in enumerate(done):
                 final = f"part-{batchId:05d}-{i:05d}.jsonl"

@@ -45,6 +45,38 @@ def test_flags_single_partition_sort(spark):
     assert "single-partition-sort" in _rules(df)
 
 
+def test_single_partition_sort_not_masked_by_topk_elsewhere(spark):
+    """ADVICE r4: classification anchors to the matched subtree — a
+    TakeOrderedAndProject in one branch must not suppress a genuine
+    Sort-over-Exchange-SinglePartition in another."""
+    bad = (
+        spark.range(100)
+        .repartition(1)
+        .sortWithinPartitions("id")
+        .withColumn("tag", F.lit("a"))
+    )
+    topk = spark.range(100).orderBy("id").limit(5).withColumn("tag", F.lit("b"))
+    df = bad.unionByName(topk)  # one plan containing both shapes
+    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
+    assert "single-partition-sort" in _rules(df)
+
+
+def test_partitioned_window_plus_single_sort_not_misreported(spark):
+    """ADVICE r4: a PARTITIONED window elsewhere in the plan must not
+    re-label an explicit repartition(1)+sort as 'unbounded-window' —
+    the Window node adjacency, not its mere presence, decides."""
+    w = Window.partitionBy(F.col("id") % 3).orderBy("id")
+    df = (
+        spark.range(100)
+        .withColumn("r", F.row_number().over(w))
+        .repartition(1)
+        .sortWithinPartitions("id")
+    )
+    rules = _rules(df)
+    assert "single-partition-sort" in rules
+    assert "unbounded-window" not in rules
+
+
 def test_plain_order_by_is_not_flagged(spark, sf_dir):
     from kafka_database_import_spark.sources.readers import load_table
 

@@ -574,3 +574,48 @@ def test_jsonl_stream_writer_is_replay_idempotent(spark, tmp_path):
         for l in open(p)
     ]
     assert len(rows2) == 500  # replay added nothing
+
+
+def test_jsonl_stream_commit_sweeps_orphan_parts_on_replay(tmp_path):
+    """ADVICE r4: a crash MID-commit (some part files renamed, ledger
+    not yet stamped) replays the batch; if the replay plans FEWER
+    partitions, part-{batchId}-{i} files with i >= the new count from
+    the first attempt must not survive as double-read orphans. The
+    commit sweeps the batch's part namespace before publishing."""
+    import glob
+    import json
+    import os
+
+    from kafka_database_import_spark.sources.pyds import JsonlSinkDataSource
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    ds = JsonlSinkDataSource(options={"path": out})
+
+    def msg(tmp_name, rows):
+        return type("M", (), {"tmp_name": tmp_name, "rows": rows})()
+
+    def stage(tmp_name, payloads):
+        with open(os.path.join(out, tmp_name), "w") as f:
+            for p in payloads:
+                f.write(json.dumps(p) + "\n")
+
+    # First attempt: 3 tasks renamed their parts, then CRASH before the
+    # ledger stamp — simulate by calling commit and deleting the ledger.
+    w = ds.streamWriter(None, overwrite=False)
+    for i in range(3):
+        stage(f"_tmp_a{i}.jsonl", [{"v": f"first-{i}"}])
+    w.commit([msg(f"_tmp_a{i}.jsonl", 1) for i in range(3)], 7)
+    os.remove(os.path.join(out, "_epoch_7"))
+    assert len(glob.glob(os.path.join(out, "part-00007-*.jsonl"))) == 3
+
+    # Replay plans only 1 partition.
+    w2 = ds.streamWriter(None, overwrite=False)
+    stage("_tmp_b0.jsonl", [{"v": "replay-0"}])
+    w2.commit([msg("_tmp_b0.jsonl", 1)], 7)
+
+    parts = sorted(glob.glob(os.path.join(out, "part-00007-*.jsonl")))
+    assert len(parts) == 1  # orphans from the first attempt swept
+    rows = [json.loads(l) for p in parts for l in open(p)]
+    assert rows == [{"v": "replay-0"}]
+    assert os.path.exists(os.path.join(out, "_epoch_7"))

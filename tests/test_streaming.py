@@ -763,3 +763,75 @@ def test_neardup_sink_ignores_inprogress_residue(spark, tmp_path):
         ).collect()
     }
     assert (50, 1) in pairs  # committed history still matched, residue ignored
+
+
+def test_neardup_replay_after_compaction_is_noop(spark, tmp_path):
+    """ADVICE r4: compaction deletes the epoch=N replay-marker dirs, so
+    a stream that crashed after sink-publish but before checkpoint
+    commit — with compaction run before restart — would replay epoch N
+    against a store that now contains that batch's own ids. The
+    _compacted_epochs.json manifest must keep the replay a no-op, and
+    the matcher's id_new != id_base guard must hold as defense in
+    depth."""
+    import glob
+    import os as _os
+
+    from kafka_database_import_spark.operators.dedup import (
+        compact_neardup_store,
+        incremental_neardup_sink,
+    )
+
+    base = (
+        "how vexingly quick daft zebras jump over the lazy dog while "
+        "pack my red box with five dozen quality liquor jugs tonight"
+    )
+    store = str(tmp_path / "store")
+    sink = incremental_neardup_sink(store)
+    df0 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    df1 = spark.createDataFrame(
+        [(2, base + " encore")], "doc_id long, text string"
+    )
+    sink(df0, 0)
+    sink(df1, 1)  # publishes matches/epoch=1 with the (2, 1) pair
+    before = sorted(
+        (r.id_new, r.id_base)
+        for r in spark.read.parquet(
+            _os.path.join(store, "matches", "epoch=1")
+        ).collect()
+    )
+    assert (2, 1) in set(before)
+
+    # compaction removes the epoch marker dirs...
+    assert compact_neardup_store(spark, store) == 2
+    assert not _os.path.exists(_os.path.join(store, "signatures", "epoch=1"))
+    # ...then the checkpointless restart replays epoch 1: must be a no-op
+    sink(df1, 1)
+    after = sorted(
+        (r.id_new, r.id_base)
+        for r in spark.read.parquet(
+            _os.path.join(store, "matches", "epoch=1")
+        ).collect()
+    )
+    assert after == before  # match dir untouched — no self-pairs, no overwrite
+    # store still holds exactly the compacted snapshot (no re-published sigs)
+    sig_epochs = glob.glob(_os.path.join(store, "signatures", "epoch=*"))
+    assert len(sig_epochs) == 1 and sig_epochs[0].endswith("epoch=c1")
+
+
+def test_neardup_matcher_refuses_self_matches(spark):
+    """Defense-in-depth contract: even if a store ever contains the
+    batch's own ids (violated disjoint-ids discipline), the matchers
+    never emit id_new == id_base est=1.0 self-pairs."""
+    from kafka_database_import_spark.operators.dedup import (
+        minhash_signatures,
+        neardup_matches_against,
+    )
+
+    text = (
+        "the five boxing wizards jump quickly over a lazy dog while "
+        "sphinx of black quartz judges my vow at midnight again"
+    )
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    sig = minhash_signatures(df, "doc_id", "text")
+    out = neardup_matches_against(sig, sig, "doc_id", 0.5).collect()
+    assert all(r.id_new != r.id_base for r in out)
