@@ -1246,3 +1246,134 @@ def q99zv_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+def _cow_table(spark: SparkSession, sf_dir: str):
+    """Build (once per fixture) the copy-on-write demo table: orders in
+    three file groups, then a MERGE (update every key≡3 mod 10, insert
+    a shifted copy of every key≡7 mod 1000) and a row-level DELETE
+    (every custkey divisible by 7). Final head is version 5; the
+    deterministic tmp root caches the built table across driver/bench/
+    sweep runs. Returns (table, pre-mutation version)."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_cowq_{tag}")
+    tbl = SnapshotTable(root)
+    if tbl.latest_version() != 5:  # absent OR half-built leftover
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        tbl = SnapshotTable(root)
+        base = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        for part in range(3):  # three versions -> several independent files
+            tbl.commit(base.filter(F.col("k") % 3 == part))
+        src = (
+            base.filter(F.col("k") % 10 == 3)
+            .withColumn("status", F.lit("U"))
+            .withColumn("cents", F.col("cents") * 2)
+        ).unionByName(
+            base.filter(F.col("k") % 1000 == 7).select(
+                (F.col("k") + 10_000_000).alias("k"),
+                "ck",
+                F.lit("I").alias("status"),
+                (F.col("cents") + 1).alias("cents"),
+            )
+        )
+        tbl.merge_rows(spark, src, ["k"])  # -> version 4
+        tbl.delete_where(spark, F.col("ck") % 7 == 0)  # -> version 5
+    return tbl, 3
+
+
+_COW_BASE_SQL = """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    merged AS (
+      SELECT k, ck, 'U' AS status, cents * 2 AS cents FROM base WHERE k % 10 = 3
+      UNION ALL
+      SELECT k, ck, status, cents FROM base WHERE k % 10 <> 3
+      UNION ALL
+      SELECT k + 10000000 AS k, ck, 'I' AS status, cents + 1 AS cents
+      FROM base WHERE k % 1000 = 7
+    ),
+    final AS (SELECT * FROM merged WHERE NOT (ck % 7 = 0))
+"""
+
+
+@query(
+    "q99zzd_snapshot_merge_delete",
+    oracle=_COW_BASE_SQL
+    + """
+    SELECT status, COUNT(*) AS n, SUM(cents) AS total_cents
+    FROM final GROUP BY status
+    ORDER BY status NULLS LAST, n NULLS LAST, total_cents NULLS LAST
+    """,
+)
+def q99zzd_snapshot_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE + DELETE on the copy-on-write snapshot format
+    (sources/snapshot.py delete_where/merge_rows) — the lakehouse
+    primitive for CDC upserts and GDPR deletes. Only files containing
+    affected rows are rewritten; the untouched majority is carried into
+    the new manifest by reference, so a 0.1 %-of-keys delete on a
+    100 TB table rewrites 0.1 % of it. The query reads the FINAL head
+    and aggregates by status; the oracle recomputes the same final
+    state relationally from the base table. Integer cents keep the
+    distributed sum exact."""
+    tbl, _ = _cow_table(spark, sf_dir)
+    out = (
+        tbl.read(spark)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
+    )
+    return ordered(out, "status", "n", "total_cents")
+
+
+@query(
+    "q99zze_snapshot_row_changes",
+    oracle=_COW_BASE_SQL
+    + """
+    , ins AS (SELECT * FROM final EXCEPT ALL SELECT * FROM base),
+    del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM final)
+    SELECT change_type, COUNT(*) AS n, SUM(cents) AS total_cents
+    FROM (
+      SELECT 'insert' AS change_type, * FROM ins
+      UNION ALL
+      SELECT 'delete' AS change_type, * FROM del
+    )
+    GROUP BY change_type
+    ORDER BY change_type NULLS LAST, n NULLS LAST, total_cents NULLS LAST
+    """,
+)
+def q99zze_snapshot_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed of the copy-on-write mutations: row_changes
+    derives the EXACT row-level diff (inserts + deletes; an update is
+    one of each) between the pre-mutation version and the head from the
+    manifest file-list diff alone — O(files touched by the merge +
+    delete), never O(table), and no change files were ever written. The
+    oracle computes the same diff as the multiset difference of the two
+    relational states (EXCEPT ALL both ways), which is equal because
+    untouched files contribute identical multisets to both sides."""
+    from kafka_database_import_spark.sources.snapshot import row_changes
+
+    tbl, pre = _cow_table(spark, sf_dir)
+    diff = row_changes(tbl, spark, pre).withColumnRenamed(
+        "_change_type", "change_type"
+    )
+    out = diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents")
+    )
+    return ordered(out, "change_type", "n", "total_cents")

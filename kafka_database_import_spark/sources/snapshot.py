@@ -28,9 +28,16 @@ load-bearing minimum:
   as a new version — readers of old versions are untouched because
   data files are immutable.
 
-Append-only + overwrite commits cover the batch-sink surface; row-level
-upserts at scale layer the CDC mirror (operators/cdc.py) or the q99za
-keyed SQL sink on top.
+Row-level mutation is **copy-on-write** (:meth:`SnapshotTable.
+delete_where`, :meth:`SnapshotTable.merge_rows`): only the files that
+actually contain affected rows are rewritten; every untouched file is
+carried into the new manifest by reference. That is the lakehouse
+primitive a 100 TB pipeline needs for GDPR deletes and CDC upserts — a
+delete hitting 0.1 % of files rewrites 0.1 % of the table, old versions
+stay queryable (time travel over the mutation), and a concurrent
+committer still loses the version race cleanly. ``row_changes`` derives
+the exact row-level diff (inserts + deletes) of any version range from
+the file-list diff alone — O(touched files), never O(table).
 """
 
 from __future__ import annotations
@@ -197,6 +204,294 @@ class SnapshotTable:
         current = self.read(spark).coalesce(target_files)
         return self.commit(current, mode="overwrite")
 
+    # --------------------------------------------- copy-on-write mutation
+    def _cow_manifest(
+        self,
+        version: int,
+        head: int,
+        mode: str,
+        schema_json: str,
+        kept_files: list[str],
+        new_files: list[str],
+        prev_m: dict,
+    ) -> dict:
+        """Manifest for a copy-on-write commit: untouched files carried
+        by reference, rewritten/new files appended. Subclasses attach
+        per-file stats here."""
+        return {
+            "version": version,
+            "base": head,
+            "mode": mode,
+            "schema": schema_json,
+            "files": kept_files + new_files,
+        }
+
+    def _files_of(self, spark: SparkSession, df: "DataFrame") -> list[str]:
+        """Root-relative file paths present in ``df`` (which must carry
+        ``_sg_file`` = ``input_file_name()``). The collect is bounded by
+        the manifest's FILE count, never the row count."""
+        out = []
+        for r in df.select("_sg_file").distinct().collect():
+            p = r[0]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+                while p.startswith("//"):
+                    p = p[1:]
+            out.append(os.path.relpath(p, self.root))
+        return sorted(out)
+
+    def delete_where(
+        self, spark: SparkSession, condition, stats_range: tuple | None = None
+    ) -> dict:
+        """Row-level DELETE, copy-on-write: rewrite ONLY the files that
+        contain rows where ``condition`` is true; every other file is
+        carried into the new version by reference. SQL DELETE
+        semantics — rows where the predicate evaluates NULL survive.
+
+        ``condition`` is a Column or SQL string. ``stats_range=(col,
+        lo, hi)`` lets a :class:`StatsSnapshotTable` prune the
+        candidate set manifest-side before any file is opened (a
+        GDPR-delete keyed on a clustered column touches O(matching
+        files) of a million-file table); files lacking stats are
+        conservatively kept as candidates. Correctness never depends on
+        the pruning — the affected-file scan re-applies the exact
+        predicate.
+
+        Returns ``{"version", "rewritten_files", "kept_files",
+        "deleted_rows"}``; a delete matching nothing publishes NO new
+        version (``version`` = current head). Raises
+        :class:`ConcurrentCommitError` on losing the version race —
+        re-run against the new head (the rewrite must be recomputed, so
+        no blind retry helper applies)."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        m = self.manifest()
+        head = m["version"]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        candidates = list(m["files"])
+        if stats_range is not None:
+            col, lo, hi = stats_range
+            stats = m.get("stats", {})
+            candidates = [
+                f
+                for f in candidates
+                if (rng := stats.get(f, {}).get(col)) is None
+                or (rng[0] <= hi and rng[1] >= lo)
+            ]
+        if not candidates:
+            return {
+                "version": head,
+                "rewritten_files": 0,
+                "kept_files": len(m["files"]),
+                "deleted_rows": 0,
+            }
+        cand = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(self.root, f) for f in candidates])
+            .withColumn("_sg_file", F.input_file_name())
+        )
+        # one pass finds the affected files AND the per-file delete
+        # counts (bounded by file count, not row count)
+        hit = cand.filter(cond).groupBy("_sg_file").count().collect()
+        if not hit:
+            return {
+                "version": head,
+                "rewritten_files": 0,
+                "kept_files": len(m["files"]),
+                "deleted_rows": 0,
+            }
+        deleted_rows = sum(r["count"] for r in hit)
+        affected = set(
+            self._files_of(
+                spark, spark.createDataFrame(hit, "`_sg_file` string, `count` long")
+            )
+        )
+        survivors = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(self.root, f) for f in sorted(affected)])
+            # keep rows where the predicate is FALSE or NULL
+            .filter(~cond.eqNullSafe(F.lit(True)))
+        )
+        version = head + 1
+        new_files = self._write_data(survivors, version)
+        kept = [f for f in m["files"] if f not in affected]
+        self._publish(
+            version,
+            self._cow_manifest(
+                version, head, "delete", m["schema"], kept, new_files, m
+            ),
+        )
+        return {
+            "version": version,
+            "rewritten_files": len(affected),
+            "kept_files": len(kept),
+            "deleted_rows": deleted_rows,
+        }
+
+    def merge_rows(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+    ) -> dict:
+        """Row-level MERGE, copy-on-write — the table-format promotion
+        of the proven JDBC ``merge_sql`` semantics (sinks/jdbc.py):
+        target rows whose key appears in ``source`` are replaced
+        (``when_matched='update'``) or removed (``'delete'``); source
+        rows with no target match are appended (``when_not_matched=
+        'insert'``) or dropped (``'ignore'``).
+
+        Scale shape: only files CONTAINING matched keys are rewritten —
+        the affected-file discovery is a key semi-join against the
+        target scan (AQE broadcasts the source's key set when small,
+        the common CDC-batch case), survivors are the affected files
+        anti-joined on key, and matched/unmatched source rows are
+        classified against the AFFECTED files only (a matched key can
+        only live there), so no pass is O(table) beyond the one
+        discovery semi-join, which prunes columns to the keys. Additive
+        schema evolution applies (source may carry new columns; old
+        files read NULL).
+
+        Duplicate keys in ``source`` are rejected (same contract as the
+        JDBC MERGE: a row matched twice is nondeterministic).
+
+        Returns ``{"version", "rewritten_files", "kept_files",
+        "matched_rows", "inserted_rows"}``. Raises
+        :class:`ConcurrentCommitError` on losing the version race."""
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched: {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"when_not_matched: {when_not_matched!r}")
+        dup = (
+            source.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"source has duplicate merge keys, e.g. "
+                f"{tuple(dup[0][k] for k in key_cols)!r} — a target row "
+                f"matched twice is nondeterministic"
+            )
+        head = self.latest_version()
+        if head is None:
+            if when_not_matched == "insert":
+                v = self.commit(source, mode="append")
+                n = source.count()
+                return {
+                    "version": v,
+                    "rewritten_files": 0,
+                    "kept_files": 0,
+                    "matched_rows": 0,
+                    "inserted_rows": n,
+                }
+            return {
+                "version": None,
+                "rewritten_files": 0,
+                "kept_files": 0,
+                "matched_rows": 0,
+                "inserted_rows": 0,
+            }
+        m = self.manifest(head)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        schema_json = _merge_schema(m["schema"], source.schema)
+        merged_schema = T.StructType.fromJson(json.loads(schema_json))
+        keys = source.select(*key_cols).distinct()
+        paths = [os.path.join(self.root, f) for f in m["files"]]
+        target = (
+            spark.read.schema(schema)
+            .parquet(*paths)
+            .withColumn("_sg_file", F.input_file_name())
+        )
+        hit = (
+            target.select(*key_cols, "_sg_file")
+            .join(keys, on=key_cols, how="left_semi")
+            .groupBy("_sg_file")
+            .count()
+            .collect()
+        )
+        matched_rows = sum(r["count"] for r in hit)
+        affected = (
+            set(
+                self._files_of(
+                    spark,
+                    spark.createDataFrame(hit, "`_sg_file` string, `count` long"),
+                )
+            )
+            if hit
+            else set()
+        )
+
+        def _align(df: DataFrame) -> DataFrame:
+            cols = [
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in merged_schema.fields
+            ]
+            return df.select(*cols)
+
+        parts: list[DataFrame] = []
+        if affected:
+            aff_df = spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, f) for f in sorted(affected)]
+            )
+            parts.append(_align(aff_df.join(keys, on=key_cols, how="left_anti")))
+            aff_keys = aff_df.select(*key_cols).distinct()
+        else:
+            aff_keys = None
+        inserted_rows = 0
+        if when_matched == "update" and when_not_matched == "insert":
+            parts.append(_align(source))  # updates ∪ inserts = all of source
+            inserted_rows = source.count() - matched_rows
+        else:
+            if when_matched == "update" and aff_keys is not None:
+                parts.append(
+                    _align(source.join(aff_keys, on=key_cols, how="left_semi"))
+                )
+            if when_not_matched == "insert":
+                ins = (
+                    source.join(aff_keys, on=key_cols, how="left_anti")
+                    if aff_keys is not None
+                    else source
+                )
+                inserted_rows = ins.count()
+                parts.append(_align(ins))
+        if not affected and not inserted_rows and when_not_matched != "insert":
+            return {
+                "version": head,
+                "rewritten_files": 0,
+                "kept_files": len(m["files"]),
+                "matched_rows": 0,
+                "inserted_rows": 0,
+            }
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        version = head + 1
+        new_files = self._write_data(out, version)
+        kept = [f for f in m["files"] if f not in affected]
+        self._publish(
+            version,
+            self._cow_manifest(
+                version, head, "merge", schema_json, kept, new_files, m
+            ),
+        )
+        return {
+            "version": version,
+            "rewritten_files": len(affected),
+            "kept_files": len(kept),
+            "matched_rows": matched_rows,
+            "inserted_rows": inserted_rows,
+        }
+
 
 def _file_stats(path: str, columns: list[str]) -> dict:
     """Per-file column min/max from the parquet FOOTER (pyarrow) —
@@ -284,6 +579,30 @@ class StatsSnapshotTable(SnapshotTable):
         self._publish(version, manifest)
         return version
 
+    def _cow_manifest(
+        self,
+        version: int,
+        head: int,
+        mode: str,
+        schema_json: str,
+        kept_files: list[str],
+        new_files: list[str],
+        prev_m: dict,
+    ) -> dict:
+        """Copy-on-write commits keep the kept files' EXISTING stats by
+        reference (immutable files, immutable stats) and attach the
+        rewrite's freshly-footer-read stats — so a delete stays
+        stats-prunable without re-reading any untouched footer."""
+        man = super()._cow_manifest(
+            version, head, mode, schema_json, kept_files, new_files, prev_m
+        )
+        prev_stats = prev_m.get("stats", {})
+        man["stats"] = {
+            **{f: prev_stats[f] for f in kept_files if f in prev_stats},
+            **getattr(self, "_pending_stats", {}),
+        }
+        return man
+
     def read_pruned(
         self,
         spark: SparkSession,
@@ -343,6 +662,58 @@ def changes(
     return spark.read.schema(schema).parquet(
         *[os.path.join(tbl.root, f) for f in new_files]
     )
+
+
+def row_changes(
+    tbl: SnapshotTable,
+    spark: SparkSession,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Exact row-level diff between two versions, derived from the
+    file-list diff alone — the change-data-feed of the copy-on-write
+    format, with NO change files written at commit time.
+
+    Returns the destination schema plus ``_change_type``
+    (``'insert'`` | ``'delete'``); an update surfaces as a delete of
+    the old row and an insert of the new one (the Delta CDF convention
+    minus ``update_pre/postimage``, which would require key metadata
+    the format doesn't mandate).
+
+    Why it's exact: data files are immutable, so every row born after
+    ``from_version`` lives in a file added to the manifest, and every
+    row removed lives in a file dropped from it. Rows CARRIED through a
+    copy-on-write rewrite appear on both sides and cancel under
+    multiset difference (``exceptAll``). Cost is O(files touched by the
+    range) — a delete that rewrote 3 files diffs 3 files' worth of
+    rows, never the table — and unlike :func:`changes` this is sound
+    across delete/merge/compact commits (compaction's diff is empty, as
+    it should be). Overwrite commits still reset lineage: every old row
+    deletes, every new row inserts — sound, if large."""
+    from pyspark.sql import functions as F
+
+    to_version = to_version if to_version is not None else tbl.latest_version()
+    base = tbl.manifest(from_version)
+    cur = tbl.manifest(to_version)
+    schema = T.StructType.fromJson(json.loads(cur["schema"]))
+    added = [f for f in cur["files"] if f not in set(base["files"])]
+    dropped = [f for f in base["files"] if f not in set(cur["files"])]
+
+    def _load(files: list[str]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(tbl.root, f) for f in files]
+        )
+
+    added_rows, dropped_rows = _load(added), _load(dropped)
+    inserts = added_rows.exceptAll(dropped_rows).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deletes = dropped_rows.exceptAll(added_rows).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return inserts.unionByName(deletes)
 
 
 class SnapshotCommitSink:

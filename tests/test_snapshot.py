@@ -426,3 +426,235 @@ def test_commit_with_retry_wins_after_races_and_gives_up_eventually(spark, tmp_p
     races["left"] = 99  # permanent contention: must give up, not spin
     with pytest.raises(ConcurrentCommitError):
         commit_with_retry(tbl, _df(spark, [(3, "c")]), attempts=3)
+
+
+# --------------------------------------------------- copy-on-write mutation
+
+
+def _commit_in_parts(spark, tbl, groups):
+    """Commit each group as its own version so the table has several
+    independent files — the unit copy-on-write must preserve."""
+    for g in groups:
+        tbl.commit(_df(spark, g))
+
+
+def test_delete_where_rewrites_only_affected_files(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    _commit_in_parts(
+        spark,
+        tbl,
+        [[(1, "a"), (2, "b")], [(3, "c"), (4, "d")], [(5, "e"), (6, "f")]],
+    )
+    before = tbl.manifest()["files"]
+    res = tbl.delete_where(spark, "k = 3")
+    assert res["deleted_rows"] == 1
+    assert res["rewritten_files"] >= 1
+    after = tbl.manifest()["files"]
+    # untouched files carried BY REFERENCE: same relative paths survive
+    carried = set(before) & set(after)
+    assert len(carried) == len(before) - res["rewritten_files"]
+    assert _rows(tbl.read(spark)) == [
+        (1, "a"), (2, "b"), (4, "d"), (5, "e"), (6, "f")
+    ]
+    # time travel: the pre-delete version still has row 3
+    assert (3, "c") in _rows(tbl.read(spark, version=3))
+    assert tbl.manifest()["mode"] == "delete"
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a"), (2, None), (3, "x")]))
+    tbl.delete_where(spark, F.col("v") == "x")  # NULL == 'x' is NULL -> keep
+    assert _rows(tbl.read(spark)) == [(1, "a"), (2, None)]
+
+
+def test_delete_where_no_match_publishes_nothing(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]))
+    res = tbl.delete_where(spark, "k = 999")
+    assert res["version"] == 1
+    assert res["rewritten_files"] == 0 and res["deleted_rows"] == 0
+    assert tbl.latest_version() == 1
+
+
+def test_delete_where_stats_prune_skips_unaffected_files(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import StatsSnapshotTable
+
+    tbl = StatsSnapshotTable(str(tmp_path / "t"), stats_cols=["k"])
+    for lo in (0, 100, 200):
+        tbl.commit(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(10)], SCHEMA
+            ).coalesce(1)
+        )
+    res = tbl.delete_where(spark, "k BETWEEN 105 AND 107", stats_range=("k", 105, 107))
+    assert res["deleted_rows"] == 3
+    assert res["rewritten_files"] == 1  # pruning confined the rewrite
+    assert len(_rows(tbl.read(spark))) == 27
+    # the rewritten file's stats were refreshed; kept files kept theirs
+    m = tbl.manifest()
+    assert all(f in m["stats"] for f in m["files"])
+
+
+def test_merge_rows_upserts_and_carries_untouched_files(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    _commit_in_parts(spark, tbl, [[(1, "a"), (2, "b")], [(3, "c"), (4, "d")]])
+    before = tbl.manifest()["files"]
+    src = _df(spark, [(2, "B2"), (9, "new")])
+    res = tbl.merge_rows(spark, src, ["k"])
+    assert res["matched_rows"] == 1 and res["inserted_rows"] == 1
+    after = tbl.manifest()["files"]
+    assert set(before) & set(after)  # file with k=3,4 carried by reference
+    assert _rows(tbl.read(spark)) == [
+        (1, "a"), (2, "B2"), (3, "c"), (4, "d"), (9, "new")
+    ]
+    assert tbl.manifest()["mode"] == "merge"
+    # pre-merge version unchanged (time travel over the upsert)
+    assert _rows(tbl.read(spark, version=2)) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d")
+    ]
+
+
+def test_merge_rows_matched_delete_and_ignore_modes(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    # matched -> delete, unmatched -> ignore: pure CDC delete batch
+    res = tbl.merge_rows(
+        spark,
+        _df(spark, [(2, None), (77, None)]),
+        ["k"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    assert res["matched_rows"] == 1 and res["inserted_rows"] == 0
+    assert _rows(tbl.read(spark)) == [(1, "a"), (3, "c")]
+    # update-only (no inserts)
+    res2 = tbl.merge_rows(
+        spark,
+        _df(spark, [(3, "C3"), (88, "nope")]),
+        ["k"],
+        when_not_matched="ignore",
+    )
+    assert res2["matched_rows"] == 1 and res2["inserted_rows"] == 0
+    assert _rows(tbl.read(spark)) == [(1, "a"), (3, "C3")]
+
+
+def test_merge_rows_rejects_duplicate_source_keys(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        tbl.merge_rows(spark, _df(spark, [(1, "x"), (1, "y")]), ["k"])
+
+
+def test_merge_rows_schema_evolution_adds_column(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a"), (2, "b")]))
+    src = spark.createDataFrame(
+        [(2, "B2", 7.5)],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        ),
+    )
+    tbl.merge_rows(spark, src, ["k"])
+    got = sorted(
+        (r["k"], r["v"], r["score"]) for r in tbl.read(spark).collect()
+    )
+    assert got == [(1, "a", None), (2, "B2", 7.5)]
+
+
+def test_merge_rows_into_empty_table_is_insert(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    res = tbl.merge_rows(spark, _df(spark, [(1, "a")]), ["k"])
+    assert res["inserted_rows"] == 1 and res["version"] == 1
+    assert _rows(tbl.read(spark)) == [(1, "a")]
+
+
+def test_cow_commit_loses_version_race_cleanly(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import (
+        ConcurrentCommitError,
+        SnapshotTable,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a"), (2, "b")]))
+
+    class RacingTable(SnapshotTable):
+        # another writer lands a commit between the head read and the
+        # publish: inject it during the data write
+        def _write_data(self, df, version):
+            if not getattr(self, "_raced", False):
+                self._raced = True
+                SnapshotTable(self.root).commit(_df(spark, [(50, "r")]))
+            return super()._write_data(df, version)
+
+    racing = RacingTable(str(tmp_path / "t"))
+    with pytest.raises(ConcurrentCommitError):
+        racing.delete_where(spark, "k = 1")
+    # retry against the new head succeeds and sees the racer's row
+    res = racing.delete_where(spark, "k = 1")
+    assert res["deleted_rows"] == 1
+    assert _rows(tbl.read(spark)) == [(2, "b"), (50, "r")]
+
+
+def test_row_changes_reports_cow_diff_exactly(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        row_changes,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    _commit_in_parts(spark, tbl, [[(1, "a"), (2, "b")], [(3, "c"), (4, "d")]])
+    v2 = tbl.latest_version()
+    tbl.merge_rows(spark, _df(spark, [(2, "B2"), (9, "new")]), ["k"])
+    tbl.delete_where(spark, "k = 3")
+    diff = row_changes(tbl, spark, v2)
+    got = sorted(
+        (r["k"], r["v"], r["_change_type"]) for r in diff.collect()
+    )
+    # update = delete old + insert new; carried rows (1,4) cancel out
+    assert got == [
+        (1, "a", "delete"),  # carried through the k=2 rewrite? NO — see below
+    ] or got == [
+        (2, "B2", "insert"),
+        (2, "b", "delete"),
+        (3, "c", "delete"),
+        (9, "new", "insert"),
+    ]
+    assert (2, "b", "delete") in got and (2, "B2", "insert") in got
+    assert (3, "c", "delete") in got and (9, "new", "insert") in got
+    assert (4, "d", "delete") not in got and (4, "d", "insert") not in got
+
+
+def test_row_changes_empty_for_compaction(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        row_changes,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    _commit_in_parts(spark, tbl, [[(1, "a")], [(2, "b")]])
+    v = tbl.latest_version()
+    tbl.compact(spark)
+    assert row_changes(tbl, spark, v).count() == 0
