@@ -225,3 +225,42 @@ def test_media_extractors_are_single_pass_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q99zn_audio_decode")
     assert plan.count("MapInPandas") == 2  # synth + extract, fused scan between
     assert "Exchange hashpartitioning(payload" not in plan
+
+
+# ----------------------------------------------------------- TPC-H suite
+
+
+def test_tpch_q01_partial_agg_before_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q01")
+    assert "partial_" in plan  # 60G rows -> 6 per task map-side
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_tpch_q05_dims_broadcast_one_fact_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q05")
+    # customer/supplier/nation/region broadcast; lineitem⋈orders is the
+    # only candidate for a shuffle join
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_tpch_q09_partsupp_is_generate_not_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q09")
+    assert "Generate explode" in plan  # 4-way fan-out is a projection
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q18_having_filter_survives_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q18")
+    assert "sum_qty" in plan and "partial_" in plan
+
+
+def test_tpch_q21_semi_and_anti_on_same_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_tpch_suite_complete_and_oracled():
+    names = [f"tpch_q{i:02d}" for i in range(1, 23)]
+    for n in names:
+        assert n in _QS, f"missing {n}"
+        assert _QS[n].oracle, f"{n} lacks an oracle"
