@@ -664,9 +664,15 @@ def q99zb_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFram
         .start()
     )
     try:
+        # Drain guard on StreamingQuery progress accounting (VERDICT r4
+        # item 9): numInputRows is driver-side metadata posted AFTER a
+        # batch fully commits to the sink — no Spark job per poll, unlike
+        # the previous spark.table(name).count() loop which ran a scan
+        # every 300 ms.
         deadline = time.monotonic() + 240
         while time.monotonic() < deadline:
-            if spark.table(name).count() >= n_rows:
+            drained = sum(p["numInputRows"] for p in q.recentProgress)
+            if drained >= n_rows:
                 break
             time.sleep(0.3)
     finally:

@@ -1357,3 +1357,128 @@ def q99zza_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("pri") * 1e9 + 0.5) / 1e9).alias("pri_q9"),
     )
     return ordered(out, "doc_id", "n_chars", "pri_q9")
+
+
+@query(
+    "q99zzf_bm25_ranked_retrieval",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n, SUM(dl) AS t FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qterms(query_id, term) AS (VALUES
+      (1, 'spark'), (1, 'join'), (1, 'filter'),
+      (2, 'hash'), (2, 'table'), (2, 'scan'),
+      (3, 'window'), (3, 'agg'), (3, 'batch')),
+    contrib AS (
+      SELECT q.query_id, f.doc_id,
+             CAST(FLOOR(LN((2.0 * s.n + 2) / (2 * d.df + 1)) * 10000 + 0.5)
+                  AS BIGINT)
+               * ((2 * (44 * f.tf * s.t) * 10000
+                   + (20 * f.tf * s.t + 6 * s.t + 18 * l.dl * s.n))
+                  // (2 * (20 * f.tf * s.t + 6 * s.t + 18 * l.dl * s.n)))
+               AS c_e8
+      FROM tf f
+      JOIN qterms q ON f.term = q.term
+      JOIN dfreq d  ON f.term = d.term
+      JOIN dl l     ON f.doc_id = l.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT query_id, doc_id, SUM(c_e8) AS score_e8,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY SUM(c_e8) DESC, doc_id ASC) AS rnk
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id,
+           CAST(score_e8 AS DOUBLE) / 1e8 AS score, rnk
+    FROM scored WHERE rnk <= 10
+    ORDER BY query_id NULLS LAST, doc_id NULLS LAST, score NULLS LAST,
+             rnk NULLS LAST
+    """,
+)
+def q99zzf_bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the q75 inverted-index shape (VERDICT
+    r4 item 4): three literal keyword queries, top-10 documents each.
+
+    Exactness: BM25's tf-saturation ``tf·(k1+1)/(tf + k1·(1-b+b·dl/
+    avgdl))`` with the textbook k1=1.2, b=0.75 is ALGEBRAICALLY
+    RATIONAL — multiplying through by 20·T (T = total corpus tokens,
+    avgdl = T/N) gives ``44·tf·T / (20·tf·T + 6·T + 18·dl·N)``, an
+    exact integer ratio fixed-pointed at 1e4 by round-half-up INTEGER
+    division (no float ever touches it). The idf is the Lucene
+    non-negative form ``ln((N+0.5+0.5)/(df+0.5)) = ln((2N+2)/(2df+1))``
+    — a float ln of an exact integer ratio, floor-rounded at 1e4; a
+    cross-engine divergence would need libm to differ within ~1e-12 of
+    a rounding boundary over the few thousand distinct df values
+    (measured margin far larger; same discipline as q82's pow note).
+    Scores are then SUMS OF INTEGERS — order-independent and exact.
+
+    Plan shape at 100 TB: one (doc,term) shuffle builds tf; dl reuses
+    the doc key; the query-term join broadcasts 9 rows and PRUNES the
+    posting lists to the query vocabulary before any scoring work; the
+    two corpus stats are bounded driver-side scalars folded into the
+    expressions as literals (no join at all); per-query top-10 is the
+    q25 WindowGroupLimit partial top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # corpus stats are TWO bounded scalars (N docs, T tokens) — collect
+    # once driver-side (the _partsupp/zorder discipline) rather than a
+    # 1-row join Catalyst would fold into a nested-loop cross
+    n_docs, total_tok = dl.agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).first()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = spark.createDataFrame(
+        [
+            (1, "spark"), (1, "join"), (1, "filter"),
+            (2, "hash"), (2, "table"), (2, "scan"),
+            (3, "window"), (3, "agg"), (3, "batch"),
+        ],
+        "query_id int, term string",
+    )
+    idf_e4 = F.floor(
+        F.log((2.0 * n_docs + 2) / (2 * F.col("df") + 1)) * 10000 + 0.5
+    ).cast("long")
+    num = 44 * F.col("tf") * F.lit(total_tok)
+    den = (
+        20 * F.col("tf") * F.lit(total_tok)
+        + 6 * F.lit(total_tok)
+        + 18 * F.col("dl") * F.lit(n_docs)
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .withColumn("num", num)
+        .withColumn("den", den)
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                idf_e4 * F.expr("(2 * num * 10000 + den) div (2 * den)")
+            ).alias("c_e8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e8").desc(), F.col("doc_id").asc()
+    )
+    out = (
+        contrib.groupBy("query_id", "doc_id")
+        .agg(F.sum("c_e8").alias("score_e8"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("score_e8").cast("double") / 1e8).alias("score"),
+            "rnk",
+        )
+    )
+    return ordered(out, "query_id", "doc_id", "score", "rnk")

@@ -505,3 +505,62 @@ def q99zz_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Dat
         .select("event_id")
     )
     return ordered(run_available_now(deduped, "append"))
+
+
+@query(
+    "q99zzg_stream_full_outer_join",
+    oracle="""
+    WITH bounded AS (
+      SELECT * FROM events
+      WHERE ts <= (SELECT MAX(ts) FROM events) - INTERVAL '16 minutes'
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           COALESCE(a.user_id, b.user_id) AS uid
+    FROM bounded a FULL OUTER JOIN bounded b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+    ORDER BY id_a NULLS LAST, id_b NULLS LAST, uid NULLS LAST
+    """,
+)
+def q99zzg_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join (VERDICT r4 item 3) — completes
+    the q58 (inner) / q99q (left outer) family with the variant whose
+    eviction must fire on BOTH sides: a LEFT row null-extends when the
+    watermark proves no future match can arrive for it (passes
+    a.ts + 5 min), and a RIGHT row null-extends when the watermark
+    passes b.ts — two different finality conditions live in the same
+    state store. Both inputs are pre-filtered to the provably-final
+    region (ts ≤ max(ts) − 16 min, one minute clear of the 15-minute
+    left-side boundary = 10-min watermark + 5-min join window), so the
+    bounded drain emits every row exactly once and the batch FULL
+    OUTER oracle reproduces it. At 100 TB the time-bound condition is
+    what keeps both state stores finite: each side holds only the
+    watermark-deep tail, evicted per microbatch."""
+    max_ts = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )  # 1-row bounds aggregate (test-harness drain only)
+    bound = F.lit(max_ts) - F.expr("interval 16 minutes")
+    a = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .filter(F.col("ts") <= bound)
+        .alias("a")
+    )
+    b = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .filter(F.col("ts") <= bound)
+        .alias("b")
+    )
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("interval 5 minutes")),
+        "full_outer",
+    ).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("uid"),
+    )
+    return ordered(run_available_now(joined, "append"))

@@ -739,3 +739,154 @@ def test_datetime_divergences_are_pinned(spark, sf_dir):
         "SELECT typeof(date_trunc('week', TIMESTAMP '2024-03-14 10:11:12')) AS v"
     ).fetchall()[0][0]
     assert tr_s == "timestamp" and tr_d == "DATE"
+
+
+# ---------------------------------------------------------------------------
+# Family 13 (round 5): multi-way join chains — 3/4-table chains with mixed
+# inner/outer join types and random extra ON predicates. The classic
+# optimizer-reordering divergence pit (VERDICT r4 item 6): outer-join
+# reordering is only legal under precise null-rejection rules, ON-clause
+# filters on the preserved side of an outer join must NOT become WHERE
+# filters, and chained FULL joins defeat most reorderings entirely. Every
+# query aggregates per-side match counts so a single wrongly-null-extended
+# or wrongly-dropped row flips the hash.
+
+CUSTOMER_COLS = [
+    ("c_custkey", "int"),
+    ("c_acctbal", "num"),
+    ("c_mktsegment", "str"),
+]
+
+
+def _multijoin_query(seed: int) -> str:
+    rng = random.Random(seed + 90_000)
+    jts = [
+        rng.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+        for _ in range(3)
+    ]
+    four_way = rng.random() < 0.5
+
+    def extra_on(col: str) -> str:
+        # random extra ON predicate — the ON-vs-WHERE semantics trap
+        if rng.random() < 0.5:
+            return ""
+        return f" AND ({col} % {rng.randint(2, 7)} <> {rng.randint(0, 1)})"
+
+    pool = LINEITEM_COLS + ORDERS_COLS + CUSTOMER_COLS
+
+    def pred(depth: int = 0) -> str:
+        if depth >= 2 or rng.random() < 0.45:
+            col, kind = rng.choice(pool)
+            if kind == "str":
+                lits = STR_LITERALS + ["'BUILDING'", "'MACHINERY'", "'2-HIGH'"]
+                return f"({col} {rng.choice(CMP)} {rng.choice(lits)})"
+            if kind == "num":
+                lhs = f"CAST(CAST({col} AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            else:
+                lhs = col
+            return f"({lhs} {rng.choice(CMP)} {rng.randint(-10, 30_000_000)})"
+        k = rng.random()
+        if k < 0.4:
+            return f"({pred(depth + 1)} AND {pred(depth + 1)})"
+        if k < 0.8:
+            return f"({pred(depth + 1)} OR {pred(depth + 1)})"
+        return f"(NOT {pred(depth + 1)})"
+
+    where = f" WHERE {pred()}" if rng.random() < 0.7 else ""
+    group_col = rng.choice(
+        ["l_returnflag", "o_orderstatus", "c_mktsegment", "l_linestatus"]
+    )
+    chain = (
+        f"lineitem {jts[0]} orders"
+        f" ON l_orderkey = o_orderkey{extra_on('o_orderkey')}"
+        f" {jts[1]} customer"
+        f" ON o_custkey = c_custkey{extra_on('c_custkey')}"
+    )
+    sel_supp = ""
+    if four_way:
+        chain += (
+            f" {jts[2]} supplier"
+            f" ON l_suppkey = s_suppkey{extra_on('s_suppkey')}"
+        )
+        sel_supp = " COUNT(s_suppkey) AS n_supp,"
+    return (
+        f"SELECT {group_col} AS g, COUNT(*) AS n,"
+        f" COUNT(l_orderkey) AS n_li, COUNT(o_custkey) AS n_ord,"
+        f" COUNT(c_custkey) AS n_cust,{sel_supp}"
+        f" MIN(l_orderkey) AS mn, MAX(o_orderkey) AS mx"
+        f" FROM {chain}{where} GROUP BY {group_col}"
+        f" ORDER BY g NULLS LAST, n NULLS LAST, n_li NULLS LAST,"
+        f" n_ord NULLS LAST, n_cust NULLS LAST, mn NULLS LAST, mx NULLS LAST"
+    )
+
+
+@pytest.mark.parametrize("seed", _seeds(50))
+def test_random_multiway_join_chain_agrees_across_engines(spark, sf_dir, seed):
+    sql = _multijoin_query(seed)
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    s_df = spark.sql(sql)
+    con = oracle.duckdb_connection(sf_dir)
+    r = oracle.compare(f"fuzzmultijoin_{seed}", s_df, sql, con)
+    assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
+
+
+# ---------------------------------------------------------------------------
+# Family 14 (round 5): window functions OVER a join result — ranking and
+# running aggregates computed after an inner/left join, where a join bug
+# (dropped/duplicated row) shifts EVERY subsequent rank in the partition.
+# Join types restricted to JOIN/LEFT JOIN so (l_orderkey, l_linenumber)
+# stays a non-null unique tiebreak — ranking is total-ordered and
+# deterministic by construction.
+
+
+def _join_window_query(seed: int) -> str:
+    rng = random.Random(seed + 95_000)
+    jt = rng.choice(["JOIN", "LEFT JOIN"])
+    part = rng.choice(["l_returnflag", "l_linestatus", "o_orderstatus"])
+    func = rng.choice(
+        [
+            "ROW_NUMBER()",
+            "RANK()",
+            "DENSE_RANK()",
+            "COUNT(*)",
+            "SUM(l_orderkey)",
+            "MIN(l_linenumber)",
+        ]
+    )
+    desc = rng.choice(["ASC", "DESC"])
+    k = rng.randint(1, 25)
+    filt = rng.choice(
+        [
+            f"l_orderkey % {rng.randint(2, 9)} = 0",
+            f"l_quantity >= {rng.randint(1, 40)}",
+            f"o_orderstatus <> '{rng.choice(['F', 'O', 'P'])}'",
+        ]
+    )
+    ranked = func in ("ROW_NUMBER()", "RANK()", "DENSE_RANK()")
+    outer_filter = f" WHERE w <= {k}" if ranked else ""
+    # part may be NULL under LEFT JOIN when partitioning on an orders
+    # column — explicit NULLS LAST keeps both engines' partitions and
+    # output order aligned
+    return (
+        f"SELECT g, l_orderkey, l_linenumber, w FROM ("
+        f" SELECT {part} AS g, l_orderkey, l_linenumber,"
+        f" {func} OVER (PARTITION BY {part}"
+        f" ORDER BY l_orderkey {desc} NULLS LAST,"
+        f" l_linenumber {desc} NULLS LAST) AS w"
+        f" FROM lineitem {jt} orders ON l_orderkey = o_orderkey"
+        f" WHERE {filt}) t{outer_filter}"
+        f" ORDER BY g NULLS LAST, l_orderkey NULLS LAST,"
+        f" l_linenumber NULLS LAST, w NULLS LAST"
+    )
+
+
+@pytest.mark.parametrize("seed", _seeds(50))
+def test_random_window_over_join_agrees_across_engines(spark, sf_dir, seed):
+    sql = _join_window_query(seed)
+    for t in ("lineitem", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    s_df = spark.sql(sql)
+    con = oracle.duckdb_connection(sf_dir)
+    r = oracle.compare(f"fuzzjoinwindow_{seed}", s_df, sql, con)
+    assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
