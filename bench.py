@@ -42,7 +42,31 @@ HEADLINE = [
     "q99zk_triangle_count",    # degree-oriented wedge join (round 4)
     "q99zq_xml_roundtrip",     # to_xml/from_xml Catalyst path (round 4, late)
     "q99zs_map_in_arrow",      # zero-copy Arrow batch path (round 4, late)
+    "tpch_q01",                # TPC-H pricing summary (round 5)
+    "tpch_q09",                # TPC-H profit: 6-table join + synth partsupp (round 5)
+    "q99zzd_snapshot_merge_delete",  # copy-on-write MERGE+DELETE (round 5)
+    "q99zzf_bm25_ranked_retrieval",  # BM25 inverted-index retrieval (round 5)
 ]
+
+
+def _calibrate(spark) -> float:
+    """Host-speed calibration (VERDICT r4 item 8): a fixed-work,
+    data-independent JVM/codegen microbenchmark — 200M xxhash64 values
+    folded into one bit_xor (overflow-free under ANSI mode), entirely inside whole-stage codegen. Reported
+    as ``calib_s`` so cross-round BENCH comparisons can be
+    host-corrected (round 4's uniform 1.24× "regression" was a slower
+    machine; divide headline times by the calib ratio to compare)."""
+    import time as _t
+
+    def run() -> float:
+        t0 = _t.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS h"
+        ).write.format("noop").mode("overwrite").save()
+        return _t.perf_counter() - t0
+
+    run()  # warm codegen/JIT
+    return round(min(run(), run()), 3)
 
 
 def main() -> None:
@@ -95,6 +119,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "calib_s": _calibrate(spark),
     }
     # BASELINE.md throughput target for the reference pipeline (>=10k rec/s)
     if "q48_reference_pipeline" in timings and timings["q48_reference_pipeline"] > 0:

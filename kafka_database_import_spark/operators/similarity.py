@@ -439,6 +439,14 @@ def pq_topk(
     """Approximate cosine top-k via product quantization with
     asymmetric distance (ADC) and exact rerank.
 
+    ``shortlist`` is an ABSOLUTE candidate count and must scale with
+    the corpus: hold ``shortlist / corpus_n`` constant (≈ 2.5 % of the
+    corpus reproduces the measured knees). Measured at 10× growth
+    (SCALE.md round-5): a fixed shortlist's recall decays roughly in
+    proportion as clusters outgrow it (0.55 → 0.065 at shortlist=100),
+    while the same FRACTION holds recall — unlike LSH tables / IVF
+    probes, which are relative partitions and carry over unchanged.
+
     Plan shape: corpus encodes scan-local (``pq_encode``); each query
     precomputes ``n_subspaces`` lookup tables of ``n_codes`` exact
     sub-distances (broadcast with the query row); the candidate pass
@@ -534,6 +542,11 @@ def ivfpq_topk(
     flat-PQ-at-16-codes cost with fine-codebook recall. The identity
     ``q − c = (q − centroid) − (c − centroid)`` holds per cell, so
     per-(query, cell) LUTs keep ADC exact w.r.t. the codebooks.
+
+    As with :func:`pq_topk`, ``shortlist`` is an absolute count — hold
+    ``shortlist / corpus_n`` constant across corpus growth (≈ 2.5 %
+    reproduces the measured knee at both 4k and 40k; SCALE.md
+    round-5 10× table).
 
     Plan shape (the 100 TB posture): centroid training samples the
     corpus (full fixture here, 1 % sample at scale); cell assignment,

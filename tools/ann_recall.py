@@ -17,7 +17,11 @@ Output: one JSON with {path, param, recall, seconds} rows — the
 SCALE.md table — so property-test thresholds on the clustered corpus
 can be set from measurement, not hope.
 
-Usage: PYTHONPATH=. python tools/ann_recall.py [OUT_JSON]
+Usage: PYTHONPATH=. python tools/ann_recall.py [OUT_JSON] [SCALE]
+
+SCALE (default 1) multiplies the corpus size (queries stay fixed):
+SCALE=10 is the r5 growth check — do the knee points measured at 4k
+vectors hold at 40k? (VERDICT r4 item 7.)
 """
 from __future__ import annotations
 
@@ -37,26 +41,27 @@ from kafka_database_import_spark.session import EngineConfig, get_spark
 
 DIM = 64
 N_CLUSTERS = 20
-CORPUS_N = 4000
+CORPUS_N = 4000  # multiplied by the SCALE argv
 QUERY_N = 40
 K = 10
 SEED = 7
 
 
-def mog_corpus(spark):
+def mog_corpus(spark, scale: int = 1):
     """(corpus_df, queries_df): CORPUS_N points around N_CLUSTERS
     Gaussian modes (sigma 0.35 vs inter-center distance ~ sqrt(2*25)),
     queries drawn from the same modes — so true neighbors are
     overwhelmingly same-cluster, like real embedding spaces."""
     rng = np.random.default_rng(SEED)
+    n = CORPUS_N * scale
     centers = rng.normal(0.0, 5.0, size=(N_CLUSTERS, DIM))
-    assign = rng.integers(0, N_CLUSTERS, size=CORPUS_N)
-    pts = centers[assign] + rng.normal(0.0, 0.35 * 5.0, size=(CORPUS_N, DIM))
+    assign = rng.integers(0, N_CLUSTERS, size=n)
+    pts = centers[assign] + rng.normal(0.0, 0.35 * 5.0, size=(n, DIM))
     q_assign = rng.integers(0, N_CLUSTERS, size=QUERY_N)
     q_pts = centers[q_assign] + rng.normal(0.0, 0.35 * 5.0, size=(QUERY_N, DIM))
 
     corpus = spark.createDataFrame(
-        [(int(i), [float(x) for x in pts[i]]) for i in range(CORPUS_N)],
+        [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
         "vec_id long, embedding array<double>",
     ).repartition(16)
     queries = spark.createDataFrame(
@@ -81,8 +86,9 @@ def recall(truth: dict[int, set[int]], got: dict[int, set[int]]) -> float:
 
 def main() -> None:
     out_json = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ann_recall.json"
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     spark = get_spark(EngineConfig())
-    corpus, queries = mog_corpus(spark)
+    corpus, queries = mog_corpus(spark, scale)
     corpus.cache().count()
 
     truth = topk_sets(cosine_topk_blocked(corpus, queries, k=K))
@@ -130,11 +136,30 @@ def main() -> None:
             }
         )
 
+    from kafka_database_import_spark.operators.similarity import ivfpq_topk
+
+    for shortlist in (20, 50, 100):
+        t0 = time.time()
+        got = topk_sets(
+            ivfpq_topk(
+                corpus, queries, k=K, n_lists=32, n_probe=4,
+                shortlist=shortlist,
+            )
+        )
+        rows.append(
+            {
+                "path": "ivfpq",
+                "param": f"lists=32,probe=4,shortlist={shortlist}",
+                "recall": recall(truth, got),
+                "sec": round(time.time() - t0, 2),
+            }
+        )
+
     report = {
         "corpus": {
             "kind": "mixture-of-gaussians",
             "clusters": N_CLUSTERS,
-            "n": CORPUS_N,
+            "n": CORPUS_N * scale,
             "queries": QUERY_N,
             "dim": DIM,
             "k": K,
