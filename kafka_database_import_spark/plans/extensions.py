@@ -1383,3 +1383,65 @@ def q99zze_snapshot_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents")
     )
     return ordered(out, "change_type", "n", "total_cents")
+
+
+@query(
+    "q99zzh_snapshot_mor_delete",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    final AS (
+      SELECT * FROM base WHERE NOT (ck % 7 = 0) AND NOT (k % 11 = 5)
+    )
+    SELECT status, COUNT(*) AS n, SUM(cents) AS total_cents
+    FROM final GROUP BY status
+    ORDER BY status NULLS LAST, n NULLS LAST, total_cents NULLS LAST
+    """,
+)
+def q99zzh_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ row-level deletes (sources/snapshot.py
+    ``delete_where(mode='mor')``): two successive deletes write only
+    deletion-vector sidecars — ZERO data files rewritten (asserted:
+    the file list is identical across all five versions) — and the
+    read path reconstructs the final state by anti-joining the scan's
+    ``_metadata`` (file, row position) identity against the vectors.
+    The relational oracle recomputes the same final state from the
+    base table. This is the write-cheap half of the lakehouse
+    tradeoff; q99zzd is the copy-on-write half."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_morq_{tag}")
+    tbl = SnapshotTable(root)
+    if tbl.latest_version() != 5:
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        tbl = SnapshotTable(root)
+        base = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        for part in range(3):
+            tbl.commit(base.filter(F.col("k") % 3 == part))
+        files_before = tbl.manifest()["files"]
+        tbl.delete_where(spark, F.col("ck") % 7 == 0, mode="mor")  # -> v4
+        tbl.delete_where(spark, F.col("k") % 11 == 5, mode="mor")  # -> v5
+        assert tbl.manifest()["files"] == files_before  # zero rewrite
+    out = (
+        tbl.read(spark)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
+    )
+    return ordered(out, "status", "n", "total_cents")

@@ -765,7 +765,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nat_ps
     GROUP BY ps_partkey
     HAVING CAST(SUM(value_cents) AS DOUBLE)
-         > 0.001 * (SELECT CAST(SUM(value_cents) AS DOUBLE) FROM nat_ps)
+         > (2.0 / (SELECT COUNT(*) FROM part))
+           * (SELECT CAST(SUM(value_cents) AS DOUBLE) FROM nat_ps)
     ORDER BY ps_partkey NULLS LAST, value NULLS LAST
     """,
 )
@@ -775,8 +776,11 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inequality as the join condition — a bounded
     BroadcastNestedLoopJoin WITH a condition, which the plan linter
     correctly distinguishes from a cartesian. value arithmetic is pure
-    integer cents; the 0.001 threshold multiplies a double cast of the
-    identical integer on both engines."""
+    integer cents; the threshold fraction is 2/|part| — twice the
+    average per-part share — mirroring the spec's 0.0001/SF scaling so
+    the HAVING stays selective-but-nonempty at every fixture scale
+    (a fixed 0.001 went empty at 10×; caught in the r5 scale sweep).
+    Both engines multiply a double cast of the identical integer."""
     ps = _partsupp(spark, sf_dir)
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(
@@ -794,10 +798,11 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").alias("sum_cents")
     )
     total = nat_ps.agg(F.sum("value_cents").alias("total_cents"))
+    n_parts = load_table(spark, sf_dir, "part").count()  # bounded scalar
     out = per_part.join(
         F.broadcast(total),
         per_part.sum_cents.cast("double")
-        > 0.001 * total.total_cents.cast("double"),
+        > (2.0 / n_parts) * total.total_cents.cast("double"),
     ).select(
         "ps_partkey", (F.col("sum_cents").cast("double") / 100).alias("value")
     )

@@ -28,16 +28,27 @@ load-bearing minimum:
   as a new version — readers of old versions are untouched because
   data files are immutable.
 
-Row-level mutation is **copy-on-write** (:meth:`SnapshotTable.
-delete_where`, :meth:`SnapshotTable.merge_rows`): only the files that
-actually contain affected rows are rewritten; every untouched file is
-carried into the new manifest by reference. That is the lakehouse
-primitive a 100 TB pipeline needs for GDPR deletes and CDC upserts — a
-delete hitting 0.1 % of files rewrites 0.1 % of the table, old versions
-stay queryable (time travel over the mutation), and a concurrent
-committer still loses the version race cleanly. ``row_changes`` derives
-the exact row-level diff (inserts + deletes) of any version range from
-the file-list diff alone — O(touched files), never O(table).
+Row-level mutation comes in BOTH lakehouse strategies:
+
+* **Copy-on-write** (:meth:`SnapshotTable.delete_where` /
+  :meth:`merge_rows`): only the files that actually contain affected
+  rows are rewritten; every untouched file is carried into the new
+  manifest by reference. A delete hitting 0.1 % of files rewrites
+  0.1 % of the table; old versions stay queryable (time travel over
+  the mutation); a concurrent committer loses the version race
+  cleanly.
+* **Merge-on-read** (``delete_where(mode='mor')``): a DELETION VECTOR
+  sidecar of (file-key, row position) pairs — O(matched rows) written,
+  ZERO data files touched — with reads paying a broadcast anti-join on
+  the scan's ``_metadata`` (file, row_index) identity until
+  ``compact()`` materializes the deletes and drops the vectors. The
+  classic write-cheap/read-cost tradeoff (Delta DVs / Iceberg
+  positional deletes), including its GDPR caveat: the bytes stay on
+  disk until compaction + vacuum.
+
+``row_changes`` derives the exact row-level diff (inserts + deletes)
+of any version range from the file-list diff PLUS the deletion-vector
+diff — O(touched files), never O(table), across both strategies.
 """
 
 from __future__ import annotations
@@ -53,6 +64,21 @@ from pyspark.sql import types as T
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first — re-read the head
     and retry (optimistic concurrency, Iceberg-style)."""
+
+
+def _file_key3():
+    """Relocation-proof identity of a data file inside its table: the
+    last three path components (``data/c{N}-{suffix}/{part file}`` —
+    the commit dir is unique per attempt, so the triple is unique
+    within the table and survives the table root moving). Used to bind
+    merge-on-read deletion vectors to rows: DV rows store
+    (k3, row position) as reported by the scan's ``_metadata``
+    columns, so the read-side anti-join needs no path normalization."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        "/", F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3)
+    )
 
 
 class SchemaEvolutionError(ValueError):
@@ -134,11 +160,13 @@ class SnapshotTable:
             raise ValueError(f"unknown commit mode: {mode!r}")
         head = self.latest_version()
         version = (head or 0) + 1 if head is not None else 1
+        dv_files: list[str] = []
         if head and mode == "append":
             prev_m = self.manifest(head)
             prev, schema_json = prev_m["files"], _merge_schema(
                 prev_m["schema"], df.schema
             )
+            dv_files = prev_m.get("dv_files", [])  # MOR deletes persist
         else:
             prev, schema_json = [], df.schema.json()
         files = self._write_data(df, version)
@@ -149,6 +177,8 @@ class SnapshotTable:
             "schema": schema_json,
             "files": prev + files,
         }
+        if dv_files:
+            manifest["dv_files"] = dv_files
         self._publish(version, manifest)
         return version
 
@@ -188,13 +218,44 @@ class SnapshotTable:
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Plan a scan of exactly one snapshot's file list. The manifest
         is the unit of isolation: this DataFrame keeps returning the
-        same rows no matter how many commits land after it was built."""
+        same rows no matter how many commits land after it was built.
+        If the version carries merge-on-read deletion vectors
+        (``delete_where(mode='mor')``), the scan anti-joins them on
+        (file-key, row position) — the read-time half of the MOR
+        tradeoff."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not m["files"]:
             return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, f) for f in m["files"]]
-        return spark.read.schema(schema).parquet(*paths)
+        return self._read_files(spark, m["files"], schema, m.get("dv_files"))
+
+    def _read_files(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema: "T.StructType",
+        dv_files: list[str] | None,
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        paths = [os.path.join(self.root, f) for f in files]
+        df = spark.read.schema(schema).parquet(*paths)
+        if not dv_files:
+            return df
+        dv = spark.read.parquet(
+            *[os.path.join(self.root, f) for f in dv_files]
+        )
+        cols = df.columns
+        keyed = df.select(
+            "*",
+            _file_key3().alias("_sg_k3"),
+            F.col("_metadata.row_index").alias("_sg_pos"),
+        )
+        return keyed.join(
+            F.broadcast(dv),
+            (keyed["_sg_k3"] == dv["k3"]) & (keyed["_sg_pos"] == dv["pos"]),
+            "left_anti",
+        ).select(*cols)
 
     # -------------------------------------------------------- maintenance
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
@@ -240,8 +301,62 @@ class SnapshotTable:
             out.append(os.path.relpath(p, self.root))
         return sorted(out)
 
+    def _scan_with_meta(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema: "T.StructType",
+        dv_files: list[str] | None,
+    ) -> DataFrame:
+        """Scan ``files`` with the bookkeeping columns every mutation
+        needs (``_sg_file``/``_sg_k3``/``_sg_pos``) and EXISTING
+        deletion vectors already applied — so copy-on-write mutations
+        on a table that previously took merge-on-read deletes neither
+        resurrect nor double-count DV-deleted rows."""
+        from pyspark.sql import functions as F
+
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f) for f in files]
+        ).select(
+            "*",
+            F.input_file_name().alias("_sg_file"),
+            _file_key3().alias("_sg_k3"),
+            F.col("_metadata.row_index").alias("_sg_pos"),
+        )
+        if dv_files:
+            dv = spark.read.parquet(
+                *[os.path.join(self.root, f) for f in dv_files]
+            )
+            df = df.join(
+                F.broadcast(dv),
+                (df["_sg_k3"] == dv["k3"]) & (df["_sg_pos"] == dv["pos"]),
+                "left_anti",
+            )
+        return df
+
+    def _write_dv(self, hits: DataFrame, version: int) -> list[str]:
+        """Write a deletion-vector sidecar: (k3, pos) rows as parquet
+        under a uniquely-named ``data/dv{N}-*`` dir (same collision
+        discipline as ``_write_data``; vacuum sees the files through
+        the manifest's ``dv_files`` references)."""
+        rel_dir = None
+        while rel_dir is None or os.path.exists(os.path.join(self.root, rel_dir)):
+            suffix = os.path.basename(tempfile.mktemp(prefix=""))
+            rel_dir = os.path.join("data", f"dv{version}-{suffix}")
+        out_dir = os.path.join(self.root, rel_dir)
+        hits.coalesce(1).write.parquet(out_dir)
+        return sorted(
+            os.path.join(rel_dir, name)
+            for name in os.listdir(out_dir)
+            if name.endswith(".parquet")
+        )
+
     def delete_where(
-        self, spark: SparkSession, condition, stats_range: tuple | None = None
+        self,
+        spark: SparkSession,
+        condition,
+        stats_range: tuple | None = None,
+        mode: str = "cow",
     ) -> dict:
         """Row-level DELETE, copy-on-write: rewrite ONLY the files that
         contain rows where ``condition`` is true; every other file is
@@ -257,6 +372,16 @@ class SnapshotTable:
         the pruning — the affected-file scan re-applies the exact
         predicate.
 
+        ``mode`` picks the write strategy: ``'cow'`` (copy-on-write,
+        above) rewrites affected files — pay at write, reads stay pure
+        scans; ``'mor'`` (merge-on-read) writes a DELETION VECTOR
+        sidecar of (file-key, row position) pairs and leaves every data
+        file untouched — an O(matched rows) write regardless of file
+        sizes, with reads paying a broadcast anti-join until
+        ``compact()`` materializes the deletes. The GDPR caveat is
+        real and documented: MOR'd bytes remain on disk until
+        compaction + vacuum.
+
         Returns ``{"version", "rewritten_files", "kept_files",
         "deleted_rows"}``; a delete matching nothing publishes NO new
         version (``version`` = current head). Raises
@@ -265,10 +390,13 @@ class SnapshotTable:
         no blind retry helper applies)."""
         from pyspark.sql import functions as F
 
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"delete mode: {mode!r}")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         m = self.manifest()
         head = m["version"]
         schema = T.StructType.fromJson(json.loads(m["schema"]))
+        prev_dv = m.get("dv_files", [])
         candidates = list(m["files"])
         if stats_range is not None:
             col, lo, hi = stats_range
@@ -279,49 +407,71 @@ class SnapshotTable:
                 if (rng := stats.get(f, {}).get(col)) is None
                 or (rng[0] <= hi and rng[1] >= lo)
             ]
+        noop = {
+            "version": head,
+            "rewritten_files": 0,
+            "kept_files": len(m["files"]),
+            "deleted_rows": 0,
+        }
         if not candidates:
+            return noop
+        cand = self._scan_with_meta(spark, candidates, schema, prev_dv)
+        if mode == "mor":
+            hits = cand.filter(cond).select(
+                F.col("_sg_k3").alias("k3"), F.col("_sg_pos").alias("pos")
+            )
+            version = head + 1
+            dv_new = self._write_dv(hits, version)
+            deleted_rows = (
+                spark.read.parquet(
+                    *[os.path.join(self.root, f) for f in dv_new]
+                ).count()
+                if dv_new
+                else 0
+            )
+            if deleted_rows == 0:
+                for f in dv_new:  # nothing matched: drop the empty sidecar
+                    os.unlink(os.path.join(self.root, f))
+                return noop
+            man = self._cow_manifest(
+                version, head, "delete", m["schema"], list(m["files"]), [], m
+            )
+            man["dv_files"] = prev_dv + dv_new
+            self._publish(version, man)
             return {
-                "version": head,
+                "version": version,
                 "rewritten_files": 0,
                 "kept_files": len(m["files"]),
-                "deleted_rows": 0,
+                "deleted_rows": deleted_rows,
             }
-        cand = (
-            spark.read.schema(schema)
-            .parquet(*[os.path.join(self.root, f) for f in candidates])
-            .withColumn("_sg_file", F.input_file_name())
-        )
         # one pass finds the affected files AND the per-file delete
         # counts (bounded by file count, not row count)
         hit = cand.filter(cond).groupBy("_sg_file").count().collect()
         if not hit:
-            return {
-                "version": head,
-                "rewritten_files": 0,
-                "kept_files": len(m["files"]),
-                "deleted_rows": 0,
-            }
+            return noop
         deleted_rows = sum(r["count"] for r in hit)
         affected = set(
             self._files_of(
                 spark, spark.createDataFrame(hit, "`_sg_file` string, `count` long")
             )
         )
-        survivors = (
-            spark.read.schema(schema)
-            .parquet(*[os.path.join(self.root, f) for f in sorted(affected)])
+        survivors = self._scan_with_meta(
+            spark, sorted(affected), schema, prev_dv
+        ).filter(
             # keep rows where the predicate is FALSE or NULL
-            .filter(~cond.eqNullSafe(F.lit(True)))
-        )
+            ~cond.eqNullSafe(F.lit(True))
+        ).drop("_sg_file", "_sg_k3", "_sg_pos")
         version = head + 1
         new_files = self._write_data(survivors, version)
         kept = [f for f in m["files"] if f not in affected]
-        self._publish(
-            version,
-            self._cow_manifest(
-                version, head, "delete", m["schema"], kept, new_files, m
-            ),
+        man = self._cow_manifest(
+            version, head, "delete", m["schema"], kept, new_files, m
         )
+        if prev_dv:
+            # DV rows pointing at the dropped files match nothing now —
+            # carried harmlessly until compaction clears them
+            man["dv_files"] = prev_dv
+        self._publish(version, man)
         return {
             "version": version,
             "rewritten_files": len(affected),
@@ -404,12 +554,8 @@ class SnapshotTable:
         schema_json = _merge_schema(m["schema"], source.schema)
         merged_schema = T.StructType.fromJson(json.loads(schema_json))
         keys = source.select(*key_cols).distinct()
-        paths = [os.path.join(self.root, f) for f in m["files"]]
-        target = (
-            spark.read.schema(schema)
-            .parquet(*paths)
-            .withColumn("_sg_file", F.input_file_name())
-        )
+        prev_dv = m.get("dv_files", [])
+        target = self._scan_with_meta(spark, m["files"], schema, prev_dv)
         hit = (
             target.select(*key_cols, "_sg_file")
             .join(keys, on=key_cols, how="left_semi")
@@ -440,9 +586,9 @@ class SnapshotTable:
 
         parts: list[DataFrame] = []
         if affected:
-            aff_df = spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, f) for f in sorted(affected)]
-            )
+            aff_df = self._scan_with_meta(
+                spark, sorted(affected), schema, prev_dv
+            ).drop("_sg_file", "_sg_k3", "_sg_pos")
             parts.append(_align(aff_df.join(keys, on=key_cols, how="left_anti")))
             aff_keys = aff_df.select(*key_cols).distinct()
         else:
@@ -478,12 +624,12 @@ class SnapshotTable:
         version = head + 1
         new_files = self._write_data(out, version)
         kept = [f for f in m["files"] if f not in affected]
-        self._publish(
-            version,
-            self._cow_manifest(
-                version, head, "merge", schema_json, kept, new_files, m
-            ),
+        man = self._cow_manifest(
+            version, head, "merge", schema_json, kept, new_files, m
         )
+        if prev_dv:
+            man["dv_files"] = prev_dv
+        self._publish(version, man)
         return {
             "version": version,
             "rewritten_files": len(affected),
@@ -560,11 +706,13 @@ class StatsSnapshotTable(SnapshotTable):
         version = (head + 1) if head is not None else 1
         files = self._write_data(df, version)
         new_stats = self._pending_stats
+        dv_files: list[str] = []
         if head and mode == "append":
             prev_m = self.manifest(head)
             prev_files = prev_m["files"]
             prev_stats = prev_m.get("stats", {})
             schema_json = _merge_schema(prev_m["schema"], df.schema)
+            dv_files = prev_m.get("dv_files", [])
         else:
             prev_files, prev_stats = [], {}
             schema_json = df.schema.json()
@@ -576,6 +724,8 @@ class StatsSnapshotTable(SnapshotTable):
             "files": prev_files + files,
             "stats": {**prev_stats, **new_stats},
         }
+        if dv_files:
+            manifest["dv_files"] = dv_files
         self._publish(version, manifest)
         return version
 
@@ -698,19 +848,49 @@ def row_changes(
     schema = T.StructType.fromJson(json.loads(cur["schema"]))
     added = [f for f in cur["files"] if f not in set(base["files"])]
     dropped = [f for f in base["files"] if f not in set(cur["files"])]
+    base_dv, cur_dv = base.get("dv_files", []), cur.get("dv_files", [])
 
-    def _load(files: list[str]) -> DataFrame:
-        if not files:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(tbl.root, f) for f in files]
+    # Merge-on-read deletes change NO files — the delta hides in the
+    # deletion vectors. Files whose DV membership changed join the
+    # touched region on both sides; their carried rows cancel under
+    # exceptAll exactly like a copy-on-write rewrite's. A file's rel
+    # path IS its DV key (data/c{N}-*/<part> — three components), so
+    # the touched set comes straight off the DV row diff, bounded by
+    # the file count.
+    touched_common: list[str] = []
+    if base_dv != cur_dv:
+        common = set(base["files"]) & set(cur["files"])
+
+        def _dv_rows(dv_files: list[str]) -> DataFrame:
+            if not dv_files:
+                return spark.createDataFrame([], "k3 string, pos long")
+            return spark.read.parquet(
+                *[os.path.join(tbl.root, f) for f in dv_files]
+            )
+
+        b_rows, c_rows = _dv_rows(base_dv), _dv_rows(cur_dv)
+        diff_keys = (
+            c_rows.exceptAll(b_rows)
+            .unionByName(b_rows.exceptAll(c_rows))
+            .select("k3")
+            .distinct()
+            .collect()
+        )
+        touched_common = sorted(
+            {r.k3 for r in diff_keys} & common
         )
 
-    added_rows, dropped_rows = _load(added), _load(dropped)
-    inserts = added_rows.exceptAll(dropped_rows).withColumn(
+    def _load(files: list[str], dv_files: list[str]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema)
+        return tbl._read_files(spark, files, schema, dv_files)
+
+    cur_side = _load(added + touched_common, cur_dv)
+    base_side = _load(dropped + touched_common, base_dv)
+    inserts = cur_side.exceptAll(base_side).withColumn(
         "_change_type", F.lit("insert")
     )
-    deletes = dropped_rows.exceptAll(added_rows).withColumn(
+    deletes = base_side.exceptAll(cur_side).withColumn(
         "_change_type", F.lit("delete")
     )
     return inserts.unionByName(deletes)
@@ -762,17 +942,19 @@ class SnapshotCommitSink:
         else:
             prev, schema_json = [], batch_df.schema.json()
         files = self.table._write_data(batch_df, version)
-        self.table._publish(
-            version,
-            {
-                "version": version,
-                "base": head,
-                "mode": "append",
-                "epoch_id": epoch_id,
-                "schema": schema_json,
-                "files": prev + files,
-            },
-        )
+        man = {
+            "version": version,
+            "base": head,
+            "mode": "append",
+            "epoch_id": epoch_id,
+            "schema": schema_json,
+            "files": prev + files,
+        }
+        if head:
+            dv = self.table.manifest(head).get("dv_files", [])
+            if dv:
+                man["dv_files"] = dv
+        self.table._publish(version, man)
         self.committed_epochs().add(epoch_id)
 
 
@@ -795,7 +977,9 @@ def vacuum(tbl: SnapshotTable, retain_last: int = 1) -> dict:
     drop_v = [v for v in versions if v not in keep_v]
     referenced: set[str] = set()
     for v in keep_v:
-        referenced.update(tbl.manifest(v)["files"])
+        m = tbl.manifest(v)
+        referenced.update(m["files"])
+        referenced.update(m.get("dv_files", []))  # DV sidecars are live data
     for v in drop_v:  # manifests first — see docstring
         os.unlink(tbl._manifest_path(v))
     removed_files = 0

@@ -658,3 +658,180 @@ def test_row_changes_empty_for_compaction(spark, tmp_path):
     v = tbl.latest_version()
     tbl.compact(spark)
     assert row_changes(tbl, spark, v).count() == 0
+
+
+def test_random_cow_mutation_sequences_match_list_model(spark, tmp_path):
+    """Model-based lifecycle check EXTENDED with the round-5 row-level
+    mutations: random append / merge_rows / delete_where / compact /
+    vacuum sequences against an in-memory dict model. Current rows,
+    historical reads of every retained version, version numbering, and
+    the no-op-delete contract must all agree — the copy-on-write file
+    bookkeeping has to survive arbitrary interleavings, not just the
+    directed tests."""
+    import random
+
+    for seed in range(3):
+        rng = random.Random(1000 + seed)
+        tbl = SnapshotTable(str(tmp_path / f"m{seed}"))
+        history: dict[int, dict] = {}  # version -> {k: v}
+        cur: dict = {}
+        next_k = 0
+        for _step in range(rng.randint(8, 12)):
+            roll = rng.random()
+            if roll < 0.35 or not history:
+                rows = [
+                    (next_k + i, f"s{next_k + i}")
+                    for i in range(rng.randint(1, 3))
+                ]
+                next_k += len(rows)
+                v = tbl.commit(_df(spark, rows))
+                cur = {**cur, **dict(rows)}
+            elif roll < 0.6:
+                # merge: update a random live key, insert a fresh one
+                upd = rng.choice(sorted(cur)) if cur else 0
+                src = [(upd, f"u{upd}"), (next_k, f"i{next_k}")]
+                next_k += 1
+                res = tbl.merge_rows(spark, _df(spark, src), ["k"])
+                v = res["version"]
+                cur = {**cur, **dict(src)}
+            elif roll < 0.8:
+                # delete a random subset by key-mod predicate
+                m = rng.randint(2, 5)
+                res = tbl.delete_where(spark, f"k % {m} = 0")
+                survivors = {k: x for k, x in cur.items() if k % m != 0}
+                if survivors == cur:  # nothing matched -> no new version
+                    assert res["version"] == tbl.latest_version()
+                    continue
+                v = res["version"]
+                assert res["deleted_rows"] == len(cur) - len(survivors)
+                cur = survivors
+            elif roll < 0.9:
+                v = tbl.compact(spark, target_files=1)
+            else:
+                from kafka_database_import_spark.sources.snapshot import vacuum
+
+                keep = rng.randint(1, len(history))
+                vacuum(tbl, retain_last=keep)
+                for d in sorted(history)[:-keep]:
+                    history.pop(d)
+                continue
+            history[v] = dict(cur)
+        assert tbl.versions() == sorted(history)
+        for v, rows in history.items():
+            assert _rows(tbl.read(spark, version=v)) == sorted(rows.items()), (
+                f"seed={seed} version={v}"
+            )
+
+
+# ------------------------------------------------- merge-on-read deletes
+
+
+def test_mor_delete_touches_no_data_files(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    _commit_in_parts(spark, tbl, [[(1, "a"), (2, "b")], [(3, "c"), (4, "d")]])
+    before = tbl.manifest()["files"]
+    res = tbl.delete_where(spark, "k = 2", mode="mor")
+    assert res["deleted_rows"] == 1 and res["rewritten_files"] == 0
+    m = tbl.manifest()
+    assert m["files"] == before  # zero write amplification on data
+    assert m["dv_files"]
+    assert _rows(tbl.read(spark)) == [(1, "a"), (3, "c"), (4, "d")]
+    # time travel: pre-delete version still shows the row
+    assert (2, "b") in _rows(tbl.read(spark, version=2))
+
+
+def test_mor_deletes_accumulate_and_survive_appends(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    tbl.delete_where(spark, "k = 1", mode="mor")
+    tbl.commit(_df(spark, [(4, "d")]))  # append must carry the DV
+    tbl.delete_where(spark, "k = 3", mode="mor")
+    assert _rows(tbl.read(spark)) == [(2, "b"), (4, "d")]
+    # no-op MOR delete publishes nothing
+    head = tbl.latest_version()
+    res = tbl.delete_where(spark, "k = 999", mode="mor")
+    assert res["version"] == head and tbl.latest_version() == head
+
+
+def test_mor_then_cow_mutations_respect_deletion_vectors(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    tbl.delete_where(spark, "k = 2", mode="mor")
+    # merge on the MOR-deleted key: it is NOT live, so it's an insert,
+    # not an update — and it must not resurrect the old row alongside
+    res = tbl.merge_rows(spark, _df(spark, [(2, "B2"), (3, "C3")]), ["k"])
+    assert res["matched_rows"] == 1  # only k=3 was live
+    assert _rows(tbl.read(spark)) == [(1, "a"), (2, "B2"), (3, "C3")]
+    # cow delete over a table with DVs: counts only live rows
+    res2 = tbl.delete_where(spark, "k >= 1")
+    assert res2["deleted_rows"] == 3
+
+
+def test_compact_materializes_mor_deletes_and_vacuum_reclaims_dv(
+    spark, tmp_path
+):
+    import glob
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        vacuum,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    tbl.delete_where(spark, "k = 2", mode="mor")
+    assert glob.glob(str(tmp_path / "t" / "data" / "dv*" / "*.parquet"))
+    tbl.compact(spark)
+    m = tbl.manifest()
+    assert "dv_files" not in m  # deletes materialized
+    assert _rows(tbl.read(spark)) == [(1, "a"), (3, "c")]
+    out = vacuum(tbl, retain_last=1)
+    assert out["removed_files"] > 0
+    # DV sidecars of dropped versions are reclaimed with them
+    assert not glob.glob(str(tmp_path / "t" / "data" / "dv*" / "*.parquet"))
+    assert _rows(tbl.read(spark)) == [(1, "a"), (3, "c")]
+
+
+def test_row_changes_across_mor_delete(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        row_changes,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    _commit_in_parts(spark, tbl, [[(1, "a"), (2, "b")], [(3, "c"), (4, "d")]])
+    v = tbl.latest_version()
+    tbl.delete_where(spark, "k IN (2, 3)", mode="mor")
+    got = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in row_changes(tbl, spark, v).collect()
+    )
+    assert got == [(2, "b", "delete"), (3, "c", "delete")]
+    # and across a subsequent append the feed composes
+    tbl.commit(_df(spark, [(9, "z")]))
+    got2 = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in row_changes(tbl, spark, v).collect()
+    )
+    assert got2 == [
+        (2, "b", "delete"),
+        (3, "c", "delete"),
+        (9, "z", "insert"),
+    ]
+
+
+def test_mor_delete_on_stats_table_keeps_stats(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import StatsSnapshotTable
+
+    tbl = StatsSnapshotTable(str(tmp_path / "t"), stats_cols=["k"])
+    tbl.commit(spark.createDataFrame([(i, f"v{i}") for i in range(10)], SCHEMA))
+    tbl.delete_where(spark, "k = 5", mode="mor")
+    m = tbl.manifest()
+    assert all(f in m["stats"] for f in m["files"])
+    assert len(_rows(tbl.read(spark))) == 9
