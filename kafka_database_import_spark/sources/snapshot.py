@@ -479,6 +479,100 @@ class SnapshotTable:
             "deleted_rows": deleted_rows,
         }
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition,
+        assignments: dict,
+        stats_range: tuple | None = None,
+    ) -> dict:
+        """Row-level UPDATE, copy-on-write — completes the DML triad
+        (DELETE / MERGE / UPDATE) on the same machinery: only files
+        containing rows where ``condition`` is true are rewritten, with
+        ``assignments`` (column → Column/SQL expression) applied to the
+        matching rows and every other row carried verbatim. SQL UPDATE
+        semantics: a NULL-evaluating condition leaves the row
+        unchanged. Existing deletion vectors are respected and carried.
+
+        Returns ``{"version", "rewritten_files", "kept_files",
+        "updated_rows"}``; an update matching nothing publishes no new
+        version. Raises :class:`ConcurrentCommitError` on losing the
+        version race."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        m = self.manifest()
+        head = m["version"]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        for col in assignments:
+            if col not in {f.name for f in schema.fields}:
+                raise ValueError(f"update of unknown column {col!r}")
+        prev_dv = m.get("dv_files", [])
+        candidates = list(m["files"])
+        if stats_range is not None:
+            col, lo, hi = stats_range
+            stats = m.get("stats", {})
+            candidates = [
+                f
+                for f in candidates
+                if (rng := stats.get(f, {}).get(col)) is None
+                or (rng[0] <= hi and rng[1] >= lo)
+            ]
+        noop = {
+            "version": head,
+            "rewritten_files": 0,
+            "kept_files": len(m["files"]),
+            "updated_rows": 0,
+        }
+        if not candidates:
+            return noop
+        cand = self._scan_with_meta(spark, candidates, schema, prev_dv)
+        hit = cand.filter(cond).groupBy("_sg_file").count().collect()
+        if not hit:
+            return noop
+        updated_rows = sum(r["count"] for r in hit)
+        affected = set(
+            self._files_of(
+                spark,
+                spark.createDataFrame(hit, "`_sg_file` string, `count` long"),
+            )
+        )
+        matched = cond.eqNullSafe(F.lit(True))
+        rewritten = self._scan_with_meta(
+            spark, sorted(affected), schema, prev_dv
+        ).select(
+            *[
+                F.when(
+                    matched,
+                    (
+                        F.expr(assignments[f.name])
+                        if isinstance(assignments.get(f.name), str)
+                        else assignments[f.name]
+                    ).cast(f.dataType)
+                    if f.name in assignments
+                    else F.col(f.name),
+                )
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        version = head + 1
+        new_files = self._write_data(rewritten, version)
+        kept = [f for f in m["files"] if f not in affected]
+        man = self._cow_manifest(
+            version, head, "update", m["schema"], kept, new_files, m
+        )
+        if prev_dv:
+            man["dv_files"] = prev_dv
+        self._publish(version, man)
+        return {
+            "version": version,
+            "rewritten_files": len(affected),
+            "kept_files": len(kept),
+            "updated_rows": updated_rows,
+        }
+
     def merge_rows(
         self,
         spark: SparkSession,
@@ -998,6 +1092,75 @@ def vacuum(tbl: SnapshotTable, retain_last: int = 1) -> dict:
         "dropped_versions": len(drop_v),
         "removed_files": removed_files,
         "retained_versions": sorted(keep_v),
+    }
+
+
+class ExpectationError(ValueError):
+    """A commit violated a declared expectation; carries the per-rule
+    violation counts in ``.violations``."""
+
+    def __init__(self, violations: dict):
+        self.violations = violations
+        super().__init__(
+            "expectations violated: "
+            + ", ".join(f"{k}={v} rows" for k, v in violations.items())
+        )
+
+
+def commit_with_expectations(
+    tbl: SnapshotTable,
+    df: DataFrame,
+    expectations: dict,
+    mode: str = "append",
+    on_violation: str = "fail",
+) -> dict:
+    """Commit gated by declared data-quality CHECK constraints (the
+    Delta expectations pattern): each entry of ``expectations`` is
+    name → boolean predicate (SQL string or Column) that every incoming
+    row must satisfy — NULL counts as a violation (a constraint you
+    can't prove is a constraint you don't have).
+
+    ``on_violation='fail'`` commits NOTHING and raises
+    :class:`ExpectationError` with per-rule counts;
+    ``'drop'`` quarantines violating rows (any rule) and commits the
+    clean remainder. One aggregation pass computes every rule's count —
+    at 100 TB the validation costs one extra scan of the BATCH, never
+    of the table. Returns ``{"version", "violations", "committed"}``
+    (``version`` None when nothing commits)."""
+    from pyspark.sql import functions as F
+
+    if on_violation not in ("fail", "drop"):
+        raise ValueError(f"on_violation: {on_violation!r}")
+    preds = {
+        name: (F.expr(p) if isinstance(p, str) else p)
+        for name, p in expectations.items()
+    }
+    counts_row = df.agg(
+        *[
+            F.sum(
+                F.when(~p.eqNullSafe(F.lit(True)), 1).otherwise(0)
+            ).alias(name)
+            for name, p in preds.items()
+        ]
+    ).collect()[0]
+    violations = {
+        name: int(counts_row[name] or 0)
+        for name in preds
+        if (counts_row[name] or 0) > 0
+    }
+    if violations and on_violation == "fail":
+        raise ExpectationError(violations)
+    clean = df
+    for p in preds.values():
+        clean = clean.filter(p.eqNullSafe(F.lit(True)))
+    n_clean = clean.count() if violations else None
+    if violations and n_clean == 0:
+        return {"version": None, "violations": violations, "committed": 0}
+    version = tbl.commit(clean, mode=mode)
+    return {
+        "version": version,
+        "violations": violations,
+        "committed": n_clean,
     }
 
 

@@ -835,3 +835,97 @@ def test_mor_delete_on_stats_table_keeps_stats(spark, tmp_path):
     m = tbl.manifest()
     assert all(f in m["stats"] for f in m["files"])
     assert len(_rows(tbl.read(spark))) == 9
+
+
+def test_update_where_rewrites_only_affected_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    _commit_in_parts(spark, tbl, [[(1, "a"), (2, "b")], [(3, "c"), (4, "d")]])
+    before = tbl.manifest()["files"]
+    res = tbl.update_where(
+        spark, "k = 2", {"v": F.concat(F.col("v"), F.lit("!"))}
+    )
+    assert res["updated_rows"] == 1 and res["rewritten_files"] >= 1
+    assert set(before) & set(tbl.manifest()["files"])  # untouched carried
+    assert _rows(tbl.read(spark)) == [(1, "a"), (2, "b!"), (3, "c"), (4, "d")]
+    assert tbl.manifest()["mode"] == "update"
+    assert (2, "b") in _rows(tbl.read(spark, version=2))  # time travel
+    # SQL-string assignment form + null-condition rows untouched
+    tbl.commit(_df(spark, [(5, None)]))
+    tbl.update_where(spark, F.col("v") == "zzz", {"v": "'hit'"})
+    assert tbl.latest_version() == 4  # NULL-cond rows unmatched -> no-op
+    res2 = tbl.update_where(spark, "k >= 4", {"v": "upper(coalesce(v, 'x'))"})
+    assert res2["updated_rows"] == 2
+    assert _rows(tbl.read(spark)) == [
+        (1, "a"), (2, "b!"), (3, "c"), (4, "D"), (5, "X")
+    ]
+
+
+def test_update_where_respects_deletion_vectors(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    tbl.delete_where(spark, "k = 2", mode="mor")
+    res = tbl.update_where(spark, "k >= 1", {"v": "upper(v)"})
+    assert res["updated_rows"] == 2  # the MOR-deleted row is not live
+    assert _rows(tbl.read(spark)) == [(1, "A"), (3, "C")]
+
+
+def test_update_where_rejects_unknown_column(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="unknown column"):
+        tbl.update_where(spark, "k = 1", {"nope": "'x'"})
+
+
+def test_commit_expectations_fail_mode_commits_nothing(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import (
+        ExpectationError,
+        SnapshotTable,
+        commit_with_expectations,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    bad = _df(spark, [(1, "a"), (-5, "neg"), (3, None)])
+    with pytest.raises(ExpectationError) as ei:
+        commit_with_expectations(
+            tbl, bad, {"k_positive": "k > 0", "v_present": "v IS NOT NULL"}
+        )
+    assert ei.value.violations == {"k_positive": 1, "v_present": 1}
+    assert tbl.latest_version() is None  # atomically nothing
+
+
+def test_commit_expectations_drop_mode_quarantines(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        commit_with_expectations,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    bad = _df(spark, [(1, "a"), (-5, "neg"), (3, None), (4, "d")])
+    res = commit_with_expectations(
+        tbl,
+        bad,
+        {"k_positive": "k > 0", "v_present": "v IS NOT NULL"},
+        on_violation="drop",
+    )
+    assert res["violations"] == {"k_positive": 1, "v_present": 1}
+    assert res["committed"] == 2
+    assert _rows(tbl.read(spark)) == [(1, "a"), (4, "d")]
+    # clean batch: no violations key noise, normal commit
+    res2 = commit_with_expectations(
+        tbl, _df(spark, [(9, "z")]), {"k_positive": "k > 0"}
+    )
+    assert res2["violations"] == {} and res2["version"] == 2
+    # NULL-evaluating predicate counts as violation (fail-closed)
+    res3 = commit_with_expectations(
+        tbl, _df(spark, [(10, None)]), {"v_short": "length(v) < 5"},
+        on_violation="drop",
+    )
+    assert res3["version"] is None and res3["committed"] == 0
