@@ -1445,3 +1445,77 @@ def q99zzh_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
     )
     return ordered(out, "status", "n", "total_cents")
+
+
+@query(
+    "q99zzi_snapshot_changes_stream",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status NULLS LAST, n NULLS LAST, total_cents NULLS LAST
+    """,
+)
+def q99zzi_snapshot_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table AS A STREAM SOURCE (sources/snapshot_stream.py
+    — the Delta 'table streaming' pattern on the Spark 4 Python
+    DataSource API): orders lands in the table as three append
+    versions, then a micro-batch stream tails the manifest lineage —
+    offsets ARE versions, each batch reads only the files its version
+    range added (O(delta) planning) — into a memory sink until the head
+    version is drained. The oracle recomputes the aggregate straight
+    off the base table: the stream must deliver every appended row
+    exactly once, across versions committed before AND during the
+    stream."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+    import time as _time
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+    from kafka_database_import_spark.sources.snapshot_stream import register
+
+    register(spark)
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_snapstr_{tag}")
+    tbl = SnapshotTable(root)
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    if tbl.latest_version() != 3:
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        tbl = SnapshotTable(root)
+        for part in range(3):
+            tbl.commit(base.filter(F.col("k") % 3 == part))
+    n_rows = base.count()
+    name = f"kdis_snapstr_{int(_time.monotonic_ns() % 1_000_000)}"
+    q = (
+        spark.readStream.format("kdis_snapshot_changes")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", _tf.mkdtemp(prefix="kdis_snapstr_ckpt_")
+        )
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + 240
+        while _time.monotonic() < deadline:
+            if sum(p["numInputRows"] for p in q.recentProgress) >= n_rows:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+    out = (
+        spark.table(name)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
+    )
+    return ordered(out, "status", "n", "total_cents")

@@ -103,3 +103,78 @@ def test_snapshot_changes_drive_incremental_aggregation(spark, tmp_path):
             r["k"]: (r["s"], r["n"]) for r in agg(tbl.read(spark, v)).collect()
         }
         assert got == want, f"version {v}: incremental {got} != full {want}"
+
+
+def test_snapshot_changes_stream_tails_append_lineage(spark, tmp_path):
+    """The table-as-a-stream source (sources/snapshot_stream.py):
+    commits made BEFORE the stream starts arrive as the first batch,
+    commits made between micro-batches arrive incrementally, offsets
+    are versions, and a non-append commit poisons the lineage with a
+    clear error. Replay determinism comes free from immutable files."""
+    import glob
+    import json
+    import os
+    import time
+
+    from kafka_database_import_spark.sources.pyds import register as reg_sink
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+    from kafka_database_import_spark.sources.snapshot_stream import register
+
+    register(spark)
+    reg_sink(spark)  # jsonl sink for the drain
+    root = str(tmp_path / "tbl")
+    tbl = SnapshotTable(root)
+    tbl.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    tbl.commit(spark.createDataFrame([(3, "c")], "k long, v string"))
+
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("kdis_snapshot_changes")
+        .option("path", root)
+        .load()
+        .writeStream.format("kdis_jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def drained(n):
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            rows = [
+                json.loads(l)
+                for p in glob.glob(os.path.join(out, "part-*.jsonl"))
+                for l in open(p)
+            ]
+            if len(rows) >= n:
+                return rows
+            time.sleep(0.3)
+        raise AssertionError(f"drain timeout below {n} rows")
+
+    try:
+        rows = drained(3)
+        assert sorted((r["k"], r["v"]) for r in rows) == [
+            (1, "a"), (2, "b"), (3, "c")
+        ]
+        # a commit while the stream runs arrives as a later batch
+        tbl.commit(spark.createDataFrame([(4, "d")], "k long, v string"))
+        rows = drained(4)
+        assert (4, "d") in {(r["k"], r["v"]) for r in rows}
+    finally:
+        q.stop()
+
+    # non-append commit resets lineage: the next read raises clearly
+    tbl.delete_where(spark, "k = 1")
+    from kafka_database_import_spark.sources.snapshot_stream import (
+        SnapshotChangesDataSource,
+    )
+
+    ds = SnapshotChangesDataSource(options={"path": root})
+    rdr = ds.simpleStreamReader(None)
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="APPEND lineage"):
+        it, _ = rdr.read({"version": 3})
+        list(it)

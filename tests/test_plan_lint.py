@@ -148,7 +148,12 @@ def test_full_catalog_lints_clean(spark, sf_dir):
     for name, q in _QS.items():
         if q.fn.__module__.endswith("streaming_queries"):
             continue
-        if name in ("q99zw_stream_neardup", "q99j_stream_sql_import", "q99zj_snapshot_time_travel"):
+        if name in (
+            "q99zw_stream_neardup",
+            "q99j_stream_sql_import",
+            "q99zj_snapshot_time_travel",
+            "q99zzi_snapshot_changes_stream",  # building runs a stream drain
+        ):
             continue  # building these runs streams / stateful side effects
         try:
             fs = [

@@ -929,3 +929,39 @@ def test_commit_expectations_drop_mode_quarantines(spark, tmp_path):
         on_violation="drop",
     )
     assert res3["version"] is None and res3["committed"] == 0
+
+
+def test_cow_and_mor_deletes_are_equivalent(spark, tmp_path):
+    """Property: for random predicates over random tables, mode='cow'
+    and mode='mor' produce identical logical states (current read,
+    counts) — the strategies differ only in physical layout."""
+    import random
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    for seed in range(3):
+        rng = random.Random(7000 + seed)
+        rows = [
+            (i, rng.choice(["a", "b", "c", None]))
+            for i in range(rng.randint(10, 30))
+        ]
+        preds = [
+            f"k % {rng.randint(2, 6)} = {rng.randint(0, 1)}",
+            rng.choice(["v = 'a'", "v <> 'b'", "v IS NULL", "k > 12"]),
+        ]
+        tables = []
+        for mode in ("cow", "mor"):
+            t = SnapshotTable(str(tmp_path / f"{mode}{seed}"))
+            for third in range(3):
+                part = [r for r in rows if r[0] % 3 == third]
+                if part:
+                    t.commit(_df(spark, part))
+            results = [t.delete_where(spark, p, mode=mode) for p in preds]
+            tables.append((t, results))
+        (cow_t, cow_r), (mor_t, mor_r) = tables
+        assert _rows(cow_t.read(spark)) == _rows(mor_t.read(spark)), (
+            f"seed={seed} preds={preds}"
+        )
+        for rc, rm in zip(cow_r, mor_r):
+            assert rc["deleted_rows"] == rm["deleted_rows"]
+            assert rm["rewritten_files"] == 0
