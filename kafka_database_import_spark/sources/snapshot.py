@@ -479,6 +479,102 @@ class SnapshotTable:
             "deleted_rows": deleted_rows,
         }
 
+    def overwrite_where(
+        self,
+        spark: SparkSession,
+        condition,
+        df: DataFrame,
+        stats_range: tuple | None = None,
+    ) -> dict:
+        """Atomic predicate-scoped overwrite (the Delta ``replaceWhere``
+        backfill pattern): delete every row matching ``condition`` AND
+        append ``df``'s rows, as ONE version — the recompute-a-slice
+        idiom (rebuild yesterday's partition, replace one tenant's
+        rows) with no window where the slice is missing. Copy-on-write
+        file bookkeeping is identical to :meth:`delete_where`; rows of
+        ``df`` that do not satisfy ``condition`` are rejected (the
+        guard that keeps a backfill from silently writing outside its
+        declared slice).
+
+        Returns ``{"version", "rewritten_files", "kept_files",
+        "deleted_rows", "inserted_rows"}``."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        stray = df.filter(~cond.eqNullSafe(F.lit(True))).limit(1).collect()
+        if stray:
+            raise ValueError(
+                "overwrite_where: replacement rows must satisfy the "
+                f"predicate; offending row: {tuple(stray[0])!r}"
+            )
+        m = self.manifest()
+        head = m["version"]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        schema_json = _merge_schema(m["schema"], df.schema)
+        prev_dv = m.get("dv_files", [])
+        candidates = list(m["files"])
+        if stats_range is not None:
+            col, lo, hi = stats_range
+            stats = m.get("stats", {})
+            candidates = [
+                f
+                for f in candidates
+                if (rng := stats.get(f, {}).get(col)) is None
+                or (rng[0] <= hi and rng[1] >= lo)
+            ]
+        affected: set[str] = set()
+        deleted_rows = 0
+        if candidates:
+            cand = self._scan_with_meta(spark, candidates, schema, prev_dv)
+            hit = cand.filter(cond).groupBy("_sg_file").count().collect()
+            if hit:
+                deleted_rows = sum(r["count"] for r in hit)
+                affected = set(
+                    self._files_of(
+                        spark,
+                        spark.createDataFrame(
+                            hit, "`_sg_file` string, `count` long"
+                        ),
+                    )
+                )
+        merged_schema = T.StructType.fromJson(json.loads(schema_json))
+
+        def _align(d: DataFrame) -> DataFrame:
+            return d.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in d.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in merged_schema.fields
+                ]
+            )
+
+        inserted_rows = df.count()
+        out = _align(df)
+        if affected:
+            survivors = self._scan_with_meta(
+                spark, sorted(affected), schema, prev_dv
+            ).filter(~cond.eqNullSafe(F.lit(True))).drop(
+                "_sg_file", "_sg_k3", "_sg_pos"
+            )
+            out = _align(survivors).unionByName(out)
+        version = head + 1
+        new_files = self._write_data(out, version)
+        kept = [f for f in m["files"] if f not in affected]
+        man = self._cow_manifest(
+            version, head, "overwrite_where", schema_json, kept, new_files, m
+        )
+        if prev_dv:
+            man["dv_files"] = prev_dv
+        self._publish(version, man)
+        return {
+            "version": version,
+            "rewritten_files": len(affected),
+            "kept_files": len(kept),
+            "deleted_rows": deleted_rows,
+            "inserted_rows": inserted_rows,
+        }
+
     def update_where(
         self,
         spark: SparkSession,

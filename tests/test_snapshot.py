@@ -965,3 +965,31 @@ def test_cow_and_mor_deletes_are_equivalent(spark, tmp_path):
         for rc, rm in zip(cow_r, mor_r):
             assert rc["deleted_rows"] == rm["deleted_rows"]
             assert rm["rewritten_files"] == 0
+
+
+def test_overwrite_where_replaces_slice_atomically(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    _commit_in_parts(
+        spark, tbl, [[(1, "a"), (2, "b")], [(10, "x"), (11, "y")]]
+    )
+    before = tbl.manifest()["files"]
+    # rebuild the k>=10 slice: old slice rows vanish, new ones land,
+    # all in one version
+    res = tbl.overwrite_where(
+        spark, "k >= 10", _df(spark, [(10, "X2"), (12, "Z")])
+    )
+    assert res["deleted_rows"] == 2 and res["inserted_rows"] == 2
+    assert _rows(tbl.read(spark)) == [(1, "a"), (2, "b"), (10, "X2"), (12, "Z")]
+    assert set(before) & set(tbl.manifest()["files"])  # k<10 file carried
+    assert tbl.manifest()["mode"] == "overwrite_where"
+    # time travel across the backfill
+    assert (11, "y") in _rows(tbl.read(spark, version=2))
+    # slice guard: replacement rows outside the predicate are rejected
+    with pytest.raises(ValueError, match="must satisfy the predicate"):
+        tbl.overwrite_where(spark, "k >= 10", _df(spark, [(5, "bad")]))
+    # empty slice (nothing matched) still appends atomically
+    res2 = tbl.overwrite_where(spark, "k = 777", _df(spark, [(777, "new")]))
+    assert res2["deleted_rows"] == 0 and res2["inserted_rows"] == 1
+    assert (777, "new") in _rows(tbl.read(spark))
