@@ -439,3 +439,74 @@ def q70_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 2)
     )
     return ordered(pairs)
+
+
+@query(
+    "q99zzk_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT c_mktsegment AS segment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+             ((c_custkey * 2654435761) % 1000003) % 1000 AS slot
+      FROM customer
+    ),
+    q AS (
+      SELECT segment,
+             CASE segment WHEN 'BUILDING' THEN 500 WHEN 'MACHINERY' THEN 250
+                          WHEN 'AUTOMOBILE' THEN 100 ELSE 50 END AS permille
+      FROM (SELECT DISTINCT c_mktsegment AS segment FROM customer)
+    )
+    SELECT h.segment AS segment, COUNT(*) AS n_sampled,
+           SUM(h.cents) AS cents_sampled,
+           MAX(q.permille) AS permille
+    FROM h JOIN q ON h.segment = q.segment
+    WHERE h.slot < q.permille
+    GROUP BY h.segment
+    ORDER BY h.segment NULLS LAST, n_sampled NULLS LAST,
+             cents_sampled NULLS LAST, permille NULLS LAST
+    """,
+)
+def q99zzk_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC stratified sampling — per-stratum fractions via an
+    integer hash threshold instead of ``sampleBy``'s RNG: row kept iff
+    ``PRF(key) mod 1000 < permille[stratum]``, with the repo's Knuth
+    multiplicative PRF so both engines select the IDENTICAL sample
+    (sampleBy's Bernoulli draw can never be cross-engine-oracled, and
+    at 100 TB reproducible samples are what make train/eval splits and
+    A/B cohorts auditable/resumable — same reason q82's weighted
+    sampler is deterministic). Plan: pure scan-local codegen filter,
+    broadcast of the 5-row fraction table, one partial-agg shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    fractions = {
+        "BUILDING": 500, "MACHINERY": 250, "AUTOMOBILE": 100,
+    }
+    frac_df = F.broadcast(
+        cust.select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+        .withColumn(
+            "permille",
+            F.coalesce(
+                *[
+                    F.when(F.col("segment") == s, F.lit(p))
+                    for s, p in fractions.items()
+                ],
+                F.lit(50),
+            ),
+        )
+    )
+    h = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+        (((F.col("c_custkey") * 2654435761) % 1000003) % 1000).alias("slot"),
+    )
+    out = (
+        h.join(frac_df, "segment")
+        .filter(F.col("slot") < F.col("permille"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("cents").alias("cents_sampled"),
+            F.max("permille").alias("permille"),
+        )
+    )
+    return ordered(out, "segment", "n_sampled", "cents_sampled", "permille")

@@ -338,7 +338,17 @@ class SnapshotTable:
         """Write a deletion-vector sidecar: (k3, pos) rows as parquet
         under a uniquely-named ``data/dv{N}-*`` dir (same collision
         discipline as ``_write_data``; vacuum sees the files through
-        the manifest's ``dv_files`` references)."""
+        the manifest's ``dv_files`` references).
+
+        ``coalesce(1)`` is a deliberate smallness contract: a DV row is
+        ~20 bytes, so even a 100M-row delete is a ~2 GB single file —
+        and read-side the WHOLE vector set must broadcast for the
+        anti-join anyway, which is the real bound. A delete too big for
+        that broadcast is past MOR's sweet spot and should be
+        copy-on-write (or compact immediately after); production
+        formats hit the same wall and answer with per-file roaring
+        bitmaps, which this layout could adopt without changing the
+        manifest contract."""
         rel_dir = None
         while rel_dir is None or os.path.exists(os.path.join(self.root, rel_dir)):
             suffix = os.path.basename(tempfile.mktemp(prefix=""))
