@@ -354,3 +354,24 @@ def test_dynamic_partition_pruning_injects_on_partitioned_fact(
         assert df.collect()[0]["count"] > 0  # and it still computes
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_mor_read_broadcasts_deletion_vectors(spark, tmp_path):
+    """The merge-on-read scan applies deletion vectors as a BROADCAST
+    anti-join — the DV side is small by contract (bytes per deleted
+    row); a shuffle anti-join here would re-shuffle the whole table on
+    every read. Pinned against plan drift."""
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "k long, v string"
+        )
+    )
+    tbl.delete_where(spark, "k % 10 = 0", mode="mor")
+    df = tbl.read(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert df.count() == 90
