@@ -510,3 +510,116 @@ def q99zzk_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ordered(out, "segment", "n_sampled", "cents_sampled", "permille")
+
+
+@query(
+    "q99zzl_entity_resolution",
+    oracle="""
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey * 2 AS rec_id,
+             'cust-' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS txt,
+             c_custkey % 300 AS blk
+      FROM customer
+      UNION ALL
+      SELECT c_custkey * 3 + 1000000,
+             'cust-' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) || 'x',
+             c_custkey % 300
+      FROM customer
+      UNION ALL
+      SELECT c_custkey * 3 + 2000000,
+             'cust-' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) || 'xyz',
+             c_custkey % 300
+      FROM customer
+    ),
+    edges AS (
+      SELECT a.rec_id AS u, b.rec_id AS v
+      FROM recs a JOIN recs b
+        ON a.blk = b.blk AND a.rec_id < b.rec_id
+       AND levenshtein(a.txt, b.txt) <= 2
+    ),
+    sym AS (
+      SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT rec_id, rec_id FROM recs
+      UNION
+      SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+    ),
+    canon AS (SELECT src AS rec_id, MIN(dst) AS canonical FROM reach GROUP BY src),
+    comps AS (SELECT canonical, COUNT(*) AS n_records FROM canon GROUP BY canonical)
+    SELECT n_records, COUNT(*) AS n_components,
+           SUM(canonical) AS canonical_checksum
+    FROM comps GROUP BY n_records
+    ORDER BY n_records NULLS LAST, n_components NULLS LAST,
+             canonical_checksum NULLS LAST
+    """,
+)
+def q99zzl_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION as a composition of the engine's verified
+    primitives: deterministic record corpus (each customer appears as
+    THREE textual variants forming an edit-distance CHAIN — base ↔
+    base+'x' ↔ base+'xyz', where the ends are distance 3 apart and
+    only connect THROUGH the middle record, so resolution genuinely
+    requires transitive closure, not pairwise matching; md5-derived so
+    both engines synthesize the IDENTICAL strings) → blocked candidate
+    pairs (join within a
+    300-bucket blocking key — never all-pairs; the 100 TB shape) →
+    exact Levenshtein match (≤2, integer, engine-identical) →
+    CONNECTED COMPONENTS over the match graph (operators/graph.py label
+    propagation) → canonical id = component min → component-size
+    distribution with a canonical-id checksum.
+
+    The differential value: Spark resolves transitive identity with
+    iterative label propagation while the oracle uses a recursive-CTE
+    reachability closure — two entirely different algorithms that must
+    agree on every component, including any accidental cross-entity
+    chains the md5 corpus happens to contain. Singleton records (no
+    edges) keep themselves as canonical via the left join."""
+    from kafka_database_import_spark.operators.graph import (
+        connected_components,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    base_txt = F.concat(
+        F.lit("cust-"), F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8)
+    )
+    recs = (
+        cust.select(
+            (F.col("c_custkey") * 2).alias("rec_id"),
+            base_txt.alias("txt"),
+            (F.col("c_custkey") % 300).alias("blk"),
+        )
+    ).unionByName(
+        cust.select(
+            (F.col("c_custkey") * 3 + 1_000_000).alias("rec_id"),
+            F.concat(base_txt, F.lit("x")).alias("txt"),
+            (F.col("c_custkey") % 300).alias("blk"),
+        )
+    ).unionByName(
+        cust.select(
+            (F.col("c_custkey") * 3 + 2_000_000).alias("rec_id"),
+            F.concat(base_txt, F.lit("xyz")).alias("txt"),
+            (F.col("c_custkey") % 300).alias("blk"),
+        )
+    )
+    a, b = recs.alias("a"), recs.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.rec_id") < F.col("b.rec_id"))
+        & (F.levenshtein(F.col("a.txt"), F.col("b.txt")) <= 2),
+    ).select(F.col("a.rec_id").alias("src"), F.col("b.rec_id").alias("dst"))
+    comp = connected_components(edges)
+    canon = (
+        recs.join(comp, recs.rec_id == comp.node, "left")
+        .select(
+            "rec_id",
+            F.coalesce(F.col("component"), F.col("rec_id")).alias("canonical"),
+        )
+    )
+    comps = canon.groupBy("canonical").agg(F.count(F.lit(1)).alias("n_records"))
+    out = comps.groupBy("n_records").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("canonical").alias("canonical_checksum"),
+    )
+    return ordered(out, "n_records", "n_components", "canonical_checksum")
