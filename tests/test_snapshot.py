@@ -993,3 +993,28 @@ def test_overwrite_where_replaces_slice_atomically(spark, tmp_path):
     res2 = tbl.overwrite_where(spark, "k = 777", _df(spark, [(777, "new")]))
     assert res2["deleted_rows"] == 0 and res2["inserted_rows"] == 1
     assert (777, "new") in _rows(tbl.read(spark))
+
+
+def test_mor_delete_loses_version_race_cleanly(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import (
+        ConcurrentCommitError,
+        SnapshotTable,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a"), (2, "b")]))
+
+    class RacingTable(SnapshotTable):
+        def _write_dv(self, hits, version):
+            if not getattr(self, "_raced", False):
+                self._raced = True
+                SnapshotTable(self.root).commit(_df(spark, [(50, "r")]))
+            return super()._write_dv(hits, version)
+
+    racing = RacingTable(str(tmp_path / "t"))
+    with pytest.raises(ConcurrentCommitError):
+        racing.delete_where(spark, "k = 1", mode="mor")
+    # retry from the new head succeeds and sees the racer's row
+    res = racing.delete_where(spark, "k = 1", mode="mor")
+    assert res["deleted_rows"] == 1
+    assert _rows(tbl.read(spark)) == [(2, "b"), (50, "r")]
