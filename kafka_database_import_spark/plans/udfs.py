@@ -442,3 +442,52 @@ def q99zs_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="l_orderkey long, l_linenumber int, q100 long, bucket7 long",
     )
     return ordered(out, "l_orderkey", "l_linenumber", "q100", "bucket7")
+
+
+@query(
+    "q99zzm_sql_udf",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN o_totalprice >= 200000 THEN 'high'
+                  WHEN o_totalprice >= 50000 THEN 'mid'
+                  ELSE 'low' END AS bucket
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n, SUM(cents) AS total_cents
+    FROM t GROUP BY bucket
+    ORDER BY bucket NULLS LAST, n NULLS LAST, total_cents NULLS LAST
+    """,
+)
+def q99zzm_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-DEFINED FUNCTIONS (``CREATE FUNCTION ... RETURN
+    expr`` — SQL UDFs, not Python): a scalar ``kdis_cents`` and a
+    scalar ``kdis_bucket`` declared in pure SQL and used in a grouped
+    aggregate. The decisive property vs every Python UDF in this module
+    (q39–q42): the function body INLINES into the Catalyst plan —
+    whole-stage codegen, predicate-transparent, zero serialization —
+    so 'user-defined' here costs nothing at 100 TB. That inlining is
+    exactly why the oracle can state the same expressions directly.
+    The q84-style table-valued SQL function is exercised in the test
+    suite (a TVF's lateral join shape is covered by q42/q84)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION kdis_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(FLOOR(x * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION kdis_bucket(x DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN x >= 200000 THEN 'high' "
+        "WHEN x >= 50000 THEN 'mid' ELSE 'low' END"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "kdis_sqludf_orders"
+    )
+    out = spark.sql(
+        """
+        SELECT kdis_bucket(o_totalprice) AS bucket, COUNT(*) AS n,
+               SUM(kdis_cents(o_totalprice)) AS total_cents
+        FROM kdis_sqludf_orders GROUP BY kdis_bucket(o_totalprice)
+        """
+    )
+    return ordered(out, "bucket", "n", "total_cents")

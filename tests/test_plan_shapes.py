@@ -375,3 +375,18 @@ def test_mor_read_broadcasts_deletion_vectors(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert df.count() == 90
+
+
+def test_sql_udf_inlines_into_codegen(spark, sf_dir):
+    """Spark 4 SQL UDFs (q99zzm): the function body must INLINE into
+    the Catalyst plan — no BatchEvalPython/ArrowEvalPython node ever
+    appears, unlike every Python UDF path. Also exercises the
+    table-valued form (RETURNS TABLE) end-to-end."""
+    plan = _plan(spark, sf_dir, "q99zzm_sql_udf")
+    assert "Python" not in plan and "partial_" in plan
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION kdis_upto(n INT) "
+        "RETURNS TABLE(i INT) RETURN SELECT explode(sequence(1, n))"
+    )
+    rows = spark.sql("SELECT SUM(i) AS s FROM kdis_upto(100)").collect()
+    assert rows[0]["s"] == 5050
