@@ -564,3 +564,56 @@ def q99zzg_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("uid"),
     )
     return ordered(run_available_now(joined, "append"))
+
+
+@query(
+    "q99zzn_statestore_read",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type NULLS LAST, n NULLS LAST, cents NULLS LAST
+    """,
+)
+def q99zzn_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATE STORE READER (``spark.read.format("statestore")``) —
+    streaming-state observability: after a drained streaming aggregation
+    over events, the query reads the raw aggregation state OUT OF THE
+    CHECKPOINT (never touching the query's own sink) and the oracle is
+    the equivalent batch GROUP BY over the base table. What this
+    proves: the checkpoint's state rows — key struct, aggregation
+    buffer, across all partitions — hold exactly the final aggregate.
+    At 100 TB this is the debugging surface for stateful streams
+    (inspect skewed keys, audit state size per partition, validate a
+    migration) without replaying the stream. The companion
+    ``state-metadata`` format is asserted in the drain guard."""
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.readers import load_table
+
+    ckpt = _tf.mkdtemp(prefix="kdis_ssread_ckpt_")
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    meta = spark.read.format("state-metadata").load(ckpt)
+    assert meta.count() >= 1  # the operator registered its store
+    st = spark.read.format("statestore").load(ckpt)
+    # state buffer fields carry the AGGREGATE FUNCTION names
+    # (count/sum), not the query's output aliases — re-alias here
+    out = st.select("key.*", "value.*").select(
+        "event_type",
+        F.col("count").alias("n"),
+        F.col("sum").alias("cents"),
+    )
+    return ordered(out, "event_type", "n", "cents")
