@@ -85,6 +85,13 @@ def _make():
             if not self.root:
                 raise ValueError("kdis_snapshot_changes: 'path' required")
             self.start_version = int(options.get("startVersion", "0"))
+            # Admission control: a consumer starting on an old table
+            # would otherwise swallow the ENTIRE backlog as one batch
+            # (the Simple reader materializes driver-side). Capping the
+            # versions per micro-batch bounds each batch to a few
+            # commits' delta and lets checkpoint progress land between
+            # them — the maxFilesPerTrigger idea, in version units.
+            self.max_versions = int(options.get("maxVersionsPerBatch", "10"))
 
         def initialOffset(self):
             return {"version": self.start_version}
@@ -95,6 +102,7 @@ def _make():
             head = vs[-1] if vs else 0
             if head <= start["version"]:
                 return iter([]), start
+            head = min(head, start["version"] + self.max_versions)
             rows = list(_added_rows(self.root, start["version"], head))
             return iter(rows), {"version": head}
 

@@ -178,3 +178,48 @@ def test_snapshot_changes_stream_tails_append_lineage(spark, tmp_path):
     with _pt.raises(Exception, match="APPEND lineage"):
         it, _ = rdr.read({"version": 3})
         list(it)
+
+
+def test_snapshot_changes_stream_caps_versions_per_batch(spark, tmp_path):
+    """Admission control: maxVersionsPerBatch=1 makes each micro-batch
+    exactly one commit's delta — a consumer starting on an old table
+    catches up version-by-version (checkpointable progress) instead of
+    swallowing the backlog in one driver-side batch."""
+    import time
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+    from kafka_database_import_spark.sources.snapshot_stream import register
+
+    register(spark)
+    root = str(tmp_path / "tbl")
+    tbl = SnapshotTable(root)
+    for i in range(4):  # backlog of 4 versions before the stream starts
+        tbl.commit(
+            spark.createDataFrame([(i * 10 + j, f"v{i}") for j in range(3)],
+                                  "k long, v string")
+        )
+    name = "kdis_capver_sink"
+    q = (
+        spark.readStream.format("kdis_snapshot_changes")
+        .option("path", root)
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if sum(p["numInputRows"] for p in q.recentProgress) >= 12:
+                break
+            time.sleep(0.3)
+        batches = [
+            p["numInputRows"] for p in q.recentProgress if p["numInputRows"]
+        ]
+        assert sum(batches) == 12
+        assert max(batches) == 3  # never more than ONE version per batch
+        assert spark.table(name).count() == 12
+    finally:
+        q.stop()
