@@ -99,23 +99,54 @@ def lint(df: DataFrame) -> list[Finding]:
     # Range-backed sorts are even eliminated. The single-task shape
     # appears exactly two ways: a Window with no PARTITION BY, or an
     # explicit repartition(1)/coalesce(1) under a sort.) Classification
-    # is anchored to each matched Sort/Exchange SUBTREE — the node one
-    # line above the Sort is its parent, and a partitioned window's
-    # sort sits over `Exchange hashpartitioning`, never SinglePartition,
-    # so parent-is-Window here implies an empty partition spec. A node
+    # is anchored to each matched Sort/Exchange SUBTREE — the Sort's
+    # parent is the first line ABOVE it at a strictly shallower tree
+    # depth (in a multi-child plan the immediately preceding line can
+    # be the last leaf of a SIBLING subtree, so "one line up" would
+    # misattribute), and a partitioned window's sort sits over
+    # `Exchange hashpartitioning`, never SinglePartition, so
+    # parent-is-Window here implies an empty partition spec. A node
     # name merely appearing ELSEWHERE in the plan neither suppresses
     # nor re-labels a finding.
+    out.extend(_single_partition_findings(plan))
+
+    return out
+
+
+def _tree_depth(line: str) -> int:
+    # Tree-string children carry a `+- `/`:- ` marker whose offset
+    # is the nesting depth; the root line has none (depth -1).
+    dm = re.match(r"^([\s:|]*)[+:]-", line)
+    return len(dm.group(1)) if dm else -1
+
+
+def _single_partition_findings(plan: str) -> list[Finding]:
+    """Classify each Sort-over-Exchange-SinglePartition subtree by its
+    TRUE parent: the first line above the Sort at a strictly shallower
+    tree depth. (In a multi-child plan — Union, Join — the line
+    immediately above a non-first child is the last leaf of a SIBLING
+    subtree, so "one line up" would misattribute.) Module-level so the
+    classifier is unit-testable on synthetic plan strings."""
+    out: list[Finding] = []
     lines = plan.split("\n")
     line_starts: list[int] = []
     pos = 0
     for ln in lines:
         line_starts.append(pos)
         pos += len(ln) + 1
+
+    def _parent_line(li: int) -> str:
+        d = _tree_depth(lines[li])
+        for j in range(li - 1, -1, -1):
+            if _tree_depth(lines[j]) < d:
+                return lines[j]
+        return ""
+
     for m in re.finditer(
         r"Sort \[[^\n]*\n[\s:]*[+-]- Exchange SinglePartition", plan
     ):
         li = bisect.bisect_right(line_starts, m.start()) - 1
-        parent = lines[li - 1] if li > 0 else ""
+        parent = _parent_line(li) if li > 0 else ""
         if re.search(r"\bWindow \[", parent):
             out.append(
                 Finding(
@@ -131,7 +162,6 @@ def lint(df: DataFrame) -> list[Finding]:
                     "Sort over Exchange SinglePartition — all rows through one task",
                 )
             )
-
     return out
 
 

@@ -15,6 +15,33 @@ from kafka_database_import_spark.plans.registry import ordered, query
 from kafka_database_import_spark.sources.readers import load_table
 
 
+def _drain_stream(q, n_rows: int, timeout_s: float = 240.0) -> None:
+    """Poll a StreamingQuery until its sink has received ``n_rows``.
+
+    ``recentProgress`` is a CAPPED rolling window (default 100 entries);
+    a backlog paged through many micro-batches plus no-data progress
+    events can evict early entries, so re-summing the list each poll
+    undercounts and the loop rides out the deadline. Accumulate a
+    running total keyed by batchId instead — a batchId replayed after a
+    failure delivers the same rows, so per-id dedup keeps the total
+    exact. numInputRows is driver-side metadata posted after a batch
+    fully commits to the sink: no Spark job per poll."""
+    import time
+
+    seen: set[int] = set()
+    total = 0
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        for p in q.recentProgress:
+            bid = p["batchId"]
+            if bid not in seen:
+                seen.add(bid)
+                total += p["numInputRows"]
+        if total >= n_rows:
+            return
+        time.sleep(0.3)
+
+
 @query(
     "q92_join_right_outer",
     oracle="""
@@ -665,16 +692,9 @@ def q99zb_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFram
     )
     try:
         # Drain guard on StreamingQuery progress accounting (VERDICT r4
-        # item 9): numInputRows is driver-side metadata posted AFTER a
-        # batch fully commits to the sink — no Spark job per poll, unlike
-        # the previous spark.table(name).count() loop which ran a scan
-        # every 300 ms.
-        deadline = time.monotonic() + 240
-        while time.monotonic() < deadline:
-            drained = sum(p["numInputRows"] for p in q.recentProgress)
-            if drained >= n_rows:
-                break
-            time.sleep(0.3)
+        # item 9, hardened per ADVICE r5): running per-batchId total, not
+        # a re-sum of the capped recentProgress window.
+        _drain_stream(q, n_rows)
     finally:
         q.stop()
     return ordered(spark.table(name))
@@ -1506,11 +1526,7 @@ def q99zzi_snapshot_changes_stream(spark: SparkSession, sf_dir: str) -> DataFram
         .start()
     )
     try:
-        deadline = _time.monotonic() + 240
-        while _time.monotonic() < deadline:
-            if sum(p["numInputRows"] for p in q.recentProgress) >= n_rows:
-                break
-            _time.sleep(0.3)
+        _drain_stream(q, n_rows)
     finally:
         q.stop()
     out = (

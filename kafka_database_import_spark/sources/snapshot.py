@@ -706,7 +706,13 @@ class SnapshotTable:
         files read NULL).
 
         Duplicate keys in ``source`` are rejected (same contract as the
-        JDBC MERGE: a row matched twice is nondeterministic).
+        JDBC MERGE: a row matched twice is nondeterministic). Duplicate
+        keys in the TARGET (appends can create them) are allowed and all
+        collapse onto the one matching source row on update — the
+        documented resolution, mirroring what the JDBC MERGE's key-equal
+        UPDATE does to every matching target row; ``matched_rows``
+        counts matched *target* rows, so it can exceed the number of
+        matching source rows in that case.
 
         Returns ``{"version", "rewritten_files", "kept_files",
         "matched_rows", "inserted_rows"}``. Raises
@@ -796,7 +802,18 @@ class SnapshotTable:
         inserted_rows = 0
         if when_matched == "update" and when_not_matched == "insert":
             parts.append(_align(source))  # updates ∪ inserts = all of source
-            inserted_rows = source.count() - matched_rows
+            # Count inserts by anti-joining source against the affected
+            # files' key set (same as the insert-only branch below) — NOT
+            # as source.count() - matched_rows: matched_rows counts
+            # matched TARGET rows, so a target holding duplicate keys
+            # would undercount (or go negative). aff_keys covers every
+            # key the source could match, because any target row sharing
+            # a source key lives in an affected file by construction.
+            inserted_rows = (
+                source.join(aff_keys, on=key_cols, how="left_anti").count()
+                if aff_keys is not None
+                else source.count()
+            )
         else:
             if when_matched == "update" and aff_keys is not None:
                 parts.append(

@@ -4,24 +4,39 @@ Delta "table as a stream source" pattern, built on the Spark 4 Python
 DataSource API like ``sources/pyds.py``).
 
 Offsets ARE table versions: ``initialOffset`` starts before the first
-commit (or at ``startVersion``), ``read`` advances to the current head
-and returns exactly the rows of the files ADDED by the versions in
-between — O(delta) per batch, planned from manifests, never a table
-rescan. Replay (``readBetweenOffsets``) is exact because data files
-are immutable and the manifest diff is deterministic: a version range
-always denotes the same added-file set, which always holds the same
-rows. Restart recovery therefore composes with any downstream
-exactly-once sink.
+commit (or at ``startVersion``), each micro-batch advances to the
+current head (capped by ``maxVersionsPerBatch``) and returns exactly
+the rows of the files ADDED by the versions in between — O(delta) per
+batch, planned from manifests, never a table rescan. Replay
+(``readBetweenOffsets`` / re-planned ``partitions``) is exact because
+data files are immutable and the manifest diff is deterministic: a
+version range always denotes the same added-file set, which always
+holds the same rows. Restart recovery therefore composes with any
+downstream exactly-once sink.
 
 Non-append commits (overwrite / delete / merge / update) RESET lineage
 — same contract as :func:`snapshot.changes` — and the reader raises
 rather than silently double-count; a consumer of a mutating table
 should read ``row_changes`` ranges batch-side instead.
 
-The ``Simple`` stream-reader variant reads driver-side (fine for CDC
-deltas, which are small by nature); a partition-planned reader is the
-scale path for bulk-append tables and would reuse the same
-offset/manifest logic with one InputPartition per added file.
+Two readers share the offset/manifest logic:
+
+* the default ``DataSourceStreamReader`` plans one ``InputPartition``
+  per added file, so the parquet reads run ON EXECUTORS (Arrow
+  RecordBatches end-to-end, one task per file) — the scale path for
+  bulk-append tables;
+* ``option("reader", "simple")`` selects the
+  ``SimpleDataSourceStreamReader`` variant, which reads driver-side
+  (fine for CDC deltas, which are small by nature) and carries the
+  prefetch/cache machinery Spark wraps around Simple readers.
+
+Schema contract (both readers): the stream schema is FROZEN at query
+start from the table's current manifest. Every file's batch is
+projected to that schema BY FIELD NAME — a file written before a
+column was added null-fills the missing field, and a file committed
+mid-stream with a newer, wider schema has the extra columns dropped
+until the consumer restarts (then ``schema()`` re-reads the head
+manifest). Positional zip would mis-align or crash on either case.
 
 All classes come from a factory so cloudpickle embeds them BY VALUE
 (the driver harness runs from cwds where this package isn't
@@ -36,6 +51,8 @@ def _make():
 
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceStreamReader,
+        InputPartition,
         SimpleDataSourceStreamReader,
     )
 
@@ -52,11 +69,11 @@ def _make():
         with open(os.path.join(mdir, f"v{v}.json")) as f:
             return json.load(f)
 
-    def _added_rows(root: str, start_v: int, end_v: int):
-        """Rows of the files added in (start_v, end_v] — the manifest
-        file-list diff, read with pyarrow (driver-side, O(delta))."""
-        import pyarrow.parquet as pq
-
+    def _added_files(root: str, start_v: int, end_v: int) -> list[str]:
+        """Relative paths of the files added in (start_v, end_v] — the
+        manifest file-list diff (small JSON, driver-side O(delta)),
+        with the append-lineage guard walked over every version in the
+        range."""
         mdir = os.path.join(root, "_manifests")
         cur = _manifest(mdir, end_v)
         v = end_v
@@ -72,26 +89,72 @@ def _make():
         base_files = (
             set(_manifest(mdir, start_v)["files"]) if start_v > 0 else set()
         )
-        for f in cur["files"]:
-            if f in base_files:
-                continue
-            table = pq.read_table(os.path.join(root, f))
-            for batch in table.to_batches():
+        return [f for f in cur["files"] if f not in base_files]
+
+    def _projected_batches(path: str, schema_json: str):
+        """The file's RecordBatches projected to the frozen stream
+        schema BY NAME: missing fields null-fill, extra fields drop,
+        present fields cast to the declared arrow type. Runs wherever
+        the read runs (executor for the partitioned reader, driver for
+        the Simple one)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        struct = T.StructType.fromJson(json.loads(schema_json))
+        target = to_arrow_schema(struct)
+        table = pq.read_table(path)
+        present = set(table.schema.names)
+        for batch in table.to_batches():
+            n = batch.num_rows
+            arrays = []
+            for field in target:
+                if field.name in present:
+                    col = batch.column(batch.schema.get_field_index(field.name))
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                    arrays.append(col)
+                else:
+                    arrays.append(pa.nulls(n, field.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+    def _added_rows(root: str, start_v: int, end_v: int, schema_json: str):
+        """Row tuples of the files added in (start_v, end_v] in stream-
+        schema column order (the Simple reader's wire format)."""
+        for f in _added_files(root, start_v, end_v):
+            for batch in _projected_batches(os.path.join(root, f), schema_json):
                 yield from zip(*(c.to_pylist() for c in batch.columns))
 
-    class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
+    def _head_schema_json(root: str) -> str:
+        mdir = os.path.join(root, "_manifests")
+        vs = _versions(mdir)
+        if not vs:
+            raise ValueError("kdis_snapshot_changes: table has no commits yet")
+        return _manifest(mdir, vs[-1])["schema"]
+
+    class _Opts:
+        """Shared option parsing for both reader variants."""
+
         def __init__(self, options):
             self.root = options.get("path")
             if not self.root:
                 raise ValueError("kdis_snapshot_changes: 'path' required")
             self.start_version = int(options.get("startVersion", "0"))
             # Admission control: a consumer starting on an old table
-            # would otherwise swallow the ENTIRE backlog as one batch
-            # (the Simple reader materializes driver-side). Capping the
-            # versions per micro-batch bounds each batch to a few
-            # commits' delta and lets checkpoint progress land between
-            # them — the maxFilesPerTrigger idea, in version units.
+            # would otherwise swallow the ENTIRE backlog as one batch.
+            # Capping the versions per micro-batch bounds each batch to
+            # a few commits' delta and lets checkpoint progress land
+            # between them — the maxFilesPerTrigger idea, in version
+            # units.
             self.max_versions = int(options.get("maxVersionsPerBatch", "10"))
+
+    class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options, schema_json: str):
+            o = _Opts(options)
+            self.root, self.start_version = o.root, o.start_version
+            self.max_versions = o.max_versions
+            self.schema_json = schema_json
 
         def initialOffset(self):
             return {"version": self.start_version}
@@ -103,21 +166,87 @@ def _make():
             if head <= start["version"]:
                 return iter([]), start
             head = min(head, start["version"] + self.max_versions)
-            rows = list(_added_rows(self.root, start["version"], head))
+            rows = list(
+                _added_rows(self.root, start["version"], head, self.schema_json)
+            )
             return iter(rows), {"version": head}
 
         def readBetweenOffsets(self, start, end):
             return iter(
                 list(
-                    _added_rows(self.root, start["version"], end["version"])
+                    _added_rows(
+                        self.root,
+                        start["version"],
+                        end["version"],
+                        self.schema_json,
+                    )
                 )
             )
+
+    class AddedFilePartition(InputPartition):
+        def __init__(self, path: str, schema_json: str):
+            self.path = path
+            self.schema_json = schema_json
+
+    class SnapshotChangesPartitionedReader(DataSourceStreamReader):
+        """One InputPartition per added file: the manifest diff stays a
+        driver-side JSON walk, but every parquet read happens in its
+        own Spark task and ships Arrow RecordBatches straight into the
+        scan — no driver materialization, executor-parallel across the
+        files of a bulk append."""
+
+        def __init__(self, options, schema_json: str):
+            o = _Opts(options)
+            self.root, self.start_version = o.root, o.start_version
+            self.max_versions = o.max_versions
+            self.schema_json = schema_json
+            # latestOffset() has no start argument, so the per-batch
+            # version cap needs the last planned end; partitions()
+            # resyncs it from the authoritative checkpointed start, so
+            # a restart (or a planned-but-failed batch) can't strand or
+            # skip versions — the cap is admission control only,
+            # correctness lives in the (start, end] re-plan.
+            self._last_end: int | None = None
+
+        def initialOffset(self):
+            return {"version": self.start_version}
+
+        def latestOffset(self):
+            mdir = os.path.join(self.root, "_manifests")
+            vs = _versions(mdir)
+            head = vs[-1] if vs else 0
+            floor = (
+                self._last_end
+                if self._last_end is not None
+                else self.start_version
+            )
+            end = min(head, floor + self.max_versions) if head > floor else floor
+            self._last_end = end
+            return {"version": end}
+
+        def partitions(self, start, end):
+            s, e = start["version"], end["version"]
+            self._last_end = max(self._last_end or 0, s, e)
+            if e <= s:
+                return []
+            return [
+                AddedFilePartition(os.path.join(self.root, f), self.schema_json)
+                for f in _added_files(self.root, s, e)
+            ]
+
+        def read(self, partition):
+            return _projected_batches(partition.path, partition.schema_json)
+
+        def commit(self, end):
+            pass  # manifests are immutable; nothing to clean up
 
     class SnapshotChangesDataSource(DataSource):
         """``spark.readStream.format("kdis_snapshot_changes")
         .option("path", root)`` — micro-batch stream of a snapshot
         table's append deltas. Schema comes from the table's CURRENT
-        manifest (additive evolution is safe: older files null-fill)."""
+        manifest and is frozen for the life of the query; files are
+        projected to it by name (older files null-fill added columns,
+        newer files' extra columns drop until restart)."""
 
         @classmethod
         def name(cls) -> str:
@@ -126,20 +255,39 @@ def _make():
         def schema(self) -> str:
             from pyspark.sql import types as T
 
-            mdir = os.path.join(self.options.get("path", ""), "_manifests")
-            vs = _versions(mdir)
-            if not vs:
-                raise ValueError(
-                    "kdis_snapshot_changes: table has no commits yet"
-                )
-            schema_json = _manifest(mdir, vs[-1])["schema"]
+            schema_json = _head_schema_json(self.options.get("path", ""))
             struct = T.StructType.fromJson(json.loads(schema_json))
             return ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in struct.fields
             )
 
+        def _frozen_schema_json(self, schema) -> str:
+            # Prefer the schema Spark hands the reader (the stream's
+            # declared schema — user-supplied or checkpoint-pinned);
+            # fall back to the head manifest when called directly.
+            try:
+                return schema.json()
+            except AttributeError:
+                return _head_schema_json(self.options.get("path", ""))
+
+        def streamReader(self, schema):
+            if self.options.get("reader", "partitioned") == "simple":
+                # Raising NOT_IMPLEMENTED makes Spark fall back to
+                # simpleStreamReader() (datasource_internal._streamReader).
+                from pyspark.errors import PySparkNotImplementedError
+
+                raise PySparkNotImplementedError(
+                    errorClass="NOT_IMPLEMENTED",
+                    messageParameters={"feature": "streamReader"},
+                )
+            return SnapshotChangesPartitionedReader(
+                self.options, self._frozen_schema_json(schema)
+            )
+
         def simpleStreamReader(self, schema):
-            return SnapshotChangesStreamReader(self.options)
+            return SnapshotChangesStreamReader(
+                self.options, self._frozen_schema_json(schema)
+            )
 
     return SnapshotChangesDataSource
 

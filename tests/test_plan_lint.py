@@ -167,3 +167,40 @@ def test_full_catalog_lints_clean(spark, sf_dir):
         if fs:
             findings[name] = [f"{f.rule}: {f.detail}" for f in fs]
     assert not findings, findings
+
+
+def test_single_partition_classifier_skips_sibling_subtree():
+    """ADVICE r5: in a multi-child plan the line directly above a Sort
+    can be the last leaf of a SIBLING subtree — the classifier must
+    find the true parent by tree depth, not take lines[li-1]."""
+    from kafka_database_import_spark.operators.plan_lint import (
+        _single_partition_findings,
+    )
+
+    # Union's second child is the Sort; the line above it is the first
+    # child's deepest leaf, which (adversarially) mentions Window in a
+    # projection name but is NOT the parent.
+    plan = "\n".join(
+        [
+            "Union",
+            ":- Project [a]",
+            ":  +- Window [row_number() ...] leaf-of-first-subtree",
+            "+- Sort [a ASC NULLS FIRST], false, 0",
+            "   +- Exchange SinglePartition, ...",
+            "      +- Scan parquet [a]",
+        ]
+    )
+    got = _single_partition_findings(plan)
+    assert [f.rule for f in got] == ["single-partition-sort"]
+
+    # and the true-parent-Window case still classifies as unbounded
+    plan2 = "\n".join(
+        [
+            "Window [sum(a) windowspecdefinition(...)]",
+            "+- Sort [a ASC NULLS FIRST], false, 0",
+            "   +- Exchange SinglePartition, ...",
+            "      +- Scan parquet [a]",
+        ]
+    )
+    got2 = _single_partition_findings(plan2)
+    assert [f.rule for f in got2] == ["unbounded-window"]

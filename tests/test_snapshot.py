@@ -1018,3 +1018,23 @@ def test_mor_delete_loses_version_race_cleanly(spark, tmp_path):
     res = racing.delete_where(spark, "k = 1", mode="mor")
     assert res["deleted_rows"] == 1
     assert _rows(tbl.read(spark)) == [(2, "b"), (50, "r")]
+
+
+def test_merge_rows_duplicate_target_keys_stat_exact(spark, tmp_path):
+    """ADVICE r5: a target holding duplicate keys (appends can create
+    them) must not corrupt the inserted_rows stat — inserts are counted
+    by anti-joining SOURCE against the target key set, never as
+    source.count() - matched_target_rows (which can go negative)."""
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    # key 1 appears THREE times in the target across two appends
+    _commit_in_parts(spark, tbl, [[(1, "a"), (1, "a2"), (2, "b")], [(1, "a3")]])
+    src = _df(spark, [(1, "A"), (9, "new")])
+    res = tbl.merge_rows(spark, src, ["k"])
+    # matched_rows counts matched TARGET rows (documented): 3 here
+    assert res["matched_rows"] == 3
+    # inserted_rows counts source rows with NO target match: exactly 1
+    assert res["inserted_rows"] == 1
+    # duplicate target rows collapse onto the one source row (documented)
+    assert _rows(tbl.read(spark)) == [(1, "A"), (2, "b"), (9, "new")]
