@@ -1535,3 +1535,124 @@ def q99zzi_snapshot_changes_stream(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
     )
     return ordered(out, "status", "n", "total_cents")
+
+
+@query(
+    "q99zzo_cdc_apply_stream",
+    oracle="""
+    WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    ch AS (
+      SELECT o_orderkey AS k, j,
+             CAST(j AS BIGINT) AS seq,
+             CASE WHEN (o_orderkey * 31 + j) % 5 = 0
+                  THEN 'delete' ELSE 'upsert' END AS op,
+             's' || CAST((o_orderkey * 7 + j) % 10 AS VARCHAR) AS status,
+             o_orderkey * 100 + j AS cents
+      FROM orders CROSS JOIN js
+      WHERE (o_orderkey * 13 + j) % 3 <> 0
+    ),
+    latest AS (
+      SELECT k, seq, op, status, cents,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM ch
+    )
+    SELECT k, status, cents, seq FROM latest WHERE rn = 1 AND op = 'upsert'
+    ORDER BY k NULLS LAST, status NULLS LAST, cents NULLS LAST, seq NULLS LAST
+    """,
+)
+def q99zzo_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC APPLY INTO the table format: a changelog of mixed
+    upserts + deletes (up to TWO changes per key per micro-batch,
+    arrival-shuffled within each batch) streams through
+    ``SnapshotMergeSink`` — each micro-batch lands as ONE merge version,
+    sequence-resolved (latest change per key wins; a delete-then-insert
+    inside a batch nets to the insert), effectively-once via the
+    epoch-in-manifest protocol. The reference's import loop upserts a
+    changelog into a mutable DB table (kafka-database-import.go:171-218);
+    this is that exact consumer re-expressed against the lakehouse table
+    format, where the "database" is immutable parquet + manifests.
+
+    The oracle recomputes the converged state relationally: latest
+    change per key over the WHOLE changelog, keeping upserts — the
+    stream's micro-batch boundaries and within-batch disorder must not
+    change the answer. Batch assignment is seq-monotonic per key
+    (j//2), so no tombstone retention is needed — late cross-batch
+    disorder is covered separately by the stale-skip tests."""
+    import glob as _gl
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotMergeSink,
+        SnapshotTable,
+    )
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_cdcq_{tag}")
+    tbl = SnapshotTable(root)
+    if tbl.latest_version() != 2:
+        _sh.rmtree(root, ignore_errors=True)
+        tbl = SnapshotTable(root)
+        k = F.col("k")
+        j = F.col("j")
+        ch = (
+            load_table(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").alias("k"))
+            .select(
+                "k",
+                F.explode(F.array([F.lit(x) for x in range(4)])).alias("j"),
+            )
+            .filter((k * 13 + j) % 3 != 0)
+            .select(
+                "k",
+                "j",
+                j.cast("long").alias("seq"),
+                F.when((k * 31 + j) % 5 == 0, F.lit("delete"))
+                .otherwise(F.lit("upsert"))
+                .alias("_op"),
+                F.concat(F.lit("s"), ((k * 7 + j) % 10).cast("string")).alias(
+                    "status"
+                ),
+                (k * 100 + j).alias("cents"),
+            )
+        )
+        src = _os.path.join(root, "_changelog")
+        _os.makedirs(src)
+        for b in range(2):
+            scratch = _tf.mkdtemp(prefix="kdis_cdcq_b_")
+            (
+                ch.filter((j / 2).cast("int") == b)
+                # arrival-shuffle within the batch file: order by a hash,
+                # NOT by (k, seq) — the sink must not rely on row order
+                .orderBy((k * 37 + j * 101) % 1000, "k", "j")
+                .drop("j")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(scratch)
+            )
+            part = _gl.glob(_os.path.join(scratch, "part-*.parquet"))[0]
+            dst = _os.path.join(src, f"b{b}.parquet")
+            _sh.move(part, dst)
+            _sh.rmtree(scratch, ignore_errors=True)
+            _os.utime(dst, (1_000 * (b + 1),) * 2)
+        sink = SnapshotMergeSink(tbl, ["k"], seq_col="seq", mode="cow")
+        q = (
+            spark.readStream.schema(
+                "k long, seq long, _op string, status string, cents long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", _os.path.join(root, "_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert tbl.latest_version() == 2, tbl.versions()
+    out = tbl.read(spark).select("k", "status", "cents", "seq")
+    return ordered(out, "k", "status", "cents", "seq")

@@ -147,10 +147,14 @@ class SnapshotTable:
             return json.load(f)
 
     # ----------------------------------------------------------- commits
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(
+        self, df: DataFrame, mode: str = "append", epoch_id: int | None = None
+    ) -> int:
         """Write ``df``'s rows as immutable files and publish the next
         version atomically. ``mode='append'`` keeps the previous file
-        list; ``'overwrite'`` replaces it. Returns the new version.
+        list; ``'overwrite'`` replaces it. ``epoch_id`` (streaming
+        writers) is recorded in the manifest for replay detection.
+        Returns the new version.
 
         Raises :class:`ConcurrentCommitError` if another writer
         published the same version between our head read and our link —
@@ -179,6 +183,8 @@ class SnapshotTable:
         }
         if dv_files:
             manifest["dv_files"] = dv_files
+        if epoch_id is not None:
+            manifest["epoch_id"] = epoch_id
         self._publish(version, manifest)
         return version
 
@@ -591,13 +597,19 @@ class SnapshotTable:
         condition,
         assignments: dict,
         stats_range: tuple | None = None,
+        mode: str = "cow",
     ) -> dict:
-        """Row-level UPDATE, copy-on-write — completes the DML triad
-        (DELETE / MERGE / UPDATE) on the same machinery: only files
-        containing rows where ``condition`` is true are rewritten, with
-        ``assignments`` (column → Column/SQL expression) applied to the
-        matching rows and every other row carried verbatim. SQL UPDATE
-        semantics: a NULL-evaluating condition leaves the row
+        """Row-level UPDATE — completes the DML triad (DELETE / MERGE /
+        UPDATE) on the same machinery, in BOTH strategies. ``'cow'``
+        rewrites only the files containing rows where ``condition`` is
+        true, with ``assignments`` (column → Column/SQL expression)
+        applied to the matching rows and every other row carried
+        verbatim. ``'mor'`` (merge-on-read) deletion-vectors the
+        matched rows and APPENDS their updated versions — O(matched
+        rows) written, zero data files rewritten, reads pay the DV
+        anti-join until ``compact()`` materializes (exactly the
+        ``delete_where(mode='mor')`` tradeoff plus an append). SQL
+        UPDATE semantics: a NULL-evaluating condition leaves the row
         unchanged. Existing deletion vectors are respected and carried.
 
         Returns ``{"version", "rewritten_files", "kept_files",
@@ -606,6 +618,8 @@ class SnapshotTable:
         version race."""
         from pyspark.sql import functions as F
 
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"update mode: {mode!r}")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         m = self.manifest()
         head = m["version"]
@@ -644,26 +658,65 @@ class SnapshotTable:
             )
         )
         matched = cond.eqNullSafe(F.lit(True))
-        rewritten = self._scan_with_meta(
-            spark, sorted(affected), schema, prev_dv
-        ).select(
-            *[
-                F.when(
-                    matched,
+
+        def _apply_assignments(df: DataFrame, always: bool) -> DataFrame:
+            return df.select(
+                *[
                     (
-                        F.expr(assignments[f.name])
-                        if isinstance(assignments.get(f.name), str)
-                        else assignments[f.name]
-                    ).cast(f.dataType)
+                        (
+                            F.expr(assignments[f.name])
+                            if isinstance(assignments.get(f.name), str)
+                            else assignments[f.name]
+                        ).cast(f.dataType)
+                        if always
+                        else F.when(
+                            matched,
+                            (
+                                F.expr(assignments[f.name])
+                                if isinstance(assignments.get(f.name), str)
+                                else assignments[f.name]
+                            ).cast(f.dataType),
+                        ).otherwise(F.col(f.name))
+                    ).alias(f.name)
                     if f.name in assignments
-                    else F.col(f.name),
-                )
-                .otherwise(F.col(f.name))
-                .alias(f.name)
-                for f in schema.fields
-            ]
-        )
+                    else F.col(f.name).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+
         version = head + 1
+        if mode == "mor":
+            # DV the matched rows, append their updated versions — the
+            # two writes derive from the same (files, predicate) scan,
+            # so they are consistent; zero data files rewritten.
+            matched_scan = self._scan_with_meta(
+                spark, sorted(affected), schema, prev_dv
+            ).filter(matched)
+            dv_new = self._write_dv(
+                matched_scan.select(
+                    F.col("_sg_k3").alias("k3"), F.col("_sg_pos").alias("pos")
+                ),
+                version,
+            )
+            new_files = self._write_data(
+                _apply_assignments(matched_scan, always=True), version
+            )
+            man = self._cow_manifest(
+                version, head, "update", m["schema"], list(m["files"]),
+                new_files, m,
+            )
+            man["dv_files"] = prev_dv + dv_new
+            self._publish(version, man)
+            return {
+                "version": version,
+                "rewritten_files": 0,
+                "kept_files": len(m["files"]),
+                "updated_rows": updated_rows,
+            }
+        rewritten = _apply_assignments(
+            self._scan_with_meta(spark, sorted(affected), schema, prev_dv),
+            always=False,
+        )
         new_files = self._write_data(rewritten, version)
         kept = [f for f in m["files"] if f not in affected]
         man = self._cow_manifest(
@@ -686,24 +739,30 @@ class SnapshotTable:
         key_cols: list[str],
         when_matched: str = "update",
         when_not_matched: str = "insert",
+        mode: str = "cow",
     ) -> dict:
-        """Row-level MERGE, copy-on-write — the table-format promotion
-        of the proven JDBC ``merge_sql`` semantics (sinks/jdbc.py):
-        target rows whose key appears in ``source`` are replaced
+        """Row-level MERGE — the table-format promotion of the proven
+        JDBC ``merge_sql`` semantics (sinks/jdbc.py): target rows whose
+        key appears in ``source`` are replaced
         (``when_matched='update'``) or removed (``'delete'``); source
         rows with no target match are appended (``when_not_matched=
         'insert'``) or dropped (``'ignore'``).
 
-        Scale shape: only files CONTAINING matched keys are rewritten —
-        the affected-file discovery is a key semi-join against the
-        target scan (AQE broadcasts the source's key set when small,
-        the common CDC-batch case), survivors are the affected files
-        anti-joined on key, and matched/unmatched source rows are
-        classified against the AFFECTED files only (a matched key can
-        only live there), so no pass is O(table) beyond the one
-        discovery semi-join, which prunes columns to the keys. Additive
-        schema evolution applies (source may carry new columns; old
-        files read NULL).
+        Scale shape (``mode='cow'``): only files CONTAINING matched
+        keys are rewritten — the affected-file discovery is a key
+        semi-join against the target scan (AQE broadcasts the source's
+        key set when small, the common CDC-batch case), survivors are
+        the affected files anti-joined on key, and matched/unmatched
+        source rows are classified against the AFFECTED files only (a
+        matched key can only live there), so no pass is O(table) beyond
+        the one discovery semi-join, which prunes columns to the keys.
+        ``mode='mor'`` (merge-on-read) deletion-vectors the matched
+        target rows and APPENDS the source's contribution instead of
+        rewriting any file — O(matched + source) written, reads pay the
+        DV anti-join until ``compact()`` materializes; same equivalence
+        contract as ``delete_where(mode='mor')``. Additive schema
+        evolution applies (source may carry new columns; old files read
+        NULL).
 
         Duplicate keys in ``source`` are rejected (same contract as the
         JDBC MERGE: a row matched twice is nondeterministic). Duplicate
@@ -723,6 +782,8 @@ class SnapshotTable:
             raise ValueError(f"when_matched: {when_matched!r}")
         if when_not_matched not in ("insert", "ignore"):
             raise ValueError(f"when_not_matched: {when_not_matched!r}")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"merge mode: {mode!r}")
         dup = (
             source.groupBy(*key_cols)
             .count()
@@ -790,18 +851,16 @@ class SnapshotTable:
             ]
             return df.select(*cols)
 
-        parts: list[DataFrame] = []
         if affected:
-            aff_df = self._scan_with_meta(
-                spark, sorted(affected), schema, prev_dv
-            ).drop("_sg_file", "_sg_k3", "_sg_pos")
-            parts.append(_align(aff_df.join(keys, on=key_cols, how="left_anti")))
+            aff_df = self._scan_with_meta(spark, sorted(affected), schema, prev_dv)
             aff_keys = aff_df.select(*key_cols).distinct()
         else:
+            aff_df = None
             aff_keys = None
+        src_parts: list[DataFrame] = []
         inserted_rows = 0
         if when_matched == "update" and when_not_matched == "insert":
-            parts.append(_align(source))  # updates ∪ inserts = all of source
+            src_parts.append(_align(source))  # updates ∪ inserts = all of source
             # Count inserts by anti-joining source against the affected
             # files' key set (same as the insert-only branch below) — NOT
             # as source.count() - matched_rows: matched_rows counts
@@ -816,7 +875,7 @@ class SnapshotTable:
             )
         else:
             if when_matched == "update" and aff_keys is not None:
-                parts.append(
+                src_parts.append(
                     _align(source.join(aff_keys, on=key_cols, how="left_semi"))
                 )
             if when_not_matched == "insert":
@@ -826,7 +885,7 @@ class SnapshotTable:
                     else source
                 )
                 inserted_rows = ins.count()
-                parts.append(_align(ins))
+                src_parts.append(_align(ins))
         if not affected and not inserted_rows and when_not_matched != "insert":
             return {
                 "version": head,
@@ -835,10 +894,48 @@ class SnapshotTable:
                 "matched_rows": 0,
                 "inserted_rows": 0,
             }
+        version = head + 1
+        if mode == "mor":
+            # Merge-on-read: deletion-vector every matched target row
+            # (whether being updated or deleted) and APPEND the source's
+            # contribution — zero files rewritten; the read-side DV
+            # anti-join hides the superseded rows until compact().
+            dv_new: list[str] = []
+            if aff_df is not None:
+                hits = aff_df.join(keys, on=key_cols, how="left_semi").select(
+                    F.col("_sg_k3").alias("k3"), F.col("_sg_pos").alias("pos")
+                )
+                dv_new = self._write_dv(hits, version)
+            new_files: list[str] = []
+            if src_parts:
+                out = src_parts[0]
+                for p in src_parts[1:]:
+                    out = out.unionByName(p)
+                new_files = self._write_data(out, version)
+            man = self._cow_manifest(
+                version, head, "merge", schema_json, list(m["files"]),
+                new_files, m,
+            )
+            if prev_dv or dv_new:
+                man["dv_files"] = prev_dv + dv_new
+            self._publish(version, man)
+            return {
+                "version": version,
+                "rewritten_files": 0,
+                "kept_files": len(m["files"]),
+                "matched_rows": matched_rows,
+                "inserted_rows": inserted_rows,
+            }
+        parts = list(src_parts)
+        if aff_df is not None:
+            # survivors of the affected files: rows whose key the source
+            # does NOT carry ride along into the rewrite
+            parts.insert(
+                0, _align(aff_df.join(keys, on=key_cols, how="left_anti"))
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        version = head + 1
         new_files = self._write_data(out, version)
         kept = [f for f in m["files"] if f not in affected]
         man = self._cow_manifest(
@@ -853,6 +950,254 @@ class SnapshotTable:
             "kept_files": len(kept),
             "matched_rows": matched_rows,
             "inserted_rows": inserted_rows,
+        }
+
+    def apply_changes(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        op_col: str = "_op",
+        seq_col: str | None = None,
+        mode: str = "cow",
+        epoch_id: int | None = None,
+    ) -> dict:
+        """Apply a CDC CHANGELOG (mixed upserts + deletes, possibly
+        out of order) as ONE atomic version — the table-format form of
+        Delta's APPLY CHANGES INTO, and the batch half of
+        :class:`SnapshotMergeSink`.
+
+        ``source`` carries the table's columns plus ``op_col`` with
+        values ``'upsert'`` / ``'delete'`` (anything else is rejected —
+        an unknown op is a data bug, not a row to guess about).
+
+        Sequencing: with ``seq_col`` (a totally-ordered change-sequence
+        column — commit LSN, event time), the batch is first reduced to
+        the LATEST change per key (ties broken toward ``'upsert'``,
+        deterministically), and — because ``seq_col`` is stored as an
+        ordinary table column — STALE changes whose sequence does not
+        exceed the target row's are skipped entirely. That makes the
+        apply idempotent and order-insensitive ACROSS batches too: a
+        late-arriving batch of already-superseded changes is a no-op,
+        so any interleaving of micro-batches converges to the
+        same table as the sequence-ordered batch apply. Without
+        ``seq_col``, duplicate keys in a batch are rejected (no order
+        to resolve them by) and cross-batch ordering is the caller's
+        contract.
+
+        ``mode='cow'`` rewrites only the files containing changed keys
+        (the :meth:`merge_rows` discovery shape); ``'mor'``
+        deletion-vectors the superseded rows and appends the upserts —
+        O(changes) written. ``epoch_id`` lands in the manifest for the
+        streaming sink's replay detection. Like :meth:`merge_rows`,
+        assumes key-unique target maintenance (every matched target row
+        is superseded by the key's single effective change).
+
+        Returns ``{"version", "rewritten_files", "kept_files",
+        "upserted_rows", "deleted_rows", "skipped_stale"}``."""
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"apply_changes mode: {mode!r}")
+        if op_col not in source.columns:
+            raise ValueError(f"op column {op_col!r} not in source")
+        bad = (
+            source.filter(~F.col(op_col).isin("upsert", "delete"))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"unknown {op_col} value {bad[0][op_col]!r}: expected "
+                f"'upsert' or 'delete'"
+            )
+        changes = source
+        if seq_col is not None:
+            if seq_col not in source.columns:
+                raise ValueError(f"sequence column {seq_col!r} not in source")
+            w = W.partitionBy(*key_cols).orderBy(
+                F.col(seq_col).desc(), F.col(op_col).desc()
+            )
+            changes = (
+                changes.withColumn("_sg_rn", F.row_number().over(w))
+                .filter(F.col("_sg_rn") == 1)
+                .drop("_sg_rn")
+            )
+        else:
+            dup = (
+                source.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"changelog batch has multiple changes for key "
+                    f"{tuple(dup[0][k] for k in key_cols)!r} and no "
+                    f"seq_col to order them by"
+                )
+        head = self.latest_version()
+        if head is None:
+            ups = changes.filter(F.col(op_col) != "delete").drop(op_col)
+            n = ups.count()
+            if n == 0:
+                return {
+                    "version": None,
+                    "rewritten_files": 0,
+                    "kept_files": 0,
+                    "upserted_rows": 0,
+                    "deleted_rows": 0,
+                    "skipped_stale": 0,
+                }
+            v = self.commit(ups, mode="append", epoch_id=epoch_id)
+            return {
+                "version": v,
+                "rewritten_files": 0,
+                "kept_files": 0,
+                "upserted_rows": n,
+                "deleted_rows": 0,
+                "skipped_stale": 0,
+            }
+        m = self.manifest(head)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        schema_json = _merge_schema(m["schema"], changes.drop(op_col).schema)
+        merged_schema = T.StructType.fromJson(json.loads(schema_json))
+        prev_dv = m.get("dv_files", [])
+        target = self._scan_with_meta(spark, m["files"], schema, prev_dv)
+        skipped_stale = 0
+        if seq_col is not None and seq_col in {f.name for f in schema.fields}:
+            # Stale-skip: one column-pruned pass over the target for the
+            # max stored sequence per CHANGED key (semi-join bounds it
+            # to the change set), then drop changes it supersedes.
+            tgt_seq = (
+                target.select(*key_cols, seq_col)
+                .join(
+                    changes.select(*key_cols).distinct(),
+                    on=key_cols,
+                    how="left_semi",
+                )
+                .groupBy(*key_cols)
+                .agg(F.max(seq_col).alias("_sg_tseq"))
+            )
+            with_t = changes.join(tgt_seq, on=key_cols, how="left")
+            fresh = with_t.filter(
+                F.col("_sg_tseq").isNull()
+                | (F.col(seq_col) > F.col("_sg_tseq"))
+            ).drop("_sg_tseq")
+            skipped_stale = changes.count() - fresh.count()
+            changes = fresh
+        keys = changes.select(*key_cols).distinct()
+        hit = (
+            target.select(*key_cols, "_sg_file")
+            .join(keys, on=key_cols, how="left_semi")
+            .groupBy("_sg_file")
+            .count()
+            .collect()
+        )
+        affected = (
+            set(
+                self._files_of(
+                    spark,
+                    spark.createDataFrame(hit, "`_sg_file` string, `count` long"),
+                )
+            )
+            if hit
+            else set()
+        )
+        ups = changes.filter(F.col(op_col) != "delete").drop(op_col)
+        upserted_rows = ups.count()
+        deleted_rows = 0
+        aff_df = (
+            self._scan_with_meta(spark, sorted(affected), schema, prev_dv)
+            if affected
+            else None
+        )
+        if aff_df is not None:
+            del_keys = (
+                changes.filter(F.col(op_col) == "delete")
+                .select(*key_cols)
+                .distinct()
+            )
+            deleted_rows = (
+                aff_df.join(del_keys, on=key_cols, how="left_semi").count()
+            )
+        if not affected and upserted_rows == 0:
+            return {  # nothing to publish: all deletes missed / stale
+                "version": head,
+                "rewritten_files": 0,
+                "kept_files": len(m["files"]),
+                "upserted_rows": 0,
+                "deleted_rows": 0,
+                "skipped_stale": skipped_stale,
+            }
+
+        def _align(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in merged_schema.fields
+                ]
+            )
+
+        version = head + 1
+        if mode == "mor":
+            dv_new: list[str] = []
+            if aff_df is not None:
+                hits = aff_df.join(keys, on=key_cols, how="left_semi").select(
+                    F.col("_sg_k3").alias("k3"), F.col("_sg_pos").alias("pos")
+                )
+                dv_new = self._write_dv(hits, version)
+            new_files = (
+                self._write_data(_align(ups), version)
+                if upserted_rows
+                else []
+            )
+            man = self._cow_manifest(
+                version, head, "merge", schema_json, list(m["files"]),
+                new_files, m,
+            )
+            if prev_dv or dv_new:
+                man["dv_files"] = prev_dv + dv_new
+            if epoch_id is not None:
+                man["epoch_id"] = epoch_id
+            self._publish(version, man)
+            return {
+                "version": version,
+                "rewritten_files": 0,
+                "kept_files": len(m["files"]),
+                "upserted_rows": upserted_rows,
+                "deleted_rows": deleted_rows,
+                "skipped_stale": skipped_stale,
+            }
+        parts = []
+        if aff_df is not None:
+            parts.append(_align(aff_df.join(keys, on=key_cols, how="left_anti")))
+        if upserted_rows:
+            parts.append(_align(ups))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        new_files = self._write_data(out, version)
+        kept = [f for f in m["files"] if f not in affected]
+        man = self._cow_manifest(
+            version, head, "merge", schema_json, kept, new_files, m
+        )
+        if prev_dv:
+            man["dv_files"] = prev_dv
+        if epoch_id is not None:
+            man["epoch_id"] = epoch_id
+        self._publish(version, man)
+        return {
+            "version": version,
+            "rewritten_files": len(affected),
+            "kept_files": len(kept),
+            "upserted_rows": upserted_rows,
+            "deleted_rows": deleted_rows,
+            "skipped_stale": skipped_stale,
         }
 
 
@@ -916,7 +1261,9 @@ class StatsSnapshotTable(SnapshotTable):
         self._pending_stats = stats
         return files
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(
+        self, df: DataFrame, mode: str = "append", epoch_id: int | None = None
+    ) -> int:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode: {mode!r}")
         head = self.latest_version()
@@ -943,6 +1290,8 @@ class StatsSnapshotTable(SnapshotTable):
         }
         if dv_files:
             manifest["dv_files"] = dv_files
+        if epoch_id is not None:
+            manifest["epoch_id"] = epoch_id
         self._publish(version, manifest)
         return version
 
@@ -1172,6 +1521,72 @@ class SnapshotCommitSink:
             if dv:
                 man["dv_files"] = dv
         self.table._publish(version, man)
+        self.committed_epochs().add(epoch_id)
+
+
+class SnapshotMergeSink:
+    """``foreachBatch`` target applying a CDC CHANGELOG stream INTO the
+    snapshot table — each micro-batch of upserts + deletes becomes ONE
+    merge version via :meth:`SnapshotTable.apply_changes`. This closes
+    the loop between the two proven halves: the JDBC ``CdcDbApiSink``
+    (changelog → database upserts) and the table format's row-level DML
+    — the same changelog now maintains a lakehouse table instead of a
+    database.
+
+    Effectively-once exactly as :class:`SnapshotCommitSink`: the merge
+    manifest records ``epoch_id``, a replayed batch (Spark re-runs the
+    last epoch after crash-restart) is detected from committed
+    manifests and skipped, and a writer that crashed after writing data
+    files but before publishing left no visible version, so the replay
+    re-applies cleanly.
+
+    With a ``seq_col``, within-batch disorder AND cross-batch stale
+    arrivals are resolved by the sequence (see ``apply_changes``), so
+    the maintained table converges to the sequence-ordered batch apply
+    regardless of micro-batch boundaries. ``mode`` picks copy-on-write
+    or merge-on-read per batch — a MOR stream should schedule
+    ``compact()`` periodically or reads accumulate DV anti-joins.
+    """
+
+    def __init__(
+        self,
+        table: SnapshotTable,
+        key_cols: list[str],
+        op_col: str = "_op",
+        seq_col: str | None = None,
+        mode: str = "cow",
+    ):
+        self.table = table
+        self.key_cols = list(key_cols)
+        self.op_col = op_col
+        self.seq_col = seq_col
+        self.mode = mode
+        self._epochs: set[int] | None = None
+
+    def committed_epochs(self) -> set[int]:
+        """Seeded from the manifests once per sink instance (a restart
+        re-seeds), grown in memory per batch — same O(versions) once,
+        not O(versions²), as SnapshotCommitSink."""
+        if self._epochs is None:
+            self._epochs = set()
+            for v in self.table.versions():
+                e = self.table.manifest(v).get("epoch_id")
+                if e is not None:
+                    self._epochs.add(e)
+        return self._epochs
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in self.committed_epochs():
+            return  # replayed batch — its version is already visible
+        self.table.apply_changes(
+            batch_df.sparkSession,
+            batch_df,
+            self.key_cols,
+            op_col=self.op_col,
+            seq_col=self.seq_col,
+            mode=self.mode,
+            epoch_id=epoch_id,
+        )
         self.committed_epochs().add(epoch_id)
 
 

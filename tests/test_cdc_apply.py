@@ -1,0 +1,219 @@
+"""CDC APPLY INTO the snapshot table: apply_changes batch semantics
+(sequencing, stale-skip, COW≡MOR) and the SnapshotMergeSink streaming
+path (effectively-once under crash replay)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_database_import_spark.sources.snapshot import (
+    SnapshotMergeSink,
+    SnapshotTable,
+)
+
+SCHEMA = "k long, v string, seq long, _op string"
+
+
+def _ch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_apply_changes_out_of_order_batch_latest_per_key_wins(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 10)], "k long, v string, seq long")
+    )
+    # one batch, shuffled: k=1 upserted then deleted (delete is latest);
+    # k=2 updated twice (seq 30 wins); k=3 deleted then inserted (insert wins)
+    batch = _ch(
+        spark,
+        [
+            (2, "b2", 20, "upsert"),
+            (1, "a9", 40, "delete"),
+            (3, "c1", 25, "upsert"),
+            (2, "b3", 30, "upsert"),
+            (1, "a2", 20, "upsert"),
+            (3, None, 15, "delete"),
+        ],
+    )
+    res = tbl.apply_changes(spark, batch, ["k"], seq_col="seq")
+    assert res["upserted_rows"] == 2 and res["deleted_rows"] == 1
+    assert _rows(tbl.read(spark)) == [(2, "b3", 30), (3, "c1", 25)]
+
+
+def test_apply_changes_stale_batch_is_skipped(spark, tmp_path):
+    """Cross-batch disorder: a batch arriving AFTER a later-sequenced
+    batch must not regress the table (seq stored as a column makes the
+    apply order-insensitive)."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    late = _ch(spark, [(1, "new", 50, "upsert"), (2, "gone", 60, "delete")])
+    early = _ch(spark, [(1, "old", 10, "upsert"), (2, "back", 20, "upsert")])
+    tbl.apply_changes(spark, late, ["k"], seq_col="seq")
+    res = tbl.apply_changes(spark, early, ["k"], seq_col="seq")
+    assert res["skipped_stale"] == 1  # k=1's old upsert
+    # k=2 was deleted at seq 60 but the table no longer holds seq 60 for
+    # it (the delete removed the row) — a re-insert at lower seq lands.
+    # That's the documented contract: stale-skip guards rows PRESENT in
+    # the table; tombstone retention is a different design.
+    assert _rows(tbl.read(spark)) == [(1, "new", 50), (2, "back", 20)]
+
+
+def test_apply_changes_rejects_unknown_op_and_unordered_dups(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="unknown _op"):
+        tbl.apply_changes(
+            spark, _ch(spark, [(1, "a", 1, "UPSERT")]), ["k"], seq_col="seq"
+        )
+    with pytest.raises(ValueError, match="no seq_col"):
+        tbl.apply_changes(
+            spark,
+            _ch(spark, [(1, "a", 1, "upsert"), (1, "b", 2, "upsert")]),
+            ["k"],
+        )
+
+
+def test_apply_changes_cow_mor_equivalence_random_model(spark, tmp_path):
+    """Model-based: the same random changelog stream applied COW and
+    MOR must read back identically at every version, and both must
+    equal a driver-side dict model."""
+    import random
+
+    rng = random.Random(20260814)
+    cow = SnapshotTable(str(tmp_path / "cow"))
+    mor = SnapshotTable(str(tmp_path / "mor"))
+    model: dict[int, tuple] = {}
+    seq = 0
+    init = [(k, f"v{k}", 0) for k in range(20)]
+    for k, v, s in init:
+        model[k] = (k, v, s)
+    df0 = spark.createDataFrame(init, "k long, v string, seq long")
+    cow.commit(df0)
+    mor.commit(df0)
+    for _batch in range(6):
+        rows = []
+        for _ in range(rng.randint(2, 8)):
+            seq += 1
+            k = rng.randrange(30)
+            if rng.random() < 0.3:
+                rows.append((k, None, seq, "delete"))
+                model.pop(k, None)
+            else:
+                rows.append((k, f"u{seq}", seq, "upsert"))
+                model[k] = (k, f"u{seq}", seq)
+        batch = _ch(spark, rows)
+        rc = cow.apply_changes(spark, batch, ["k"], seq_col="seq", mode="cow")
+        rm = mor.apply_changes(spark, batch, ["k"], seq_col="seq", mode="mor")
+        got_c, got_m = _rows(cow.read(spark)), _rows(mor.read(spark))
+        want = sorted(model.values())
+        assert got_c == want, f"cow diverged at batch {_batch}"
+        assert got_m == want, f"mor diverged at batch {_batch}"
+        assert rm["rewritten_files"] == 0  # MOR never rewrites
+        assert (rc["upserted_rows"], rc["deleted_rows"]) == (
+            rm["upserted_rows"],
+            rm["deleted_rows"],
+        )
+    # compaction materializes the MOR lineage to the same state
+    mor.compact(spark)
+    assert _rows(mor.read(spark)) == sorted(model.values())
+    assert not mor.manifest().get("dv_files")
+
+
+def _changelog_files(spark, src_dir, batches):
+    """Write each batch as one parquet file with increasing mtimes so
+    maxFilesPerTrigger=1 yields one micro-batch per file in order."""
+    os.makedirs(src_dir, exist_ok=True)
+    for i, rows in enumerate(batches):
+        scratch = tempfile.mkdtemp(prefix="kdis_cdcs_")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"b{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(scratch, ignore_errors=True)
+        os.utime(dst, (1_000 * (i + 1),) * 2)
+
+
+BATCHES = [
+    [(1, "a", 1, "upsert"), (2, "b", 2, "upsert"), (3, "c", 3, "upsert")],
+    [(2, "b2", 5, "upsert"), (1, None, 4, "delete"), (4, "d", 6, "upsert")],
+    [(3, None, 7, "delete"), (5, "e", 9, "upsert"), (5, "e0", 8, "upsert")],
+]
+FINAL = [(2, "b2", 5), (4, "d", 6), (5, "e", 9)]
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_snapshot_merge_sink_streams_changelog_into_table(spark, tmp_path, mode):
+    src = str(tmp_path / "src")
+    _changelog_files(spark, src, BATCHES)
+    tbl = SnapshotTable(str(tmp_path / f"t_{mode}"))
+    sink = SnapshotMergeSink(tbl, ["k"], seq_col="seq", mode=mode)
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{mode}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _rows(tbl.read(spark)) == FINAL
+    # every published version carries its epoch (replay protection)
+    assert all(
+        "epoch_id" in tbl.manifest(v) for v in tbl.versions()
+    ), [tbl.manifest(v) for v in tbl.versions()]
+
+
+def test_snapshot_merge_sink_crash_replay_effectively_once(spark, tmp_path):
+    """Kill the writer after data files land but before the manifest
+    publishes; the restart replays that epoch and the final table is
+    identical — no duplicates, no gaps (epoch-in-manifest protocol)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    _changelog_files(spark, src, BATCHES)
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    sink = SnapshotMergeSink(tbl, ["k"], seq_col="seq")
+    crashed = {"done": False}
+
+    def crashing(batch_df, epoch_id):
+        if epoch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            # die after writing data files, before any manifest publish
+            tbl._write_data(batch_df, (tbl.latest_version() or 0) + 1)
+            raise RuntimeError("injected crash before publish")
+        sink(batch_df, epoch_id)
+
+    def run(fn):
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(fn)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        run(crashing)
+    assert tbl.versions() == [1]  # crashed epoch published nothing
+    # restart with a FRESH sink instance (epoch set re-seeds from disk)
+    run(SnapshotMergeSink(tbl, ["k"], seq_col="seq"))
+    assert _rows(tbl.read(spark)) == FINAL
+    epochs = [tbl.manifest(v).get("epoch_id") for v in tbl.versions()]
+    assert epochs == [0, 1, 2]  # each epoch exactly once

@@ -1038,3 +1038,79 @@ def test_merge_rows_duplicate_target_keys_stat_exact(spark, tmp_path):
     assert res["inserted_rows"] == 1
     # duplicate target rows collapse onto the one source row (documented)
     assert _rows(tbl.read(spark)) == [(1, "A"), (2, "b"), (9, "new")]
+
+
+def test_cow_and_mor_updates_and_merges_are_equivalent(spark, tmp_path):
+    """Property (completes the COW≡MOR matrix the delete has): random
+    interleaved update_where / merge_rows mutations produce identical
+    logical states in both strategies; MOR never rewrites a data file;
+    compaction converges the physical layouts."""
+    import random
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    for seed in range(3):
+        rng = random.Random(8100 + seed)
+        rows = [(i, rng.choice(["a", "b", "c"])) for i in range(25)]
+        tables = []
+        for mode in ("cow", "mor"):
+            t = SnapshotTable(str(tmp_path / f"um_{mode}{seed}"))
+            for third in range(3):
+                part = [r for r in rows if r[0] % 3 == third]
+                t.commit(_df(spark, part))
+            stats = []
+            for step in range(4):
+                # per-step seeded RNG so both modes see IDENTICAL ops
+                srng = random.Random(9000 + seed * 10 + step)
+                op = srng.choice(["update", "merge_ui", "merge_del"])
+                if op == "update":
+                    mod, val = srng.randint(2, 5), srng.randint(0, 1)
+                    r = t.update_where(
+                        spark,
+                        f"k % {mod} = {val}",
+                        {"v": f"concat(v, '+{step}')"},
+                        mode=mode,
+                    )
+                elif op == "merge_ui":
+                    src = _df(
+                        spark,
+                        [(srng.randrange(35), f"m{step}.{j}") for j in
+                         srng.sample(range(9), 3)],
+                    ).dropDuplicates(["k"])
+                    r = t.merge_rows(spark, src, ["k"], mode=mode)
+                else:
+                    src = _df(
+                        spark, [(srng.randrange(30), "x") for _ in range(2)]
+                    ).dropDuplicates(["k"])
+                    r = t.merge_rows(
+                        spark, src, ["k"], when_matched="delete",
+                        when_not_matched="ignore", mode=mode,
+                    )
+                if mode == "mor":
+                    assert r["rewritten_files"] == 0, (seed, step, op)
+                stats.append({k: v for k, v in r.items()
+                              if k not in ("version", "rewritten_files",
+                                           "kept_files")})
+            tables.append((t, stats))
+        (cow_t, cow_s), (mor_t, mor_s) = tables
+        assert _rows(cow_t.read(spark)) == _rows(mor_t.read(spark)), seed
+        assert cow_s == mor_s, seed
+        mor_t.compact(spark)
+        assert _rows(mor_t.read(spark)) == _rows(cow_t.read(spark))
+        assert not mor_t.manifest().get("dv_files")
+
+
+def test_mor_update_touches_no_data_files_and_time_travels(spark, tmp_path):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    _commit_in_parts(spark, tbl, [[(1, "a"), (2, "b")], [(3, "c")]])
+    files_before = set(tbl.manifest()["files"])
+    res = tbl.update_where(spark, "k <= 2", {"v": "upper(v)"}, mode="mor")
+    assert res["updated_rows"] == 2 and res["rewritten_files"] == 0
+    # every pre-update data file still referenced; updates are appends+DV
+    assert files_before < set(tbl.manifest()["files"])
+    assert tbl.manifest()["dv_files"]
+    assert _rows(tbl.read(spark)) == [(1, "A"), (2, "B"), (3, "c")]
+    # time travel: the pre-update version is untouched
+    assert _rows(tbl.read(spark, version=2)) == [(1, "a"), (2, "b"), (3, "c")]
