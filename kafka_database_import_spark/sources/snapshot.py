@@ -1590,7 +1590,11 @@ class SnapshotMergeSink:
         self.committed_epochs().add(epoch_id)
 
 
-def vacuum(tbl: SnapshotTable, retain_last: int = 1) -> dict:
+def vacuum(
+    tbl: SnapshotTable,
+    retain_last: int = 1,
+    min_retained_version: int | None = None,
+) -> dict:
     """Garbage-collect the table: keep the newest ``retain_last``
     manifests, delete older manifests AND any data file no retained
     version references. Returns counts for observability.
@@ -1601,11 +1605,23 @@ def vacuum(tbl: SnapshotTable, retain_last: int = 1) -> dict:
     Delta VACUUM / Iceberg expire_snapshots. Ordering matters for
     crash safety: manifests are deleted FIRST, so a crash mid-vacuum
     can orphan data files (harmless, re-vacuumable) but can never
-    leave a live manifest pointing at deleted data."""
+    leave a live manifest pointing at deleted data.
+
+    **Streaming-reader retention**: a lagging ``snapshot_changes``
+    consumer checkpointed at offset version V needs every manifest in
+    (V, head] *plus* manifest V itself (the file-list diff base) to
+    plan its next batch. Pass ``min_retained_version=V`` (the slowest
+    consumer's checkpointed offset) to pin manifests ≥ V through the
+    vacuum; without it, vacuuming past a lagging reader makes that
+    reader FAIL LOUDLY on its next batch (a clear vacuumed-lineage
+    error, never silently wrong or duplicated rows) and it must
+    restart from a full snapshot."""
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1")
     versions = tbl.versions()
     keep_v = set(versions[-retain_last:])
+    if min_retained_version is not None:
+        keep_v.update(v for v in versions if v >= min_retained_version)
     drop_v = [v for v in versions if v not in keep_v]
     referenced: set[str] = set()
     for v in keep_v:

@@ -66,8 +66,20 @@ def _make():
         )
 
     def _manifest(mdir: str, v: int) -> dict:
-        with open(os.path.join(mdir, f"v{v}.json")) as f:
-            return json.load(f)
+        try:
+            with open(os.path.join(mdir, f"v{v}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            # The loud-failure half of the vacuum contract (snapshot.vacuum):
+            # a lagging reader whose offset range was vacuumed away must
+            # error actionably, never silently drop or double-read rows.
+            raise ValueError(
+                f"snapshot_changes: version {v} was vacuumed from the "
+                f"table's manifest log — this reader's offset lags the "
+                f"retention window. Restart the consumer from a full "
+                f"snapshot, or vacuum with min_retained_version <= the "
+                f"slowest consumer's checkpointed version"
+            ) from None
 
     def _added_files(root: str, start_v: int, end_v: int) -> list[str]:
         """Relative paths of the files added in (start_v, end_v] — the

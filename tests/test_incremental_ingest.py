@@ -326,3 +326,51 @@ def test_snapshot_changes_partitioned_reader_parity(spark, tmp_path):
             q.stop()
     assert got["partitioned"] == got["simple"]
     assert len(got["partitioned"]) == 401
+
+
+def test_vacuum_vs_lagging_stream_reader_retention(spark, tmp_path):
+    """The vacuum/stream-reader contract: min_retained_version pins the
+    manifests a lagging changes consumer still needs (exactly-once
+    continues); vacuuming past the reader makes the next batch fail
+    LOUDLY with the vacuumed-lineage error, never wrongly."""
+    import pytest as _pt
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        vacuum,
+    )
+    from kafka_database_import_spark.sources.snapshot_stream import (
+        SnapshotChangesDataSource,
+    )
+
+    def build(root):
+        t = SnapshotTable(root)
+        for i in range(5):
+            t.commit(
+                spark.createDataFrame(
+                    [(i * 10 + j, f"v{i}") for j in range(3)], "k long, v string"
+                )
+            )
+        return t
+
+    # Case 1: guarded vacuum — reader lagging at version 2 continues
+    t1 = build(str(tmp_path / "a"))
+    res = vacuum(t1, retain_last=1, min_retained_version=2)
+    assert res["retained_versions"] == [2, 3, 4, 5]
+    rdr = SnapshotChangesDataSource(options={"path": t1.root}).streamReader(None)
+    parts = rdr.partitions({"version": 2}, {"version": 5})
+    got = sorted(
+        tup
+        for p in parts
+        for batch in rdr.read(p)
+        for tup in zip(*(c.to_pylist() for c in batch.columns))
+    )
+    want = sorted((i * 10 + j, f"v{i}") for i in (2, 3, 4) for j in range(3))
+    assert got == want  # exactly the deltas of versions 3..5, once each
+
+    # Case 2: unguarded vacuum — the lagging read fails loudly
+    t2 = build(str(tmp_path / "b"))
+    vacuum(t2, retain_last=1)
+    rdr2 = SnapshotChangesDataSource(options={"path": t2.root}).streamReader(None)
+    with _pt.raises(ValueError, match="vacuumed"):
+        rdr2.partitions({"version": 2}, {"version": 5})
