@@ -1656,3 +1656,52 @@ def q99zzo_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert tbl.latest_version() == 2, tbl.versions()
     out = tbl.read(spark).select("k", "status", "cents", "seq")
     return ordered(out, "k", "status", "cents", "seq")
+
+
+@query(
+    "q99zzp_optimize_layout",
+    oracle="""
+    SELECT o_orderkey AS k, o_custkey AS ck,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 3)
+    ORDER BY k NULLS LAST, ck NULLS LAST, cents NULLS LAST
+    """,
+)
+def q99zzp_optimize_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the snapshot table: 3 small appends + a pending
+    merge-on-read delete are rewritten by ``optimize()`` into 4
+    Z-ordered files (Morton interleave of k × ck) with deletion
+    vectors MATERIALIZED and per-file stats refreshed — one overwrite
+    commit, logical state exactly preserved, which is what the oracle
+    checks row-for-row. The measured 2-D pruning win lives in
+    tests/test_snapshot.py::test_optimize_compacts_zorders_and_refreshes_stats;
+    this query pins the state-preservation half of the contract."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import StatsSnapshotTable
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_optq_{tag}")
+    tbl = StatsSnapshotTable(root, ["k", "ck"])
+    if tbl.latest_version() != 5:
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        tbl = StatsSnapshotTable(root, ["k", "ck"])
+        base = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        for part in range(3):
+            tbl.commit(base.filter(F.col("k") % 3 == part))
+        tbl.delete_where(spark, "k % 7 = 3", mode="mor")  # -> v4
+        res = tbl.optimize(spark, zorder_by=("k", "ck"), target_files=4)
+        assert res["files_after"] == 4 and res["dv_cleared"] == 1, res
+        assert not tbl.manifest().get("dv_files")
+    return ordered(tbl.read(spark), "k", "ck", "cents")

@@ -271,6 +271,71 @@ class SnapshotTable:
         current = self.read(spark).coalesce(target_files)
         return self.commit(current, mode="overwrite")
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        zorder_by: tuple[str, str] | None = None,
+        target_files: int = 8,
+    ) -> dict:
+        """The OPTIMIZE maintenance op — one overwrite commit composing
+        the three layout tools this format already has separately:
+
+        * **compaction** — small files coalesced to ``target_files``
+          and merge-on-read deletion vectors MATERIALIZED (the read
+          plans through DVs, the rewrite bakes them in, the new
+          manifest drops them) — same contract as :meth:`compact`;
+        * **Z-order clustering** — with ``zorder_by=(x, y)``, rows are
+          range-shuffled on the Morton interleave of the two keys
+          (operators/zorder.py) so every output file covers a narrow
+          range of BOTH dimensions;
+        * **stats refresh** — on a :class:`StatsSnapshotTable` the
+          rewrite's per-file min/max stats land in the manifest via the
+          normal commit path, so ``read_pruned`` skips files on either
+          clustered column immediately.
+
+        Logical state is EXACTLY preserved (same rows as the current
+        read; asserted by the optimize tests); old versions keep their
+        original immutable files until :func:`vacuum`. Returns
+        ``{"version", "files_before", "files_after", "dv_cleared"}``."""
+        from pyspark.sql import functions as F
+
+        from kafka_database_import_spark.operators.zorder import (
+            normalized16,
+            zvalue,
+        )
+
+        m = self.manifest()
+        files_before = len(m["files"])
+        dv_before = len(m.get("dv_files", []))
+        current = self.read(spark)
+        if zorder_by is not None:
+            x_col, y_col = zorder_by
+            b = current.agg(
+                F.min(x_col).alias("xlo"),
+                F.max(x_col).alias("xhi"),
+                F.min(y_col).alias("ylo"),
+                F.max(y_col).alias("yhi"),
+            ).collect()[0]
+            z = zvalue(
+                normalized16(F.col(x_col), b.xlo, b.xhi),
+                normalized16(F.col(y_col), b.ylo, b.yhi),
+            )
+            out = (
+                current.withColumn("__z", z)
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            out = current.coalesce(target_files)
+        version = self.commit(out, mode="overwrite")
+        return {
+            "version": version,
+            "files_before": files_before,
+            "files_after": len(self.manifest(version)["files"]),
+            "dv_cleared": dv_before,
+        }
+
     # --------------------------------------------- copy-on-write mutation
     def _cow_manifest(
         self,

@@ -1114,3 +1114,41 @@ def test_mor_update_touches_no_data_files_and_time_travels(spark, tmp_path):
     assert _rows(tbl.read(spark)) == [(1, "A"), (2, "B"), (3, "c")]
     # time travel: the pre-update version is untouched
     assert _rows(tbl.read(spark, version=2)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_optimize_compacts_zorders_and_refreshes_stats(spark, tmp_path):
+    """optimize() = compact + Z-order + stats in ONE state-preserving
+    overwrite commit: MOR deletion vectors materialize, the file count
+    drops, and read_pruned skips files on BOTH clustered columns where
+    the pre-optimize layout pruned (almost) nothing."""
+    import random
+
+    from kafka_database_import_spark.sources.snapshot import StatsSnapshotTable
+
+    rng = random.Random(42)
+    tbl = StatsSnapshotTable(str(tmp_path / "t"), ["a", "b"])
+    rows = [(i, rng.randrange(1000), rng.randrange(1000)) for i in range(4000)]
+    # 8 appends in random order: every file spans ~the full (a, b) range
+    for c in range(8):
+        chunk = rows[c * 500:(c + 1) * 500]
+        tbl.commit(spark.createDataFrame(chunk, "k long, a long, b long"))
+    tbl.delete_where(spark, "k % 97 = 0", mode="mor")  # pending DVs
+    snap = lambda df: sorted(tuple(r) for r in df.collect())
+    before = snap(tbl.read(spark))
+    tbl.read_pruned(spark, "a", 100, 150).count()
+    pruned_a_before = tbl.last_pruned_counts
+    res = tbl.optimize(spark, zorder_by=("a", "b"), target_files=8)
+    assert res["dv_cleared"] == 1 and not tbl.manifest().get("dv_files")
+    assert res["files_after"] == 8
+    # logical state preserved exactly
+    assert snap(tbl.read(spark)) == before
+    # pruning now bites on BOTH dimensions
+    assert tbl.read_pruned(spark, "a", 100, 150).count() > 0
+    pruned_a = tbl.last_pruned_counts
+    tbl.read_pruned(spark, "b", 800, 850).count()
+    pruned_b = tbl.last_pruned_counts
+    assert pruned_a_before[0] == pruned_a_before[1]  # nothing pruned before
+    assert pruned_a[0] < pruned_a[1], pruned_a
+    assert pruned_b[0] < pruned_b[1], pruned_b
+    # old version still reads its original files (time travel intact)
+    assert len(snap(tbl.read(spark, version=8))) == 4000
