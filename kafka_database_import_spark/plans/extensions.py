@@ -1705,3 +1705,59 @@ def q99zzp_optimize_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert res["files_after"] == 4 and res["dv_cleared"] == 1, res
         assert not tbl.manifest().get("dv_files")
     return ordered(tbl.read(spark), "k", "ck", "cents")
+
+
+@query(
+    "q99zzq_schema_evolution",
+    oracle="""
+    SELECT o_orderkey AS k,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+           CASE WHEN o_orderkey % 2 = 1 THEN 'import' END AS src
+    FROM orders
+    ORDER BY k NULLS LAST, total_cents NULLS LAST, src NULLS LAST
+    """,
+)
+def q99zzq_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-id schema evolution end-to-end: half of orders committed
+    under column name ``cents``, the column RENAMED to ``total_cents``
+    (metadata-only — zero files rewritten, old files resolve by parquet
+    field id), the other half appended under the new name plus a brand
+    new ``src`` column (old rows null-fill), and the original
+    ``status`` column DROPPED (id tombstoned). The oracle recomputes
+    the final logical table relationally — names, values, and null
+    pattern must all match."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_evoq_{tag}")
+    tbl = SnapshotTable(root)
+    if tbl.latest_version() != 4:
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        tbl = SnapshotTable(root)
+        base = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        tbl.commit(base.filter(F.col("k") % 2 == 0))          # v1: cents
+        files_v1 = tbl.manifest()["files"]
+        tbl.rename_column("cents", "total_cents")             # v2: no rewrite
+        assert tbl.manifest()["files"] == files_v1
+        tbl.commit(                                           # v3: + src col
+            base.filter(F.col("k") % 2 == 1).select(
+                "k",
+                "status",
+                F.col("cents").alias("total_cents"),
+                F.lit("import").alias("src"),
+            )
+        )
+        tbl.drop_column("status")                             # v4: tombstone
+    return ordered(tbl.read(spark), "k", "total_cents", "src")

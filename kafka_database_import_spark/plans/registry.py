@@ -40,6 +40,7 @@ _CATALOG_MODULES = (
     "kafka_database_import_spark.plans.llmops",
     "kafka_database_import_spark.plans.sketches",
     "kafka_database_import_spark.plans.tpch",
+    "kafka_database_import_spark.plans.tpcds",
     "kafka_database_import_spark.plans.reference_pipeline",
     "kafka_database_import_spark.plans.streaming_queries",
 )

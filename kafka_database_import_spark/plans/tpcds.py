@@ -1,0 +1,767 @@
+"""A TPC-DS-derived 12-query subset over synthesized multi-channel
+retail tables (VERDICT r5 item 5).
+
+TPC-H (plans/tpch.py, 22/22 green) under-exercises the shapes TPC-DS
+stresses: ROLLUP/GROUPING()-driven report queries, CASE-heavy
+conditional aggregation, multi-channel UNIONs, and cross-channel
+customer behavior. This module extends the partsupp synthesis trick to
+a full TPC-DS-ish star schema, derived deterministically from the
+TPC-H fixtures on BOTH engines:
+
+* ``sales`` — lineitem ⋈ orders (the one real shuffle), each line
+  assigned a CHANNEL by key arithmetic: ``(l_orderkey·7 +
+  l_linenumber) % 4`` → 0,1 = store, 2 = catalog, 3 = web (TPC-DS's
+  ~50/25/25 channel split). Money stays in integer cents / cent·pct
+  units (``FLOOR(x·100+0.5)``); a per-line cost percentage ``60 +
+  l_partkey % 30`` yields an integer profit in cent·pct units, so
+  every SUM is an order-independent BIGINT. ``l_returnflag = 'R'``
+  doubles as the returns feed (TPC-DS's *_returns tables).
+* ``date_dim`` — DISTINCT order dates with year/moy/dom/qoy (both
+  engines' YEAR/MONTH/DAY/QUARTER agree; day-of-week is a known
+  divergent edge and is avoided).
+* ``item`` — part with ``i_category = p_type`` (single-token in the
+  fixtures), synthesized ``i_class``/``i_manufact_id`` from the key.
+* ``store`` — 12 synthetic stores with a 6-state rotation.
+
+Every query keeps its TPC-DS reference's STRUCTURE (join graph,
+aggregation shape, rollup/grouping pattern) with the substitutions
+documented per query. 100 TB spine: item/date_dim/store broadcast
+(dimensions), the lineitem⋈orders shuffle is shared via the one
+``sales`` projection, aggregates are map-side-partial friendly integer
+sums, rollups expand AFTER filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_database_import_spark.plans.registry import ordered, query
+from kafka_database_import_spark.sources.readers import load_table
+
+
+def _sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified fact: lineitem ⋈ orders with channel, integer money,
+    and profit. One shuffle feeding every channel slice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    f = li.join(o, li.l_orderkey == o.o_orderkey)
+    disc = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    ext = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    margin = 100 - disc - (60 + F.col("l_partkey") % 30)
+    return f.select(
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 4).alias("chan"),
+        F.col("o_orderdate").alias("sold_date"),
+        F.col("l_partkey").alias("item_sk"),
+        F.col("o_custkey").alias("cust_sk"),
+        (F.col("l_suppkey") % 12).alias("store_sk"),
+        (F.col("l_suppkey") % 4).alias("site_sk"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+        ext.alias("ext_cents"),
+        disc.alias("disc_pct"),
+        (ext * (100 - disc)).alias("net_cp"),
+        (ext * margin).alias("profit_cp"),
+        (F.col("l_returnflag") == "R").alias("returned"),
+    )
+
+
+def _channel(spark: SparkSession, sf_dir: str, chan: str) -> DataFrame:
+    s = _sales(spark, sf_dir)
+    if chan == "store":
+        return s.filter(F.col("chan") <= 1)
+    if chan == "catalog":
+        return s.filter(F.col("chan") == 2)
+    return s.filter(F.col("chan") == 3)
+
+
+def _date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(F.col("o_orderdate").alias("d_date"))
+        .distinct()
+        .select(
+            "d_date",
+            F.year("d_date").alias("d_year"),
+            F.month("d_date").alias("d_moy"),
+            F.dayofmonth("d_date").alias("d_dom"),
+            F.quarter("d_date").alias("d_qoy"),
+        )
+    )
+
+
+def _item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("i_item_sk"),
+        F.col("p_brand").alias("i_brand"),
+        F.col("p_type").alias("i_category"),
+        F.concat(F.lit("c"), (F.col("p_partkey") % 8).cast("string")).alias(
+            "i_class"
+        ),
+        (F.col("p_partkey") % 1000).alias("i_manufact_id"),
+        F.floor(F.col("p_retailprice") * 100 + 0.5)
+        .cast("long")
+        .alias("i_price_cents"),
+    )
+
+
+_STATES = ["TN", "CA", "TX", "NY", "OH", "GA"]
+
+
+def _store(spark: SparkSession) -> DataFrame:
+    rows = [(i, _STATES[i % 6]) for i in range(12)]
+    return spark.createDataFrame(rows, "s_store_sk long, s_state string")
+
+
+# ------------------------------------------------------------- SQL twin
+_DS_SQL = """
+sales AS (
+  SELECT (l_orderkey * 7 + l_linenumber) % 4 AS chan,
+         o_orderdate AS sold_date,
+         l_partkey AS item_sk,
+         o_custkey AS cust_sk,
+         l_suppkey % 12 AS store_sk,
+         l_suppkey % 4 AS site_sk,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS ext_cents,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS net_cp,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+              - (60 + l_partkey % 30)) AS profit_cp,
+         (l_returnflag = 'R') AS returned
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+store_sales AS (SELECT * FROM sales WHERE chan <= 1),
+catalog_sales AS (SELECT * FROM sales WHERE chan = 2),
+web_sales AS (SELECT * FROM sales WHERE chan = 3),
+date_dim AS (
+  SELECT DISTINCT o_orderdate AS d_date,
+         YEAR(o_orderdate) AS d_year, MONTH(o_orderdate) AS d_moy,
+         DAY(o_orderdate) AS d_dom, QUARTER(o_orderdate) AS d_qoy
+  FROM orders
+),
+item AS (
+  SELECT p_partkey AS i_item_sk, p_brand AS i_brand, p_type AS i_category,
+         'c' || CAST(p_partkey % 8 AS VARCHAR) AS i_class,
+         p_partkey % 1000 AS i_manufact_id,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS i_price_cents
+  FROM part
+),
+store AS (
+  SELECT i AS s_store_sk,
+         CASE i % 6 WHEN 0 THEN 'TN' WHEN 1 THEN 'CA' WHEN 2 THEN 'TX'
+                    WHEN 3 THEN 'NY' WHEN 4 THEN 'OH' ELSE 'GA' END AS s_state
+  FROM (SELECT unnest(generate_series(0, 11)) AS i)
+)
+"""
+
+
+@query(
+    "tpcds_q03",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT d_year, i_brand, SUM(ext_cents) AS sales_cents
+    FROM store_sales
+    JOIN date_dim ON sold_date = d_date
+    JOIN item ON item_sk = i_item_sk
+    WHERE i_manufact_id = 128 AND d_moy = 11
+    GROUP BY d_year, i_brand
+    ORDER BY d_year NULLS LAST, i_brand NULLS LAST, sales_cents NULLS LAST
+    """,
+)
+def tpcds_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q3 (brand revenue for one manufacturer in November, by
+    year). Substitutions: i_manufact_id synthesized from the part key;
+    ss_ext_sales_price → integer cents. 100 TB: item (filtered to
+    ~1/1000th) and date_dim (filtered to moy=11) broadcast into the
+    store_sales scan; the aggregate is a small (year × brand) hash."""
+    ss = _channel(spark, sf_dir, "store")
+    dd = _date_dim(spark, sf_dir).filter(F.col("d_moy") == 11)
+    it = _item(spark, sf_dir).filter(F.col("i_manufact_id") == 128)
+    out = (
+        ss.join(F.broadcast(dd), ss.sold_date == dd.d_date)
+        .join(F.broadcast(it), ss.item_sk == it.i_item_sk)
+        .groupBy("d_year", "i_brand")
+        .agg(F.sum("ext_cents").alias("sales_cents"))
+    )
+    return ordered(out, "d_year", "i_brand", "sales_cents")
+
+
+@query(
+    "tpcds_q07",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT i_item_sk AS item,
+           FLOOR(CAST(SUM(qty) * 100 AS DOUBLE) / COUNT(*) + 0.5) / 100
+             AS avg_qty,
+           FLOOR(CAST(SUM(ext_cents) AS DOUBLE) / COUNT(*) + 0.5) / 100
+             AS avg_price,
+           FLOOR(CAST(SUM(disc_pct) AS DOUBLE) / COUNT(*) + 0.5) / 100
+             AS avg_disc,
+           COUNT(*) AS n
+    FROM store_sales
+    JOIN customer ON cust_sk = c_custkey
+    JOIN item ON item_sk = i_item_sk
+    WHERE c_mktsegment = 'BUILDING' AND i_manufact_id < 100
+    GROUP BY i_item_sk
+    ORDER BY item NULLS LAST, avg_qty NULLS LAST, avg_price NULLS LAST,
+             avg_disc NULLS LAST, n NULLS LAST
+    """,
+)
+def tpcds_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q7 (per-item averages for a demographic slice).
+    Substitutions: customer_demographics → c_mktsegment (the fixtures'
+    segmentation column). Averages follow the repo's avg_exact
+    discipline: floor-rounded double division of identical integer
+    sums. 100 TB: customer is the mid-size dimension — at TPC-DS
+    ratios it sort-merge-joins once; item broadcasts."""
+    ss = _channel(spark, sf_dir, "store")
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    it = _item(spark, sf_dir).filter(F.col("i_manufact_id") < 100)
+    cnt = F.count(F.lit(1))
+    out = (
+        ss.join(cu, ss.cust_sk == cu.c_custkey)
+        .join(F.broadcast(it), ss.item_sk == it.i_item_sk)
+        .groupBy(F.col("i_item_sk").alias("item"))
+        .agg(
+            (
+                F.floor((F.sum("qty") * 100).cast("double") / cnt + 0.5) / 100
+            ).alias("avg_qty"),
+            (F.floor(F.sum("ext_cents").cast("double") / cnt + 0.5) / 100).alias(
+                "avg_price"
+            ),
+            (F.floor(F.sum("disc_pct").cast("double") / cnt + 0.5) / 100).alias(
+                "avg_disc"
+            ),
+            cnt.alias("n"),
+        )
+    )
+    return ordered(out, "item", "avg_qty", "avg_price", "avg_disc", "n")
+
+
+@query(
+    "tpcds_q19",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT i_brand, SUM(ext_cents) AS sales_cents
+    FROM store_sales
+    JOIN date_dim ON sold_date = d_date
+    JOIN item ON item_sk = i_item_sk
+    JOIN customer ON cust_sk = c_custkey
+    JOIN store ON store_sk = s_store_sk
+    WHERE d_year = 1998 AND d_moy = 11 AND i_manufact_id < 200
+      AND c_nationkey % 6 <> s_store_sk % 6
+    GROUP BY i_brand
+    ORDER BY i_brand NULLS LAST, sales_cents NULLS LAST
+    """,
+)
+def tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q19 (brand revenue where the buyer's locale differs from
+    the store's — the cross-shopping report). Substitutions: zip-code
+    mismatch → customer nation-group vs store state-group mismatch.
+    100 TB: three broadcasts (date, item, store) + one customer join;
+    the inequality is a post-join filter, never a join condition, so
+    the planner keeps equi-joins throughout."""
+    ss = _channel(spark, sf_dir, "store")
+    dd = _date_dim(spark, sf_dir).filter(
+        (F.col("d_year") == 1998) & (F.col("d_moy") == 11)
+    )
+    it = _item(spark, sf_dir).filter(F.col("i_manufact_id") < 200)
+    cu = load_table(spark, sf_dir, "customer")
+    st = _store(spark)
+    out = (
+        ss.join(F.broadcast(dd), ss.sold_date == dd.d_date)
+        .join(F.broadcast(it), ss.item_sk == it.i_item_sk)
+        .join(cu, ss.cust_sk == cu.c_custkey)
+        .join(F.broadcast(st), ss.store_sk == st.s_store_sk)
+        .filter(F.col("c_nationkey") % 6 != F.col("s_store_sk") % 6)
+        .groupBy("i_brand")
+        .agg(F.sum("ext_cents").alias("sales_cents"))
+    )
+    return ordered(out, "i_brand", "sales_cents")
+
+
+@query(
+    "tpcds_q36",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    agg AS (
+      SELECT SUM(profit_cp) AS profit_cp_sum, SUM(net_cp) AS net_cp_sum,
+             i_category, i_class,
+             GROUPING(i_category) + GROUPING(i_class) AS lochierarchy,
+             CASE WHEN GROUPING(i_class) = 0 THEN i_category END AS parent
+      FROM store_sales
+      JOIN date_dim ON sold_date = d_date
+      JOIN item ON item_sk = i_item_sk
+      WHERE d_year = 1998
+      GROUP BY ROLLUP (i_category, i_class)
+    )
+    SELECT CAST(profit_cp_sum AS DOUBLE) / net_cp_sum AS gross_margin,
+           i_category, i_class, lochierarchy,
+           RANK() OVER (
+             PARTITION BY lochierarchy, parent
+             ORDER BY CAST(profit_cp_sum AS DOUBLE) / net_cp_sum ASC
+           ) AS rank_within_parent
+    FROM agg
+    ORDER BY gross_margin NULLS LAST, i_category NULLS LAST,
+             i_class NULLS LAST, lochierarchy NULLS LAST,
+             rank_within_parent NULLS LAST
+    """,
+)
+def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36 (gross margin ROLLUP over category/class with
+    RANK-within-hierarchy-level) — the CASE-heavy rollup/report shape
+    TPC-H lacks. Margin = profit/net of integer cent·pct sums, so both
+    engines divide identical BIGINTs (bit-identical doubles, identical
+    rank order). 100 TB: the rollup expands after the year filter; the
+    window runs over the tiny aggregate, not the fact."""
+    ss = _channel(spark, sf_dir, "store")
+    dd = _date_dim(spark, sf_dir).filter(F.col("d_year") == 1998)
+    it = _item(spark, sf_dir)
+    base = ss.join(F.broadcast(dd), ss.sold_date == dd.d_date).join(
+        F.broadcast(it), ss.item_sk == it.i_item_sk
+    )
+    agg = base.rollup("i_category", "i_class").agg(
+        F.sum("profit_cp").alias("profit_cp_sum"),
+        F.sum("net_cp").alias("net_cp_sum"),
+        (F.grouping("i_category") + F.grouping("i_class")).alias("lochierarchy"),
+        F.when(F.grouping("i_class") == 0, F.col("i_category")).alias("parent"),
+    )
+    margin = (F.col("profit_cp_sum").cast("double") / F.col("net_cp_sum")).alias(
+        "gross_margin"
+    )
+    w = Window.partitionBy("lochierarchy", "parent").orderBy(
+        F.col("profit_cp_sum").cast("double") / F.col("net_cp_sum")
+    )
+    out = agg.select(
+        margin,
+        "i_category",
+        "i_class",
+        "lochierarchy",
+        F.rank().over(w).alias("rank_within_parent"),
+    )
+    return ordered(
+        out, "gross_margin", "i_category", "i_class", "lochierarchy",
+        "rank_within_parent",
+    )
+
+
+@query(
+    "tpcds_q42",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT d_year, i_category, SUM(ext_cents) AS sales_cents
+    FROM store_sales
+    JOIN date_dim ON sold_date = d_date
+    JOIN item ON item_sk = i_item_sk
+    WHERE d_moy = 12
+    GROUP BY d_year, i_category
+    ORDER BY d_year NULLS LAST, i_category NULLS LAST, sales_cents NULLS LAST
+    """,
+)
+def tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q42 (category revenue for a month, by year). The plan is
+    the q03 spine with a coarser group key — included because category
+    (low cardinality) stresses the partial-agg path differently than
+    brand (high cardinality)."""
+    ss = _channel(spark, sf_dir, "store")
+    dd = _date_dim(spark, sf_dir).filter(F.col("d_moy") == 12)
+    it = _item(spark, sf_dir)
+    out = (
+        ss.join(F.broadcast(dd), ss.sold_date == dd.d_date)
+        .join(F.broadcast(it), ss.item_sk == it.i_item_sk)
+        .groupBy("d_year", "i_category")
+        .agg(F.sum("ext_cents").alias("sales_cents"))
+    )
+    return ordered(out, "d_year", "i_category", "sales_cents")
+
+
+@query(
+    "tpcds_q52",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT d_year, i_brand, SUM(net_cp) AS net_cp_sum
+    FROM store_sales
+    JOIN date_dim ON sold_date = d_date
+    JOIN item ON item_sk = i_item_sk
+    WHERE d_moy = 12 AND d_year = 2000
+    GROUP BY d_year, i_brand
+    ORDER BY d_year NULLS LAST, i_brand NULLS LAST, net_cp_sum NULLS LAST
+    """,
+)
+def tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q52 (brand revenue for one December). Discounted revenue
+    (net_cp) instead of list price — exercises the derived-column sum."""
+    ss = _channel(spark, sf_dir, "store")
+    dd = _date_dim(spark, sf_dir).filter(
+        (F.col("d_moy") == 12) & (F.col("d_year") == 2000)
+    )
+    it = _item(spark, sf_dir)
+    out = (
+        ss.join(F.broadcast(dd), ss.sold_date == dd.d_date)
+        .join(F.broadcast(it), ss.item_sk == it.i_item_sk)
+        .groupBy("d_year", "i_brand")
+        .agg(F.sum("net_cp").alias("net_cp_sum"))
+    )
+    return ordered(out, "d_year", "i_brand", "net_cp_sum")
+
+
+@query(
+    "tpcds_q55",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT i_brand, SUM(ext_cents) AS sales_cents
+    FROM store_sales
+    JOIN date_dim ON sold_date = d_date
+    JOIN item ON item_sk = i_item_sk
+    WHERE d_moy = 11 AND d_year = 1999
+      AND i_manufact_id BETWEEN 28 AND 57
+    GROUP BY i_brand
+    ORDER BY i_brand NULLS LAST, sales_cents NULLS LAST
+    """,
+)
+def tpcds_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q55 (brand revenue for one manager's items in a month).
+    Substitution: i_manager_id → an i_manufact_id band."""
+    ss = _channel(spark, sf_dir, "store")
+    dd = _date_dim(spark, sf_dir).filter(
+        (F.col("d_moy") == 11) & (F.col("d_year") == 1999)
+    )
+    it = _item(spark, sf_dir).filter(F.col("i_manufact_id").between(28, 57))
+    out = (
+        ss.join(F.broadcast(dd), ss.sold_date == dd.d_date)
+        .join(F.broadcast(it), ss.item_sk == it.i_item_sk)
+        .groupBy("i_brand")
+        .agg(F.sum("ext_cents").alias("sales_cents"))
+    )
+    return ordered(out, "i_brand", "sales_cents")
+
+
+@query(
+    "tpcds_q60",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    ss AS (
+      SELECT item_sk, SUM(ext_cents) AS total_cents FROM store_sales
+      JOIN item ON item_sk = i_item_sk
+      JOIN date_dim ON sold_date = d_date
+      WHERE i_category = 'ECONOMY' AND d_year = 1999 AND d_moy = 9
+      GROUP BY item_sk
+    ),
+    cs AS (
+      SELECT item_sk, SUM(ext_cents) AS total_cents FROM catalog_sales
+      JOIN item ON item_sk = i_item_sk
+      JOIN date_dim ON sold_date = d_date
+      WHERE i_category = 'ECONOMY' AND d_year = 1999 AND d_moy = 9
+      GROUP BY item_sk
+    ),
+    ws AS (
+      SELECT item_sk, SUM(ext_cents) AS total_cents FROM web_sales
+      JOIN item ON item_sk = i_item_sk
+      JOIN date_dim ON sold_date = d_date
+      WHERE i_category = 'ECONOMY' AND d_year = 1999 AND d_moy = 9
+      GROUP BY item_sk
+    )
+    SELECT item_sk AS item, SUM(total_cents) AS total_cents
+    FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL
+          SELECT * FROM ws)
+    GROUP BY item_sk
+    ORDER BY item NULLS LAST, total_cents NULLS LAST
+    """,
+)
+def tpcds_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q60 (per-item revenue for one category-month, summed
+    ACROSS the three channels via UNION ALL of per-channel aggregates)
+    — the multi-channel union shape. 100 TB: each branch aggregates its
+    channel slice before the union, so the re-aggregate sees 3 small
+    inputs; the three branches share one underlying sales scan (Spark
+    reuses the exchange under AQE when the subplans match)."""
+    dd = _date_dim(spark, sf_dir).filter(
+        (F.col("d_year") == 1999) & (F.col("d_moy") == 9)
+    )
+    it = _item(spark, sf_dir).filter(F.col("i_category") == "ECONOMY")
+
+    def branch(chan: str) -> DataFrame:
+        c = _channel(spark, sf_dir, chan)
+        return (
+            c.join(F.broadcast(it), c.item_sk == it.i_item_sk)
+            .join(F.broadcast(dd), c.sold_date == dd.d_date)
+            .groupBy("item_sk")
+            .agg(F.sum("ext_cents").alias("total_cents"))
+        )
+
+    uni = branch("store").unionByName(branch("catalog")).unionByName(
+        branch("web")
+    )
+    out = (
+        uni.groupBy(F.col("item_sk").alias("item"))
+        .agg(F.sum("total_cents").alias("total_cents"))
+    )
+    return ordered(out, "item", "total_cents")
+
+
+@query(
+    "tpcds_q74",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    yt AS (
+      SELECT cust_sk,
+             SUM(CASE WHEN chan <= 1 AND YEAR(sold_date) = 1996
+                      THEN ext_cents ELSE 0 END) AS s96,
+             SUM(CASE WHEN chan <= 1 AND YEAR(sold_date) = 1997
+                      THEN ext_cents ELSE 0 END) AS s97,
+             SUM(CASE WHEN chan = 3 AND YEAR(sold_date) = 1996
+                      THEN ext_cents ELSE 0 END) AS w96,
+             SUM(CASE WHEN chan = 3 AND YEAR(sold_date) = 1997
+                      THEN ext_cents ELSE 0 END) AS w97
+      FROM sales WHERE YEAR(sold_date) IN (1996, 1997)
+      GROUP BY cust_sk
+    )
+    SELECT cust_sk AS customer
+    FROM yt
+    WHERE s96 > 0 AND s97 > 0 AND w96 > 0 AND w97 > 0
+      AND w97 * s96 > w96 * s97
+    ORDER BY customer NULLS LAST
+    """,
+)
+def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q74/Q11 (customers whose web spending grew faster than
+    their store spending year-over-year). The reference's 4-way
+    self-join of a year_total CTE collapses to ONE conditional
+    aggregation pass (4 filtered sums per customer) — same relation,
+    quarter the shuffles. The growth-ratio comparison w97/w96 >
+    s97/s96 is cross-multiplied into exact BIGINT arithmetic, so no
+    division is compared across engines."""
+    s = _sales(spark, sf_dir).filter(
+        F.year("sold_date").isin(1996, 1997)
+    )
+
+    def cond_sum(chan_pred, yr):
+        return F.sum(
+            F.when(
+                chan_pred & (F.year("sold_date") == yr), F.col("ext_cents")
+            ).otherwise(F.lit(0))
+        )
+
+    store_p, web_p = F.col("chan") <= 1, F.col("chan") == 3
+    yt = s.groupBy("cust_sk").agg(
+        cond_sum(store_p, 1996).alias("s96"),
+        cond_sum(store_p, 1997).alias("s97"),
+        cond_sum(web_p, 1996).alias("w96"),
+        cond_sum(web_p, 1997).alias("w97"),
+    )
+    out = yt.filter(
+        (F.col("s96") > 0)
+        & (F.col("s97") > 0)
+        & (F.col("w96") > 0)
+        & (F.col("w97") > 0)
+        & (F.col("w97") * F.col("s96") > F.col("w96") * F.col("s97"))
+    ).select(F.col("cust_sk").alias("customer"))
+    return ordered(out, "customer")
+
+
+@query(
+    "tpcds_q77",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    per AS (
+      SELECT chan,
+             SUM(CASE WHEN NOT returned THEN ext_cents ELSE 0 END)
+               AS sales_cents,
+             SUM(CASE WHEN returned THEN ext_cents ELSE 0 END)
+               AS returns_cents,
+             SUM(profit_cp) AS profit_cp_sum
+      FROM sales WHERE YEAR(sold_date) = 2000
+      GROUP BY chan
+    )
+    SELECT CASE chan WHEN 0 THEN 'store' WHEN 1 THEN 'store'
+                     WHEN 2 THEN 'catalog' WHEN 3 THEN 'web' END AS channel,
+           GROUPING(chan) AS g,
+           SUM(sales_cents) AS sales_cents,
+           SUM(returns_cents) AS returns_cents,
+           SUM(profit_cp_sum) AS profit_cp_sum
+    FROM per
+    GROUP BY ROLLUP (chan)
+    ORDER BY channel NULLS LAST, g NULLS LAST, sales_cents NULLS LAST,
+             returns_cents NULLS LAST, profit_cp_sum NULLS LAST
+    """,
+)
+def tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q77/Q5 (per-channel sales vs returns vs profit, with a
+    ROLLUP grand total). Substitution: the *_returns tables are the
+    ``l_returnflag = 'R'`` slice — same conditional-aggregation shape.
+    Note the two store channel codes (0, 1) collapse under one label,
+    so the rollup re-aggregates them — grouping on an expression's
+    preimage, a corner the plain q19-family never hits."""
+    s = _sales(spark, sf_dir).filter(F.year("sold_date") == 2000)
+    per = s.groupBy("chan").agg(
+        F.sum(
+            F.when(~F.col("returned"), F.col("ext_cents")).otherwise(F.lit(0))
+        ).alias("sales_cents"),
+        F.sum(
+            F.when(F.col("returned"), F.col("ext_cents")).otherwise(F.lit(0))
+        ).alias("returns_cents"),
+        F.sum("profit_cp").alias("profit_cp_sum"),
+    )
+    label = (
+        F.when(F.col("chan") <= 1, "store")
+        .when(F.col("chan") == 2, "catalog")
+        .when(F.col("chan") == 3, "web")
+    )
+    out = per.rollup("chan").agg(
+        F.grouping("chan").alias("g"),
+        F.sum("sales_cents").alias("sales_cents"),
+        F.sum("returns_cents").alias("returns_cents"),
+        F.sum("profit_cp_sum").alias("profit_cp_sum"),
+    ).select(
+        label.alias("channel"),
+        "g",
+        "sales_cents",
+        "returns_cents",
+        "profit_cp_sum",
+    )
+    return ordered(
+        out, "channel", "g", "sales_cents", "returns_cents", "profit_cp_sum"
+    )
+
+
+@query(
+    "tpcds_q86",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    agg AS (
+      SELECT SUM(net_cp) AS net_cp_sum, i_category, i_class,
+             GROUPING(i_category) + GROUPING(i_class) AS lochierarchy,
+             CASE WHEN GROUPING(i_class) = 0 THEN i_category END AS parent
+      FROM web_sales
+      JOIN date_dim ON sold_date = d_date
+      JOIN item ON item_sk = i_item_sk
+      WHERE d_qoy = 1 AND d_year = 2001
+      GROUP BY ROLLUP (i_category, i_class)
+    )
+    SELECT net_cp_sum, i_category, i_class, lochierarchy,
+           RANK() OVER (
+             PARTITION BY lochierarchy, parent
+             ORDER BY net_cp_sum DESC
+           ) AS rank_within_parent
+    FROM agg
+    ORDER BY net_cp_sum NULLS LAST, i_category NULLS LAST, i_class NULLS LAST,
+             lochierarchy NULLS LAST, rank_within_parent NULLS LAST
+    """,
+)
+def tpcds_q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q86 (web revenue ROLLUP with rank-within-parent) — the
+    q36 report shape on the web channel, ranked by an exact BIGINT so
+    the window order needs no float reasoning at all."""
+    ws = _channel(spark, sf_dir, "web")
+    dd = _date_dim(spark, sf_dir).filter(
+        (F.col("d_qoy") == 1) & (F.col("d_year") == 2001)
+    )
+    it = _item(spark, sf_dir)
+    agg = (
+        ws.join(F.broadcast(dd), ws.sold_date == dd.d_date)
+        .join(F.broadcast(it), ws.item_sk == it.i_item_sk)
+        .rollup("i_category", "i_class")
+        .agg(
+            F.sum("net_cp").alias("net_cp_sum"),
+            (F.grouping("i_category") + F.grouping("i_class")).alias(
+                "lochierarchy"
+            ),
+            F.when(F.grouping("i_class") == 0, F.col("i_category")).alias(
+                "parent"
+            ),
+        )
+    )
+    w = Window.partitionBy("lochierarchy", "parent").orderBy(
+        F.col("net_cp_sum").desc()
+    )
+    out = agg.select(
+        "net_cp_sum",
+        "i_category",
+        "i_class",
+        "lochierarchy",
+        F.rank().over(w).alias("rank_within_parent"),
+    )
+    return ordered(
+        out, "net_cp_sum", "i_category", "i_class", "lochierarchy",
+        "rank_within_parent",
+    )
+
+
+@query(
+    "tpcds_q97",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    ssci AS (SELECT DISTINCT cust_sk, item_sk FROM store_sales),
+    wsci AS (SELECT DISTINCT cust_sk, item_sk FROM web_sales)
+    SELECT SUM(CASE WHEN s.cust_sk IS NOT NULL AND w.cust_sk IS NULL
+                    THEN 1 ELSE 0 END) AS store_only,
+           SUM(CASE WHEN s.cust_sk IS NULL AND w.cust_sk IS NOT NULL
+                    THEN 1 ELSE 0 END) AS web_only,
+           SUM(CASE WHEN s.cust_sk IS NOT NULL AND w.cust_sk IS NOT NULL
+                    THEN 1 ELSE 0 END) AS both_channels
+    FROM ssci s
+    FULL OUTER JOIN wsci w
+      ON s.cust_sk = w.cust_sk AND s.item_sk = w.item_sk
+    """,
+)
+def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q97 (customer-item pairs bought in store only, web only,
+    or both — the channel-overlap census): DISTINCT pair sets per
+    channel, FULL OUTER JOIN, conditional count. 100 TB: the distincts
+    are the heavy shuffles (pair cardinality), the outer join then
+    co-partitions on the same key pair — AQE reuses the partitioning.
+    Single-row output, so no ORDER BY is needed for determinism."""
+    ss = _channel(spark, sf_dir, "store").select("cust_sk", "item_sk").distinct()
+    ws = (
+        _channel(spark, sf_dir, "web")
+        .select(
+            F.col("cust_sk").alias("w_cust_sk"),
+            F.col("item_sk").alias("w_item_sk"),
+        )
+        .distinct()
+    )
+    j = ss.join(
+        ws,
+        (ss.cust_sk == ws.w_cust_sk) & (ss.item_sk == ws.w_item_sk),
+        "full_outer",
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    out = j.agg(
+        F.sum(
+            F.when(
+                F.col("cust_sk").isNotNull() & F.col("w_cust_sk").isNull(), one
+            ).otherwise(zero)
+        ).alias("store_only"),
+        F.sum(
+            F.when(
+                F.col("cust_sk").isNull() & F.col("w_cust_sk").isNotNull(), one
+            ).otherwise(zero)
+        ).alias("web_only"),
+        F.sum(
+            F.when(
+                F.col("cust_sk").isNotNull() & F.col("w_cust_sk").isNotNull(),
+                one,
+            ).otherwise(zero)
+        ).alias("both_channels"),
+    )
+    return out

@@ -87,15 +87,103 @@ class SchemaEvolutionError(ValueError):
     rejected at commit time, the only place it can be caught cheaply."""
 
 
-def _merge_schema(prev_json: str, new_schema: "T.StructType") -> str:
+FIELD_ID_KEY = "parquet.field.id"
+
+
+def _ids_of(struct: "T.StructType") -> dict[str, int]:
+    """name → field id for fields carrying one (empty = legacy table)."""
+    return {
+        f.name: f.metadata[FIELD_ID_KEY]
+        for f in struct.fields
+        if f.metadata and FIELD_ID_KEY in f.metadata
+    }
+
+
+def _fresh_schema_json(schema: "T.StructType") -> str:
+    """Schema for a NEW table: every field gets a fresh parquet field
+    id (1..n) in its metadata. The id — not the name — is a column's
+    identity from here on: Spark's native parquet field-id resolution
+    (``spark.sql.parquet.fieldId.{write,read}.enabled``) reads old
+    files through renames and refuses to resurrect dropped-then-readded
+    names, exactly the Iceberg column-mapping contract."""
+    fields = [
+        T.StructField(
+            f.name, f.dataType, f.nullable, {**(f.metadata or {}), FIELD_ID_KEY: i + 1}
+        )
+        for i, f in enumerate(schema.fields)
+    ]
+    return T.StructType(fields).json()
+
+
+def _next_field_id(prev_m: dict, live: dict[str, int]) -> int:
+    """Never reuse an id: max over live ids AND the tombstoned
+    dropped ids carried in the manifest."""
+    return max([*live.values(), *prev_m.get("dropped_ids", []), 0]) + 1
+
+
+def _schema_extras(prev_m: dict) -> dict:
+    """Manifest keys every commit must carry forward for id hygiene."""
+    return (
+        {"dropped_ids": prev_m["dropped_ids"]}
+        if prev_m.get("dropped_ids")
+        else {}
+    )
+
+
+def _overwrite_schema(
+    prev_m: dict, new_schema: "T.StructType"
+) -> tuple[str, dict]:
+    """Schema for an overwrite commit on an EXISTING table: the new
+    field LIST wins (an overwrite may reshape the table), but on a
+    field-id table each same-name same-type column keeps its id (a
+    compaction/optimize round-trip must not change column identity),
+    any other column gets a fresh id, and ids of columns the overwrite
+    dropped are tombstoned so a later re-add can never resurrect them.
+    Returns (schema_json, manifest_extras)."""
+    prev = T.StructType.fromJson(json.loads(prev_m["schema"]))
+    ids = _ids_of(prev)
+    if not ids:
+        # Legacy (pre-field-id) table: an overwrite rewrites EVERY live
+        # file, so this is the one safe point to upgrade — mint fresh
+        # ids for the whole schema (rename/drop work from here on).
+        return _fresh_schema_json(new_schema), _schema_extras(prev_m)
+    by_name = {f.name: f for f in prev.fields}
+    next_id = _next_field_id(prev_m, ids)
+    fields = []
+    used: set[int] = set()
+    for f in new_schema.fields:
+        pf = by_name.get(f.name)
+        meta = dict(f.metadata or {})
+        meta.pop(FIELD_ID_KEY, None)
+        if pf is not None and pf.dataType == f.dataType and f.name in ids:
+            meta[FIELD_ID_KEY] = ids[f.name]
+        else:
+            meta[FIELD_ID_KEY] = next_id
+            next_id += 1
+        used.add(meta[FIELD_ID_KEY])
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, meta))
+    dropped = sorted(
+        set(prev_m.get("dropped_ids", []))
+        | {i for i in ids.values() if i not in used}
+    )
+    extras = {"dropped_ids": dropped} if dropped else {}
+    return T.StructType(fields).json(), extras
+
+
+def _merge_schema(prev_m: dict | str, new_schema: "T.StructType") -> str:
     """Additive schema evolution for append commits: the manifest
     schema is previous fields + any NEW fields, in stable order. Old
     data files simply lack the new columns — Spark fills NULL when the
     read supplies the manifest schema — and new files may omit old
     columns the writer dropped (also NULL). Same-name type changes are
-    refused."""
-    prev = T.StructType.fromJson(json.loads(prev_json))
+    refused. On a field-id table (accepting the MANIFEST dict so the
+    dropped-id tombstones are visible), new fields get fresh ids that
+    no live or dropped column ever used."""
+    prev_manifest = prev_m if isinstance(prev_m, dict) else {"schema": prev_m}
+    prev = T.StructType.fromJson(json.loads(prev_manifest["schema"]))
     by_name = {f.name: f for f in prev.fields}
+    ids = _ids_of(prev)
+    next_id = _next_field_id(prev_manifest, ids)
     merged = list(prev.fields)
     for f in new_schema.fields:
         if f.name in by_name:
@@ -105,8 +193,65 @@ def _merge_schema(prev_json: str, new_schema: "T.StructType") -> str:
                     f"-> {f.dataType.simpleString()} is a type CHANGE, not evolution"
                 )
         else:
-            merged.append(f)
+            meta = dict(f.metadata or {})
+            meta.pop(FIELD_ID_KEY, None)
+            if ids:  # id-table: stamp the newcomer
+                meta[FIELD_ID_KEY] = next_id
+                next_id += 1
+            merged.append(
+                T.StructField(f.name, f.dataType, f.nullable, meta or None)
+            )
     return T.StructType(merged).json()
+
+
+def _with_field_ids(df: DataFrame, schema_json: str) -> DataFrame:
+    """Stamp the manifest's field ids onto ``df``'s columns (metadata
+    alias) so the parquet writer records them in the footer. A no-op on
+    legacy (id-less) schemas. Extra bookkeeping columns not in the
+    schema pass through unstamped."""
+    from pyspark.sql import functions as F
+
+    struct = T.StructType.fromJson(json.loads(schema_json))
+    meta = {
+        f.name: dict(f.metadata)
+        for f in struct.fields
+        if f.metadata and FIELD_ID_KEY in f.metadata
+    }
+    if not meta:
+        return df
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata=meta[c]) if c in meta else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _strip_field_ids(df: DataFrame) -> DataFrame:
+    """Remove the internal ``parquet.field.id`` metadata from a user-
+    facing DataFrame (one metadata-only Project; the id-resolved scan
+    underneath is untouched) — field ids are a storage detail, not part
+    of the table's logical schema."""
+    from pyspark.sql import functions as F
+
+    if not any(
+        f.metadata and FIELD_ID_KEY in f.metadata for f in df.schema.fields
+    ):
+        return df
+    return df.select(
+        *[F.col(f.name).alias(f.name, metadata={}) for f in df.schema.fields]
+    )
+
+
+def _ensure_fieldid_read(spark: SparkSession, schema: "T.StructType") -> None:
+    """Foreign-session conf guard: id-resolved reads need
+    ``spark.sql.parquet.fieldId.read.enabled``. Only flipped when the
+    requested schema actually carries ids; schemas without ids resolve
+    by name exactly as before, so the session-wide setting is inert for
+    every other read."""
+    if any(f.metadata and FIELD_ID_KEY in f.metadata for f in schema.fields):
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
 
 class SnapshotTable:
@@ -168,18 +313,23 @@ class SnapshotTable:
         if head and mode == "append":
             prev_m = self.manifest(head)
             prev, schema_json = prev_m["files"], _merge_schema(
-                prev_m["schema"], df.schema
+                prev_m, df.schema
             )
+            extras = _schema_extras(prev_m)
             dv_files = prev_m.get("dv_files", [])  # MOR deletes persist
+        elif head:  # overwrite of an existing table
+            prev = []
+            schema_json, extras = _overwrite_schema(self.manifest(head), df.schema)
         else:
-            prev, schema_json = [], df.schema.json()
-        files = self._write_data(df, version)
+            prev, schema_json, extras = [], _fresh_schema_json(df.schema), {}
+        files = self._write_data(df, version, schema_json)
         manifest = {
             "version": version,
             "base": head,
             "mode": mode,
             "schema": schema_json,
             "files": prev + files,
+            **extras,
         }
         if dv_files:
             manifest["dv_files"] = dv_files
@@ -188,10 +338,17 @@ class SnapshotTable:
         self._publish(version, manifest)
         return version
 
-    def _write_data(self, df: DataFrame, version: int) -> list[str]:
+    def _write_data(
+        self, df: DataFrame, version: int, schema_json: str | None = None
+    ) -> list[str]:
         """Write immutable data files; returns root-relative paths.
         Uniquely-named dir per attempt so a losing concurrent writer
-        never collides with the winner's files."""
+        never collides with the winner's files. With a field-id-bearing
+        ``schema_json`` (the manifest being committed), the ids are
+        stamped into the parquet footers so reads resolve columns by id
+        across renames."""
+        if schema_json is not None:
+            df = _with_field_ids(df, schema_json)
         rel_dir = None
         while rel_dir is None or os.path.exists(os.path.join(self.root, rel_dir)):
             suffix = os.path.basename(tempfile.mktemp(prefix=""))
@@ -232,8 +389,10 @@ class SnapshotTable:
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not m["files"]:
-            return spark.createDataFrame([], schema)
-        return self._read_files(spark, m["files"], schema, m.get("dv_files"))
+            return _strip_field_ids(spark.createDataFrame([], schema))
+        return _strip_field_ids(
+            self._read_files(spark, m["files"], schema, m.get("dv_files"))
+        )
 
     def _read_files(
         self,
@@ -244,6 +403,7 @@ class SnapshotTable:
     ) -> DataFrame:
         from pyspark.sql import functions as F
 
+        _ensure_fieldid_read(spark, schema)
         paths = [os.path.join(self.root, f) for f in files]
         df = spark.read.schema(schema).parquet(*paths)
         if not dv_files:
@@ -270,6 +430,87 @@ class SnapshotTable:
         versions keep reading their original immutable files."""
         current = self.read(spark).coalesce(target_files)
         return self.commit(current, mode="overwrite")
+
+    # ------------------------------------------- schema evolution (DDL)
+    def _require_field_ids(self, m: dict, op: str) -> dict[str, int]:
+        ids = _ids_of(T.StructType.fromJson(json.loads(m["schema"])))
+        if not ids:
+            raise SchemaEvolutionError(
+                f"{op}: this table predates field-id tracking (its "
+                f"manifests carry no parquet field ids), so old data "
+                f"files cannot be resolved across a rename/drop. Run "
+                f"optimize() first — the overwrite commit stamps fresh "
+                f"ids on every file — then retry"
+            )
+        return ids
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column — METADATA-ONLY commit (no data file is
+        touched): the field keeps its parquet field id, so every
+        existing file's column resolves to the new name via Spark's
+        native id-based resolution, and historical versions read back
+        under the names they had then (time travel over the rename).
+
+        Refuses ambiguity: ``new`` colliding with a live column is an
+        error, never a silent shadow. Like every non-append commit, a
+        rename RESETS the changes-stream lineage."""
+        m = self.manifest()
+        self._require_field_ids(m, "rename_column")
+        struct = T.StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in struct.fields]
+        if old not in names:
+            raise KeyError(f"rename_column: no column {old!r} (have {names})")
+        if new in names:
+            raise SchemaEvolutionError(
+                f"rename_column: {new!r} already exists — renaming "
+                f"{old!r} onto it would be ambiguous"
+            )
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType,
+                          f.nullable, f.metadata)
+            for f in struct.fields
+        ]
+        head = m["version"]
+        version = head + 1
+        man = {
+            **{k: v for k, v in m.items() if k not in ("version", "base", "mode")},
+            "version": version,
+            "base": head,
+            "mode": "rename",
+            "schema": T.StructType(fields).json(),
+        }
+        self._publish(version, man)
+        return version
+
+    def drop_column(self, name: str) -> int:
+        """Drop a column — metadata-only commit. The field's id is
+        TOMBSTONED in the manifest (``dropped_ids``), so re-adding the
+        same name later mints a fresh id and the old files' data for
+        the dropped column is never resurrected (it reads NULL under
+        the new id); the bytes stay on disk until files are rewritten
+        by optimize()/compaction, the same GDPR caveat as MOR
+        deletes."""
+        m = self.manifest()
+        ids = self._require_field_ids(m, "drop_column")
+        struct = T.StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in struct.fields]
+        if name not in names:
+            raise KeyError(f"drop_column: no column {name!r} (have {names})")
+        if len(names) == 1:
+            raise SchemaEvolutionError("drop_column: cannot drop the last column")
+        fields = [f for f in struct.fields if f.name != name]
+        head = m["version"]
+        version = head + 1
+        man = {
+            **{k: v for k, v in m.items() if k not in ("version", "base", "mode")},
+            "version": version,
+            "base": head,
+            "mode": "drop",
+            "schema": T.StructType(fields).json(),
+            "dropped_ids": sorted(set(m.get("dropped_ids", [])) | {ids[name]}),
+        }
+        self._publish(version, man)
+        return version
 
     def optimize(
         self,
@@ -348,14 +589,15 @@ class SnapshotTable:
         prev_m: dict,
     ) -> dict:
         """Manifest for a copy-on-write commit: untouched files carried
-        by reference, rewritten/new files appended. Subclasses attach
-        per-file stats here."""
+        by reference, rewritten/new files appended, field-id tombstones
+        carried forward. Subclasses attach per-file stats here."""
         return {
             "version": version,
             "base": head,
             "mode": mode,
             "schema": schema_json,
             "files": kept_files + new_files,
+            **_schema_extras(prev_m),
         }
 
     def _files_of(self, spark: SparkSession, df: "DataFrame") -> list[str]:
@@ -386,6 +628,7 @@ class SnapshotTable:
         resurrect nor double-count DV-deleted rows."""
         from pyspark.sql import functions as F
 
+        _ensure_fieldid_read(spark, schema)
         df = spark.read.schema(schema).parquet(
             *[os.path.join(self.root, f) for f in files]
         ).select(
@@ -543,7 +786,7 @@ class SnapshotTable:
             ~cond.eqNullSafe(F.lit(True))
         ).drop("_sg_file", "_sg_k3", "_sg_pos")
         version = head + 1
-        new_files = self._write_data(survivors, version)
+        new_files = self._write_data(survivors, version, m["schema"])
         kept = [f for f in m["files"] if f not in affected]
         man = self._cow_manifest(
             version, head, "delete", m["schema"], kept, new_files, m
@@ -591,7 +834,7 @@ class SnapshotTable:
         m = self.manifest()
         head = m["version"]
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        schema_json = _merge_schema(m["schema"], df.schema)
+        schema_json = _merge_schema(m, df.schema)
         prev_dv = m.get("dv_files", [])
         candidates = list(m["files"])
         if stats_range is not None:
@@ -640,7 +883,7 @@ class SnapshotTable:
             )
             out = _align(survivors).unionByName(out)
         version = head + 1
-        new_files = self._write_data(out, version)
+        new_files = self._write_data(out, version, schema_json)
         kept = [f for f in m["files"] if f not in affected]
         man = self._cow_manifest(
             version, head, "overwrite_where", schema_json, kept, new_files, m
@@ -764,7 +1007,8 @@ class SnapshotTable:
                 version,
             )
             new_files = self._write_data(
-                _apply_assignments(matched_scan, always=True), version
+                _apply_assignments(matched_scan, always=True), version,
+                m["schema"],
             )
             man = self._cow_manifest(
                 version, head, "update", m["schema"], list(m["files"]),
@@ -782,7 +1026,7 @@ class SnapshotTable:
             self._scan_with_meta(spark, sorted(affected), schema, prev_dv),
             always=False,
         )
-        new_files = self._write_data(rewritten, version)
+        new_files = self._write_data(rewritten, version, m["schema"])
         kept = [f for f in m["files"] if f not in affected]
         man = self._cow_manifest(
             version, head, "update", m["schema"], kept, new_files, m
@@ -883,7 +1127,7 @@ class SnapshotTable:
             }
         m = self.manifest(head)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        schema_json = _merge_schema(m["schema"], source.schema)
+        schema_json = _merge_schema(m, source.schema)
         merged_schema = T.StructType.fromJson(json.loads(schema_json))
         keys = source.select(*key_cols).distinct()
         prev_dv = m.get("dv_files", [])
@@ -976,7 +1220,7 @@ class SnapshotTable:
                 out = src_parts[0]
                 for p in src_parts[1:]:
                     out = out.unionByName(p)
-                new_files = self._write_data(out, version)
+                new_files = self._write_data(out, version, schema_json)
             man = self._cow_manifest(
                 version, head, "merge", schema_json, list(m["files"]),
                 new_files, m,
@@ -1001,7 +1245,7 @@ class SnapshotTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        new_files = self._write_data(out, version)
+        new_files = self._write_data(out, version, schema_json)
         kept = [f for f in m["files"] if f not in affected]
         man = self._cow_manifest(
             version, head, "merge", schema_json, kept, new_files, m
@@ -1127,7 +1371,7 @@ class SnapshotTable:
             }
         m = self.manifest(head)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        schema_json = _merge_schema(m["schema"], changes.drop(op_col).schema)
+        schema_json = _merge_schema(m, changes.drop(op_col).schema)
         merged_schema = T.StructType.fromJson(json.loads(schema_json))
         prev_dv = m.get("dv_files", [])
         target = self._scan_with_meta(spark, m["files"], schema, prev_dv)
@@ -1217,7 +1461,7 @@ class SnapshotTable:
                 )
                 dv_new = self._write_dv(hits, version)
             new_files = (
-                self._write_data(_align(ups), version)
+                self._write_data(_align(ups), version, schema_json)
                 if upserted_rows
                 else []
             )
@@ -1246,7 +1490,7 @@ class SnapshotTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        new_files = self._write_data(out, version)
+        new_files = self._write_data(out, version, schema_json)
         kept = [f for f in m["files"] if f not in affected]
         man = self._cow_manifest(
             version, head, "merge", schema_json, kept, new_files, m
@@ -1317,8 +1561,10 @@ class StatsSnapshotTable(SnapshotTable):
         super().__init__(root)
         self.stats_cols = list(stats_cols)
 
-    def _write_data(self, df: DataFrame, version: int) -> list[str]:
-        files = super()._write_data(df, version)
+    def _write_data(
+        self, df: DataFrame, version: int, schema_json: str | None = None
+    ) -> list[str]:
+        files = super()._write_data(df, version, schema_json)
         stats = {
             f: _file_stats(os.path.join(self.root, f), self.stats_cols)
             for f in files
@@ -1333,18 +1579,23 @@ class StatsSnapshotTable(SnapshotTable):
             raise ValueError(f"unknown commit mode: {mode!r}")
         head = self.latest_version()
         version = (head + 1) if head is not None else 1
-        files = self._write_data(df, version)
-        new_stats = self._pending_stats
+        extras: dict = {}
         dv_files: list[str] = []
         if head and mode == "append":
             prev_m = self.manifest(head)
             prev_files = prev_m["files"]
             prev_stats = prev_m.get("stats", {})
-            schema_json = _merge_schema(prev_m["schema"], df.schema)
+            schema_json = _merge_schema(prev_m, df.schema)
+            extras = _schema_extras(prev_m)
             dv_files = prev_m.get("dv_files", [])
+        elif head:
+            prev_files, prev_stats = [], {}
+            schema_json, extras = _overwrite_schema(self.manifest(head), df.schema)
         else:
             prev_files, prev_stats = [], {}
-            schema_json = df.schema.json()
+            schema_json = _fresh_schema_json(df.schema)
+        files = self._write_data(df, version, schema_json)
+        new_stats = self._pending_stats
         manifest = {
             "version": version,
             "base": head,
@@ -1352,6 +1603,7 @@ class StatsSnapshotTable(SnapshotTable):
             "schema": schema_json,
             "files": prev_files + files,
             "stats": {**prev_stats, **new_stats},
+            **extras,
         }
         if dv_files:
             manifest["dv_files"] = dv_files
@@ -1406,9 +1658,10 @@ class StatsSnapshotTable(SnapshotTable):
                 keep.append(os.path.join(self.root, f))
         self.last_pruned_counts = (len(keep), len(m["files"]))
         if not keep:
-            empty = spark.createDataFrame([], schema)
+            empty = _strip_field_ids(spark.createDataFrame([], schema))
             return empty.filter(F.col(col).between(lo, hi))
-        return (
+        _ensure_fieldid_read(spark, schema)
+        return _strip_field_ids(
             spark.read.schema(schema)
             .parquet(*keep)
             .filter(F.col(col).between(lo, hi))
@@ -1440,8 +1693,11 @@ def changes(
     schema = T.StructType.fromJson(json.loads(cur["schema"]))
     if not new_files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(tbl.root, f) for f in new_files]
+    _ensure_fieldid_read(spark, schema)
+    return _strip_field_ids(
+        spark.read.schema(schema).parquet(
+            *[os.path.join(tbl.root, f) for f in new_files]
+        )
     )
 
 
@@ -1568,11 +1824,13 @@ class SnapshotCommitSink:
         if head:
             prev_m = self.table.manifest(head)
             prev, schema_json = prev_m["files"], _merge_schema(
-                prev_m["schema"], batch_df.schema
+                prev_m, batch_df.schema
             )
+            extras = _schema_extras(prev_m)
         else:
-            prev, schema_json = [], batch_df.schema.json()
-        files = self.table._write_data(batch_df, version)
+            prev, schema_json = [], _fresh_schema_json(batch_df.schema)
+            extras = {}
+        files = self.table._write_data(batch_df, version, schema_json)
         man = {
             "version": version,
             "base": head,
@@ -1580,6 +1838,7 @@ class SnapshotCommitSink:
             "epoch_id": epoch_id,
             "schema": schema_json,
             "files": prev + files,
+            **extras,
         }
         if head:
             dv = self.table.manifest(head).get("dv_files", [])

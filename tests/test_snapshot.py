@@ -603,11 +603,11 @@ def test_cow_commit_loses_version_race_cleanly(spark, tmp_path):
     class RacingTable(SnapshotTable):
         # another writer lands a commit between the head read and the
         # publish: inject it during the data write
-        def _write_data(self, df, version):
+        def _write_data(self, df, version, schema_json=None):
             if not getattr(self, "_raced", False):
                 self._raced = True
                 SnapshotTable(self.root).commit(_df(spark, [(50, "r")]))
-            return super()._write_data(df, version)
+            return super()._write_data(df, version, schema_json)
 
     racing = RacingTable(str(tmp_path / "t"))
     with pytest.raises(ConcurrentCommitError):
@@ -1152,3 +1152,102 @@ def test_optimize_compacts_zorders_and_refreshes_stats(spark, tmp_path):
     assert pruned_b[0] < pruned_b[1], pruned_b
     # old version still reads its original files (time travel intact)
     assert len(snap(tbl.read(spark, version=8))) == 4000
+
+
+def test_rename_column_reads_old_files_and_history(spark, tmp_path):
+    """Field-id rename: metadata-only commit; files written under the
+    OLD name resolve to the new name by parquet field id, appends after
+    the rename interleave, and time travel reads each version under the
+    names it had then."""
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a"), (2, "b")]))           # v1: (k, v)
+    v2 = tbl.rename_column("v", "val")                      # v2: (k, val)
+    assert v2 == 2 and tbl.manifest()["mode"] == "rename"
+    assert tbl.manifest()["files"] == tbl.manifest(1)["files"]  # no rewrite
+    tbl.commit(
+        spark.createDataFrame([(3, "c")], "k long, val string")
+    )                                                       # v3 append
+    got = sorted(tuple(r) for r in tbl.read(spark).collect())
+    assert tbl.read(spark).columns == ["k", "val"]
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # history: v1 still reads under the old name
+    old = tbl.read(spark, version=1)
+    assert old.columns == ["k", "v"]
+    assert sorted(tuple(r) for r in old.collect()) == [(1, "a"), (2, "b")]
+    # mutations keep working through the rename
+    tbl.delete_where(spark, "val = 'b'")
+    assert sorted(tuple(r) for r in tbl.read(spark).collect()) == [
+        (1, "a"), (3, "c")
+    ]
+
+
+def test_drop_column_then_readd_does_not_resurrect(spark, tmp_path):
+    """Drop tombstones the field id; re-adding the same NAME mints a
+    fresh id, so pre-drop file data for that name reads NULL — never
+    silently resurrected."""
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                              "k long, v string, w long")
+    )
+    v2 = tbl.drop_column("w")
+    assert tbl.manifest()["mode"] == "drop"
+    assert tbl.manifest()["dropped_ids"] == [3]
+    assert tbl.read(spark).columns == ["k", "v"]
+    # re-add same name via an evolved append: fresh id (4), old data invisible
+    tbl.commit(spark.createDataFrame([(3, "c", 99)], "k long, v string, w long"))
+    got = sorted(tuple(r) for r in tbl.read(spark).collect())
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 99)], got
+    assert tbl.manifest()["dropped_ids"] == [3]  # tombstone carried
+    # time travel: v1 shows the original w values
+    assert sorted(tuple(r) for r in tbl.read(spark, version=1).collect()) == [
+        (1, "a", 10), (2, "b", 20)
+    ]
+
+
+def test_schema_evolution_refusals_and_legacy_upgrade(spark, tmp_path):
+    """Ambiguity and legacy-table guards: rename onto a live name
+    refuses; a pre-field-id table refuses rename/drop with the
+    optimize() remedy, and after optimize() the rename works."""
+    import json as _json
+
+    import pytest as _pt
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SchemaEvolutionError,
+        SnapshotTable,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]))
+    with _pt.raises(SchemaEvolutionError, match="ambiguous"):
+        tbl.rename_column("v", "k")
+    with _pt.raises(KeyError, match="no column"):
+        tbl.rename_column("nope", "x")
+    tbl.drop_column("k")  # fine: one column remains
+    with _pt.raises(SchemaEvolutionError, match="last column"):
+        tbl.drop_column("v")
+
+    # forge a LEGACY table: strip field ids from the manifest to mimic
+    # a table created before this feature
+    leg = SnapshotTable(str(tmp_path / "leg"))
+    leg.commit(_df(spark, [(1, "a"), (2, "b")]))
+    mp = leg._manifest_path(1)
+    m = _json.load(open(mp))
+    sch = _json.loads(m["schema"])
+    for f in sch["fields"]:
+        f["metadata"] = {}
+    m["schema"] = _json.dumps(sch)
+    _json.dump(m, open(mp, "w"))
+    with _pt.raises(SchemaEvolutionError, match="optimize"):
+        leg.rename_column("v", "val")
+    leg.optimize(spark, target_files=1)  # overwrite stamps fresh ids
+    leg.rename_column("v", "val")
+    assert leg.read(spark).columns == ["k", "val"]
+    assert sorted(tuple(r) for r in leg.read(spark).collect()) == [
+        (1, "a"), (2, "b")
+    ]
