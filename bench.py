@@ -113,19 +113,82 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    calib = _calibrate(spark)
     result = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        "calib_s": _calibrate(spark),
+        "calib_s": calib,
     }
+    # Host-normalized values (VERDICT r5 item 8): seconds divided by
+    # calib_s are dimensionless host-speed-corrected work units, so
+    # cross-round/cross-host comparisons factor the machine out.
+    if calib > 0:
+        result["value_norm"] = round(total / calib, 2)
+        result["queries_norm"] = {
+            k: round(v / calib, 2) for k, v in timings.items()
+        }
+    # vs-previous-round delta table, computed here so every BENCH file
+    # is self-describing: ratio > 1 = slower than last round (after
+    # host correction when both rounds carry calib_s).
+    prev = _load_prev_bench()
+    if prev:
+        pq, pc = prev.get("queries", {}), prev.get("calib_s")
+        scale = (pc / calib) if (pc and calib) else 1.0
+        result["vs_prev"] = {
+            k: round(v / (pq[k] * scale), 2)
+            for k, v in timings.items()
+            if pq.get(k)
+        }
+        result["vs_prev_host_corrected"] = bool(pc and calib)
     # BASELINE.md throughput target for the reference pipeline (>=10k rec/s)
     if "q48_reference_pipeline" in timings and timings["q48_reference_pipeline"] > 0:
         n48 = catalog["q48_reference_pipeline"].fn(spark, sf_dir).count()
         result["q48_rec_per_s"] = round(n48 / timings["q48_reference_pipeline"])
+        if calib > 0:
+            # rows per calib-unit: the throughput figure with the host
+            # factored out (the r3→r5 rec/s "drift" tracked calib_s)
+            result["q48_rows_per_calib"] = round(
+                n48 * calib / timings["q48_reference_pipeline"]
+            )
     print(json.dumps(result))
+
+
+def _load_prev_bench() -> dict:
+    """Parsed payload of the newest BENCH_r*.json next to this script
+    (the driver records one per round); {} if none parses."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: dict = {}
+    best_r = -1
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        r = int(m.group(1))
+        if r <= best_r:
+            continue
+        try:
+            d = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        p = d.get("parsed")
+        if not p and "tail" in d:
+            jm = re.search(r'\{"metric".*\}', d["tail"])
+            if jm:
+                try:
+                    p = json.loads(jm.group(0))
+                except json.JSONDecodeError:
+                    p = None
+        if not p and "queries" in d:
+            p = d
+        if p:
+            best, best_r = p, r
+    return best
 
 
 if __name__ == "__main__":
