@@ -1574,10 +1574,13 @@ def q99zzo_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle recomputes the converged state relationally: latest
     change per key over the WHOLE changelog, keeping upserts — the
-    stream's micro-batch boundaries and within-batch disorder must not
-    change the answer. Batch assignment is seq-monotonic per key
-    (j//2), so no tombstone retention is needed — late cross-batch
-    disorder is covered separately by the stale-skip tests."""
+    stream's micro-batch boundaries and disorder must not change the
+    answer. Batch assignment is deliberately NON-monotonic per key
+    (``(k·11 + j·5) % 2``): a key's later change can arrive in the
+    EARLIER micro-batch, so convergence here exercises the full
+    machinery — within-batch latest-per-key, cross-batch stale-skip,
+    and delete TOMBSTONES (an applied delete's sequence keeps guarding
+    its key after the row is gone)."""
     import glob as _gl
     import hashlib as _hl
     import os as _os
@@ -1623,7 +1626,7 @@ def q99zzo_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(2):
             scratch = _tf.mkdtemp(prefix="kdis_cdcq_b_")
             (
-                ch.filter((j / 2).cast("int") == b)
+                ch.filter((k * 11 + j * 5) % 2 == b)
                 # arrival-shuffle within the batch file: order by a hash,
                 # NOT by (k, seq) — the sink must not rely on row order
                 .orderBy((k * 37 + j * 101) % 1000, "k", "j")

@@ -122,12 +122,16 @@ def _next_field_id(prev_m: dict, live: dict[str, int]) -> int:
 
 
 def _schema_extras(prev_m: dict) -> dict:
-    """Manifest keys every commit must carry forward for id hygiene."""
-    return (
-        {"dropped_ids": prev_m["dropped_ids"]}
-        if prev_m.get("dropped_ids")
-        else {}
-    )
+    """Manifest keys every commit must carry forward: field-id
+    tombstones (dropped_ids) and CDC delete tombstones
+    (tombstone_files) — both are retention state that would silently
+    re-open correctness holes if a commit dropped them."""
+    out: dict = {}
+    if prev_m.get("dropped_ids"):
+        out["dropped_ids"] = prev_m["dropped_ids"]
+    if prev_m.get("tombstone_files"):
+        out["tombstone_files"] = prev_m["tombstone_files"]
+    return out
 
 
 def _overwrite_schema(
@@ -166,7 +170,9 @@ def _overwrite_schema(
         set(prev_m.get("dropped_ids", []))
         | {i for i in ids.values() if i not in used}
     )
-    extras = {"dropped_ids": dropped} if dropped else {}
+    extras = _schema_extras(prev_m)
+    if dropped:
+        extras["dropped_ids"] = dropped
     return T.StructType(fields).json(), extras
 
 
@@ -674,6 +680,56 @@ class SnapshotTable:
             for name in os.listdir(out_dir)
             if name.endswith(".parquet")
         )
+
+    def _write_tombstones(self, dels: DataFrame, version: int) -> list[str]:
+        """CDC delete-tombstone sidecar: (key cols, seq col) rows under
+        ``data/ts{N}-*`` — the same smallness/broadcast contract as
+        deletion vectors (a tombstone is ~the size of a key). Retained
+        until :meth:`expire_tombstones`."""
+        rel_dir = None
+        while rel_dir is None or os.path.exists(os.path.join(self.root, rel_dir)):
+            suffix = os.path.basename(tempfile.mktemp(prefix=""))
+            rel_dir = os.path.join("data", f"ts{version}-{suffix}")
+        out_dir = os.path.join(self.root, rel_dir)
+        dels.coalesce(1).write.parquet(out_dir)
+        return sorted(
+            os.path.join(rel_dir, name)
+            for name in os.listdir(out_dir)
+            if name.endswith(".parquet")
+        )
+
+    def expire_tombstones(self, spark: SparkSession, seq_col: str,
+                          before_seq) -> dict:
+        """Drop CDC delete tombstones with sequence <= ``before_seq``
+        (a metadata+sidecar commit; data files untouched). Retention is
+        the caller's ordering guarantee: expiring a tombstone re-opens
+        the window in which a change OLDER than it could arrive and be
+        wrongly applied — expire only past the source's max lateness,
+        exactly Delta's tombstone-retention contract."""
+        from pyspark.sql import functions as F
+
+        m = self.manifest()
+        prev_ts = m.get("tombstone_files", [])
+        if not prev_ts:
+            return {"version": m["version"], "expired": 0, "retained": 0}
+        ts = spark.read.parquet(*[os.path.join(self.root, f) for f in prev_ts])
+        keep = ts.filter(F.col(seq_col) > before_seq)
+        total = ts.count()
+        kept_n = keep.count()
+        version = m["version"] + 1
+        new_ts = self._write_tombstones(keep, version) if kept_n else []
+        man = {
+            **{k: v for k, v in m.items()
+               if k not in ("version", "base", "mode", "tombstone_files")},
+            "version": version,
+            "base": m["version"],
+            "mode": "maintenance",
+        }
+        if new_ts:
+            man["tombstone_files"] = new_ts
+        self._publish(version, man)
+        return {"version": version, "expired": total - kept_n,
+                "retained": kept_n}
 
     def delete_where(
         self,
@@ -1285,14 +1341,17 @@ class SnapshotTable:
         the LATEST change per key (ties broken toward ``'upsert'``,
         deterministically), and — because ``seq_col`` is stored as an
         ordinary table column — STALE changes whose sequence does not
-        exceed the target row's are skipped entirely. That makes the
-        apply idempotent and order-insensitive ACROSS batches too: a
-        late-arriving batch of already-superseded changes is a no-op,
-        so any interleaving of micro-batches converges to the
-        same table as the sequence-ordered batch apply. Without
-        ``seq_col``, duplicate keys in a batch are rejected (no order
-        to resolve them by) and cross-batch ordering is the caller's
-        contract.
+        exceed the target row's are skipped entirely, and every applied
+        DELETE leaves a (key, seq) TOMBSTONE sidecar so its sequence
+        keeps guarding the key after the row is gone (a re-insert older
+        than the delete is rejected; Delta's tombstone-retention
+        contract). Together these make the apply idempotent and fully
+        order-insensitive ACROSS batches: any interleaving of
+        micro-batches converges to the sequence-ordered batch apply.
+        Tombstones are retained until :meth:`expire_tombstones` (expire
+        only past the source's max lateness). Without ``seq_col``,
+        duplicate keys in a batch are rejected (no order to resolve
+        them by) and cross-batch ordering is the caller's contract.
 
         ``mode='cow'`` rewrites only the files containing changed keys
         (the :meth:`merge_rows` discovery shape); ``'mor'``
@@ -1351,7 +1410,14 @@ class SnapshotTable:
         if head is None:
             ups = changes.filter(F.col(op_col) != "delete").drop(op_col)
             n = ups.count()
-            if n == 0:
+            dels = (
+                changes.filter(F.col(op_col) == "delete")
+                .select(*key_cols, seq_col)
+                if seq_col is not None
+                else None
+            )
+            n_dels = dels.count() if dels is not None else 0
+            if n == 0 and n_dels == 0:
                 return {
                     "version": None,
                     "rewritten_files": 0,
@@ -1360,9 +1426,25 @@ class SnapshotTable:
                     "deleted_rows": 0,
                     "skipped_stale": 0,
                 }
-            v = self.commit(ups, mode="append", epoch_id=epoch_id)
+            # first commit built manually so a delete-before-its-insert
+            # leaves a TOMBSTONE in the same atomic version
+            version = 1
+            schema_json = _fresh_schema_json(ups.schema)
+            files = self._write_data(ups, version, schema_json) if n else []
+            man = {
+                "version": version,
+                "base": None,
+                "mode": "append",
+                "schema": schema_json,
+                "files": files,
+            }
+            if n_dels:
+                man["tombstone_files"] = self._write_tombstones(dels, version)
+            if epoch_id is not None:
+                man["epoch_id"] = epoch_id
+            self._publish(version, man)
             return {
-                "version": v,
+                "version": version,
                 "rewritten_files": 0,
                 "kept_files": 0,
                 "upserted_rows": n,
@@ -1374,15 +1456,31 @@ class SnapshotTable:
         schema_json = _merge_schema(m, changes.drop(op_col).schema)
         merged_schema = T.StructType.fromJson(json.loads(schema_json))
         prev_dv = m.get("dv_files", [])
+        prev_ts = m.get("tombstone_files", [])
         target = self._scan_with_meta(spark, m["files"], schema, prev_dv)
         skipped_stale = 0
-        if seq_col is not None and seq_col in {f.name for f in schema.fields}:
-            # Stale-skip: one column-pruned pass over the target for the
-            # max stored sequence per CHANGED key (semi-join bounds it
-            # to the change set), then drop changes it supersedes.
+        if seq_col is not None and (
+            seq_col in {f.name for f in schema.fields} or prev_ts
+        ):
+            # Stale-skip: one column-pruned pass over the target (plus
+            # the delete-tombstone sidecars — a deleted row's sequence
+            # must keep guarding its key) for the max stored sequence
+            # per CHANGED key (semi-join bounds it to the change set),
+            # then drop changes it supersedes.
+            seq_srcs = []
+            if seq_col in {f.name for f in schema.fields}:
+                seq_srcs.append(target.select(*key_cols, seq_col))
+            if prev_ts:
+                seq_srcs.append(
+                    spark.read.parquet(
+                        *[os.path.join(self.root, f) for f in prev_ts]
+                    ).select(*key_cols, seq_col)
+                )
+            allseq = seq_srcs[0]
+            for extra in seq_srcs[1:]:
+                allseq = allseq.unionByName(extra)
             tgt_seq = (
-                target.select(*key_cols, seq_col)
-                .join(
+                allseq.join(
                     changes.select(*key_cols).distinct(),
                     on=key_cols,
                     how="left_semi",
@@ -1417,6 +1515,13 @@ class SnapshotTable:
         )
         ups = changes.filter(F.col(op_col) != "delete").drop(op_col)
         upserted_rows = ups.count()
+        dels = (
+            changes.filter(F.col(op_col) == "delete")
+            .select(*key_cols, seq_col)
+            if seq_col is not None
+            else None
+        )
+        n_dels = dels.count() if dels is not None else 0
         deleted_rows = 0
         aff_df = (
             self._scan_with_meta(spark, sorted(affected), schema, prev_dv)
@@ -1432,8 +1537,8 @@ class SnapshotTable:
             deleted_rows = (
                 aff_df.join(del_keys, on=key_cols, how="left_semi").count()
             )
-        if not affected and upserted_rows == 0:
-            return {  # nothing to publish: all deletes missed / stale
+        if not affected and upserted_rows == 0 and n_dels == 0:
+            return {  # nothing to publish: everything missed / stale
                 "version": head,
                 "rewritten_files": 0,
                 "kept_files": len(m["files"]),
@@ -1471,6 +1576,10 @@ class SnapshotTable:
             )
             if prev_dv or dv_new:
                 man["dv_files"] = prev_dv + dv_new
+            if n_dels:
+                man["tombstone_files"] = prev_ts + self._write_tombstones(
+                    dels, version
+                )
             if epoch_id is not None:
                 man["epoch_id"] = epoch_id
             self._publish(version, man)
@@ -1487,16 +1596,23 @@ class SnapshotTable:
             parts.append(_align(aff_df.join(keys, on=key_cols, how="left_anti")))
         if upserted_rows:
             parts.append(_align(ups))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        new_files = self._write_data(out, version, schema_json)
+        if parts:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            new_files = self._write_data(out, version, schema_json)
+        else:
+            new_files = []  # tombstone-only batch: metadata + sidecar
         kept = [f for f in m["files"] if f not in affected]
         man = self._cow_manifest(
             version, head, "merge", schema_json, kept, new_files, m
         )
         if prev_dv:
             man["dv_files"] = prev_dv
+        if n_dels:
+            man["tombstone_files"] = prev_ts + self._write_tombstones(
+                dels, version
+            )
         if epoch_id is not None:
             man["epoch_id"] = epoch_id
         self._publish(version, man)
@@ -1952,6 +2068,7 @@ def vacuum(
         m = tbl.manifest(v)
         referenced.update(m["files"])
         referenced.update(m.get("dv_files", []))  # DV sidecars are live data
+        referenced.update(m.get("tombstone_files", []))  # so are tombstones
     for v in drop_v:  # manifests first — see docstring
         os.unlink(tbl._manifest_path(v))
     removed_files = 0

@@ -53,19 +53,70 @@ def test_apply_changes_out_of_order_batch_latest_per_key_wins(spark, tmp_path):
 
 def test_apply_changes_stale_batch_is_skipped(spark, tmp_path):
     """Cross-batch disorder: a batch arriving AFTER a later-sequenced
-    batch must not regress the table (seq stored as a column makes the
-    apply order-insensitive)."""
+    batch must not regress the table — including a re-insert OLDER than
+    an applied delete, which the delete's tombstone rejects."""
     tbl = SnapshotTable(str(tmp_path / "t"))
     late = _ch(spark, [(1, "new", 50, "upsert"), (2, "gone", 60, "delete")])
     early = _ch(spark, [(1, "old", 10, "upsert"), (2, "back", 20, "upsert")])
     tbl.apply_changes(spark, late, ["k"], seq_col="seq")
     res = tbl.apply_changes(spark, early, ["k"], seq_col="seq")
-    assert res["skipped_stale"] == 1  # k=1's old upsert
-    # k=2 was deleted at seq 60 but the table no longer holds seq 60 for
-    # it (the delete removed the row) — a re-insert at lower seq lands.
-    # That's the documented contract: stale-skip guards rows PRESENT in
-    # the table; tombstone retention is a different design.
-    assert _rows(tbl.read(spark)) == [(1, "new", 50), (2, "back", 20)]
+    # BOTH stale: k=1's old upsert (row seq guards) and k=2's re-insert
+    # (the seq-60 delete tombstone guards)
+    assert res["skipped_stale"] == 2
+    assert _rows(tbl.read(spark)) == [(1, "new", 50)]
+    # a genuinely newer re-insert of k=2 lands
+    tbl.apply_changes(
+        spark, _ch(spark, [(2, "really back", 70, "upsert")]), ["k"],
+        seq_col="seq",
+    )
+    assert _rows(tbl.read(spark)) == [(1, "new", 50), (2, "really back", 70)]
+
+
+def test_apply_changes_any_batch_interleaving_converges(spark, tmp_path):
+    """The order-insensitivity law, exhaustively: every permutation of
+    3 micro-batches (containing delete-before-insert, insert-after-
+    delete, and plain updates) converges to the identical table."""
+    import itertools
+
+    batches = [
+        [(1, "a1", 10, "upsert"), (2, "b1", 11, "upsert"),
+         (3, None, 12, "delete")],
+        [(1, None, 20, "delete"), (3, "c2", 21, "upsert"),
+         (4, "d2", 22, "upsert")],
+        [(1, "a3", 30, "upsert"), (4, None, 31, "delete"),
+         (5, "e3", 32, "upsert")],
+    ]
+    want = None
+    for perm in itertools.permutations(range(3)):
+        tbl = SnapshotTable(str(tmp_path / ("t" + "".join(map(str, perm)))))
+        for i in perm:
+            tbl.apply_changes(spark, _ch(spark, batches[i]), ["k"],
+                              seq_col="seq")
+        got = _rows(tbl.read(spark))
+        if want is None:
+            want = got
+        assert got == want, (perm, got, want)
+    assert want == [(1, "a3", 30), (2, "b1", 11), (3, "c2", 21),
+                    (5, "e3", 32)]
+
+
+def test_tombstone_expiry_reopens_window_deliberately(spark, tmp_path):
+    """expire_tombstones drops guards <= the cutoff: after expiry a
+    late change older than the expired delete CAN land — which is why
+    retention must exceed source lateness (documented contract)."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.apply_changes(
+        spark, _ch(spark, [(1, "a", 10, "upsert"), (2, None, 60, "delete")]),
+        ["k"], seq_col="seq",
+    )
+    res = tbl.expire_tombstones(spark, "seq", before_seq=50)
+    assert res["expired"] == 0 and res["retained"] == 1
+    res = tbl.expire_tombstones(spark, "seq", before_seq=60)
+    assert res["expired"] == 1 and res["retained"] == 0
+    tbl.apply_changes(
+        spark, _ch(spark, [(2, "late", 30, "upsert")]), ["k"], seq_col="seq"
+    )
+    assert _rows(tbl.read(spark)) == [(1, "a", 10), (2, "late", 30)]
 
 
 def test_apply_changes_rejects_unknown_op_and_unordered_dups(spark, tmp_path):
