@@ -518,6 +518,62 @@ class SnapshotTable:
         self._publish(version, man)
         return version
 
+    def optimize_small_files(
+        self,
+        spark: SparkSession,
+        small_file_rows: int,
+        target_rows_per_file: int | None = None,
+    ) -> dict:
+        """SELECTIVE compaction — the incremental form of
+        :meth:`optimize` that survives 100 TB: only files with fewer
+        than ``small_file_rows`` rows (footer ``num_rows``, no data
+        pages read) are rewritten into ~``target_rows_per_file`` files;
+        every right-sized file is carried into the new version BY
+        REFERENCE, so the cost is O(small files), not O(table) — the
+        real OPTIMIZE bin-packing contract. Deletion vectors on the
+        rewritten files are materialized by the rewrite (their DV rows
+        go inert); DVs on carried files stay live and carried.
+
+        Returns ``{"version", "compacted_files", "kept_files",
+        "new_files"}``; fewer than two small files is a no-op."""
+        import pyarrow.parquet as pq
+
+        target_rows_per_file = target_rows_per_file or small_file_rows * 4
+        m = self.manifest()
+        sizes = {
+            f: pq.ParquetFile(os.path.join(self.root, f)).metadata.num_rows
+            for f in m["files"]
+        }
+        smalls = sorted(f for f, n in sizes.items() if n < small_file_rows)
+        if len(smalls) < 2:
+            return {
+                "version": m["version"],
+                "compacted_files": 0,
+                "kept_files": len(m["files"]),
+                "new_files": 0,
+            }
+        total = sum(sizes[f] for f in smalls)
+        n_out = max(1, -(-total // target_rows_per_file))  # ceil div
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        merged = self._read_files(
+            spark, smalls, schema, m.get("dv_files")
+        ).coalesce(n_out)
+        version = m["version"] + 1
+        new_files = self._write_data(merged, version, m["schema"])
+        kept = [f for f in m["files"] if f not in set(smalls)]
+        man = self._cow_manifest(
+            version, m["version"], "compact", m["schema"], kept, new_files, m
+        )
+        if m.get("dv_files"):
+            man["dv_files"] = m["dv_files"]
+        self._publish(version, man)
+        return {
+            "version": version,
+            "compacted_files": len(smalls),
+            "kept_files": len(kept),
+            "new_files": len(new_files),
+        }
+
     def optimize(
         self,
         spark: SparkSession,

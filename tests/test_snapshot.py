@@ -1251,3 +1251,38 @@ def test_schema_evolution_refusals_and_legacy_upgrade(spark, tmp_path):
     assert sorted(tuple(r) for r in leg.read(spark).collect()) == [
         (1, "a"), (2, "b")
     ]
+
+
+def test_optimize_small_files_is_selective(spark, tmp_path):
+    """Incremental compaction: only under-sized files are rewritten;
+    right-sized files are carried BY REFERENCE (O(small), not
+    O(table)); DVs on rewritten files materialize, logical state is
+    exactly preserved."""
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    # one big file (300 rows), six small ones (10 each)
+    tbl.commit(
+        spark.createDataFrame(
+            [(i, f"b{i}") for i in range(300)], "k long, v string"
+        ).coalesce(1)
+    )
+    for c in range(6):
+        tbl.commit(
+            spark.createDataFrame(
+                [(1000 + c * 10 + j, "s") for j in range(10)], "k long, v string"
+            ).coalesce(1)
+        )
+    tbl.delete_where(spark, "k = 1005", mode="mor")  # DV on a small file
+    big = [f for f in tbl.manifest(1)["files"]]
+    before = sorted(tuple(r) for r in tbl.read(spark).collect())
+    res = tbl.optimize_small_files(spark, small_file_rows=100)
+    assert res["compacted_files"] == 6 and res["kept_files"] == 1
+    m = tbl.manifest()
+    assert big[0] in m["files"]  # the big file carried by reference
+    assert len(m["files"]) == 1 + res["new_files"]
+    assert sorted(tuple(r) for r in tbl.read(spark).collect()) == before
+    assert len(before) == 359  # 300 + 60 - 1 deleted
+    # second pass: nothing left to compact
+    res2 = tbl.optimize_small_files(spark, small_file_rows=100)
+    assert res2["compacted_files"] == 0 and res2["version"] == res["version"]
