@@ -46,6 +46,9 @@ HEADLINE = [
     "tpch_q09",                # TPC-H profit: 6-table join + synth partsupp (round 5)
     "q99zzd_snapshot_merge_delete",  # copy-on-write MERGE+DELETE (round 5)
     "q99zzf_bm25_ranked_retrieval",  # BM25 inverted-index retrieval (round 5)
+    "tpcds_q36",               # DS rollup+grouping+rank report (round 6)
+    "tpcds_q97",               # DS channel-overlap full-outer census (round 6)
+    "q99zzo_cdc_apply_stream", # streaming CDC apply into the table fmt (round 6)
 ]
 
 
