@@ -1549,8 +1549,41 @@ class SnapshotTable:
                 F.col("_sg_tseq").isNull()
                 | (F.col(seq_col) > F.col("_sg_tseq"))
             ).drop("_sg_tseq")
-            skipped_stale = changes.count() - fresh.count()
+            n_before = changes.count()
             changes = fresh
+        else:
+            n_before = None
+        # The resolved change set feeds ~6 downstream jobs (counts, key
+        # discovery, classification splits, the write); persist it once
+        # so the window-dedup + stale-skip joins don't recompute per
+        # job — at big-batch scale that recomputation is the memory
+        # and wall-clock hot spot.
+        from pyspark import StorageLevel
+
+        changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            skipped_stale = (
+                n_before - changes.count() if n_before is not None else 0
+            )
+            return self._apply_resolved(
+                spark, changes, key_cols, op_col, seq_col, mode, epoch_id,
+                m, head, schema, schema_json, merged_schema, target,
+                prev_dv, prev_ts, skipped_stale,
+            )
+        finally:
+            changes.unpersist()
+
+    def _apply_resolved(
+        self, spark, changes, key_cols, op_col, seq_col, mode, epoch_id,
+        m, head, schema, schema_json, merged_schema, target, prev_dv,
+        prev_ts, skipped_stale,
+    ) -> dict:
+        """The post-resolution half of :meth:`apply_changes`:
+        ``changes`` is the deduped, stale-filtered (and persisted)
+        effective change set; everything here is classification,
+        writes, and the manifest."""
+        from pyspark.sql import functions as F
+
         keys = changes.select(*key_cols).distinct()
         hit = (
             target.select(*key_cols, "_sg_file")
