@@ -1,4 +1,4 @@
-"""A TPC-DS-derived 12-query subset over synthesized multi-channel
+"""A TPC-DS-derived 15-query subset over synthesized multi-channel
 retail tables (VERDICT r5 item 5).
 
 TPC-H (plans/tpch.py, 22/22 green) under-exercises the shapes TPC-DS
@@ -765,3 +765,204 @@ def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("both_channels"),
     )
     return out
+
+
+@query(
+    "tpcds_q29",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    sold AS (
+      SELECT item_sk, SUM(qty) AS sold_qty
+      FROM store_sales WHERE NOT returned AND YEAR(sold_date) = 1999
+      GROUP BY item_sk
+    ),
+    ret AS (
+      SELECT item_sk, SUM(qty) AS ret_qty
+      FROM store_sales WHERE returned AND YEAR(sold_date) = 1999
+      GROUP BY item_sk
+    ),
+    rebought AS (
+      SELECT item_sk, SUM(qty) AS cat_qty
+      FROM catalog_sales WHERE YEAR(sold_date) IN (1999, 2000)
+      GROUP BY item_sk
+    )
+    SELECT s.item_sk AS item, s.sold_qty, r.ret_qty, b.cat_qty
+    FROM sold s
+    JOIN ret r ON s.item_sk = r.item_sk
+    JOIN rebought b ON s.item_sk = b.item_sk
+    ORDER BY item NULLS LAST, sold_qty NULLS LAST, ret_qty NULLS LAST,
+             cat_qty NULLS LAST
+    """,
+)
+def tpcds_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q29 (the buy → return → re-buy-through-catalog report,
+    per item): three per-channel item aggregates joined on the item
+    key. Substitutions: store_returns is the returned slice of
+    store_sales; the pair-level (item, customer) correlation of the
+    reference is item-level here — at the fixtures' channel split a
+    same-customer triple is a ~single-row result, which would make the
+    oracle vacuous. 100 TB: the three aggregates shuffle on the SAME
+    key, so AQE co-partitions the joins with no extra exchange."""
+    ss = _channel(spark, sf_dir, "store")
+    y = F.year("sold_date")
+    sold = (
+        ss.filter(~F.col("returned") & (y == 1999))
+        .groupBy("item_sk")
+        .agg(F.sum("qty").alias("sold_qty"))
+    )
+    ret = (
+        ss.filter(F.col("returned") & (y == 1999))
+        .groupBy("item_sk")
+        .agg(F.sum("qty").alias("ret_qty"))
+    )
+    rebought = (
+        _channel(spark, sf_dir, "catalog")
+        .filter(y.isin(1999, 2000))
+        .groupBy("item_sk")
+        .agg(F.sum("qty").alias("cat_qty"))
+    )
+    out = (
+        sold.join(ret, on="item_sk")
+        .join(rebought, on="item_sk")
+        .select(
+            F.col("item_sk").alias("item"), "sold_qty", "ret_qty", "cat_qty"
+        )
+    )
+    return ordered(out, "item", "sold_qty", "ret_qty", "cat_qty")
+
+
+@query(
+    "tpcds_q51",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    wd AS (
+      SELECT item_sk, sold_date,
+             SUM(SUM(ext_cents))
+               OVER (PARTITION BY item_sk ORDER BY sold_date) AS cume
+      FROM web_sales WHERE YEAR(sold_date) = 2000 AND item_sk % 50 = 0
+      GROUP BY item_sk, sold_date
+    ),
+    sd AS (
+      SELECT item_sk, sold_date,
+             SUM(SUM(ext_cents))
+               OVER (PARTITION BY item_sk ORDER BY sold_date) AS cume
+      FROM store_sales WHERE YEAR(sold_date) = 2000 AND item_sk % 50 = 0
+      GROUP BY item_sk, sold_date
+    )
+    SELECT COALESCE(w.item_sk, s.item_sk) AS item,
+           COALESCE(w.sold_date, s.sold_date) AS d,
+           w.cume AS web_cume, s.cume AS store_cume
+    FROM wd w
+    FULL OUTER JOIN sd s
+      ON w.item_sk = s.item_sk AND w.sold_date = s.sold_date
+    WHERE COALESCE(w.cume, 0) > COALESCE(s.cume, 0)
+    ORDER BY item NULLS LAST, d NULLS LAST, web_cume NULLS LAST,
+             store_cume NULLS LAST
+    """,
+)
+def tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 (item-days where the WEB cumulative revenue leads the
+    store's): per-channel daily aggregate, a running-total window over
+    each, FULL OUTER JOIN on (item, day) — aggregate-then-window-then-
+    outer-join, the one composition no other catalog query exercises.
+    Money in integer cents keeps both the cumulative sums and the
+    comparison exact. 100 TB: window partitions by item (parallel);
+    the outer join co-shuffles two already-aggregated (small) sides."""
+    y2000 = F.year("sold_date") == 2000
+    sel = F.col("item_sk") % 50 == 0
+
+    def cume(chan: str) -> DataFrame:
+        daily = (
+            _channel(spark, sf_dir, chan)
+            .filter(y2000 & sel)
+            .groupBy("item_sk", "sold_date")
+            .agg(F.sum("ext_cents").alias("day_cents"))
+        )
+        w = Window.partitionBy("item_sk").orderBy("sold_date")
+        return daily.select(
+            "item_sk", "sold_date", F.sum("day_cents").over(w).alias("cume")
+        )
+
+    wd = cume("web").select(
+        F.col("item_sk").alias("w_item"),
+        F.col("sold_date").alias("w_date"),
+        F.col("cume").alias("web_cume"),
+    )
+    sd = cume("store").select(
+        F.col("item_sk").alias("s_item"),
+        F.col("sold_date").alias("s_date"),
+        F.col("cume").alias("store_cume"),
+    )
+    out = (
+        wd.join(
+            sd,
+            (wd.w_item == sd.s_item) & (wd.w_date == sd.s_date),
+            "full_outer",
+        )
+        .filter(
+            F.coalesce(F.col("web_cume"), F.lit(0))
+            > F.coalesce(F.col("store_cume"), F.lit(0))
+        )
+        .select(
+            F.coalesce(F.col("w_item"), F.col("s_item")).alias("item"),
+            F.coalesce(F.col("w_date"), F.col("s_date")).alias("d"),
+            "web_cume",
+            "store_cume",
+        )
+    )
+    return ordered(out, "item", "d", "web_cume", "store_cume")
+
+
+@query(
+    "tpcds_q73",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    tickets AS (
+      SELECT l_orderkey AS ticket, o_custkey AS cust_sk,
+             COUNT(*) AS items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE (l_orderkey * 7 + l_linenumber) % 4 <= 1
+      GROUP BY l_orderkey, o_custkey
+      HAVING COUNT(*) BETWEEN 4 AND 7
+    )
+    SELECT c_custkey AS customer, c_mktsegment AS segment,
+           ticket, items
+    FROM tickets JOIN customer ON cust_sk = c_custkey
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ORDER BY customer NULLS LAST, segment NULLS LAST, ticket NULLS LAST,
+             items NULLS LAST
+    """,
+)
+def tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q73 (customers with burst purchases: store tickets
+    holding 4–7 items, joined to the customer dimension) — the
+    aggregate-HAVING-then-join shape. The ticket is the order key;
+    the store channel filter keeps parity with the synthesized
+    channel split. 100 TB: the per-ticket count is map-side-partial
+    on the natural lineitem clustering (orderkey), and the customer
+    join happens AFTER the HAVING has cut the ticket set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tickets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 4 <= 1)
+        .groupBy(
+            F.col("l_orderkey").alias("ticket"),
+            F.col("o_custkey").alias("cust_sk"),
+        )
+        .agg(F.count(F.lit(1)).alias("items"))
+        .filter(F.col("items").between(4, 7))
+    )
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    out = tickets.join(cu, tickets.cust_sk == cu.c_custkey).select(
+        F.col("c_custkey").alias("customer"),
+        F.col("c_mktsegment").alias("segment"),
+        "ticket",
+        "items",
+    )
+    return ordered(out, "customer", "segment", "ticket", "items")
