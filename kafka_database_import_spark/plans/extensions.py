@@ -1764,3 +1764,93 @@ def q99zzq_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tbl.drop_column("status")                             # v4: tombstone
     return ordered(tbl.read(spark), "k", "total_cents", "src")
+
+
+@query(
+    "q99zzr_table_replication_stream",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) / 100 AS dollars
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    ORDER BY k NULLS LAST, status NULLS LAST, cents NULLS LAST,
+             dollars NULLS LAST
+    """,
+)
+def q99zzr_table_replication_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental table-to-table replication — the round-6 pieces
+    composed end-to-end: table A's append lineage read through the
+    PARTITION-PLANNED ``kdis_snapshot_changes`` source (one task per
+    added file), each micro-batch transformed (filter + derived
+    column) and committed into table B via ``SnapshotCommitSink``
+    (epoch-in-manifest exactly-once). B is a filtered/derived
+    materialization of A maintained purely from deltas — the O(delta)
+    downstream-table pattern (Delta's table-stream → table pipeline);
+    the oracle recomputes B relationally from the source rows.
+    maxVersionsPerBatch=1 makes the replication version-per-version
+    (3 source commits → 3 replica versions, each epoch recorded)."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+    import time as _time
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotCommitSink,
+        SnapshotTable,
+    )
+    from kafka_database_import_spark.sources.snapshot_stream import register
+
+    register(spark)
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root_a = _os.path.join(_tf.gettempdir(), f"kdis_repla_{tag}")
+    root_b = _os.path.join(_tf.gettempdir(), f"kdis_replb_{tag}")
+    tbl_b = SnapshotTable(root_b)
+    if tbl_b.latest_version() != 3:
+        import shutil as _sh
+
+        _sh.rmtree(root_a, ignore_errors=True)
+        _sh.rmtree(root_b, ignore_errors=True)
+        tbl_a = SnapshotTable(root_a)
+        base = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        for part in range(3):
+            tbl_a.commit(base.filter(F.col("k") % 3 == part))
+        tbl_b = SnapshotTable(root_b)
+        sink = SnapshotCommitSink(tbl_b)
+
+        def replicate(batch_df, epoch_id):
+            out = batch_df.filter(F.col("status") == "O").withColumn(
+                "dollars", F.col("cents") / 100
+            )
+            sink(out, epoch_id)
+
+        # availableNow snapshots latestOffset ONCE, which the
+        # 1-version-per-batch cap would truncate to the first delta —
+        # run the continuous micro-batch trigger and drain until the
+        # replica has caught up to the source head instead.
+        q = (
+            spark.readStream.format("kdis_snapshot_changes")
+            .option("path", root_a)
+            .option("maxVersionsPerBatch", "1")
+            .load()
+            .writeStream.foreachBatch(replicate)
+            .outputMode("append")
+            .option("checkpointLocation", _os.path.join(root_b, "_ckpt"))
+            .start()
+        )
+        try:
+            deadline = _time.monotonic() + 240
+            while _time.monotonic() < deadline:
+                if tbl_b.latest_version() == 3:
+                    break
+                _time.sleep(0.3)
+        finally:
+            q.stop()
+        assert tbl_b.latest_version() == 3, tbl_b.versions()
+    return ordered(tbl_b.read(spark), "k", "status", "cents", "dollars")

@@ -890,3 +890,66 @@ def test_random_window_over_join_agrees_across_engines(spark, sf_dir, seed):
     con = oracle.duckdb_connection(sf_dir)
     r = oracle.compare(f"fuzzjoinwindow_{seed}", s_df, sql, con)
     assert r.match, f"seed={seed}\nsql={sql}\ndiff={r.sample_diff[:400]}"
+
+
+# --------------------------------------------------------------------------
+# Family 15 (round 6): CDC changelog convergence. Random mixed
+# upsert/delete changelogs, randomly partitioned into micro-batches
+# applied in RANDOM ORDER in a random write strategy, must converge to
+# DuckDB's sequence-ordered latest-change-per-key recompute — the
+# apply_changes order-insensitivity law (within-batch dedup +
+# stale-skip + delete tombstones) as a differential property.
+
+
+def _cdc_changelog(seed: int):
+    rng = random.Random(880_000 + seed)
+    n = rng.randint(10, 40)
+    rows = []
+    for seq in range(1, n + 1):
+        k = rng.randrange(12)
+        op = "delete" if rng.random() < 0.35 else "upsert"
+        rows.append((k, f"v{seq}" if op == "upsert" else None, seq, op))
+    nb = rng.randint(1, 4)
+    batches: list[list] = [[] for _ in range(nb)]
+    for r in rows:
+        batches[rng.randrange(nb)].append(r)
+    order = list(range(nb))
+    rng.shuffle(order)
+    mode = rng.choice(["cow", "mor"])
+    return rows, [batches[i] for i in order if batches[i]], mode
+
+
+@pytest.mark.parametrize("seed", _seeds(8))
+def test_random_cdc_changelog_converges_to_latest_per_key(
+    spark, tmp_path, seed
+):
+    import duckdb
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    rows, batches, mode = _cdc_changelog(seed)
+    tbl = SnapshotTable(str(tmp_path / f"cdc{seed}"))
+    for b in batches:
+        tbl.apply_changes(
+            spark,
+            spark.createDataFrame(b, "k long, v string, seq long, _op string"),
+            ["k"],
+            seq_col="seq",
+            mode=mode,
+        )
+    got = sorted(tuple(r) for r in tbl.read(spark).collect())
+    vals = ", ".join(
+        f"({k}, {'NULL' if v is None else repr(v)}, {s}, '{op}')"
+        for k, v, s, op in rows
+    )
+    con = duckdb.connect()  # keep a reference: a GC'd connection
+    want = sorted(  # closes mid-query ("Connection has already been closed")
+        tuple(r)
+        for r in con.sql(
+            f"WITH ch(k, v, seq, op) AS (VALUES {vals}), "
+            f"latest AS (SELECT k, v, seq, op, ROW_NUMBER() OVER "
+            f"(PARTITION BY k ORDER BY seq DESC) AS rn FROM ch) "
+            f"SELECT k, v, seq FROM latest WHERE rn = 1 AND op = 'upsert'"
+        ).fetchall()
+    )
+    assert got == want, (seed, mode, got, want)
