@@ -176,15 +176,41 @@ def _overwrite_schema(
     return T.StructType(fields).json(), extras
 
 
+# Safe widening promotions (Iceberg's type-promotion set): the parquet
+# reader decodes a narrow physical column under the wider requested
+# type natively, so files written before OR after the widening read
+# correctly under the widened manifest schema. Keys are simpleString.
+_WIDEN_CHAINS = (
+    ["tinyint", "smallint", "int", "bigint"],
+    ["float", "double"],
+)
+
+
+def _wider_type(a: "T.DataType", b: "T.DataType") -> "T.DataType | None":
+    """The wider of two types if one safely widens to the other, the
+    common type if equal, else None (a real type CHANGE)."""
+    if a == b:
+        return a
+    an, bn = a.simpleString(), b.simpleString()
+    for chain in _WIDEN_CHAINS:
+        if an in chain and bn in chain:
+            return a if chain.index(an) >= chain.index(bn) else b
+    return None
+
+
 def _merge_schema(prev_m: dict | str, new_schema: "T.StructType") -> str:
     """Additive schema evolution for append commits: the manifest
     schema is previous fields + any NEW fields, in stable order. Old
     data files simply lack the new columns — Spark fills NULL when the
     read supplies the manifest schema — and new files may omit old
-    columns the writer dropped (also NULL). Same-name type changes are
-    refused. On a field-id table (accepting the MANIFEST dict so the
-    dropped-id tombstones are visible), new fields get fresh ids that
-    no live or dropped column ever used."""
+    columns the writer dropped (also NULL). Same-name SAFE WIDENING
+    (tinyint→smallint→int→bigint, float→double) adopts the wider type
+    — the scan decodes narrow files under the wide schema natively, in
+    either commit order — while any other type change is refused. On a
+    field-id table (accepting the MANIFEST dict so the dropped-id
+    tombstones are visible), new fields get fresh ids that no live or
+    dropped column ever used; a widened column keeps its id (same
+    identity)."""
     prev_manifest = prev_m if isinstance(prev_m, dict) else {"schema": prev_m}
     prev = T.StructType.fromJson(json.loads(prev_manifest["schema"]))
     by_name = {f.name: f for f in prev.fields}
@@ -193,10 +219,16 @@ def _merge_schema(prev_m: dict | str, new_schema: "T.StructType") -> str:
     merged = list(prev.fields)
     for f in new_schema.fields:
         if f.name in by_name:
-            if f.dataType != by_name[f.name].dataType:
+            pf = by_name[f.name]
+            w = _wider_type(pf.dataType, f.dataType)
+            if w is None:
                 raise SchemaEvolutionError(
-                    f"column {f.name!r}: {by_name[f.name].dataType.simpleString()} "
+                    f"column {f.name!r}: {pf.dataType.simpleString()} "
                     f"-> {f.dataType.simpleString()} is a type CHANGE, not evolution"
+                )
+            if w != pf.dataType:  # widen in place, keep identity/metadata
+                merged[merged.index(pf)] = T.StructField(
+                    pf.name, w, pf.nullable, pf.metadata
                 )
         else:
             meta = dict(f.metadata or {})

@@ -1286,3 +1286,56 @@ def test_optimize_small_files_is_selective(spark, tmp_path):
     # second pass: nothing left to compact
     res2 = tbl.optimize_small_files(spark, small_file_rows=100)
     assert res2["compacted_files"] == 0 and res2["version"] == res["version"]
+
+
+def test_schema_widening_append_and_back(spark, tmp_path):
+    """Safe type widening (int→bigint, float→double) on append: the
+    manifest adopts the wider type, files written under EITHER width
+    decode correctly, the field id survives, and a genuinely different
+    type still refuses."""
+    import json as _json
+
+    import pytest as _pt
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SchemaEvolutionError,
+        SnapshotTable,
+    )
+    from pyspark.sql import types as T
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(spark.createDataFrame([(1, 1.5)], "k int, x float"))
+    id_before = {
+        f.name: f.metadata.get("parquet.field.id")
+        for f in T.StructType.fromJson(
+            _json.loads(tbl.manifest()["schema"])
+        ).fields
+    }
+    # widening append
+    tbl.commit(spark.createDataFrame([(2_000_000_000_000, 2.5)],
+                                     "k long, x double"))
+    got = tbl.read(spark)
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "bigint", "double"
+    ]
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (1, 1.5), (2_000_000_000_000, 2.5)
+    ]
+    # narrow append into the widened table keeps the wide type
+    tbl.commit(spark.createDataFrame([(3, 3.5)], "k int, x float"))
+    got = tbl.read(spark)
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "bigint", "double"
+    ]
+    assert got.count() == 3
+    # identity preserved through the widening
+    id_after = {
+        f.name: f.metadata.get("parquet.field.id")
+        for f in T.StructType.fromJson(
+            _json.loads(tbl.manifest()["schema"])
+        ).fields
+    }
+    assert id_after == id_before
+    # a real type change still refuses
+    with _pt.raises(SchemaEvolutionError, match="type CHANGE"):
+        tbl.commit(spark.createDataFrame([("x", 1.0)], "k string, x double"))
