@@ -331,13 +331,20 @@ class SnapshotTable:
 
     # ----------------------------------------------------------- commits
     def commit(
-        self, df: DataFrame, mode: str = "append", epoch_id: int | None = None
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        epoch_id: int | None = None,
+        rewrite_only: bool = False,
     ) -> int:
         """Write ``df``'s rows as immutable files and publish the next
         version atomically. ``mode='append'`` keeps the previous file
         list; ``'overwrite'`` replaces it. ``epoch_id`` (streaming
         writers) is recorded in the manifest for replay detection.
-        Returns the new version.
+        ``rewrite_only`` marks the commit as LOGICALLY NEUTRAL (same
+        rows, new layout — compaction/optimize): lineage walkers
+        (``changes``, the streaming source) pass through it instead of
+        resetting. Returns the new version.
 
         Raises :class:`ConcurrentCommitError` if another writer
         published the same version between our head read and our link —
@@ -373,6 +380,8 @@ class SnapshotTable:
             manifest["dv_files"] = dv_files
         if epoch_id is not None:
             manifest["epoch_id"] = epoch_id
+        if rewrite_only:
+            manifest["rewrite_only"] = True
         self._publish(version, manifest)
         return version
 
@@ -467,7 +476,7 @@ class SnapshotTable:
         commit the same logical state as a new overwrite version. Old
         versions keep reading their original immutable files."""
         current = self.read(spark).coalesce(target_files)
-        return self.commit(current, mode="overwrite")
+        return self.commit(current, mode="overwrite", rewrite_only=True)
 
     # ------------------------------------------- schema evolution (DDL)
     def _require_field_ids(self, m: dict, op: str) -> dict[str, int]:
@@ -596,6 +605,7 @@ class SnapshotTable:
         man = self._cow_manifest(
             version, m["version"], "compact", m["schema"], kept, new_files, m
         )
+        man["rewrite_only"] = True
         if m.get("dv_files"):
             man["dv_files"] = m["dv_files"]
         self._publish(version, man)
@@ -663,7 +673,7 @@ class SnapshotTable:
             )
         else:
             out = current.coalesce(target_files)
-        version = self.commit(out, mode="overwrite")
+        version = self.commit(out, mode="overwrite", rewrite_only=True)
         return {
             "version": version,
             "files_before": files_before,
@@ -1810,7 +1820,11 @@ class StatsSnapshotTable(SnapshotTable):
         return files
 
     def commit(
-        self, df: DataFrame, mode: str = "append", epoch_id: int | None = None
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        epoch_id: int | None = None,
+        rewrite_only: bool = False,
     ) -> int:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode: {mode!r}")
@@ -1846,6 +1860,8 @@ class StatsSnapshotTable(SnapshotTable):
             manifest["dv_files"] = dv_files
         if epoch_id is not None:
             manifest["epoch_id"] = epoch_id
+        if rewrite_only:
+            manifest["rewrite_only"] = True
         self._publish(version, manifest)
         return version
 
@@ -1915,18 +1931,27 @@ def changes(
     append commits; an overwrite in the range resets lineage, which
     this detects and rejects rather than silently double-counting."""
     to_version = to_version if to_version is not None else tbl.latest_version()
-    base = tbl.manifest(from_version)
     cur = tbl.manifest(to_version)
+    new_files: list[str] = []
     v = to_version
     while v is not None and v > from_version:
         m = tbl.manifest(v)
+        if m.get("rewrite_only"):
+            # logically-neutral rewrite (compaction/optimize): adds no
+            # rows — pass through instead of resetting lineage
+            v = m["base"]
+            continue
         if m["mode"] != "append":
             raise ValueError(
                 f"version {v} is {m['mode']!r}: file-diff changes are only "
                 f"defined across append commits — re-read the full snapshot"
             )
-        v = m["base"]
-    new_files = [f for f in cur["files"] if f not in set(base["files"])]
+        base_v = m["base"]
+        parent_files = (
+            set(tbl.manifest(base_v)["files"]) if base_v else set()
+        )
+        new_files[:0] = [f for f in m["files"] if f not in parent_files]
+        v = base_v
     schema = T.StructType.fromJson(json.loads(cur["schema"]))
     if not new_files:
         return spark.createDataFrame([], schema)

@@ -82,26 +82,36 @@ def _make():
             ) from None
 
     def _added_files(root: str, start_v: int, end_v: int) -> list[str]:
-        """Relative paths of the files added in (start_v, end_v] — the
-        manifest file-list diff (small JSON, driver-side O(delta)),
+        """Relative paths of the files added in (start_v, end_v] —
+        per-version manifest diffs (small JSON, driver-side O(delta)),
         with the append-lineage guard walked over every version in the
-        range."""
+        range. REWRITE-ONLY versions (compaction / optimize — same
+        rows, new layout) add nothing and are passed through, so table
+        maintenance never breaks a downstream stream consumer; the
+        pre-rewrite files an in-range append points at stay readable
+        until vacuum reclaims them (and a vacuumed gap fails loudly,
+        per the retention contract)."""
         mdir = os.path.join(root, "_manifests")
-        cur = _manifest(mdir, end_v)
+        added: list[str] = []
         v = end_v
         while v is not None and v > start_v:
             m = _manifest(mdir, v)
+            if m.get("rewrite_only"):
+                v = m["base"]
+                continue
             if m["mode"] != "append":
                 raise ValueError(
                     f"version {v} is {m['mode']!r}: the changes stream "
                     f"tails APPEND lineage only — restart the consumer "
                     f"from a full snapshot after a mutation/overwrite"
                 )
-            v = m["base"]
-        base_files = (
-            set(_manifest(mdir, start_v)["files"]) if start_v > 0 else set()
-        )
-        return [f for f in cur["files"] if f not in base_files]
+            base_v = m["base"]
+            parent = (
+                set(_manifest(mdir, base_v)["files"]) if base_v else set()
+            )
+            added[:0] = [f for f in m["files"] if f not in parent]
+            v = base_v
+        return added
 
     def _projected_batches(path: str, schema_json: str):
         """The file's RecordBatches projected to the frozen stream

@@ -374,3 +374,61 @@ def test_vacuum_vs_lagging_stream_reader_retention(spark, tmp_path):
     rdr2 = SnapshotChangesDataSource(options={"path": t2.root}).streamReader(None)
     with _pt.raises(ValueError, match="vacuumed"):
         rdr2.partitions({"version": 2}, {"version": 5})
+
+
+def test_maintenance_compaction_does_not_break_changes_stream(spark, tmp_path):
+    """Rewrite-only commits (compact/optimize) are logically neutral:
+    the streaming changes reader passes THROUGH them — no rows, no
+    lineage reset — while a genuine mutation still raises. Batch
+    changes() gets the same contract."""
+    import time
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        changes,
+    )
+    from kafka_database_import_spark.sources.snapshot_stream import register
+
+    register(spark)
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(root)
+    tbl.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+
+    name = "kdis_compat_stream"
+    q = (
+        spark.readStream.format("kdis_snapshot_changes")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def drained(n):
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= n:
+                return
+            time.sleep(0.3)
+        raise AssertionError(f"timeout below {n}")
+
+    try:
+        drained(2)
+        tbl.optimize(spark, target_files=1)  # v2: rewrite-only
+        tbl.commit(spark.createDataFrame([(3, "c")], "k long, v string"))  # v3
+        drained(3)
+        got = sorted((r["k"], r["v"]) for r in spark.table(name).collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c")]  # no dupes, no loss
+    finally:
+        q.stop()
+
+    # batch changes() across the compaction: only the append's rows
+    delta = changes(tbl, spark, from_version=1)
+    assert sorted(tuple(r) for r in delta.collect()) == [(3, "c")]
+    # a genuine mutation still resets lineage loudly
+    tbl.delete_where(spark, "k = 1")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="append"):
+        changes(tbl, spark, from_version=1).collect()
