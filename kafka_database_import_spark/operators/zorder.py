@@ -91,3 +91,26 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zvalue_nd(cols: list[Column], bits: int | None = None) -> Column:
+    """N-dimensional Morton code: bit i of column j lands at position
+    i·N + j, so every dimension gets equal weight in the range order.
+    Default bits = 32 // N keeps the code in a 32-bit budget (more
+    dimensions → coarser per-dimension grid — the standard Z-order
+    tradeoff; beyond ~4 columns the curve degrades toward noise and a
+    hierarchical sort usually wins). All inputs must already be
+    normalized onto [0, 2^bits) (see :func:`normalized16` /
+    ``floor(x·(2^bits−1)/range)``). Same flat unrolled bit expression
+    as :func:`zvalue` — stays inside whole-stage codegen."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zvalue_nd needs at least 2 columns")
+    bits = bits if bits is not None else max(1, 32 // n)
+    z: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z

@@ -526,8 +526,37 @@ class SnapshotTable:
             "mode": "rename",
             "schema": T.StructType(fields).json(),
         }
+        if "stats" in man:
+            # stats are column VALUES keyed by name — carry them under
+            # the new name so stats pruning keeps working post-rename
+            man["stats"] = {
+                f: {(new if c == old else c): rng for c, rng in st.items()}
+                for f, st in man["stats"].items()
+            }
         self._publish(version, man)
         return version
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one dict per version (ascending) with the
+        operational metadata a consumer audits — version, base, mode,
+        file/DV/tombstone counts, epoch, rewrite-only flag. Pure
+        manifest reads, O(versions)."""
+        out = []
+        for v in self.versions():
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "base": m.get("base"),
+                    "mode": m["mode"],
+                    "n_files": len(m["files"]),
+                    "n_dv_files": len(m.get("dv_files", [])),
+                    "n_tombstone_files": len(m.get("tombstone_files", [])),
+                    "epoch_id": m.get("epoch_id"),
+                    "rewrite_only": bool(m.get("rewrite_only")),
+                }
+            )
+        return out
 
     def drop_column(self, name: str) -> int:
         """Drop a column — metadata-only commit. The field's id is
@@ -619,7 +648,7 @@ class SnapshotTable:
     def optimize(
         self,
         spark: SparkSession,
-        zorder_by: tuple[str, str] | None = None,
+        zorder_by: tuple[str, ...] | None = None,
         target_files: int = 8,
     ) -> dict:
         """The OPTIMIZE maintenance op — one overwrite commit composing
@@ -629,10 +658,11 @@ class SnapshotTable:
           and merge-on-read deletion vectors MATERIALIZED (the read
           plans through DVs, the rewrite bakes them in, the new
           manifest drops them) — same contract as :meth:`compact`;
-        * **Z-order clustering** — with ``zorder_by=(x, y)``, rows are
-          range-shuffled on the Morton interleave of the two keys
-          (operators/zorder.py) so every output file covers a narrow
-          range of BOTH dimensions;
+        * **Z-order clustering** — with ``zorder_by=(c1, c2, ...)``
+          (2+ columns), rows are range-shuffled on the N-dimensional
+          Morton interleave (operators/zorder.py ``zvalue_nd``; per-
+          dimension grid = 32//N bits) so every output file covers a
+          narrow range of EVERY clustered dimension;
         * **stats refresh** — on a :class:`StatsSnapshotTable` the
           rewrite's per-file min/max stats land in the manifest via the
           normal commit path, so ``read_pruned`` skips files on either
@@ -644,27 +674,29 @@ class SnapshotTable:
         ``{"version", "files_before", "files_after", "dv_cleared"}``."""
         from pyspark.sql import functions as F
 
-        from kafka_database_import_spark.operators.zorder import (
-            normalized16,
-            zvalue,
-        )
+        from kafka_database_import_spark.operators.zorder import zvalue_nd
 
         m = self.manifest()
         files_before = len(m["files"])
         dv_before = len(m.get("dv_files", []))
         current = self.read(spark)
         if zorder_by is not None:
-            x_col, y_col = zorder_by
-            b = current.agg(
-                F.min(x_col).alias("xlo"),
-                F.max(x_col).alias("xhi"),
-                F.min(y_col).alias("ylo"),
-                F.max(y_col).alias("yhi"),
-            ).collect()[0]
-            z = zvalue(
-                normalized16(F.col(x_col), b.xlo, b.xhi),
-                normalized16(F.col(y_col), b.ylo, b.yhi),
-            )
+            cols = list(zorder_by)
+            aggs = []
+            for c in cols:
+                aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+            b = current.agg(*aggs).collect()[0]
+            bits = max(1, 32 // len(cols))
+            grid = (1 << bits) - 1
+            normed = [
+                F.floor(
+                    (F.col(c) - F.lit(b[f"lo_{c}"])).cast("double")
+                    * grid
+                    / max(b[f"hi_{c}"] - b[f"lo_{c}"], 1)
+                ).cast("long")
+                for c in cols
+            ]
+            z = zvalue_nd(normed, bits)
             out = (
                 current.withColumn("__z", z)
                 .repartitionByRange(target_files, "__z")

@@ -1339,3 +1339,57 @@ def test_schema_widening_append_and_back(spark, tmp_path):
     # a real type change still refuses
     with _pt.raises(SchemaEvolutionError, match="type CHANGE"):
         tbl.commit(spark.createDataFrame([("x", 1.0)], "k string, x double"))
+
+
+def test_rename_carries_stats_and_history_reports(spark, tmp_path):
+    """Stats pruning survives a rename (stat keys re-keyed to the new
+    name in the metadata commit), and history() reports the lineage
+    audit trail."""
+    from kafka_database_import_spark.sources.snapshot import StatsSnapshotTable
+
+    tbl = StatsSnapshotTable(str(tmp_path / "t"), ["k"])
+    tbl.commit(
+        spark.createDataFrame([(i, "x") for i in range(100)], "k long, v string")
+        .coalesce(1)
+    )
+    tbl.commit(
+        spark.createDataFrame(
+            [(i, "y") for i in range(1000, 1100)], "k long, v string"
+        ).coalesce(1)
+    )
+    tbl.rename_column("k", "key")
+    # pruning on the NEW name hits the carried per-file ranges
+    got = tbl.read_pruned(spark, "key", 1000, 1050)
+    assert got.count() == 51
+    assert tbl.last_pruned_counts == (1, 2)  # one of two files pruned away
+    h = tbl.history()
+    assert [e["mode"] for e in h] == ["append", "append", "rename"]
+    assert h[-1]["n_files"] == 2 and h[-1]["rewrite_only"] is False
+
+
+def test_optimize_zorders_three_dimensions(spark, tmp_path):
+    """N-D Z-order through optimize(): after clustering on THREE keys,
+    stats pruning bites on each of them individually."""
+    import random
+
+    from kafka_database_import_spark.sources.snapshot import StatsSnapshotTable
+
+    rng = random.Random(7)
+    tbl = StatsSnapshotTable(str(tmp_path / "t"), ["a", "b", "c"])
+    rows = [
+        (i, rng.randrange(1000), rng.randrange(1000), rng.randrange(1000))
+        for i in range(4000)
+    ]
+    for ch in range(8):
+        tbl.commit(
+            spark.createDataFrame(
+                rows[ch * 500:(ch + 1) * 500], "k long, a long, b long, c long"
+            )
+        )
+    before = sorted(tuple(r) for r in tbl.read(spark).collect())
+    tbl.optimize(spark, zorder_by=("a", "b", "c"), target_files=8)
+    assert sorted(tuple(r) for r in tbl.read(spark).collect()) == before
+    for col in ("a", "b", "c"):
+        tbl.read_pruned(spark, col, 100, 140).count()
+        kept, total = tbl.last_pruned_counts
+        assert kept < total, (col, tbl.last_pruned_counts)
