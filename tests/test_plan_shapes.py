@@ -390,3 +390,28 @@ def test_sql_udf_inlines_into_codegen(spark, sf_dir):
     )
     rows = spark.sql("SELECT SUM(i) AS s FROM kdis_upto(100)").collect()
     assert rows[0]["s"] == 5050
+
+
+def test_tpcds_q03_broadcasts_both_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpcds_q03")
+    # filtered item + date_dim broadcast into the fact scan; the only
+    # sort-merge-worthy join is lineitem x orders
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q36_rollup_expands_after_filter_and_windows_tiny(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpcds_q36")
+    assert "Expand" in plan           # rollup expansion present...
+    assert "Window" in plan           # ...with the rank over the aggregate
+    # tree prints top-down: the rank Window sits ABOVE the Expand+agg,
+    # i.e. it runs over the tiny aggregate, never the fact rows
+    assert plan.index("Window") < plan.index("Expand")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpcds_q97_full_outer_is_sort_merge(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpcds_q97")
+    # the pair-distinct sides co-shuffle into a sort-merge FULL OUTER —
+    # a broadcast would be wrong (both sides scale with the fact)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
