@@ -854,6 +854,8 @@ class SnapshotTable:
             "version": version,
             "base": m["version"],
             "mode": "maintenance",
+            # expiry changes no rows — lineage walkers pass through
+            "rewrite_only": True,
         }
         if new_ts:
             man["tombstone_files"] = new_ts

@@ -268,3 +268,29 @@ def test_snapshot_merge_sink_crash_replay_effectively_once(spark, tmp_path):
     assert _rows(tbl.read(spark)) == FINAL
     epochs = [tbl.manifest(v).get("epoch_id") for v in tbl.versions()]
     assert epochs == [0, 1, 2]  # each epoch exactly once
+
+
+def test_tombstone_expiry_is_transparent_to_changes_lineage(spark, tmp_path):
+    """expire_tombstones changes no rows: batch changes() passes
+    through the maintenance commit instead of raising."""
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        changes,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.apply_changes(
+        spark, _ch(spark, [(1, "a", 10, "upsert"), (2, None, 20, "delete")]),
+        ["k"], seq_col="seq",
+    )
+    tbl.commit(
+        spark.createDataFrame([(3, "c", 30)], "k long, v string, seq long")
+    )
+    tbl.expire_tombstones(spark, "seq", before_seq=20)
+    tbl.commit(
+        spark.createDataFrame([(4, "d", 40)], "k long, v string, seq long")
+    )
+    delta = changes(tbl, spark, from_version=1)
+    assert sorted(tuple(r) for r in delta.collect()) == [
+        (3, "c", 30), (4, "d", 40)
+    ]
