@@ -520,7 +520,15 @@ class SnapshotTable:
         head = m["version"]
         version = head + 1
         man = {
-            **{k: v for k, v in m.items() if k not in ("version", "base", "mode")},
+            # carry table state, NOT the previous commit's own markers:
+            # a copied rewrite_only would make this rename silently
+            # TRANSPARENT to lineage walkers (whose frozen stream schema
+            # has the old name -> null-filled columns), and a copied
+            # epoch_id would claim a streaming epoch this commit never
+            # processed
+            **{k: v for k, v in m.items()
+               if k not in ("version", "base", "mode", "rewrite_only",
+                            "epoch_id")},
             "version": version,
             "base": head,
             "mode": "rename",
@@ -578,7 +586,9 @@ class SnapshotTable:
         head = m["version"]
         version = head + 1
         man = {
-            **{k: v for k, v in m.items() if k not in ("version", "base", "mode")},
+            **{k: v for k, v in m.items()
+               if k not in ("version", "base", "mode", "rewrite_only",
+                            "epoch_id")},  # see rename_column's note
             "version": version,
             "base": head,
             "mode": "drop",
@@ -850,7 +860,8 @@ class SnapshotTable:
         new_ts = self._write_tombstones(keep, version) if kept_n else []
         man = {
             **{k: v for k, v in m.items()
-               if k not in ("version", "base", "mode", "tombstone_files")},
+               if k not in ("version", "base", "mode", "tombstone_files",
+                            "epoch_id")},
             "version": version,
             "base": m["version"],
             "mode": "maintenance",

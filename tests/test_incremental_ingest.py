@@ -432,3 +432,30 @@ def test_maintenance_compaction_does_not_break_changes_stream(spark, tmp_path):
 
     with _pt.raises(ValueError, match="append"):
         changes(tbl, spark, from_version=1).collect()
+
+
+def test_rename_after_optimize_still_resets_stream_lineage(spark, tmp_path):
+    """Regression: a rename following a rewrite-only optimize must NOT
+    inherit the rewrite_only marker — the changes stream has to RESET
+    on the rename (its frozen schema carries the old name), never pass
+    through and silently null-fill."""
+    import pytest as _pt
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        changes,
+    )
+    from kafka_database_import_spark.sources.snapshot_stream import (
+        SnapshotChangesDataSource,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    tbl.optimize(spark, target_files=1)          # v2: rewrite_only
+    tbl.rename_column("v", "val")                 # v3: must NOT inherit it
+    assert "rewrite_only" not in tbl.manifest(3)
+    with _pt.raises(ValueError, match="append"):
+        changes(tbl, spark, from_version=1).collect()
+    rdr = SnapshotChangesDataSource(options={"path": tbl.root}).streamReader(None)
+    with _pt.raises(Exception, match="APPEND lineage"):
+        rdr.partitions({"version": 1}, {"version": 3})
