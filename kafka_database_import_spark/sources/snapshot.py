@@ -409,6 +409,13 @@ class SnapshotTable:
         )
 
     def _publish(self, version: int, manifest: dict) -> None:
+        if "committed_at_ms" not in manifest:
+            # wall-clock commit time, stamped at the single publish
+            # choke point -> every commit path gets TIMESTAMP AS OF
+            # time travel for free
+            import time as _time
+
+            manifest = {**manifest, "committed_at_ms": int(_time.time() * 1000)}
         fd, tmp = tempfile.mkstemp(dir=self._mdir, suffix=".tmp")
         try:
             with os.fdopen(fd, "w") as f:
@@ -423,6 +430,29 @@ class SnapshotTable:
                 ) from e
         finally:
             os.unlink(tmp)
+
+    def version_as_of(self, ts_ms: int) -> int:
+        """The newest version committed at or before ``ts_ms`` (epoch
+        milliseconds) — Delta's TIMESTAMP AS OF resolution. Versions
+        from before commit timestamps existed are treated as
+        arbitrarily old (always eligible). Raises if the timestamp
+        predates every commit."""
+        best = None
+        for v in self.versions():
+            at = self.manifest(v).get("committed_at_ms", 0)
+            if at <= ts_ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version committed at or before {ts_ms} "
+                f"(earliest retained version is newer, or table is empty)"
+            )
+        return best
+
+    def read_as_of(self, spark: SparkSession, ts_ms: int) -> DataFrame:
+        """Timestamp time travel: :meth:`read` at
+        :meth:`version_as_of`(ts_ms)."""
+        return self.read(spark, version=self.version_as_of(ts_ms))
 
     # ------------------------------------------------------------- reads
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -528,7 +558,7 @@ class SnapshotTable:
             # processed
             **{k: v for k, v in m.items()
                if k not in ("version", "base", "mode", "rewrite_only",
-                            "epoch_id")},
+                            "epoch_id", "committed_at_ms")},
             "version": version,
             "base": head,
             "mode": "rename",
@@ -562,6 +592,7 @@ class SnapshotTable:
                     "n_tombstone_files": len(m.get("tombstone_files", [])),
                     "epoch_id": m.get("epoch_id"),
                     "rewrite_only": bool(m.get("rewrite_only")),
+                    "committed_at_ms": m.get("committed_at_ms"),
                 }
             )
         return out
@@ -588,7 +619,7 @@ class SnapshotTable:
         man = {
             **{k: v for k, v in m.items()
                if k not in ("version", "base", "mode", "rewrite_only",
-                            "epoch_id")},  # see rename_column's note
+                            "epoch_id", "committed_at_ms")},  # see rename_column's note
             "version": version,
             "base": head,
             "mode": "drop",
@@ -861,7 +892,7 @@ class SnapshotTable:
         man = {
             **{k: v for k, v in m.items()
                if k not in ("version", "base", "mode", "tombstone_files",
-                            "epoch_id")},
+                            "epoch_id", "committed_at_ms")},
             "version": version,
             "base": m["version"],
             "mode": "maintenance",

@@ -1393,3 +1393,48 @@ def test_optimize_zorders_three_dimensions(spark, tmp_path):
         tbl.read_pruned(spark, col, 100, 140).count()
         kept, total = tbl.last_pruned_counts
         assert kept < total, (col, tbl.last_pruned_counts)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: every commit path stamps committed_at_ms at
+    the publish choke point; read_as_of resolves the newest version at
+    or before the asked instant, across appends AND mutations."""
+    import time
+
+    import pytest as _pt
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]))
+    time.sleep(0.05)
+    t_after_v1 = int(time.time() * 1000)
+    time.sleep(0.05)
+    tbl.commit(_df(spark, [(2, "b")]))
+    tbl.delete_where(spark, "k = 1")
+    t_now = int(time.time() * 1000) + 10
+    assert tbl.version_as_of(t_after_v1) == 1
+    assert _rows(tbl.read_as_of(spark, t_after_v1)) == [(1, "a")]
+    assert tbl.version_as_of(t_now) == 3
+    assert _rows(tbl.read_as_of(spark, t_now)) == [(2, "b")]
+    # history carries the audit timestamps too
+    assert all("committed_at_ms" in tbl.manifest(v) for v in tbl.versions())
+    with _pt.raises(ValueError, match="no version"):
+        tbl.version_as_of(t_after_v1 - 10_000_000)
+
+
+def test_metadata_commits_get_fresh_timestamps(spark, tmp_path):
+    """rename/drop must NOT inherit the parent's committed_at_ms —
+    version_as_of stays monotone across metadata commits."""
+    import time
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]))
+    time.sleep(0.05)
+    t_mid = int(time.time() * 1000)
+    time.sleep(0.05)
+    tbl.rename_column("v", "val")
+    assert tbl.manifest(2)["committed_at_ms"] > tbl.manifest(1)["committed_at_ms"]
+    assert tbl.version_as_of(t_mid) == 1
