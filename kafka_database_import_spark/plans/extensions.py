@@ -40,6 +40,13 @@ def _drain_stream(q, n_rows: int, timeout_s: float = 240.0) -> None:
         if total >= n_rows:
             return
         time.sleep(0.3)
+    # ADVICE r6: falling through silently let callers read a partially
+    # drained sink and report a wrong row count indistinguishable from
+    # a real engine divergence — fail loudly instead.
+    raise TimeoutError(
+        f"stream drain timed out after {timeout_s:.0f}s: sink received "
+        f"{total} of the expected {n_rows} rows"
+    )
 
 
 @query(
@@ -1781,15 +1788,19 @@ def q99zzq_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q99zzr_table_replication_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental table-to-table replication — the round-6 pieces
     composed end-to-end: table A's append lineage read through the
-    PARTITION-PLANNED ``kdis_snapshot_changes`` source (one task per
-    added file), each micro-batch transformed (filter + derived
-    column) and committed into table B via ``SnapshotCommitSink``
-    (epoch-in-manifest exactly-once). B is a filtered/derived
-    materialization of A maintained purely from deltas — the O(delta)
-    downstream-table pattern (Delta's table-stream → table pipeline);
-    the oracle recomputes B relationally from the source rows.
-    maxVersionsPerBatch=1 makes the replication version-per-version
-    (3 source commits → 3 replica versions, each epoch recorded)."""
+    ``kdis_snapshot_changes`` source, each micro-batch transformed
+    (filter + derived column) and committed into table B via
+    ``SnapshotCommitSink`` (epoch-in-manifest exactly-once). B is a
+    filtered/derived materialization of A maintained purely from
+    deltas — the O(delta) downstream-table pattern (Delta's
+    table-stream → table pipeline); the oracle recomputes B
+    relationally from the source rows. The SIMPLE reader variant is
+    used because the replication must be version-per-version (3 source
+    commits → 3 replica versions, each epoch recorded): its
+    read(start) is handed the true start and caps EVERY batch at
+    maxVersionsPerBatch=1, whereas the partitioned reader's first
+    batch per run is uncapped by design (its latestOffset cannot see
+    the checkpointed start — the ADVICE-r6 offset-regression fix)."""
     import hashlib as _hl
     import os as _os
     import tempfile as _tf
@@ -1837,6 +1848,7 @@ def q99zzr_table_replication_stream(spark: SparkSession, sf_dir: str) -> DataFra
         q = (
             spark.readStream.format("kdis_snapshot_changes")
             .option("path", root_a)
+            .option("reader", "simple")  # caps every batch, see docstring
             .option("maxVersionsPerBatch", "1")
             .load()
             .writeStream.foreachBatch(replicate)
@@ -1854,3 +1866,248 @@ def q99zzr_table_replication_stream(spark: SparkSession, sf_dir: str) -> DataFra
             q.stop()
         assert tbl_b.latest_version() == 3, tbl_b.versions()
     return ordered(tbl_b.read(spark), "k", "status", "cents", "dollars")
+
+
+@query(
+    "q99zzs_partitioned_table",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 1)
+    ORDER BY k NULLS LAST, status NULLS LAST, cents NULLS LAST
+    """,
+)
+def q99zzs_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned snapshot table end-to-end (the round-7 partition
+    spec): orders committed under ``partition_by=['status']`` (hive
+    layout + per-file partition tuples in the manifest), a DELETE
+    scoped to ONE partition via ``partition_filter`` (candidate files
+    pruned manifest-side before any footer is consulted — the GDPR /
+    retention shape), then a partition-pruned READ of two of the three
+    partitions. The build asserts the PLAN shape (pruned candidate and
+    scan counts strictly below the file total; inputFiles all from
+    matching partitions); the oracle re-derives the final logical
+    content relationally — values must match row-for-row. At 100 TB
+    this path touches O(partitions-in-predicate) manifest entries
+    instead of listing a million files."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_partq_{tag}")
+    tbl = SnapshotTable(root, partition_by=["status"])
+    if tbl.latest_version() != 2:
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        tbl = SnapshotTable(root, partition_by=["status"])
+        base = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        tbl.commit(base)  # v1: hive-partitioned by status (F/O/P)
+        m = tbl.manifest()
+        assert m["partition_spec"] == ["status"], m
+        assert all("__p_status=" in f for f in m["files"]), m["files"][:3]
+        res = tbl.delete_where(
+            spark,
+            "status = 'F' AND k % 10 = 1",
+            partition_filter={"status": "F"},
+        )  # v2: only partition F's files were candidates
+        n_all = len(m["files"])
+        n_f = sum(1 for f in m["files"] if "__p_status=F" in f)
+        assert res["rewritten_files"] <= n_f < n_all, (res, n_f, n_all)
+    out = tbl.read_partition(spark, {"status": ["F", "O"]})
+    planned, total = tbl.last_partition_counts
+    assert planned < total, (planned, total)
+    assert all(
+        "__p_status=F" in p or "__p_status=O" in p for p in out.inputFiles()
+    )
+    return ordered(out, "k", "status", "cents")
+
+
+@query(
+    "q99zzt_restore_rollback",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    ORDER BY k NULLS LAST, status NULLS LAST, cents NULLS LAST
+    """,
+)
+def q99zzt_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel-then-RESTORE end-to-end (the round-7 rollback
+    commit): orders committed (v1), a destructive delete wipes a third
+    of the rows (v2, the 'bad batch'), and ``restore(1)`` rolls the
+    table back as a NEW metadata-only commit (v3) — no data file
+    read or written, the v1 files re-referenced. The build asserts the
+    audit trail (history mode='restore', restored_from=1), that the
+    rolled-back v2 stays time-travel-readable, and that the v2→v3
+    row-level delta is the exact INVERSE of the delete; the oracle
+    recomputes the restored head — the FULL orders projection, as if
+    the bad batch never happened."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        row_changes,
+    )
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_restq_{tag}")
+    tbl = SnapshotTable(root)
+    if tbl.latest_version() != 3 or tbl.manifest().get("mode") != "restore":
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        tbl = SnapshotTable(root)
+        base = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        tbl.commit(base)                              # v1: good state
+        res = tbl.delete_where(spark, "k % 3 = 0")    # v2: the bad batch
+        assert res["deleted_rows"] > 0, res
+        v3 = tbl.restore(1)                           # v3: rollback
+        assert v3 == 3
+        h = tbl.history()[-1]
+        assert h["mode"] == "restore" and h["restored_from"] == 1, h
+        # the bad version remains auditable via time travel…
+        assert tbl.read(spark, 2).filter(F.col("k") % 3 == 0).count() == 0
+        # …and the restore's row delta is the inverse of the delete:
+        # pure inserts of exactly the deleted rows
+        inv = row_changes(tbl, spark, 2, 3)
+        kinds = {r["_change_type"] for r in inv.select("_change_type").distinct().collect()}
+        assert kinds == {"insert"}, kinds
+        assert inv.count() == res["deleted_rows"]
+    return ordered(tbl.read(spark), "k", "status", "cents")
+
+
+@query(
+    "q99zzu_cdc_schema_evolution",
+    oracle="""
+    SELECT o_orderkey AS k,
+           's' || CAST(o_orderkey % 10 AS VARCHAR) AS status,
+           o_orderkey * 100 AS cents,
+           CAST(NULL AS VARCHAR) AS region,
+           CAST(1 AS BIGINT) AS seq
+    FROM orders
+    WHERE o_orderkey % 3 <> 0
+      AND NOT (o_orderkey % 3 = 1 AND o_orderkey % 5 = 1)
+    UNION ALL
+    SELECT o_orderkey AS k,
+           't' || CAST(o_orderkey % 10 AS VARCHAR) AS status,
+           o_orderkey * 100 + 1 AS cents,
+           'R' || CAST(o_orderkey % 4 AS VARCHAR) AS region,
+           CAST(2 AS BIGINT) AS seq
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    ORDER BY k NULLS LAST, status NULLS LAST, cents NULLS LAST,
+             region NULLS LAST, seq NULLS LAST
+    """,
+)
+def q99zzu_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream CDC schema evolution end-to-end (VERDICT r6 gap 3):
+    the changelog ADDS a ``region`` column between micro-batch runs —
+    the commonest real CDC event, arriving as a consumer restart with
+    the wider schema on the same checkpoint — and ``SnapshotMergeSink``
+    WIDENS the table via apply_changes' merge-schema path instead of
+    failing. Batch 1 (narrow schema) seeds every order; batch 2 (wide
+    schema) updates the k%3=0 keys with ``region`` set and deletes the
+    (k%3=1 AND k%5=1) keys. The oracle recomputes the final table over
+    the UNION schema: pre-evolution survivors read NULL region,
+    post-evolution rows carry it."""
+    import glob as _gl
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotMergeSink,
+        SnapshotTable,
+    )
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_cdcevo_{tag}")
+    tbl = SnapshotTable(root)
+
+    def _schema_has_region():
+        import json as _json
+
+        from pyspark.sql import types as _T
+
+        s = _T.StructType.fromJson(_json.loads(tbl.manifest()["schema"]))
+        return "region" in [f.name for f in s.fields]
+
+    if tbl.latest_version() != 2 or not _schema_has_region():
+        _sh.rmtree(root, ignore_errors=True)
+        tbl = SnapshotTable(root)
+        src = _os.path.join(root, "_changelog")
+        _os.makedirs(src)
+        k = F.col("o_orderkey")
+        base = load_table(spark, sf_dir, "orders")
+        narrow = base.select(
+            k.alias("k"),
+            F.concat(F.lit("s"), (k % 10).cast("string")).alias("status"),
+            (k * 100).alias("cents"),
+            F.lit(1).cast("long").alias("seq"),
+            F.lit("upsert").alias("_op"),
+        )
+        wide = base.filter((k % 3 == 0) | ((k % 3 == 1) & (k % 5 == 1))).select(
+            k.alias("k"),
+            F.when(k % 3 == 0,
+                   F.concat(F.lit("t"), (k % 10).cast("string"))).alias("status"),
+            F.when(k % 3 == 0, k * 100 + 1).alias("cents"),
+            F.when(k % 3 == 0,
+                   F.concat(F.lit("R"), (k % 4).cast("string"))).alias("region"),
+            F.lit(2).cast("long").alias("seq"),
+            F.when(k % 3 == 0, F.lit("upsert"))
+            .otherwise(F.lit("delete")).alias("_op"),
+        )
+        def _land(batch, i):
+            scratch = _tf.mkdtemp(prefix="kdis_cdcevo_b_")
+            batch.coalesce(1).write.mode("overwrite").parquet(scratch)
+            dst = _os.path.join(src, f"b{i}.parquet")
+            _sh.move(_gl.glob(_os.path.join(scratch, "part-*.parquet"))[0], dst)
+            _sh.rmtree(scratch, ignore_errors=True)
+            _os.utime(dst, (1_000 * (i + 1),) * 2)
+
+        def _run(schema):
+            sink = SnapshotMergeSink(tbl, ["k"], seq_col="seq", mode="cow")
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", _os.path.join(root, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # run 1 drains batch 1 under the narrow schema; batch 2's file
+        # lands AFTER, so run 2 is a genuine consumer restart on the
+        # same source+checkpoint with the evolved schema, reading only
+        # the new file (epochs distinct, replay-protected)
+        _land(narrow, 0)
+        _run("k long, status string, cents long, seq long, _op string")
+        _land(wide, 1)
+        _run("k long, status string, cents long, region string, "
+             "seq long, _op string")
+        assert _schema_has_region(), tbl.manifest()["schema"]
+    out = tbl.read(spark).select("k", "status", "cents", "region", "seq")
+    return ordered(out, "k", "status", "cents", "region", "seq")

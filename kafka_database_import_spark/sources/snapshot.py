@@ -134,6 +134,60 @@ def _schema_extras(prev_m: dict) -> dict:
     return out
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_PARTITION_DIR_PREFIX = "__p_"
+# Integral types whose partition values are stored as JSON ints; every
+# other supported type is stored as its canonical string form. Float
+# partition columns are refused outright (path-encoding a float is
+# lossy and equality-partitioning on one is a modeling bug).
+_INT_PARTITION_TYPES = ("tinyint", "smallint", "int", "bigint")
+_BANNED_PARTITION_TYPES = ("float", "double")
+
+
+def _canon_pv(value, dtype) -> "int | bool | str | None":
+    """Canonical manifest/comparison form of a partition value — the
+    SAME function canonicalizes values parsed from hive directory
+    fragments and values supplied by a caller's partition filter, so
+    pruning compares like with like. Integral types become ints,
+    boolean a bool, everything else (string, date, decimal, timestamp)
+    its string form."""
+    if value is None:
+        return None
+    t = dtype.simpleString()
+    if t in _INT_PARTITION_TYPES:
+        return int(value)
+    if t == "boolean":
+        if isinstance(value, str):
+            return value.lower() == "true"
+        return bool(value)
+    return str(value)
+
+
+def _file_partition_values(
+    relpath: str, spec: list[str], struct: "T.StructType"
+) -> dict | None:
+    """Typed partition values of one data file, parsed from the
+    ``__p_<col>=<hive-encoded value>`` fragments of its root-relative
+    path. Returns None when any spec column is absent (a file written
+    under a different spec) — callers treat such files conservatively."""
+    from urllib.parse import unquote
+
+    types = {f.name: f.dataType for f in struct.fields}
+    found: dict = {}
+    for frag in relpath.split(os.sep):
+        if frag.startswith(_PARTITION_DIR_PREFIX) and "=" in frag:
+            name, _, raw = frag.partition("=")
+            col = name[len(_PARTITION_DIR_PREFIX):]
+            if col in spec and col in types:
+                found[col] = (
+                    None if raw == _HIVE_NULL
+                    else _canon_pv(unquote(raw), types[col])
+                )
+    if set(found) != set(spec):
+        return None
+    return found
+
+
 def _overwrite_schema(
     prev_m: dict, new_schema: "T.StructType"
 ) -> tuple[str, dict]:
@@ -299,12 +353,45 @@ class SnapshotTable:
 
         <root>/data/c{N}/part-*.parquet   immutable files of commit N
         <root>/_manifests/v{N}.json       {version, mode, schema, files}
+
+    **Partitioning** (``partition_by=['col', ...]``, identity
+    transform): data files land in hive-style subdirectories
+    (``data/c{N}-*/__p_col=value/part-*.parquet``) and the manifest
+    records the spec (``partition_spec``) plus each file's typed
+    partition tuple (``file_partitions``), so partition-pruned
+    planning — :meth:`read_partition`, ``delete_where(partition_
+    filter=...)``, :meth:`apply_changes` candidate selection — is a
+    pure MANIFEST operation: whole partitions are skipped without
+    listing, footer-fetching, or scheduling their files. Unlike
+    Spark's plain ``partitionBy``, the partition columns are ALSO kept
+    in the data files (the Iceberg choice, not Delta's path-only one):
+    every existing read path works unchanged, and **partition
+    evolution** falls out — :meth:`set_partition_spec` changes the
+    layout of FUTURE files only, mixed-spec versions read fine, and
+    pruning treats old-spec files (no manifest entry under the new
+    spec) conservatively. At 100 TB this is the difference between a
+    time-partitioned fact table consulting O(partitions-touched)
+    manifest entries and consulting a million file footers.
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, partition_by: list[str] | None = None):
         self.root = root
         self._mdir = os.path.join(root, "_manifests")
+        # Initial spec for TABLE CREATION only: once any commit exists,
+        # the manifest's recorded spec wins (evolve via
+        # set_partition_spec, never by re-constructing with a
+        # different argument).
+        self._default_spec = list(partition_by) if partition_by else None
+        self._pending_file_partitions: dict = {}
         os.makedirs(self._mdir, exist_ok=True)
+
+    def partition_spec(self) -> list[str] | None:
+        """The ACTIVE spec: the head manifest's, else the construction
+        default (table not yet created)."""
+        head = self.latest_version()
+        if head is not None:
+            return self.manifest(head).get("partition_spec")
+        return list(self._default_spec) if self._default_spec else None
 
     # ------------------------------------------------------------- paths
     def _manifest_path(self, version: int) -> str:
@@ -355,6 +442,7 @@ class SnapshotTable:
         head = self.latest_version()
         version = (head or 0) + 1 if head is not None else 1
         dv_files: list[str] = []
+        prev_fp: dict = {}
         if head and mode == "append":
             prev_m = self.manifest(head)
             prev, schema_json = prev_m["files"], _merge_schema(
@@ -362,11 +450,13 @@ class SnapshotTable:
             )
             extras = _schema_extras(prev_m)
             dv_files = prev_m.get("dv_files", [])  # MOR deletes persist
+            prev_fp = prev_m.get("file_partitions", {})
         elif head:  # overwrite of an existing table
             prev = []
             schema_json, extras = _overwrite_schema(self.manifest(head), df.schema)
         else:
             prev, schema_json, extras = [], _fresh_schema_json(df.schema), {}
+        spec = self.partition_spec()
         files = self._write_data(df, version, schema_json)
         manifest = {
             "version": version,
@@ -376,6 +466,15 @@ class SnapshotTable:
             "files": prev + files,
             **extras,
         }
+        if spec:
+            manifest["partition_spec"] = spec
+        fp = {
+            **{f: prev_fp[f] for f in prev if f in prev_fp},
+            **{f: self._pending_file_partitions[f]
+               for f in files if f in self._pending_file_partitions},
+        }
+        if fp:
+            manifest["file_partitions"] = fp
         if dv_files:
             manifest["dv_files"] = dv_files
         if epoch_id is not None:
@@ -393,14 +492,86 @@ class SnapshotTable:
         never collides with the winner's files. With a field-id-bearing
         ``schema_json`` (the manifest being committed), the ids are
         stamped into the parquet footers so reads resolve columns by id
-        across renames."""
+        across renames.
+
+        Under an active partition spec the files land in hive-style
+        ``__p_<col>=<value>`` subdirectories AND keep the partition
+        columns in the data (written as duplicates so every existing
+        read path — plain scans, meta scans, the changes stream —
+        works without path reconstruction; the duplicate is a constant
+        per file, so parquet RLE/dictionary encodes it to ~nothing).
+        Each new file's typed partition tuple is parsed back off its
+        path into ``self._pending_file_partitions`` for the manifest
+        being built.
+
+        Partitioned writes HASH-DISTRIBUTE on the spec columns first
+        (Iceberg's ``write.distribution-mode=hash``): without it, an
+        unclustered input fans out to one file per (task × partition
+        value) — measured 2,560 files for 32 tasks × 80 months at 10×,
+        a small-file explosion that poisons every later plan. With it,
+        each partition value lands in exactly one task → one file
+        (bounded above via ``self.max_records_per_file`` → Spark's
+        ``maxRecordsPerFile`` for the 100-TB case where one partition
+        exceeds a sane file size). Layout-managing callers (Z-order
+        optimize) that have already arranged a spec-aware distribution
+        set ``self._skip_spec_distribution`` for the next write."""
+        from pyspark.sql import functions as F
+
+        self._pending_file_partitions = {}
+        spec = self.partition_spec()
         if schema_json is not None:
             df = _with_field_ids(df, schema_json)
+        if spec:
+            struct = (
+                T.StructType.fromJson(json.loads(schema_json))
+                if schema_json is not None
+                else df.schema
+            )
+            types = {f.name: f.dataType for f in struct.fields}
+            for c in spec:
+                if c not in df.columns:
+                    raise ValueError(
+                        f"partitioned write: spec column {c!r} missing "
+                        f"from the data (have {df.columns})"
+                    )
+                if types.get(c) is not None and (
+                    types[c].simpleString() in _BANNED_PARTITION_TYPES
+                ):
+                    raise ValueError(
+                        f"partition column {c!r} is "
+                        f"{types[c].simpleString()} — float partition "
+                        f"values are lossy in hive paths; partition on "
+                        f"an int/string/date/bool column instead"
+                    )
+            pcols = [f"{_PARTITION_DIR_PREFIX}{c}" for c in spec]
+            for c, pc in zip(spec, pcols):
+                df = df.withColumn(pc, F.col(c))
+            if not getattr(self, "_skip_spec_distribution", False):
+                df = df.repartition(*[F.col(c) for c in spec])
+            self._skip_spec_distribution = False
         rel_dir = None
         while rel_dir is None or os.path.exists(os.path.join(self.root, rel_dir)):
             suffix = os.path.basename(tempfile.mktemp(prefix=""))
             rel_dir = os.path.join("data", f"c{version}-{suffix}")
         out_dir = os.path.join(self.root, rel_dir)
+        if spec:
+            writer = df.write
+            mrpf = getattr(self, "max_records_per_file", None)
+            if mrpf:
+                writer = writer.option("maxRecordsPerFile", int(mrpf))
+            writer.partitionBy(*pcols).parquet(out_dir)
+            files = sorted(
+                os.path.relpath(os.path.join(dirpath, name), self.root)
+                for dirpath, _dn, filenames in os.walk(out_dir)
+                for name in filenames
+                if name.endswith(".parquet")
+            )
+            self._pending_file_partitions = {
+                f: pv
+                for f in files
+                if (pv := _file_partition_values(f, spec, struct)) is not None
+            }
+            return files
         df.write.parquet(out_dir)
         return sorted(
             os.path.join(rel_dir, name)
@@ -471,6 +642,129 @@ class SnapshotTable:
             self._read_files(spark, m["files"], schema, m.get("dv_files"))
         )
 
+    def _prune_partition_files(
+        self, m: dict, files: list[str], where: dict
+    ) -> list[str]:
+        """The files of ``files`` that can hold rows matching ``where``
+        (``{col: value | [values]}``, equality/IN semantics over
+        partition columns). Pure manifest arithmetic — no listing, no
+        footer reads. A file with no recorded tuple for some filtered
+        column (written before that column was in the spec, or under no
+        spec at all) is conservatively KEPT, so pruning is always a
+        planning optimization, never a correctness dependency — exactly
+        the stats-pruning contract."""
+        struct = T.StructType.fromJson(json.loads(m["schema"]))
+        types = {f.name: f.dataType for f in struct.fields}
+        want: dict[str, set] = {}
+        for c, v in where.items():
+            if c not in types:
+                raise KeyError(
+                    f"partition filter column {c!r} not in table schema"
+                )
+            vals = v if isinstance(v, (list, tuple, set)) else [v]
+            want[c] = {_canon_pv(x, types[c]) for x in vals}
+        fp = m.get("file_partitions", {})
+        kept = []
+        for f in files:
+            entry = fp.get(f)
+            if entry is None:
+                kept.append(f)
+                continue
+            if all(
+                c not in entry or entry[c] in vals
+                for c, vals in want.items()
+            ):
+                kept.append(f)
+        return kept
+
+    def read_partition(
+        self,
+        spark: SparkSession,
+        where: dict,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Partition-pruned scan: plan ONLY the files whose manifest
+        partition tuple matches ``where`` (``{col: value | [values]}``),
+        then re-apply the predicate exactly (covers old-spec files that
+        were conservatively kept, and makes the result identical to
+        ``read().filter(...)`` by construction). Sets
+        ``self.last_partition_counts = (planned, total)`` for
+        observability/tests."""
+        from pyspark.sql import functions as F
+
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        keep = self._prune_partition_files(m, list(m["files"]), where)
+        self.last_partition_counts = (len(keep), len(m["files"]))
+
+        def _cond():
+            cond = F.lit(True)
+            for c, v in where.items():
+                vals = list(v) if isinstance(v, (list, tuple, set)) else [v]
+                non_null = [x for x in vals if x is not None]
+                leg = (
+                    F.col(c).isin(non_null) if non_null else F.lit(False)
+                )
+                if any(x is None for x in vals):
+                    leg = leg | F.col(c).isNull()
+                cond = cond & leg
+            return cond
+
+        if not keep:
+            return _strip_field_ids(
+                spark.createDataFrame([], schema)
+            ).filter(_cond())
+        return _strip_field_ids(
+            self._read_files(spark, keep, schema, m.get("dv_files"))
+        ).filter(_cond())
+
+    def set_partition_spec(self, partition_by: list[str] | None) -> int:
+        """Evolve the partition spec — METADATA-ONLY commit (Iceberg
+        partition evolution): the new spec applies to files written
+        FROM NOW ON; existing files keep their recorded tuples (or
+        none) and are treated conservatively by pruning, so mixed-spec
+        versions read and prune correctly with no rewrite. Pass None
+        to stop partitioning future writes. The commit is marked
+        ``rewrite_only`` — it changes no rows and no schema, so
+        changes()/stream lineage passes through it."""
+        m = self.manifest()
+        struct = T.StructType.fromJson(json.loads(m["schema"]))
+        types = {f.name: f.dataType for f in struct.fields}
+        spec = list(partition_by) if partition_by else None
+        if spec:
+            for c in spec:
+                if c not in types:
+                    raise KeyError(
+                        f"set_partition_spec: no column {c!r} "
+                        f"(have {sorted(types)})"
+                    )
+                if types[c].simpleString() in _BANNED_PARTITION_TYPES:
+                    raise ValueError(
+                        f"set_partition_spec: column {c!r} is "
+                        f"{types[c].simpleString()} — float partition "
+                        f"values are lossy in hive paths"
+                    )
+            if len(set(spec)) != len(spec):
+                raise ValueError(f"duplicate columns in spec: {spec}")
+        head = m["version"]
+        version = head + 1
+        man = {
+            # carry table state, not the previous commit's own markers
+            # (see rename_column's note)
+            **{k: v for k, v in m.items()
+               if k not in ("version", "base", "mode", "rewrite_only",
+                            "epoch_id", "committed_at_ms",
+                            "partition_spec")},
+            "version": version,
+            "base": head,
+            "mode": "set_partition_spec",
+            "rewrite_only": True,
+        }
+        if spec:
+            man["partition_spec"] = spec
+        self._publish(version, man)
+        return version
+
     def _read_files(
         self,
         spark: SparkSession,
@@ -499,6 +793,78 @@ class SnapshotTable:
             (keyed["_sg_k3"] == dv["k3"]) & (keyed["_sg_pos"] == dv["pos"]),
             "left_anti",
         ).select(*cols)
+
+    def restore(self, version: int) -> int:
+        """RESTORE the table to ``version`` as a NEW commit (Delta
+        ``RESTORE TABLE ... TO VERSION AS OF`` / Iceberg rollback):
+        the new head's file set, schema, deletion vectors, tombstones,
+        stats and partition state are exactly the target version's —
+        a pure METADATA commit (no data file is read or written; the
+        target's immutable files are re-referenced), so rolling back a
+        bad CDC batch on a 100-TB table costs one manifest write.
+
+        This IS a logical change: the commit is ``mode='restore'`` and
+        NOT rewrite-only, so ``changes()`` lineage and the streaming
+        source RESET at it (a consumer must restart from a snapshot —
+        the rows it already delivered may have been un-happened), and
+        ``history()`` records ``restored_from``. Row-level
+        :func:`row_changes` across the restore yields the INVERSE of
+        the intervening delta, which falls out of the file-set diff.
+
+        Field-id safety across the rollback: ids dropped in EITHER the
+        target's lineage or the abandoned head's stay tombstoned
+        unless the restored schema itself makes them live again — a
+        column added after the target (and thus removed by the
+        restore) can never have its id reused by a later add.
+
+        History is preserved — the rolled-back versions remain
+        readable via time travel until :func:`vacuum`. Raises if the
+        target version's manifest or any of its files were already
+        vacuumed, and on the version race like every commit."""
+        target = self.manifest(version)  # FileNotFoundError if vacuumed
+        head_m = self.manifest()
+        head = head_m["version"]
+        if version == head:
+            return head  # restoring to the head is a no-op
+        needed = (
+            list(target["files"])
+            + list(target.get("dv_files", []))
+            + list(target.get("tombstone_files", []))
+        )
+        missing = [
+            f for f in needed
+            if not os.path.exists(os.path.join(self.root, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"restore({version}): {len(missing)} of the target "
+                f"version's files were vacuumed (e.g. {missing[0]!r}) — "
+                f"that version is no longer restorable"
+            )
+        live_target_ids = set(
+            _ids_of(T.StructType.fromJson(json.loads(target["schema"]))).values()
+        )
+        dropped = (
+            set(target.get("dropped_ids", []))
+            | set(head_m.get("dropped_ids", []))
+        ) - live_target_ids
+        new_version = head + 1
+        man = {
+            "version": new_version,
+            "base": head,
+            "mode": "restore",
+            "restored_from": version,
+            "schema": target["schema"],
+            "files": list(target["files"]),
+        }
+        for key in ("dv_files", "tombstone_files", "stats",
+                    "partition_spec", "file_partitions"):
+            if target.get(key):
+                man[key] = target[key]
+        if dropped:
+            man["dropped_ids"] = sorted(dropped)
+        self._publish(new_version, man)
+        return new_version
 
     # -------------------------------------------------------- maintenance
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
@@ -571,6 +937,19 @@ class SnapshotTable:
                 f: {(new if c == old else c): rng for c, rng in st.items()}
                 for f, st in man["stats"].items()
             }
+        if old in (man.get("partition_spec") or []):
+            # partition state is keyed by name too: remap the spec and
+            # every file's recorded tuple so pruning keeps working
+            # post-rename (the hive DIR names on disk keep the old
+            # name — harmless, since planning reads the manifest, never
+            # the paths)
+            man["partition_spec"] = [
+                new if c == old else c for c in man["partition_spec"]
+            ]
+            man["file_partitions"] = {
+                f: {(new if c == old else c): v for c, v in pv.items()}
+                for f, pv in man.get("file_partitions", {}).items()
+            }
         self._publish(version, man)
         return version
 
@@ -593,6 +972,11 @@ class SnapshotTable:
                     "epoch_id": m.get("epoch_id"),
                     "rewrite_only": bool(m.get("rewrite_only")),
                     "committed_at_ms": m.get("committed_at_ms"),
+                    **(
+                        {"restored_from": m["restored_from"]}
+                        if "restored_from" in m
+                        else {}
+                    ),
                 }
             )
         return out
@@ -613,6 +997,12 @@ class SnapshotTable:
             raise KeyError(f"drop_column: no column {name!r} (have {names})")
         if len(names) == 1:
             raise SchemaEvolutionError("drop_column: cannot drop the last column")
+        if name in (m.get("partition_spec") or []):
+            raise SchemaEvolutionError(
+                f"drop_column: {name!r} is a partition column — evolve "
+                f"the spec first (set_partition_spec without it), then "
+                f"drop"
+            )
         fields = [f for f in struct.fields if f.name != name]
         head = m["version"]
         version = head + 1
@@ -723,10 +1113,42 @@ class SnapshotTable:
         current = self.read(spark)
         if zorder_by is not None:
             cols = list(zorder_by)
+            # ADVICE r6: validate up front — non-numeric clustering
+            # columns would fail the normalization arithmetic with an
+            # opaque error, and an empty table collects lo/hi = None.
+            numeric = (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType,
+            )
+            field_types = {f.name: f.dataType for f in current.schema.fields}
+            for c in cols:
+                if c not in field_types:
+                    raise ValueError(
+                        f"optimize(zorder_by=...): column {c!r} not in "
+                        f"table schema {sorted(field_types)}"
+                    )
+                if not isinstance(field_types[c], numeric):
+                    raise ValueError(
+                        f"optimize(zorder_by=...): column {c!r} has type "
+                        f"{field_types[c].simpleString()} — Z-order "
+                        f"clustering needs numeric (int/float) columns; "
+                        f"cast or derive a numeric key (e.g. epoch days "
+                        f"for dates, a hash bucket for strings) first"
+                    )
             aggs = []
             for c in cols:
                 aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
             b = current.agg(*aggs).collect()[0]
+            if any(b[f"lo_{c}"] is None for c in cols):
+                # Empty table (or an all-NULL clustering column): there
+                # is nothing to cluster — make it a clean no-op instead
+                # of a TypeError in the normalization below.
+                return {
+                    "version": m["version"],
+                    "files_before": files_before,
+                    "files_after": files_before,
+                    "dv_cleared": 0,
+                }
             bits = max(1, 32 // len(cols))
             grid = (1 << bits) - 1
             normed = [
@@ -738,12 +1160,32 @@ class SnapshotTable:
                 for c in cols
             ]
             z = zvalue_nd(normed, bits)
-            out = (
-                current.withColumn("__z", z)
-                .repartitionByRange(target_files, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
+            spec = self.partition_spec()
+            if spec:
+                # Partitioned + Z-ordered: range-distribute on (spec,
+                # z) and sort the same way, so each task covers a
+                # contiguous partition-then-z range — partitionBy then
+                # splits along near-boundaries only, giving ~one
+                # z-ordered file per partition slice instead of
+                # (tasks × partition values) shards. The write must
+                # not re-hash on the spec (that would undo this
+                # arrangement), hence the skip flag.
+                out = (
+                    current.withColumn("__z", z)
+                    .repartitionByRange(
+                        target_files, *[F.col(c) for c in spec], F.col("__z")
+                    )
+                    .sortWithinPartitions(*spec, "__z")
+                    .drop("__z")
+                )
+                self._skip_spec_distribution = True
+            else:
+                out = (
+                    current.withColumn("__z", z)
+                    .repartitionByRange(target_files, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
         else:
             out = current.coalesce(target_files)
         version = self.commit(out, mode="overwrite", rewrite_only=True)
@@ -767,8 +1209,11 @@ class SnapshotTable:
     ) -> dict:
         """Manifest for a copy-on-write commit: untouched files carried
         by reference, rewritten/new files appended, field-id tombstones
-        carried forward. Subclasses attach per-file stats here."""
-        return {
+        carried forward. Partition state rides along: the spec is table
+        metadata, kept files keep their recorded partition tuples, and
+        the rewrite's new files bring the tuples `_write_data` parsed
+        off their paths. Subclasses attach per-file stats here."""
+        man = {
             "version": version,
             "base": head,
             "mode": mode,
@@ -776,6 +1221,17 @@ class SnapshotTable:
             "files": kept_files + new_files,
             **_schema_extras(prev_m),
         }
+        if prev_m.get("partition_spec"):
+            man["partition_spec"] = prev_m["partition_spec"]
+        prev_fp = prev_m.get("file_partitions", {})
+        pend = getattr(self, "_pending_file_partitions", {})
+        fp = {
+            **{f: prev_fp[f] for f in kept_files if f in prev_fp},
+            **{f: pend[f] for f in new_files if f in pend},
+        }
+        if fp:
+            man["file_partitions"] = fp
+        return man
 
     def _files_of(self, spark: SparkSession, df: "DataFrame") -> list[str]:
         """Root-relative file paths present in ``df`` (which must carry
@@ -911,6 +1367,7 @@ class SnapshotTable:
         condition,
         stats_range: tuple | None = None,
         mode: str = "cow",
+        partition_filter: dict | None = None,
     ) -> dict:
         """Row-level DELETE, copy-on-write: rewrite ONLY the files that
         contain rows where ``condition`` is true; every other file is
@@ -952,6 +1409,17 @@ class SnapshotTable:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         prev_dv = m.get("dv_files", [])
         candidates = list(m["files"])
+        if partition_filter:
+            # Manifest-side partition pruning BEFORE stats pruning: a
+            # DML op scoped to a few partitions (the GDPR / backfill /
+            # retention shape) skips whole partitions without
+            # consulting a single footer stat. Same contract as
+            # stats_range: planning only — the exact predicate is
+            # re-applied on the candidate scan, and files without
+            # recorded tuples stay candidates.
+            candidates = self._prune_partition_files(
+                m, candidates, partition_filter
+            )
         if stats_range is not None:
             col, lo, hi = stats_range
             stats = m.get("stats", {})
@@ -1039,6 +1507,7 @@ class SnapshotTable:
         condition,
         df: DataFrame,
         stats_range: tuple | None = None,
+        partition_filter: dict | None = None,
     ) -> dict:
         """Atomic predicate-scoped overwrite (the Delta ``replaceWhere``
         backfill pattern): delete every row matching ``condition`` AND
@@ -1067,6 +1536,17 @@ class SnapshotTable:
         schema_json = _merge_schema(m, df.schema)
         prev_dv = m.get("dv_files", [])
         candidates = list(m["files"])
+        if partition_filter:
+            # Manifest-side partition pruning BEFORE stats pruning: a
+            # DML op scoped to a few partitions (the GDPR / backfill /
+            # retention shape) skips whole partitions without
+            # consulting a single footer stat. Same contract as
+            # stats_range: planning only — the exact predicate is
+            # re-applied on the candidate scan, and files without
+            # recorded tuples stay candidates.
+            candidates = self._prune_partition_files(
+                m, candidates, partition_filter
+            )
         if stats_range is not None:
             col, lo, hi = stats_range
             stats = m.get("stats", {})
@@ -1136,6 +1616,7 @@ class SnapshotTable:
         assignments: dict,
         stats_range: tuple | None = None,
         mode: str = "cow",
+        partition_filter: dict | None = None,
     ) -> dict:
         """Row-level UPDATE — completes the DML triad (DELETE / MERGE /
         UPDATE) on the same machinery, in BOTH strategies. ``'cow'``
@@ -1167,6 +1648,17 @@ class SnapshotTable:
                 raise ValueError(f"update of unknown column {col!r}")
         prev_dv = m.get("dv_files", [])
         candidates = list(m["files"])
+        if partition_filter:
+            # Manifest-side partition pruning BEFORE stats pruning: a
+            # DML op scoped to a few partitions (the GDPR / backfill /
+            # retention shape) skips whole partitions without
+            # consulting a single footer stat. Same contract as
+            # stats_range: planning only — the exact predicate is
+            # re-applied on the candidate scan, and files without
+            # recorded tuples stay candidates.
+            candidates = self._prune_partition_files(
+                m, candidates, partition_filter
+            )
         if stats_range is not None:
             col, lo, hi = stats_range
             stats = m.get("stats", {})
@@ -1513,7 +2005,9 @@ class SnapshotTable:
         Sequencing: with ``seq_col`` (a totally-ordered change-sequence
         column — commit LSN, event time), the batch is first reduced to
         the LATEST change per key (ties broken toward ``'upsert'``,
-        deterministically), and — because ``seq_col`` is stored as an
+        then — for equal-seq duplicate upserts — by a hash of the full
+        payload so the winner is stable across runs and
+        partitionings), and — because ``seq_col`` is stored as an
         ordinary table column — STALE changes whose sequence does not
         exceed the target row's are skipped entirely, and every applied
         DELETE leaves a (key, seq) TOMBSTONE sidecar so its sequence
@@ -1558,8 +2052,18 @@ class SnapshotTable:
         if seq_col is not None:
             if seq_col not in source.columns:
                 raise ValueError(f"sequence column {seq_col!r} not in source")
+            # ADVICE r6: (seq desc, op desc) alone leaves two equal-seq
+            # upserts for the same key tied on both sort keys — row_number
+            # would pick an arbitrary winner that can differ across runs
+            # and partitionings. A payload hash as the final key makes
+            # the choice deterministic (and the op-desc key above still
+            # guarantees upsert beats delete on seq ties).
+            payload_hash = F.xxhash64(
+                *[F.col(c) for c in source.columns if c != op_col]
+            )
             w = W.partitionBy(*key_cols).orderBy(
-                F.col(seq_col).desc(), F.col(op_col).desc()
+                F.col(seq_col).desc(), F.col(op_col).desc(),
+                payload_hash.desc(),
             )
             changes = (
                 changes.withColumn("_sg_rn", F.row_number().over(w))
@@ -1604,6 +2108,7 @@ class SnapshotTable:
             # leaves a TOMBSTONE in the same atomic version
             version = 1
             schema_json = _fresh_schema_json(ups.schema)
+            spec = self.partition_spec()
             files = self._write_data(ups, version, schema_json) if n else []
             man = {
                 "version": version,
@@ -1612,6 +2117,14 @@ class SnapshotTable:
                 "schema": schema_json,
                 "files": files,
             }
+            if spec:
+                man["partition_spec"] = spec
+            if self._pending_file_partitions:
+                man["file_partitions"] = {
+                    f: self._pending_file_partitions[f]
+                    for f in files
+                    if f in self._pending_file_partitions
+                }
             if n_dels:
                 man["tombstone_files"] = self._write_tombstones(dels, version)
             if epoch_id is not None:
@@ -1631,7 +2144,55 @@ class SnapshotTable:
         merged_schema = T.StructType.fromJson(json.loads(schema_json))
         prev_dv = m.get("dv_files", [])
         prev_ts = m.get("tombstone_files", [])
-        target = self._scan_with_meta(spark, m["files"], schema, prev_dv)
+        # Partition-pruned candidate selection: when the table is
+        # identity-partitioned on a SUBSET OF THE MERGE KEY (tenant,
+        # region, event date — the time-partitioned CDC norm), a key's
+        # target rows can only live in files whose partition tuple
+        # matches the key's own values, so the affected-file discovery
+        # scan — and the stale-skip max-seq scan riding on it — needs
+        # only the files of partitions PRESENT IN THE BATCH plus
+        # unrecorded (pre-spec) files. Manifest arithmetic over the
+        # batch's distinct partition tuples; correctness never depends
+        # on it (keys outside the pruned set simply can't exist there).
+        # Skipped when the batch touches implausibly many partitions
+        # (collect stays bounded) or when partition cols aren't all in
+        # the key (a key could then match rows in any partition).
+        candidate_files = list(m["files"])
+        p_spec = m.get("partition_spec")
+        if (
+            p_spec
+            and set(p_spec) <= set(key_cols)
+            and m.get("file_partitions")
+        ):
+            types = {f.name: f.dataType for f in schema.fields}
+            if all(c in types for c in p_spec):
+                pv_rows = (
+                    changes.select(*p_spec).distinct().limit(10001).collect()
+                )
+                if len(pv_rows) <= 10_000:
+                    batch_tuples = {
+                        tuple(_canon_pv(r[c], types[c]) for c in p_spec)
+                        for r in pv_rows
+                    }
+                    fp = m["file_partitions"]
+                    candidate_files = [
+                        f
+                        for f in m["files"]
+                        if (e := fp.get(f)) is None
+                        or tuple(e.get(c) for c in p_spec) in batch_tuples
+                    ]
+        self.last_apply_candidates = (len(candidate_files), len(m["files"]))
+        if candidate_files:
+            target = self._scan_with_meta(
+                spark, candidate_files, schema, prev_dv
+            )
+        else:
+            target = spark.createDataFrame([], schema).select(
+                "*",
+                F.lit(None).cast("string").alias("_sg_file"),
+                F.lit(None).cast("string").alias("_sg_k3"),
+                F.lit(None).cast("long").alias("_sg_pos"),
+            )
         skipped_stale = 0
         if seq_col is not None and (
             seq_col in {f.name for f in schema.fields} or prev_ts
@@ -1880,8 +2441,13 @@ class StatsSnapshotTable(SnapshotTable):
     ``read().filter(...)`` (asserted in tests/test_snapshot.py).
     """
 
-    def __init__(self, root: str, stats_cols: list[str]):
-        super().__init__(root)
+    def __init__(
+        self,
+        root: str,
+        stats_cols: list[str],
+        partition_by: list[str] | None = None,
+    ):
+        super().__init__(root, partition_by=partition_by)
         self.stats_cols = list(stats_cols)
 
     def _write_data(
@@ -1908,6 +2474,7 @@ class StatsSnapshotTable(SnapshotTable):
         version = (head + 1) if head is not None else 1
         extras: dict = {}
         dv_files: list[str] = []
+        prev_fp: dict = {}
         if head and mode == "append":
             prev_m = self.manifest(head)
             prev_files = prev_m["files"]
@@ -1915,12 +2482,14 @@ class StatsSnapshotTable(SnapshotTable):
             schema_json = _merge_schema(prev_m, df.schema)
             extras = _schema_extras(prev_m)
             dv_files = prev_m.get("dv_files", [])
+            prev_fp = prev_m.get("file_partitions", {})
         elif head:
             prev_files, prev_stats = [], {}
             schema_json, extras = _overwrite_schema(self.manifest(head), df.schema)
         else:
             prev_files, prev_stats = [], {}
             schema_json = _fresh_schema_json(df.schema)
+        spec = self.partition_spec()
         files = self._write_data(df, version, schema_json)
         new_stats = self._pending_stats
         manifest = {
@@ -1932,6 +2501,15 @@ class StatsSnapshotTable(SnapshotTable):
             "stats": {**prev_stats, **new_stats},
             **extras,
         }
+        if spec:
+            manifest["partition_spec"] = spec
+        fp = {
+            **{f: prev_fp[f] for f in prev_files if f in prev_fp},
+            **{f: self._pending_file_partitions[f]
+               for f in files if f in self._pending_file_partitions},
+        }
+        if fp:
+            manifest["file_partitions"] = fp
         if dv_files:
             manifest["dv_files"] = dv_files
         if epoch_id is not None:

@@ -228,21 +228,58 @@ def _make():
             # a restart (or a planned-but-failed batch) can't strand or
             # skip versions — the cap is admission control only,
             # correctness lives in the (start, end] re-plan.
+            #
+            # None means "true start unknown": the Python DataSource
+            # offset protocol calls latestOffset() with NO arguments
+            # and BEFORE initialOffset() (observed on 4.1; there is no
+            # SupportsAdmissionControl equivalent), and on a restart
+            # from a checkpoint this instance cannot see the committed
+            # offset V at all. Capping the first answer from
+            # start_version could therefore return an end BELOW V —
+            # Spark would plan batch (V, smaller], partitions() would
+            # return [] and the REGRESSED offset would be committed,
+            # making the following batch re-deliver versions <= V
+            # (ADVICE r6, high). So while _last_end is None,
+            # latestOffset returns the UNCAPPED head — the one value
+            # provably >= any committed offset, since offsets only
+            # ever come from past heads and heads only grow. The cap
+            # kicks in from the SECOND batch of each run, once the
+            # floor is seeded here or by partitions(). Consequence,
+            # documented on the data source: the first micro-batch of
+            # each run is uncapped for this reader; a consumer that
+            # needs every batch capped (paged initial backlog) should
+            # use option("reader", "simple"), whose read(start) is
+            # HANDED the true start and caps every batch.
             self._last_end: int | None = None
 
         def initialOffset(self):
+            # Only called when the query has NO checkpointed offset,
+            # so the configured startVersion is the true start — seed
+            # the admission-control floor if nothing else has. (Spark
+            # calls this AFTER the first latestOffset, so on a fresh
+            # query the first batch is already planned uncapped; never
+            # move the floor backwards.)
+            if self._last_end is None:
+                self._last_end = self.start_version
             return {"version": self.start_version}
 
         def latestOffset(self):
             mdir = os.path.join(self.root, "_manifests")
             vs = _versions(mdir)
             head = vs[-1] if vs else 0
-            floor = (
-                self._last_end
-                if self._last_end is not None
-                else self.start_version
-            )
-            end = min(head, floor + self.max_versions) if head > floor else floor
+            if self._last_end is None:
+                # Restart path: committed offset invisible here; never
+                # return less than it (see __init__ note). The first
+                # post-restart batch is uncapped; partitions() seeds
+                # the floor so subsequent batches are capped again.
+                end = max(head, self.start_version)
+            else:
+                floor = self._last_end
+                end = (
+                    min(head, floor + self.max_versions)
+                    if head > floor
+                    else floor
+                )
             self._last_end = end
             return {"version": end}
 

@@ -294,3 +294,82 @@ def test_tombstone_expiry_is_transparent_to_changes_lineage(spark, tmp_path):
     assert sorted(tuple(r) for r in delta.collect()) == [
         (3, "c", 30), (4, "d", 40)
     ]
+
+
+def test_apply_changes_equal_seq_upsert_tie_is_deterministic(spark, tmp_path):
+    """ADVICE r6 (low): two upserts for the same key with EQUAL seq tie
+    on both (seq desc, op desc) sort keys; the payload-hash tiebreaker
+    must pick the same winner regardless of input order/partitioning."""
+    winners = set()
+    for perm in ([(1, "x", 10, "upsert"), (1, "y", 10, "upsert")],
+                 [(1, "y", 10, "upsert"), (1, "x", 10, "upsert")]):
+        for parts in (1, 4):
+            tbl = SnapshotTable(
+                str(tmp_path / f"t_{len(winners)}_{parts}_{perm[0][1]}")
+            )
+            tbl.apply_changes(
+                spark, _ch(spark, perm).repartition(parts), ["k"],
+                seq_col="seq",
+            )
+            winners.add(_rows(tbl.read(spark))[0][1])
+    assert len(winners) == 1, f"nondeterministic tie winner: {winners}"
+
+
+def test_merge_sink_mid_stream_schema_evolution(spark, tmp_path):
+    """VERDICT r6 gap 3: the changelog source ADDS a column mid-stream
+    (the commonest real CDC event, arriving as a consumer restart with
+    the wider schema on the same checkpoint). The sink must WIDEN the
+    table via apply_changes' merge-schema path instead of failing:
+    pre-evolution rows read NULL for the new column, post-evolution
+    upserts carry it, and sequence semantics are unaffected."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+
+    def run(schema, sink):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: original schema
+    _changelog_files(spark, src, [BATCHES[0]])
+    run(SCHEMA, SnapshotMergeSink(tbl, ["k"], seq_col="seq"))
+    assert _rows(tbl.read(spark)) == [(1, "a", 1), (2, "b", 2), (3, "c", 3)]
+
+    # phase 2: restart with a WIDER changelog schema (+ w long); the
+    # new batch updates k=2 with w set and inserts k=6 with w set
+    wide_schema = "k long, v string, w long, seq long, _op string"
+    wide_rows = [(2, "b9", 90, 50, "upsert"), (6, "f", 60, 51, "upsert"),
+                 (3, None, None, 52, "delete")]
+    scratch = tempfile.mkdtemp(prefix="kdis_cdcs_")
+    spark.createDataFrame(wide_rows, wide_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(scratch)
+    shutil.move(
+        glob.glob(os.path.join(scratch, "part-*.parquet"))[0],
+        os.path.join(src, "b_wide.parquet"),
+    )
+    os.utime(os.path.join(src, "b_wide.parquet"), (9_000, 9_000))
+    run(wide_schema, SnapshotMergeSink(tbl, ["k"], seq_col="seq"))
+
+    got = _rows(tbl.read(spark).select("k", "v", "w", "seq"))
+    assert got == [
+        (1, "a", None, 1),    # pre-evolution row null-fills w
+        (2, "b9", 90, 50),    # updated under the wider schema
+        (6, "f", 60, 51),     # inserted with the new column
+    ], got
+    # a third phase on the widened table: stale change is still skipped
+    tbl.apply_changes(
+        spark,
+        spark.createDataFrame([(2, "old", 5, 40, "upsert")], wide_schema),
+        ["k"], seq_col="seq",
+    )
+    assert (2, "b9", 90, 50) in _rows(tbl.read(spark).select("k", "v", "w", "seq"))

@@ -184,7 +184,11 @@ def test_snapshot_changes_stream_caps_versions_per_batch(spark, tmp_path):
     """Admission control: maxVersionsPerBatch=1 makes each micro-batch
     exactly one commit's delta — a consumer starting on an old table
     catches up version-by-version (checkpointable progress) instead of
-    swallowing the backlog in one driver-side batch."""
+    swallowing the backlog in one driver-side batch. The SIMPLE reader
+    caps EVERY batch (its read(start) is handed the true start); the
+    partitioned reader documents first-batch-uncapped (see the reader's
+    ADVICE-r6 note) and is asserted at the offset-protocol level
+    below."""
     import time
 
     from kafka_database_import_spark.sources.snapshot import SnapshotTable
@@ -202,6 +206,7 @@ def test_snapshot_changes_stream_caps_versions_per_batch(spark, tmp_path):
     q = (
         spark.readStream.format("kdis_snapshot_changes")
         .option("path", root)
+        .option("reader", "simple")
         .option("maxVersionsPerBatch", "1")
         .load()
         .writeStream.format("memory")
@@ -223,6 +228,45 @@ def test_snapshot_changes_stream_caps_versions_per_batch(spark, tmp_path):
         assert spark.table(name).count() == 12
     finally:
         q.stop()
+
+
+def test_snapshot_changes_partitioned_reader_offset_protocol(spark, tmp_path):
+    """The partitioned reader's offset contract, asserted directly in
+    the order Spark actually calls it (latestOffset FIRST, with no view
+    of any checkpointed start): the first answer is the UNCAPPED head —
+    never less than any committed offset, so a restart can't regress —
+    and the cap applies from the second batch once partitions() has
+    seeded the true start."""
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+    from kafka_database_import_spark.sources.snapshot_stream import (
+        SnapshotChangesDataSource,
+    )
+
+    root = str(tmp_path / "tbl")
+    tbl = SnapshotTable(root)
+    for i in range(6):
+        tbl.commit(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+        )
+
+    ds = SnapshotChangesDataSource(
+        options={"path": root, "maxVersionsPerBatch": "2"}
+    )
+    # fresh-run instance: first latestOffset is uncapped (head=6)
+    rdr = ds.streamReader(None)
+    assert rdr.latestOffset() == {"version": 6}
+    # ... and once a batch is planned, later batches are capped
+    rdr.partitions({"version": 0}, {"version": 6})
+    for i in range(6, 9):
+        tbl.commit(spark.createDataFrame([(i, f"v{i}")], "k long, v string"))
+    assert rdr.latestOffset() == {"version": 8}  # 6 + cap(2), head is 9
+
+    # restart-shaped instance: committed offset 6 > start(0) + cap(2);
+    # the first answer must never fall below 6
+    rdr2 = ds.streamReader(None)
+    off = rdr2.latestOffset()
+    assert off["version"] >= 6, off
+    assert [p.path for p in rdr2.partitions({"version": 6}, off)]  # only new
 
 
 def test_snapshot_changes_stream_null_fills_evolved_schema(spark, tmp_path):
@@ -326,6 +370,82 @@ def test_snapshot_changes_partitioned_reader_parity(spark, tmp_path):
             q.stop()
     assert got["partitioned"] == got["simple"]
     assert len(got["partitioned"]) == 401
+
+
+def test_snapshot_changes_restart_beyond_cap_no_redelivery(spark, tmp_path):
+    """ADVICE r6 (high): a clean restart whose checkpointed offset V
+    exceeds startVersion + maxVersionsPerBatch must NOT regress the
+    offset. The buggy path: a fresh reader (_last_end=None) capped
+    latestOffset at start+cap < V, Spark planned (V, smaller], an empty
+    partitions() let the regressed offset commit, and the next batch
+    re-read versions <= V as duplicates. The fix returns the uncapped
+    head until the true start is known, so run 2 delivers exactly the
+    new version's rows — no duplicates, no loss."""
+    import glob as _glob
+    import json as _json
+    import time
+
+    from kafka_database_import_spark.sources.pyds import register as reg_sink
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+    from kafka_database_import_spark.sources.snapshot_stream import register
+
+    register(spark)
+    reg_sink(spark)
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = SnapshotTable(root)
+    # 5 versions' backlog with cap=2 → run 1 needs 3 batches and
+    # commits offset 5, which is > startVersion(0) + cap(2).
+    for i in range(5):
+        tbl.commit(
+            spark.createDataFrame(
+                [(i * 10 + j, f"v{i}") for j in range(3)], "k long, v string"
+            )
+        )
+
+    def read_sink():
+        return [
+            _json.loads(l)
+            for p in _glob.glob(os.path.join(out, "part-*.jsonl"))
+            for l in open(p)
+        ]
+
+    def run_until(n):
+        q = (
+            spark.readStream.format("kdis_snapshot_changes")
+            .option("path", root)
+            .option("maxVersionsPerBatch", "2")
+            .load()
+            .writeStream.format("kdis_jsonl_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                if len(read_sink()) >= n:
+                    break
+                time.sleep(0.3)
+            # let any in-flight (possibly duplicating) batch land too
+            time.sleep(1.5)
+        finally:
+            q.stop()
+
+    run_until(15)
+    assert len(read_sink()) == 15
+
+    tbl.commit(
+        spark.createDataFrame([(900 + j, "v5") for j in range(3)],
+                              "k long, v string")
+    )
+    run_until(18)
+    rows = read_sink()
+    keys = sorted(r["k"] for r in rows)
+    assert len(keys) == 18, f"re-delivery or loss: {len(keys)} rows"
+    assert len(set(keys)) == 18, "duplicate keys after restart"
+    assert {900, 901, 902} <= set(keys)
 
 
 def test_vacuum_vs_lagging_stream_reader_retention(spark, tmp_path):

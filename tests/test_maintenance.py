@@ -170,3 +170,32 @@ def test_metadata_stats_by_partition_pushes_group_by(spark, sf_dir, tmp_path):
     finally:
         spark.conf.unset("spark.sql.sources.useV1SourceList")
         spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+
+
+def test_optimize_zorder_validates_columns_and_empty_table(spark, tmp_path):
+    """ADVICE r6 (low): optimize(zorder_by=...) must refuse non-numeric
+    clustering columns with a clear error and no-op cleanly on an empty
+    table instead of TypeError-ing on collected None bounds."""
+    import pytest as _pt
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                              "k long, v string, m long")
+    )
+    with _pt.raises(ValueError, match="numeric"):
+        tbl.optimize(spark, zorder_by=("k", "v"))
+    with _pt.raises(ValueError, match="not in table schema"):
+        tbl.optimize(spark, zorder_by=("k", "nope"))
+
+    # empty table: clean no-op, version unchanged
+    empty = SnapshotTable(str(tmp_path / "e"))
+    empty.commit(
+        spark.createDataFrame([], "k long, m long")
+    )
+    v_before = empty.latest_version()
+    res = empty.optimize(spark, zorder_by=("k", "m"))
+    assert res["version"] == v_before
+    assert empty.latest_version() == v_before

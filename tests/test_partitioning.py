@@ -1,0 +1,294 @@
+"""Partition spec on the snapshot table format: hive-layout writes,
+manifest-recorded per-file partition tuples, partition-pruned planning
+(reads, DML candidate selection, CDC apply), and partition EVOLUTION
+(new spec applies to new files only; mixed-spec versions read and
+prune correctly).
+
+Plan-shape contract: pruning is pure manifest arithmetic and is
+asserted through ``inputFiles()`` — a partition-filtered read must
+plan ONLY matching files. Correctness contract: pruned results are
+identical to ``read().filter(...)`` by construction (unrecorded files
+conservatively kept, exact predicate re-applied)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_database_import_spark.sources.snapshot import (
+    SchemaEvolutionError,
+    SnapshotTable,
+    StatsSnapshotTable,
+    changes,
+)
+
+REGIONS = ["EU", "US", "AP"]
+
+
+def _mkdf(spark, n=30, offset=0):
+    return spark.createDataFrame(
+        [(offset + i, f"u{i % 5}", REGIONS[i % 3]) for i in range(n)],
+        "k long, v string, region string",
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_partitioned_commit_layout_and_manifest(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["region"])
+    df = _mkdf(spark)
+    t.commit(df)
+    m = t.manifest()
+    assert m["partition_spec"] == ["region"]
+    # hive layout on disk, partition tuple recorded per file
+    assert all("__p_region=" in f for f in m["files"])
+    fp = m["file_partitions"]
+    assert set(fp) == set(m["files"])
+    assert {e["region"] for e in fp.values()} == set(REGIONS)
+    # partition columns are KEPT in the data: plain read is unchanged
+    assert _rows(t.read(spark)) == _rows(df)
+
+
+def test_partition_pruned_read_scans_only_matching_files(spark, tmp_path):
+    """THE plan-shape test: a partition-filtered read plans only the
+    matching partition's files — asserted via inputFiles, not just row
+    values."""
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["region"])
+    df = _mkdf(spark, 60)
+    t.commit(df)
+    r = t.read_partition(spark, {"region": "EU"})
+    planned, total = t.last_partition_counts
+    assert planned < total
+    files = r.inputFiles()
+    assert files and all("__p_region=EU" in p for p in files)
+    assert _rows(r) == _rows(df.filter(F.col("region") == "EU"))
+    # IN-list filter
+    r2 = t.read_partition(spark, {"region": ["EU", "US"]})
+    assert all("__p_region=AP" not in p for p in r2.inputFiles())
+    assert _rows(r2) == _rows(df.filter(F.col("region").isin("EU", "US")))
+
+
+def test_partition_null_values_round_trip(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["region"])
+    df = spark.createDataFrame(
+        [(1, "a", "EU"), (2, "b", None), (3, "c", None)],
+        "k long, v string, region string",
+    )
+    t.commit(df)
+    fp = t.manifest()["file_partitions"]
+    assert any(e["region"] is None for e in fp.values())
+    r = t.read_partition(spark, {"region": None})
+    assert _rows(r) == [(2, "b", None), (3, "c", None)]
+    assert all("__HIVE_DEFAULT_PARTITION__" in p for p in r.inputFiles())
+
+
+def test_int_partition_values_typed_in_manifest(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["bucket"])
+    t.commit(
+        spark.createDataFrame([(i, i % 4) for i in range(20)],
+                              "k long, bucket int")
+    )
+    fp = t.manifest()["file_partitions"]
+    assert all(isinstance(e["bucket"], int) for e in fp.values())
+    r = t.read_partition(spark, {"bucket": 2})
+    assert r.count() == 5
+    assert all("__p_bucket=2" in p for p in r.inputFiles())
+
+
+def test_float_partition_column_refused(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["x"])
+    with pytest.raises(ValueError, match="lossy"):
+        t.commit(spark.createDataFrame([(1, 1.5)], "k long, x double"))
+    t2 = SnapshotTable(str(tmp_path / "t2"))
+    t2.commit(spark.createDataFrame([(1, 1.5)], "k long, x double"))
+    with pytest.raises(ValueError, match="lossy"):
+        t2.set_partition_spec(["x"])
+
+
+def test_delete_where_partition_filter_prunes_candidates(spark, tmp_path):
+    """The retention/GDPR shape: a delete scoped to one partition
+    rewrites only that partition's affected file(s); every other
+    partition's files are carried by reference — and the result is
+    exactly the unpruned delete's."""
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["region"])
+    df = _mkdf(spark, 60)
+    t.commit(df)
+    n_files = len(t.manifest()["files"])
+    res = t.delete_where(
+        spark, "region = 'US' AND k < 10", partition_filter={"region": "US"}
+    )
+    assert res["deleted_rows"] == df.filter(
+        (F.col("region") == "US") & (F.col("k") < 10)
+    ).count()
+    # only US files were even candidates; kept >= all non-US files
+    assert res["rewritten_files"] <= n_files // 3 + 1
+    assert _rows(t.read(spark)) == _rows(
+        df.filter(~((F.col("region") == "US") & (F.col("k") < 10)))
+    )
+
+
+def test_update_and_overwrite_where_accept_partition_filter(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["region"])
+    df = _mkdf(spark, 30)
+    t.commit(df)
+    t.update_where(
+        spark,
+        "region = 'EU'",
+        {"v": F.lit("eu!")},
+        partition_filter={"region": "EU"},
+    )
+    got = t.read(spark)
+    assert got.filter("region = 'EU' AND v != 'eu!'").count() == 0
+    assert got.filter("region != 'EU' AND v = 'eu!'").count() == 0
+    t.overwrite_where(
+        spark,
+        "region = 'AP'",
+        spark.createDataFrame([(999, "ap", "AP")],
+                              "k long, v string, region string"),
+        partition_filter={"region": "AP"},
+    )
+    assert _rows(t.read(spark).filter("region = 'AP'")) == [(999, "ap", "AP")]
+
+
+def test_partition_evolution_new_files_only(spark, tmp_path):
+    """set_partition_spec is metadata-only: existing files keep their
+    old-spec tuples (pruned conservatively), new files land under the
+    new spec, mixed-spec reads and pruned reads stay exact."""
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["region"])
+    df1 = _mkdf(spark, 30)
+    t.commit(df1)
+    files_v1 = set(t.manifest()["files"])
+    v = t.set_partition_spec(["v"])
+    assert t.manifest(v)["mode"] == "set_partition_spec"
+    assert t.manifest(v)["files"] == t.manifest(v - 1)["files"]  # no rewrite
+    df2 = spark.createDataFrame(
+        [(100 + i, f"u{i % 5}", "EU") for i in range(10)],
+        "k long, v string, region string",
+    )
+    t.commit(df2)
+    m = t.manifest()
+    assert m["partition_spec"] == ["v"]
+    new_files = [f for f in m["files"] if f not in files_v1]
+    assert new_files and all("__p_v=" in f for f in new_files)
+    # old files unchanged on disk and still in the manifest
+    assert files_v1 <= set(m["files"])
+    # pruning on the NEW spec: old files conservatively kept, new files
+    # pruned by value; result exact either way
+    r = t.read_partition(spark, {"v": "u0"})
+    expect = _rows(df1.union(df2).filter(F.col("v") == "u0"))
+    assert _rows(r) == expect
+    assert all("__p_v=u0" in p or "__p_region=" in p for p in r.inputFiles())
+    # pruning on the OLD spec column still prunes old files
+    r2 = t.read_partition(spark, {"region": "AP"})
+    assert all("__p_region=AP" in p or "__p_v=" in p for p in r2.inputFiles())
+    assert _rows(r2) == _rows(df1.union(df2).filter(F.col("region") == "AP"))
+
+
+def test_partition_spec_change_transparent_to_changes_stream(spark, tmp_path):
+    """A spec change rewrites nothing and changes no rows — batch
+    changes() lineage passes through it like a rewrite-only commit."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a", "EU")],
+                                   "k long, v string, region string"))
+    t.set_partition_spec(["region"])                       # v2, metadata
+    t.commit(spark.createDataFrame([(2, "b", "US")],
+                                   "k long, v string, region string"))  # v3
+    delta = changes(t, spark, from_version=1)
+    assert _rows(delta) == [(2, "b", "US")]
+
+
+def test_apply_changes_prunes_candidates_by_batch_partitions(spark, tmp_path):
+    """CDC candidate selection: with the spec a subset of the merge
+    key, the affected-file discovery scans only the partitions present
+    in the batch (plus unrecorded files)."""
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["region"])
+    t.commit(
+        spark.createDataFrame(
+            [(i, REGIONS[i % 3], i) for i in range(30)],
+            "k long, region string, seq long",
+        )
+    )
+    batch = spark.createDataFrame(
+        [(0, "EU", 100, "upsert"), (3, "EU", 100, "delete")],
+        "k long, region string, seq long, _op string",
+    )
+    t.apply_changes(spark, batch, ["k", "region"], seq_col="seq")
+    planned, total = t.last_apply_candidates
+    assert planned < total
+    got = _rows(t.read(spark))
+    assert (0, "EU", 100) in got
+    assert not any(r[0] == 3 and r[1] == "EU" for r in got)
+    # keys outside the key-subset rule: partition col NOT in key → no
+    # pruning (a key could live anywhere), still correct
+    t2 = SnapshotTable(str(tmp_path / "t2"), partition_by=["region"])
+    t2.commit(
+        spark.createDataFrame(
+            [(i, REGIONS[i % 3], i) for i in range(9)],
+            "k long, region string, seq long",
+        )
+    )
+    b2 = spark.createDataFrame(
+        [(1, "US", 100, "upsert")], "k long, region string, seq long, _op string"
+    )
+    t2.apply_changes(spark, b2, ["k"], seq_col="seq")
+    assert t2.last_apply_candidates[0] == t2.last_apply_candidates[1]
+    assert (1, "US", 100) in _rows(t2.read(spark))
+
+
+def test_rename_remaps_partition_state_and_drop_refuses(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["region"])
+    t.commit(_mkdf(spark, 12))
+    t.rename_column("region", "zone")
+    m = t.manifest()
+    assert m["partition_spec"] == ["zone"]
+    assert all("zone" in e for e in m["file_partitions"].values())
+    r = t.read_partition(spark, {"zone": "EU"})
+    assert r.count() > 0
+    assert all("__p_region=EU" in p for p in r.inputFiles())  # old dirs OK
+    with pytest.raises(SchemaEvolutionError, match="partition column"):
+        t.drop_column("zone")
+
+
+def test_stats_table_composes_with_partitioning(spark, tmp_path):
+    t = StatsSnapshotTable(
+        str(tmp_path / "t"), stats_cols=["k"], partition_by=["region"]
+    )
+    df = _mkdf(spark, 30)
+    t.commit(df)
+    m = t.manifest()
+    assert m["partition_spec"] == ["region"]
+    assert set(m["stats"]) == set(m["files"])
+    assert set(m["file_partitions"]) == set(m["files"])
+    # both pruning modes work on the same table
+    r = t.read_partition(spark, {"region": "EU"})
+    assert _rows(r) == _rows(df.filter(F.col("region") == "EU"))
+    r2 = t.read_pruned(spark, "k", 0, 5)
+    assert _rows(r2) == _rows(df.filter(F.col("k").between(0, 5)))
+
+
+def test_partitioned_compaction_preserves_layout(spark, tmp_path):
+    """optimize_small_files / optimize on a partitioned table write
+    their rewrites under the spec — compaction output files carry
+    partition tuples and stay prunable."""
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["region"])
+    for i in range(3):  # many small files
+        t.commit(_mkdf(spark, 6, offset=i * 100))
+    before = _rows(t.read(spark))
+    t.optimize(spark, target_files=2)
+    m = t.manifest()
+    assert m["partition_spec"] == ["region"]
+    assert all("__p_region=" in f for f in m["files"])
+    assert set(m["file_partitions"]) == set(m["files"])
+    assert _rows(t.read(spark)) == before
+    r = t.read_partition(spark, {"region": "US"})
+    assert all("__p_region=US" in p for p in r.inputFiles())
+    assert _rows(r) == [x for x in before if x[2] == "US"]
+
+
+def test_missing_partition_column_in_write_is_loud(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["region"])
+    t.commit(_mkdf(spark, 6))
+    with pytest.raises(ValueError, match="missing"):
+        t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
