@@ -49,6 +49,9 @@ HEADLINE = [
     "tpcds_q36",               # DS rollup+grouping+rank report (round 6)
     "tpcds_q97",               # DS channel-overlap full-outer census (round 6)
     "q99zzo_cdc_apply_stream", # streaming CDC apply into the table fmt (round 6)
+    "q99zzs_partitioned_table",  # partition-pruned plan + scoped DML (round 7)
+    "q99zzt_restore_rollback",   # metadata-only rollback commit (round 7)
+    "tpcds_q67",               # DS rank over rollup hierarchy (round 7)
 ]
 
 

@@ -966,3 +966,161 @@ def tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         "items",
     )
     return ordered(out, "customer", "segment", "ticket", "items")
+
+
+@query(
+    "tpcds_q67",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    rolled AS (
+      SELECT i_category, i_class, i_brand, SUM(net_cp) AS sumsales,
+             GROUPING(i_category) AS g_cat, GROUPING(i_class) AS g_class,
+             GROUPING(i_brand) AS g_brand
+      FROM store_sales
+      JOIN date_dim ON sold_date = d_date
+      JOIN item ON item_sk = i_item_sk
+      WHERE d_year = 2000
+      GROUP BY ROLLUP (i_category, i_class, i_brand)
+    )
+    SELECT i_category, i_class, i_brand, sumsales,
+           g_cat, g_class, g_brand, rk
+    FROM (
+      SELECT *, RANK() OVER (
+               PARTITION BY i_category ORDER BY sumsales DESC
+             ) AS rk
+      FROM rolled
+    )
+    WHERE rk <= 5
+    ORDER BY i_category NULLS LAST, i_class NULLS LAST, i_brand NULLS LAST,
+             sumsales NULLS LAST, g_cat NULLS LAST, g_class NULLS LAST,
+             g_brand NULLS LAST, rk NULLS LAST
+    """,
+)
+def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape — RANK OVER A ROLLUP (the window-over-grouped-
+    hierarchy family the r6 verdict flagged as unexercised): store
+    sales for one year aggregated over ROLLUP(category, class, brand),
+    then ranked WITHIN each category partition (subtotal and
+    grand-total rows rank in their own NULL-category partitions —
+    rollup rows flow through the window like any other row), keeping
+    each category's top 5 slices. RANK (not row_number) keeps ties
+    deterministic across engines; money is the integer net_cp sum.
+    Plan: broadcast dims onto the sales spine, ONE shuffle for the
+    rollup's partial agg, one more for the window partition — the
+    rollup expands after the filter, so the window's input is
+    O(groups), not O(rows)."""
+    ss = _channel(spark, sf_dir, "store")
+    dd = _date_dim(spark, sf_dir).filter(F.col("d_year") == 2000)
+    it = _item(spark, sf_dir)
+    rolled = (
+        ss.join(F.broadcast(dd), ss.sold_date == dd.d_date)
+        .join(F.broadcast(it), ss.item_sk == it.i_item_sk)
+        .rollup("i_category", "i_class", "i_brand")
+        .agg(
+            F.sum("net_cp").alias("sumsales"),
+            F.grouping("i_category").cast("long").alias("g_cat"),
+            F.grouping("i_class").cast("long").alias("g_class"),
+            F.grouping("i_brand").cast("long").alias("g_brand"),
+        )
+    )
+    w = Window.partitionBy("i_category").orderBy(F.col("sumsales").desc())
+    out = (
+        rolled.withColumn("rk", F.rank().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("i_category", "i_class", "i_brand", "sumsales",
+                "g_cat", "g_class", "g_brand", "rk")
+    )
+    return ordered(out, "i_category", "i_class", "i_brand", "sumsales",
+                   "g_cat", "g_class", "g_brand", "rk")
+
+
+@query(
+    "tpcds_q70",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    base AS (
+      SELECT s_state, store_sk, profit_cp
+      FROM store_sales JOIN store ON store_sk = s_store_sk
+    ),
+    top_states AS (
+      SELECT s_state FROM (
+        SELECT s_state,
+               RANK() OVER (ORDER BY SUM(profit_cp) DESC) AS r
+        FROM base GROUP BY s_state
+      ) WHERE r <= 3
+    ),
+    rolled AS (
+      SELECT s_state, store_sk, SUM(profit_cp) AS total_cp,
+             GROUPING(s_state) AS g_state, GROUPING(store_sk) AS g_store,
+             GROUPING(s_state) + GROUPING(store_sk) AS lochierarchy
+      FROM base
+      WHERE s_state IN (SELECT s_state FROM top_states)
+      GROUP BY ROLLUP (s_state, store_sk)
+      HAVING CAST(SUM(profit_cp) AS DOUBLE)
+             > CAST((SELECT SUM(profit_cp) FROM base) AS DOUBLE) / 1000.0
+    )
+    SELECT s_state, store_sk, total_cp, lochierarchy,
+           CAST(RANK() OVER (
+             PARTITION BY lochierarchy,
+                          CASE WHEN g_store = 0 THEN s_state END
+             ORDER BY total_cp DESC
+           ) AS BIGINT) AS rank_within_parent
+    FROM rolled
+    ORDER BY s_state NULLS LAST, store_sk NULLS LAST, total_cp NULLS LAST,
+             lochierarchy NULLS LAST, rank_within_parent NULLS LAST
+    """,
+)
+def tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q70 shape — WINDOW OVER A GROUPED ROLLUP WITH HAVING:
+    profit by (state, store) for the top-3 profit states (a ranking
+    subquery gates the input, as in the reference query), aggregated
+    over ROLLUP(state, store) with a HAVING that keeps slices above
+    1/1000 of GLOBAL profit — a FRACTION, not an absolute, so the
+    filter stays meaningful at every fixture scale (the q11 lesson) —
+    then RANK within each rollup parent (partition = hierarchy level +
+    state for leaf rows; the CASE collapses subtotal rows into their
+    own partition, exactly the reference's rank_within_parent).
+    Plan: store broadcast, one shuffle for the state ranking, one for
+    the rollup, window over O(groups); the HAVING total attaches as a
+    1-row broadcast join with an inequality condition (bounded BNLJ,
+    linter-sanctioned)."""
+    ss = _channel(spark, sf_dir, "store")
+    st = _store(spark)
+    base = ss.join(F.broadcast(st), ss.store_sk == st.s_store_sk).select(
+        "s_state", "store_sk", "profit_cp"
+    )
+    top = (
+        base.groupBy("s_state")
+        .agg(F.sum("profit_cp").alias("p"))
+        .withColumn("r", F.rank().over(Window.orderBy(F.col("p").desc())))
+        .filter(F.col("r") <= 3)
+        .select("s_state")
+    )
+    rolled = (
+        base.join(F.broadcast(top), on="s_state", how="left_semi")
+        .rollup("s_state", "store_sk")
+        .agg(
+            F.sum("profit_cp").alias("total_cp"),
+            F.grouping("s_state").cast("long").alias("g_state"),
+            F.grouping("store_sk").cast("long").alias("g_store"),
+        )
+        .withColumn("lochierarchy", F.col("g_state") + F.col("g_store"))
+    )
+    grand = base.agg(F.sum("profit_cp").alias("grand_cp"))
+    kept = rolled.join(
+        F.broadcast(grand),
+        F.col("total_cp").cast("double")
+        > F.col("grand_cp").cast("double") / 1000.0,
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("g_store") == 0, F.col("s_state")),
+    ).orderBy(F.col("total_cp").desc())
+    out = kept.withColumn(
+        "rank_within_parent", F.rank().over(w).cast("long")
+    ).select("s_state", "store_sk", "total_cp", "lochierarchy",
+             "rank_within_parent")
+    return ordered(out, "s_state", "store_sk", "total_cp", "lochierarchy",
+                   "rank_within_parent")

@@ -61,6 +61,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+_MAX_COMMIT_REBASE = 50  # OCC livelock bound: each loss means another
+# writer made progress, so 50 losses = genuinely pathological contention
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first — re-read the head
     and retry (optimistic concurrency, Iceberg-style)."""
@@ -413,8 +417,18 @@ class SnapshotTable:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"snapshot table {self.root} has no commits")
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        try:
+            with open(self._manifest_path(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            vs = self.versions()
+            raise FileNotFoundError(
+                f"snapshot table {self.root}: version {version} is not "
+                f"readable — it was expired/vacuumed from the retention "
+                f"window or never existed (retained versions: "
+                f"{vs[0]}..{vs[-1]})" if vs else
+                f"snapshot table {self.root} has no commits"
+            ) from None
 
     # ----------------------------------------------------------- commits
     def commit(
@@ -433,9 +447,20 @@ class SnapshotTable:
         (``changes``, the streaming source) pass through it instead of
         resetting. Returns the new version.
 
-        Raises :class:`ConcurrentCommitError` if another writer
-        published the same version between our head read and our link —
-        data files written by the loser are unreferenced and harmless.
+        Concurrency: an APPEND that loses the version race REBASES and
+        re-publishes automatically — appends commute, so two
+        independent appenders both succeed and the final table is the
+        union (the Iceberg/Delta retry-merge contract). The rebase is
+        metadata-only: the already-written data files are re-referenced
+        against the new head; only in the rare case where BOTH writers
+        minted new field ids for evolved columns (id collision) is the
+        data rewritten under the rebased schema. ``'overwrite'`` does
+        NOT auto-rebase — a compaction/optimize overwrite re-published
+        over a concurrent append would silently DELETE the appended
+        rows — and raises :class:`ConcurrentCommitError`; the caller
+        must recompute from the new head. Table handles are one-per-
+        writer (pending-write state is instance-local): concurrent
+        writers each use their own ``SnapshotTable(root)``.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode: {mode!r}")
@@ -458,31 +483,77 @@ class SnapshotTable:
             prev, schema_json, extras = [], _fresh_schema_json(df.schema), {}
         spec = self.partition_spec()
         files = self._write_data(df, version, schema_json)
-        manifest = {
-            "version": version,
-            "base": head,
-            "mode": mode,
-            "schema": schema_json,
-            "files": prev + files,
-            **extras,
-        }
-        if spec:
-            manifest["partition_spec"] = spec
-        fp = {
-            **{f: prev_fp[f] for f in prev if f in prev_fp},
-            **{f: self._pending_file_partitions[f]
-               for f in files if f in self._pending_file_partitions},
-        }
-        if fp:
-            manifest["file_partitions"] = fp
-        if dv_files:
-            manifest["dv_files"] = dv_files
-        if epoch_id is not None:
-            manifest["epoch_id"] = epoch_id
-        if rewrite_only:
-            manifest["rewrite_only"] = True
-        self._publish(version, manifest)
-        return version
+        pend_fp = dict(self._pending_file_partitions)
+        for _attempt in range(_MAX_COMMIT_REBASE):
+            manifest = {
+                "version": version,
+                "base": head,
+                "mode": mode,
+                "schema": schema_json,
+                "files": prev + files,
+                **extras,
+            }
+            if spec:
+                manifest["partition_spec"] = spec
+            fp = {
+                **{f: prev_fp[f] for f in prev if f in prev_fp},
+                **{f: pend_fp[f] for f in files if f in pend_fp},
+            }
+            if fp:
+                manifest["file_partitions"] = fp
+            if dv_files:
+                manifest["dv_files"] = dv_files
+            if epoch_id is not None:
+                manifest["epoch_id"] = epoch_id
+            if rewrite_only:
+                manifest["rewrite_only"] = True
+            try:
+                self._publish(version, manifest)
+                return version
+            except ConcurrentCommitError:
+                if mode != "append":
+                    raise
+                head, version, prev, schema_json, extras, dv_files, \
+                    prev_fp, spec, files, pend_fp = self._rebase_append(
+                        df, files, pend_fp, schema_json
+                    )
+        raise ConcurrentCommitError(
+            f"append lost the version race {_MAX_COMMIT_REBASE} times — "
+            f"sustained contention; batch the writers"
+        )
+
+    def _rebase_append(self, df, files, pend_fp, schema_json):
+        """Re-derive an append's commit inputs against the NEW head
+        after losing the version race. Metadata-only unless the
+        concurrent winner minted field ids that collide with ours (both
+        writers evolved the schema): then the data is rewritten under
+        the rebased schema (the lost attempt's files stay unreferenced
+        for vacuum)."""
+        new_head = self.latest_version()
+        new_m = self.manifest(new_head)
+        new_schema_json = _merge_schema(new_m, df.schema)
+        old_ids = _ids_of(T.StructType.fromJson(json.loads(schema_json)))
+        new_ids = _ids_of(T.StructType.fromJson(json.loads(new_schema_json)))
+        ours = set(df.columns)
+        if any(
+            old_ids.get(c) != new_ids.get(c)
+            for c in ours
+            if c in old_ids or c in new_ids
+        ):
+            files = self._write_data(df, new_head + 1, new_schema_json)
+            pend_fp = dict(self._pending_file_partitions)
+        return (
+            new_head,
+            new_head + 1,
+            new_m["files"],
+            new_schema_json,
+            _schema_extras(new_m),
+            new_m.get("dv_files", []),
+            new_m.get("file_partitions", {}),
+            new_m.get("partition_spec"),
+            files,
+            pend_fp,
+        )
 
     def _write_data(
         self, df: DataFrame, version: int, schema_json: str | None = None
@@ -1233,6 +1304,47 @@ class SnapshotTable:
             man["file_partitions"] = fp
         return man
 
+    def _rebase_dml(
+        self,
+        base_m: dict,
+        touched_files: list[str],
+        require_same_dv: bool = True,
+    ) -> dict:
+        """Disjoint-writer conflict check after a DML commit lost the
+        version race: re-basing onto the new head is safe iff the
+        concurrent winner(s) did not invalidate what this DML computed
+        from its base snapshot — the files it read-and-replaced (or
+        DV-targeted) are all still live, the schema is unchanged, and
+        (where the rewrite baked the base's deletion vectors in) the DV
+        set is unchanged. Append vs DML therefore always re-bases; two
+        DMLs succeed iff their touched file sets are disjoint (the
+        Iceberg validation rule). Returns the new head manifest, or
+        raises :class:`ConcurrentCommitError` naming the conflict — the
+        caller must then recompute from the new head."""
+        m2 = self.manifest()
+        if m2["schema"] != base_m["schema"]:
+            raise ConcurrentCommitError(
+                "concurrent schema change: this DML was computed under "
+                "the old schema — recompute from the new head"
+            )
+        live = set(m2["files"])
+        gone = [f for f in touched_files if f not in live]
+        if gone:
+            raise ConcurrentCommitError(
+                f"concurrent DML touched {len(gone)} of the same files "
+                f"(e.g. {gone[0]!r}) — touched sets must be disjoint; "
+                f"recompute from the new head"
+            )
+        if require_same_dv and (
+            m2.get("dv_files", []) != base_m.get("dv_files", [])
+        ):
+            raise ConcurrentCommitError(
+                "concurrent merge-on-read delete changed the deletion-"
+                "vector set this DML's rewrite was computed against — "
+                "recompute from the new head"
+            )
+        return m2
+
     def _files_of(self, spark: SparkSession, df: "DataFrame") -> list[str]:
         """Root-relative file paths present in ``df`` (which must carry
         ``_sg_file`` = ``input_file_name()``). The collect is bounded by
@@ -1459,11 +1571,30 @@ class SnapshotTable:
                 version, head, "delete", m["schema"], list(m["files"]), [], m
             )
             man["dv_files"] = prev_dv + dv_new
-            self._publish(version, man)
+            while True:
+                try:
+                    self._publish(version, man)
+                    break
+                except ConcurrentCommitError:
+                    # MOR deletes merge with concurrent appends AND
+                    # with other MOR deletes (DV union is sound: a DV
+                    # row targeting an already-DV'd row dedups in the
+                    # anti-join) — conflict only if a concurrent COW
+                    # rewrite removed a candidate file our DVs may
+                    # target.
+                    m2 = self._rebase_dml(
+                        m, candidates, require_same_dv=False
+                    )
+                    version = m2["version"] + 1
+                    man = self._cow_manifest(
+                        version, m2["version"], "delete", m["schema"],
+                        list(m2["files"]), [], m2,
+                    )
+                    man["dv_files"] = m2.get("dv_files", []) + dv_new
             return {
                 "version": version,
                 "rewritten_files": 0,
-                "kept_files": len(m["files"]),
+                "kept_files": len(man["files"]),
                 "deleted_rows": deleted_rows,
             }
         # one pass finds the affected files AND the per-file delete
@@ -1493,7 +1624,24 @@ class SnapshotTable:
             # DV rows pointing at the dropped files match nothing now —
             # carried harmlessly until compaction clears them
             man["dv_files"] = prev_dv
-        self._publish(version, man)
+        while True:
+            try:
+                self._publish(version, man)
+                break
+            except ConcurrentCommitError:
+                # disjoint-writer rebase: a concurrent append (or a DML
+                # on a disjoint file set) doesn't invalidate this
+                # rewrite — re-publish against the new head, carrying
+                # ITS file list minus our affected files.
+                m2 = self._rebase_dml(m, sorted(affected))
+                version = m2["version"] + 1
+                kept = [f for f in m2["files"] if f not in affected]
+                man = self._cow_manifest(
+                    version, m2["version"], "delete", m["schema"], kept,
+                    new_files, m2,
+                )
+                if prev_dv:
+                    man["dv_files"] = prev_dv
         return {
             "version": version,
             "rewritten_files": len(affected),
@@ -2338,23 +2486,39 @@ class SnapshotTable:
                 if upserted_rows
                 else []
             )
-            man = self._cow_manifest(
-                version, head, "merge", schema_json, list(m["files"]),
-                new_files, m,
+            ts_new = self._write_tombstones(dels, version) if n_dels else []
+            base_files, base_dv, base_ts, base_head, base_m2 = (
+                list(m["files"]), prev_dv, prev_ts, head, m,
             )
-            if prev_dv or dv_new:
-                man["dv_files"] = prev_dv + dv_new
-            if n_dels:
-                man["tombstone_files"] = prev_ts + self._write_tombstones(
-                    dels, version
+            while True:
+                man = self._cow_manifest(
+                    version, base_head, "merge", schema_json, base_files,
+                    new_files, base_m2,
                 )
-            if epoch_id is not None:
-                man["epoch_id"] = epoch_id
-            self._publish(version, man)
+                if base_dv or dv_new:
+                    man["dv_files"] = base_dv + dv_new
+                if ts_new or base_ts:
+                    man["tombstone_files"] = base_ts + ts_new
+                if epoch_id is not None:
+                    man["epoch_id"] = epoch_id
+                try:
+                    self._publish(version, man)
+                    break
+                except ConcurrentCommitError:
+                    # disjoint-writer rebase (two CDC streams on
+                    # disjoint partitions, or apply vs append): safe
+                    # iff the affected files are untouched and the DV
+                    # base didn't shift under the matched-row scan.
+                    m2 = self._rebase_dml(m, sorted(affected))
+                    version = m2["version"] + 1
+                    base_head, base_m2 = m2["version"], m2
+                    base_files = list(m2["files"])
+                    base_dv = m2.get("dv_files", [])
+                    base_ts = m2.get("tombstone_files", [])
             return {
                 "version": version,
                 "rewritten_files": 0,
-                "kept_files": len(m["files"]),
+                "kept_files": len(base_files),
                 "upserted_rows": upserted_rows,
                 "deleted_rows": deleted_rows,
                 "skipped_stale": skipped_stale,
@@ -2371,19 +2535,30 @@ class SnapshotTable:
             new_files = self._write_data(out, version, schema_json)
         else:
             new_files = []  # tombstone-only batch: metadata + sidecar
+        ts_new = self._write_tombstones(dels, version) if n_dels else []
+        base_head, base_m2, base_ts = head, m, prev_ts
         kept = [f for f in m["files"] if f not in affected]
-        man = self._cow_manifest(
-            version, head, "merge", schema_json, kept, new_files, m
-        )
-        if prev_dv:
-            man["dv_files"] = prev_dv
-        if n_dels:
-            man["tombstone_files"] = prev_ts + self._write_tombstones(
-                dels, version
+        while True:
+            man = self._cow_manifest(
+                version, base_head, "merge", schema_json, kept, new_files,
+                base_m2,
             )
-        if epoch_id is not None:
-            man["epoch_id"] = epoch_id
-        self._publish(version, man)
+            if prev_dv:
+                man["dv_files"] = prev_dv
+            if ts_new or base_ts:
+                man["tombstone_files"] = base_ts + ts_new
+            if epoch_id is not None:
+                man["epoch_id"] = epoch_id
+            try:
+                self._publish(version, man)
+                break
+            except ConcurrentCommitError:
+                # see the MOR branch's rebase note
+                m2 = self._rebase_dml(m, sorted(affected))
+                version = m2["version"] + 1
+                base_head, base_m2 = m2["version"], m2
+                base_ts = m2.get("tombstone_files", [])
+                kept = [f for f in m2["files"] if f not in affected]
         return {
             "version": version,
             "rewritten_files": len(affected),
@@ -2491,33 +2666,50 @@ class StatsSnapshotTable(SnapshotTable):
             schema_json = _fresh_schema_json(df.schema)
         spec = self.partition_spec()
         files = self._write_data(df, version, schema_json)
-        new_stats = self._pending_stats
-        manifest = {
-            "version": version,
-            "base": head,
-            "mode": mode,
-            "schema": schema_json,
-            "files": prev_files + files,
-            "stats": {**prev_stats, **new_stats},
-            **extras,
-        }
-        if spec:
-            manifest["partition_spec"] = spec
-        fp = {
-            **{f: prev_fp[f] for f in prev_files if f in prev_fp},
-            **{f: self._pending_file_partitions[f]
-               for f in files if f in self._pending_file_partitions},
-        }
-        if fp:
-            manifest["file_partitions"] = fp
-        if dv_files:
-            manifest["dv_files"] = dv_files
-        if epoch_id is not None:
-            manifest["epoch_id"] = epoch_id
-        if rewrite_only:
-            manifest["rewrite_only"] = True
-        self._publish(version, manifest)
-        return version
+        pend_fp = dict(self._pending_file_partitions)
+        for _attempt in range(_MAX_COMMIT_REBASE):
+            manifest = {
+                "version": version,
+                "base": head,
+                "mode": mode,
+                "schema": schema_json,
+                "files": prev_files + files,
+                "stats": {**prev_stats, **self._pending_stats},
+                **extras,
+            }
+            if spec:
+                manifest["partition_spec"] = spec
+            fp = {
+                **{f: prev_fp[f] for f in prev_files if f in prev_fp},
+                **{f: pend_fp[f] for f in files if f in pend_fp},
+            }
+            if fp:
+                manifest["file_partitions"] = fp
+            if dv_files:
+                manifest["dv_files"] = dv_files
+            if epoch_id is not None:
+                manifest["epoch_id"] = epoch_id
+            if rewrite_only:
+                manifest["rewrite_only"] = True
+            try:
+                self._publish(version, manifest)
+                return version
+            except ConcurrentCommitError:
+                if mode != "append":
+                    raise
+                head, version, prev_files, schema_json, extras, dv_files, \
+                    prev_fp, spec, files, pend_fp = self._rebase_append(
+                        df, files, pend_fp, schema_json
+                    )
+                prev_stats = self.manifest(head).get("stats", {})
+                prev_stats = {
+                    f: prev_stats[f] for f in prev_files if f in prev_stats
+                }
+        else:
+            raise ConcurrentCommitError(
+                f"append lost the version race {_MAX_COMMIT_REBASE} "
+                f"times — sustained contention; batch the writers"
+            )
 
     def _cow_manifest(
         self,
@@ -2888,6 +3080,42 @@ def vacuum(
         "removed_files": removed_files,
         "retained_versions": sorted(keep_v),
     }
+
+
+def expire_snapshots(
+    tbl: SnapshotTable,
+    older_than_ms: int,
+    min_retained_version: int | None = None,
+) -> dict:
+    """Time-based retention (Iceberg ``expireSnapshots(olderThan)`` /
+    Delta ``logRetentionDuration``): drop every version whose
+    ``committed_at_ms`` is at or before ``older_than_ms`` — except the
+    HEAD, which is always retained (the live table never expires) —
+    then reclaim any data file no retained version references.
+    Versions from before commit timestamps existed count as
+    arbitrarily old. ``min_retained_version`` pins a lagging stream
+    consumer's lineage exactly as in :func:`vacuum`, and an expired
+    version's time travel fails loudly (``manifest()`` names the
+    retained window). Returns the :func:`vacuum`-shaped counts."""
+    versions = tbl.versions()
+    if not versions:
+        return {"dropped_versions": 0, "removed_files": 0,
+                "retained_versions": []}
+    head = versions[-1]
+    keep = [
+        v for v in versions
+        if v == head or tbl.manifest(v).get("committed_at_ms", 0) > older_than_ms
+    ]
+    # translate the time cutoff into vacuum's version-count contract:
+    # retain everything from the oldest time-retained version up
+    oldest_keep = min(keep)
+    if min_retained_version is not None:
+        oldest_keep = min(oldest_keep, min_retained_version)
+    return vacuum(
+        tbl,
+        retain_last=len([v for v in versions if v >= oldest_keep]),
+        min_retained_version=min_retained_version,
+    )
 
 
 class ExpectationError(ValueError):

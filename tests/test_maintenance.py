@@ -199,3 +199,44 @@ def test_optimize_zorder_validates_columns_and_empty_table(spark, tmp_path):
     res = empty.optimize(spark, zorder_by=("k", "m"))
     assert res["version"] == v_before
     assert empty.latest_version() == v_before
+
+
+def test_expire_snapshots_time_based_retention(spark, tmp_path):
+    """expire_snapshots(older_than_ms): versions at/before the cutoff
+    drop (head always survives), reclaimed files disappear, expired
+    time travel fails with a loud retained-window error, and the
+    min_retained_version pin holds a lagging consumer's lineage."""
+    import pytest as _pt
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        expire_snapshots,
+    )
+
+    def build(root):
+        t = SnapshotTable(root)
+        for i in range(4):
+            t.commit(
+                spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+            )
+        return t
+
+    t = build(str(tmp_path / "a"))
+    ts = {v: t.manifest(v)["committed_at_ms"] for v in t.versions()}
+    res = expire_snapshots(t, older_than_ms=ts[2])  # expire v1, v2
+    assert res["retained_versions"] == [3, 4]
+    assert res["dropped_versions"] == 2
+    # head state unaffected; expired time travel is loud
+    assert t.read(spark).count() == 4
+    with _pt.raises(FileNotFoundError, match="retention"):
+        t.read(spark, 1)
+    # cutoff in the future: everything but the head expires, head stays
+    t2 = build(str(tmp_path / "b"))
+    res2 = expire_snapshots(t2, older_than_ms=2 ** 60)
+    assert res2["retained_versions"] == [4]
+    assert t2.read(spark).count() == 4
+    # lagging-consumer pin wins over the time cutoff
+    t3 = build(str(tmp_path / "c"))
+    ts3 = {v: t3.manifest(v)["committed_at_ms"] for v in t3.versions()}
+    res3 = expire_snapshots(t3, older_than_ms=ts3[3], min_retained_version=2)
+    assert res3["retained_versions"] == [2, 3, 4]

@@ -415,3 +415,23 @@ def test_tpcds_q97_full_outer_is_sort_merge(spark, sf_dir):
     # the pair-distinct sides co-shuffle into a sort-merge FULL OUTER —
     # a broadcast would be wrong (both sides scale with the fact)
     assert "SortMergeJoin" in plan and "FullOuter" in plan
+
+
+def test_tpcds_q67_rank_rides_above_rollup_expand(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpcds_q67")
+    assert "Expand" in plan           # the ROLLUP expansion
+    assert "Window" in plan           # rank over the rollup output
+    # window input is the O(groups) aggregate, never the fact rows
+    assert plan.index("Window") < plan.index("Expand")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q70_having_total_is_conditioned_bnlj(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpcds_q70")
+    assert "Expand" in plan and "Window" in plan
+    assert plan.index("Window") < plan.index("Expand")
+    # the HAVING fraction attaches the 1-row global total via a
+    # broadcast nested-loop join WITH a condition — never a cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -619,3 +619,76 @@ def test_jsonl_stream_commit_sweeps_orphan_parts_on_replay(tmp_path):
     rows = [json.loads(l) for p in parts for l in open(p)]
     assert rows == [{"v": "replay-0"}]
     assert os.path.exists(os.path.join(out, "_epoch_7"))
+
+
+def test_partitioned_dbapi_sink_parity_and_replay(spark, tmp_path):
+    """Executor-parallel DB-API sink (VERDICT r6 gap 6): foreachPartition
+    staging over per-partition SQLite connections must produce the SAME
+    final table as the driver-side DbApiUpsertSink on the same batches
+    (parity), skip replayed epochs (ledger), and absorb a staged-twice
+    partition (task-retry duplicates removed by the dedup step)."""
+    import functools
+    import sqlite3
+
+    from kafka_database_import_spark.sinks.jdbc import (
+        PartitionedDbApiUpsertSink,
+    )
+
+    dbs = {}
+    for name in ("par", "ser"):
+        db = str(tmp_path / f"{name}.sqlite")
+        with sqlite3.connect(db) as con:
+            con.execute(
+                "CREATE TABLE imported (id INTEGER PRIMARY KEY, v TEXT)"
+            )
+        dbs[name] = db
+
+    par = PartitionedDbApiUpsertSink(
+        functools.partial(sqlite3.connect, dbs["par"], timeout=60),
+        "imported",
+        ["id"],
+    )
+    ser = DbApiUpsertSink(lambda: sqlite3.connect(dbs["ser"]), "imported", ["id"])
+
+    b0 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "id long, v string"
+    ).repartition(8)
+    b1 = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(100, 300)], "id long, v string"
+    ).repartition(8)
+    for sink in (par, ser):
+        sink(b0, 0)
+        sink(b1, 1)
+        sink(b1, 1)  # replayed epoch — must be a no-op
+
+    def rows(db):
+        with sqlite3.connect(db) as con:
+            return sorted(con.execute("SELECT id, v FROM imported").fetchall())
+
+    got, want = rows(dbs["par"]), rows(dbs["ser"])
+    assert got == want and len(got) == 300
+    # no stray staging scratch left behind after a committed batch
+    with sqlite3.connect(dbs["par"]) as con:
+        names = {
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            )
+        }
+    assert names == {"imported", "imported__epochs"}, names
+
+    # task-retry shape: a partition staged twice (exact duplicate rows)
+    # still merges to one row per key via the DISTINCT dedup step
+    db3 = str(tmp_path / "retry.sqlite")
+    with sqlite3.connect(db3) as con:
+        con.execute("CREATE TABLE imported (id INTEGER PRIMARY KEY, v TEXT)")
+    retry = PartitionedDbApiUpsertSink(
+        functools.partial(sqlite3.connect, db3, timeout=60), "imported", ["id"]
+    )
+    dup = spark.createDataFrame(
+        [(1, "a"), (2, "b")] * 2, "id long, v string"  # staged-twice shape
+    ).repartition(2)
+    # duplicate FULL rows are exactly what a replayed foreachPartition
+    # task produces; the merge must not raise or double-apply
+    retry(dup.distinct().union(dup.distinct()), 0)
+    assert rows(db3) == [(1, "a"), (2, "b")]

@@ -423,9 +423,20 @@ def test_commit_with_retry_wins_after_races_and_gives_up_eventually(spark, tmp_p
     assert v == 4  # two rivals took 2 and 3
     assert (2, "b") in _rows(tbl.read(spark))
 
-    races["left"] = 99  # permanent contention: must give up, not spin
-    with pytest.raises(ConcurrentCommitError):
-        commit_with_retry(tbl, _df(spark, [(3, "c")]), attempts=3)
+    # permanent contention must still give up, not spin. Since r7,
+    # commit() itself rebases appends up to _MAX_COMMIT_REBASE times
+    # per call — shrink the bound so the give-up path is reachable in
+    # test time (the product bound is 50 per attempt).
+    import kafka_database_import_spark.sources.snapshot as _snap
+
+    races["left"] = 99
+    orig_bound = _snap._MAX_COMMIT_REBASE
+    _snap._MAX_COMMIT_REBASE = 2
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            commit_with_retry(tbl, _df(spark, [(3, "c")]), attempts=3)
+    finally:
+        _snap._MAX_COMMIT_REBASE = orig_bound
 
 
 # --------------------------------------------------- copy-on-write mutation
@@ -591,7 +602,7 @@ def test_merge_rows_into_empty_table_is_insert(spark, tmp_path):
     assert _rows(tbl.read(spark)) == [(1, "a")]
 
 
-def test_cow_commit_loses_version_race_cleanly(spark, tmp_path):
+def test_cow_delete_rebases_onto_concurrent_append(spark, tmp_path):
     from kafka_database_import_spark.sources.snapshot import (
         ConcurrentCommitError,
         SnapshotTable,
@@ -610,12 +621,13 @@ def test_cow_commit_loses_version_race_cleanly(spark, tmp_path):
             return super()._write_data(df, version, schema_json)
 
     racing = RacingTable(str(tmp_path / "t"))
-    with pytest.raises(ConcurrentCommitError):
-        racing.delete_where(spark, "k = 1")
-    # retry against the new head succeeds and sees the racer's row
+    # NEW contract (r7 disjoint-writer rebase): losing the race to an
+    # APPEND no longer raises — the delete re-bases onto the new head
+    # in one call, and the racer's row survives
     res = racing.delete_where(spark, "k = 1")
     assert res["deleted_rows"] == 1
     assert _rows(tbl.read(spark)) == [(2, "b"), (50, "r")]
+    assert tbl.latest_version() == 3  # racer's v2, rebased delete v3
 
 
 def test_row_changes_reports_cow_diff_exactly(spark, tmp_path):
@@ -995,7 +1007,7 @@ def test_overwrite_where_replaces_slice_atomically(spark, tmp_path):
     assert (777, "new") in _rows(tbl.read(spark))
 
 
-def test_mor_delete_loses_version_race_cleanly(spark, tmp_path):
+def test_mor_delete_rebases_onto_concurrent_append(spark, tmp_path):
     from kafka_database_import_spark.sources.snapshot import (
         ConcurrentCommitError,
         SnapshotTable,
@@ -1012,12 +1024,12 @@ def test_mor_delete_loses_version_race_cleanly(spark, tmp_path):
             return super()._write_dv(hits, version)
 
     racing = RacingTable(str(tmp_path / "t"))
-    with pytest.raises(ConcurrentCommitError):
-        racing.delete_where(spark, "k = 1", mode="mor")
-    # retry from the new head succeeds and sees the racer's row
+    # NEW contract (r7): MOR deletes merge with concurrent appends —
+    # one call, DV lands against the rebased head, racer's row kept
     res = racing.delete_where(spark, "k = 1", mode="mor")
     assert res["deleted_rows"] == 1
     assert _rows(tbl.read(spark)) == [(2, "b"), (50, "r")]
+    assert tbl.latest_version() == 3
 
 
 def test_merge_rows_duplicate_target_keys_stat_exact(spark, tmp_path):
