@@ -953,3 +953,93 @@ def test_random_cdc_changelog_converges_to_latest_per_key(
         ).fetchall()
     )
     assert got == want, (seed, mode, got, want)
+
+
+# ---------------------------------------------------------------------------
+# family 16: random RESTOREs interleaved with CDC apply batches (round 7).
+# A restore rewinds the WHOLE sequencing state — live rows, stored seqs,
+# and delete tombstones — so post-restore batches (including verbatim
+# replays of pre-restore batches, which the rewound guards must accept
+# again) converge to the model's state, not the pre-restore lineage's.
+
+
+def _cdc_restore_script(seed: int):
+    rng = random.Random(916_000 + seed)
+    ops = []
+    seq = 0
+    n_ops = rng.randint(4, 8)
+    past_batches: list[list] = []
+    for _ in range(n_ops):
+        kind = rng.random()
+        if kind < 0.25 and ops:
+            ops.append(("restore", None))
+        elif kind < 0.40 and past_batches:
+            ops.append(("replay", rng.choice(past_batches)))
+        else:
+            batch = []
+            for _ in range(rng.randint(3, 8)):
+                seq += 1
+                k = rng.randrange(8)
+                op = "delete" if rng.random() < 0.3 else "upsert"
+                batch.append((k, f"v{seq}" if op == "upsert" else None, seq, op))
+            past_batches.append(batch)
+            ops.append(("apply", batch))
+    return ops
+
+
+def _model_apply(live, guards, batch):
+    """Reference semantics of apply_changes: latest change per key in
+    the batch (seqs are globally unique, so no tie-breaking), stale
+    changes (seq <= stored guard, where tombstones keep guarding) are
+    skipped."""
+    winners = {}
+    for k, v, s, op in batch:
+        if k not in winners or s > winners[k][1]:
+            winners[k] = (v, s, op)
+    for k, (v, s, op) in winners.items():
+        if k in guards and s <= guards[k]:
+            continue
+        guards[k] = s
+        if op == "upsert":
+            live[k] = (v, s)
+        else:
+            live.pop(k, None)
+
+
+@pytest.mark.parametrize("seed", _seeds(8))
+def test_random_restores_interleaved_with_cdc_converge(spark, tmp_path, seed):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    ops = _cdc_restore_script(seed)
+    tbl = SnapshotTable(str(tmp_path / f"cdcr{seed}"))
+    live: dict = {}
+    guards: dict = {}
+    states: dict[int, tuple] = {}
+    rng = random.Random(917_000 + seed)
+    for kind, payload in ops:
+        if kind == "restore":
+            if not states:
+                continue
+            target = rng.choice(sorted(states))
+            newv = tbl.restore(target)
+            live = dict(states[target][0])
+            guards = dict(states[target][1])
+            states[newv] = (dict(live), dict(guards))
+        else:  # apply or replay
+            res = tbl.apply_changes(
+                spark,
+                spark.createDataFrame(
+                    payload, "k long, v string, seq long, _op string"
+                ),
+                ["k"],
+                seq_col="seq",
+            )
+            _model_apply(live, guards, payload)
+            if res["version"] is not None:
+                states[res["version"]] = (dict(live), dict(guards))
+    if tbl.latest_version() is None:
+        assert not live
+        return
+    got = sorted(tuple(r) for r in tbl.read(spark).collect())
+    want = sorted((k, v, s) for k, (v, s) in live.items())
+    assert got == want, (seed, ops, got, want)
