@@ -1571,7 +1571,7 @@ class SnapshotTable:
                 version, head, "delete", m["schema"], list(m["files"]), [], m
             )
             man["dv_files"] = prev_dv + dv_new
-            while True:
+            for _attempt in range(_MAX_COMMIT_REBASE):
                 try:
                     self._publish(version, man)
                     break
@@ -1591,6 +1591,11 @@ class SnapshotTable:
                         list(m2["files"]), [], m2,
                     )
                     man["dv_files"] = m2.get("dv_files", []) + dv_new
+            else:
+                raise ConcurrentCommitError(
+                    f"MOR delete lost the version race "
+                    f"{_MAX_COMMIT_REBASE} times — sustained contention"
+                )
             return {
                 "version": version,
                 "rewritten_files": 0,
@@ -1624,7 +1629,7 @@ class SnapshotTable:
             # DV rows pointing at the dropped files match nothing now —
             # carried harmlessly until compaction clears them
             man["dv_files"] = prev_dv
-        while True:
+        for _attempt in range(_MAX_COMMIT_REBASE):
             try:
                 self._publish(version, man)
                 break
@@ -1642,6 +1647,11 @@ class SnapshotTable:
                 )
                 if prev_dv:
                     man["dv_files"] = prev_dv
+        else:
+            raise ConcurrentCommitError(
+                f"delete lost the version race {_MAX_COMMIT_REBASE} "
+                f"times — sustained contention"
+            )
         return {
             "version": version,
             "rewritten_files": len(affected),
@@ -2490,7 +2500,7 @@ class SnapshotTable:
             base_files, base_dv, base_ts, base_head, base_m2 = (
                 list(m["files"]), prev_dv, prev_ts, head, m,
             )
-            while True:
+            for _attempt in range(_MAX_COMMIT_REBASE):
                 man = self._cow_manifest(
                     version, base_head, "merge", schema_json, base_files,
                     new_files, base_m2,
@@ -2515,6 +2525,11 @@ class SnapshotTable:
                     base_files = list(m2["files"])
                     base_dv = m2.get("dv_files", [])
                     base_ts = m2.get("tombstone_files", [])
+            else:
+                raise ConcurrentCommitError(
+                    f"CDC apply lost the version race "
+                    f"{_MAX_COMMIT_REBASE} times — sustained contention"
+                )
             return {
                 "version": version,
                 "rewritten_files": 0,
@@ -2538,7 +2553,7 @@ class SnapshotTable:
         ts_new = self._write_tombstones(dels, version) if n_dels else []
         base_head, base_m2, base_ts = head, m, prev_ts
         kept = [f for f in m["files"] if f not in affected]
-        while True:
+        for _attempt in range(_MAX_COMMIT_REBASE):
             man = self._cow_manifest(
                 version, base_head, "merge", schema_json, kept, new_files,
                 base_m2,
@@ -2559,6 +2574,11 @@ class SnapshotTable:
                 base_head, base_m2 = m2["version"], m2
                 base_ts = m2.get("tombstone_files", [])
                 kept = [f for f in m2["files"] if f not in affected]
+        else:
+            raise ConcurrentCommitError(
+                f"CDC apply lost the version race {_MAX_COMMIT_REBASE} "
+                f"times — sustained contention"
+            )
         return {
             "version": version,
             "rewritten_files": len(affected),

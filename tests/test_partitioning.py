@@ -292,3 +292,45 @@ def test_missing_partition_column_in_write_is_loud(spark, tmp_path):
     t.commit(_mkdf(spark, 6))
     with pytest.raises(ValueError, match="missing"):
         t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+
+
+def test_changes_stream_tails_partitioned_table(spark, tmp_path):
+    """The streaming changes source over a PARTITIONED table: added
+    files live in nested hive dirs; the per-file partition planning and
+    the by-name projection must deliver them unchanged (partition
+    columns ride IN the data files by design)."""
+    import time
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+    from kafka_database_import_spark.sources.snapshot_stream import register
+
+    register(spark)
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(root, partition_by=["r"])
+    t.commit(spark.createDataFrame(
+        [(1, "EU"), (2, "US")], "k long, r string"))
+    name = "kdis_part_stream"
+    q = (
+        spark.readStream.format("kdis_snapshot_changes")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= 2:
+                break
+            time.sleep(0.3)
+        t.commit(spark.createDataFrame([(3, "AP")], "k long, r string"))
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= 3:
+                break
+            time.sleep(0.3)
+        got = sorted((r["k"], r["r"]) for r in spark.table(name).collect())
+        assert got == [(1, "EU"), (2, "US"), (3, "AP")]
+    finally:
+        q.stop()
