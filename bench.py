@@ -52,6 +52,7 @@ HEADLINE = [
     "q99zzs_partitioned_table",  # partition-pruned plan + scoped DML (round 7)
     "q99zzt_restore_rollback",   # metadata-only rollback commit (round 7)
     "tpcds_q67",               # DS rank over rollup hierarchy (round 7)
+    "q99zzv_partition_transforms",  # hidden partitioning: month()+Between (round 7)
 ]
 
 

@@ -2111,3 +2111,93 @@ def q99zzu_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert _schema_has_region(), tbl.manifest()["schema"]
     out = tbl.read(spark).select("k", "status", "cents", "region", "seq")
     return ordered(out, "k", "status", "cents", "region", "seq")
+
+
+@query(
+    "q99zzv_partition_transforms",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS m,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE)
+              BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+      AND NOT (CAST(o_orderdate AS DATE) <= DATE '1995-12-31'
+               AND o_orderkey % 10 = 1)
+    GROUP BY 1
+    ORDER BY m NULLS LAST
+    """,
+)
+def q99zzv_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN partitioning end-to-end (round-7 partition transforms):
+    orders committed under ``partition_by=['month(o_date)']`` — the
+    100 TB time-partitioned-fact norm — so files land in
+    ``__p_o_date_month=YYYY-MM`` dirs with the transform value
+    recorded per file. Every filter in the query names only the
+    SOURCE column: a retention DELETE scoped to 1995 via
+    ``partition_filter={'o_date': Between(...)}`` (candidates pruned
+    manifest-side by mapping the range through the month transform),
+    then a two-year ``Between`` read that plans only the covered
+    months. The build asserts plan shape (candidates and planned
+    files strictly below the file total; inputFiles all from matching
+    month dirs); the oracle recomputes the monthly report
+    relationally. The query never names a partition VALUE — that is
+    what hidden partitioning means."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import (
+        Between,
+        SnapshotTable,
+    )
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_ptrq_{tag}")
+    tbl = SnapshotTable(root, partition_by=["month(o_date)"])
+    if tbl.latest_version() != 2:
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        tbl = SnapshotTable(root, partition_by=["month(o_date)"])
+        base = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.to_date("o_orderdate").alias("o_date"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        tbl.commit(base)  # v1: one hive dir per month
+        m = tbl.manifest()
+        assert m["partition_spec"] == ["month(o_date)"], m
+        assert all("__p_o_date_month=" in f for f in m["files"]), (
+            m["files"][:3]
+        )
+        n_all = len(m["files"])
+        n_95 = sum(
+            1 for f in m["files"] if "__p_o_date_month=1995-" in f
+        )
+        res = tbl.delete_where(
+            spark,
+            "o_date <= '1995-12-31' AND k % 10 = 1",
+            partition_filter={
+                "o_date": Between("1995-01-01", "1995-12-31")
+            },
+        )  # v2: only 1995's files were candidates
+        assert 0 < res["rewritten_files"] <= n_95 < n_all, (
+            res, n_95, n_all,
+        )
+    out = tbl.read_partition(
+        spark, {"o_date": Between("1995-01-01", "1996-12-31")}
+    )
+    planned, total = tbl.last_partition_counts
+    assert planned < total, (planned, total)
+    assert all(
+        "__p_o_date_month=1995-" in p or "__p_o_date_month=1996-" in p
+        for p in out.inputFiles()
+    )
+    rep = (
+        out.groupBy(F.date_format("o_date", "yyyy-MM").alias("m"))
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+    )
+    return ordered(rep, "m", "n", "cents")

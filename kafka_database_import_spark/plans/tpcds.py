@@ -1091,11 +1091,21 @@ def tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ss.join(F.broadcast(st), ss.store_sk == st.s_store_sk).select(
         "s_state", "store_sk", "profit_cp"
     )
+    # top-3 states by rank() semantics WITHOUT a global window (a
+    # partition-less rank plans Sort over Exchange SinglePartition —
+    # the linter's all-rows-through-one-task rule): the 3rd-highest
+    # state total via TakeOrderedAndProject, then `p >= thr` keeps
+    # exactly the rank<=3 set, ties included ([10,9,8,8] -> thr 8 ->
+    # 4 states, same as RANK). The per-state agg subtree is identical
+    # in both branches, so the exchange is reused, not recomputed.
+    sums = base.groupBy("s_state").agg(F.sum("profit_cp").alias("p"))
+    thr = (
+        sums.orderBy(F.col("p").desc())
+        .limit(3)
+        .agg(F.min("p").alias("thr"))
+    )
     top = (
-        base.groupBy("s_state")
-        .agg(F.sum("profit_cp").alias("p"))
-        .withColumn("r", F.rank().over(Window.orderBy(F.col("p").desc())))
-        .filter(F.col("r") <= 3)
+        sums.join(F.broadcast(thr), F.col("p") >= F.col("thr"))
         .select("s_state")
     )
     rolled = (

@@ -55,7 +55,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -167,27 +169,245 @@ def _canon_pv(value, dtype) -> "int | bool | str | None":
     return str(value)
 
 
+class Between:
+    """Inclusive range value for partition filters
+    (``{"o_orderdate": Between("1995-01-01", "1995-03-31")}``). Maps
+    through ORDER-PRESERVING partition transforms (identity, year,
+    month, day, truncate) to a range over partition values; a bucket
+    transform is not order-preserving, so a Between on its source
+    column prunes nothing (the exact re-filter still applies)."""
+
+    __slots__ = ("lo", "hi")
+
+    def __init__(self, lo, hi):
+        self.lo, self.hi = lo, hi
+
+    def __repr__(self):  # pragma: no cover - debugging aid
+        return f"Between({self.lo!r}, {self.hi!r})"
+
+
+# spec-entry syntax: a bare column name (identity), or
+# year(col) / month(col) / day(col) / bucket(N, col) / truncate(W, col)
+_TRANSFORM_ENTRY_RE = re.compile(
+    r"^\s*(year|month|day|bucket|truncate)\s*\(\s*"
+    r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+)
+# partition FIELD names are self-describing (`c`, `c_year`, `c_month`,
+# `c_day`, `c_bucket<N>`, `c_truncate<W>`): pruning can decode the
+# transform of any recorded tuple key without knowing which (possibly
+# since-evolved) spec wrote the file
+_FIELD_NAME_RE = re.compile(
+    r"^(?:(.+)_(year|month|day)|(.+)_(bucket|truncate)(\d+))$"
+)
+
+
+class _PartitionField:
+    """One parsed partition-spec entry: a (transform, source column)
+    pair with Iceberg-style HIDDEN partitioning semantics — callers
+    filter on the SOURCE column; the engine maps values through the
+    transform on both the write path (Spark expression) and the
+    pruning path (driver-side Python on filter literals). The two
+    sides must agree exactly; ``bucket`` uses CRC-32 over Spark's
+    string cast of the value precisely because both the JVM
+    (``F.crc32``) and Python (``zlib.crc32``) implement the same
+    public polynomial."""
+
+    __slots__ = ("entry", "source", "transform", "param", "name")
+
+    def __init__(self, entry: str, source: str, transform: str, param):
+        self.entry = entry
+        self.source = source
+        self.transform = transform
+        self.param = param
+        self.name = (
+            source
+            if transform == "identity"
+            else f"{source}_{transform}{param if param is not None else ''}"
+        )
+
+    @property
+    def order_preserving(self) -> bool:
+        return self.transform != "bucket"
+
+    def spark_expr(self, dtype):
+        """Column computing this field's partition value (write path)."""
+        from pyspark.sql import functions as F
+
+        c = F.col(self.source)
+        t = self.transform
+        if t == "identity":
+            return c
+        if t == "year":
+            return F.year(c)
+        if t == "month":
+            return F.date_format(c, "yyyy-MM")
+        if t == "day":
+            return F.date_format(c, "yyyy-MM-dd")
+        if t == "bucket":
+            return F.pmod(
+                F.crc32(c.cast("string").cast("binary")), F.lit(self.param)
+            )
+        # truncate
+        if dtype.simpleString() in _INT_PARTITION_TYPES:
+            return c - F.pmod(c, F.lit(self.param))
+        return F.substring(c, 1, self.param)
+
+    def py_apply(self, value, dtype):
+        """Canonical partition value of a SOURCE-column literal —
+        driver-side mirror of :meth:`spark_expr`, used to map a
+        caller's partition-filter values without running a job."""
+        if value is None:
+            return None
+        t = self.transform
+        if t == "identity":
+            return _canon_pv(value, dtype)
+        s = str(value)
+        if t == "year":
+            return int(s[:4])
+        if t == "month":
+            return s[:7]
+        if t == "day":
+            return s[:10]
+        if t == "bucket":
+            return zlib.crc32(s.encode("utf-8")) % self.param
+        if dtype.simpleString() in _INT_PARTITION_TYPES:
+            v = int(value)
+            return v - (v % self.param)
+        return s[: self.param]
+
+    def canon_result(self, raw: str, dtype):
+        """Canonical form of a hive-dir-parsed partition value."""
+        t = self.transform
+        if t == "identity":
+            return _canon_pv(raw, dtype)
+        if t in ("year", "bucket"):
+            return int(raw)
+        if t == "truncate" and dtype.simpleString() in _INT_PARTITION_TYPES:
+            return int(raw)
+        return str(raw)
+
+
+def _parse_spec_entry(entry: str) -> _PartitionField:
+    m = _TRANSFORM_ENTRY_RE.match(entry)
+    if m is None:
+        return _PartitionField(entry.strip(), entry.strip(), "identity", None)
+    t, param, col = m.group(1), m.group(2), m.group(3)
+    if t in ("bucket", "truncate"):
+        if param is None:
+            raise ValueError(
+                f"partition transform {t}() needs a width: {t}(N, {col})"
+            )
+        p = int(param)
+        if p <= 0:
+            raise ValueError(f"partition transform {t}({param}, {col}): N > 0")
+    else:
+        if param is not None:
+            raise ValueError(f"partition transform {t}() takes one column")
+        p = None
+    canon = f"{t}({str(p) + ', ' if p is not None else ''}{col})"
+    return _PartitionField(canon, col, t, p)
+
+
+def _field_from_entry_key(key: str, types: dict) -> "_PartitionField | None":
+    """Decode a recorded partition-tuple KEY back into its field.
+    Identity wins on a literal column-name match (a column named
+    ``x_month`` is just a column); otherwise the self-describing
+    suffix identifies transform + param. Returns None for keys whose
+    source column no longer exists (dropped since) — callers skip
+    those keys, i.e. treat the file conservatively."""
+    if key in types:
+        return _PartitionField(key, key, "identity", None)
+    m = _FIELD_NAME_RE.match(key)
+    if m is None:
+        return None
+    if m.group(1) is not None:
+        src, t, p = m.group(1), m.group(2), None
+    else:
+        src, t, p = m.group(3), m.group(4), int(m.group(5))
+    if src not in types:
+        return None
+    canon = f"{t}({str(p) + ', ' if p is not None else ''}{src})"
+    return _PartitionField(canon, src, t, p)
+
+
+_DATEISH_TYPES = ("date", "timestamp", "timestamp_ntz")
+
+
+def _validate_spec(spec: list[str], types: dict) -> "list[_PartitionField]":
+    """Parse + validate a spec against the table schema; returns the
+    parsed fields. Shared by table creation, commit-time writes, and
+    set_partition_spec so the rules can't drift."""
+    fields = [_parse_spec_entry(e) for e in spec]
+    for f in fields:
+        if f.source not in types:
+            raise KeyError(
+                f"partition spec {f.entry!r}: no column {f.source!r} "
+                f"(have {sorted(types)})"
+            )
+        t = types[f.source].simpleString()
+        if f.transform == "identity":
+            if t in _BANNED_PARTITION_TYPES:
+                raise ValueError(
+                    f"partition column {f.source!r} is {t} — float "
+                    f"partition values are lossy in hive paths; "
+                    f"partition on an int/string/date/bool column instead"
+                )
+        elif f.transform in ("year", "month", "day"):
+            if t not in _DATEISH_TYPES:
+                raise ValueError(
+                    f"partition transform {f.entry!r}: source must be "
+                    f"date/timestamp, got {t}"
+                )
+        elif f.transform == "bucket":
+            if t not in _INT_PARTITION_TYPES and t not in ("string", "date"):
+                raise ValueError(
+                    f"partition transform {f.entry!r}: bucket source "
+                    f"must be int/string/date, got {t} (the JVM and "
+                    f"driver-side hash must agree on the value's "
+                    f"string form)"
+                )
+        elif f.transform == "truncate":
+            if t not in _INT_PARTITION_TYPES and t != "string":
+                raise ValueError(
+                    f"partition transform {f.entry!r}: truncate source "
+                    f"must be int/string, got {t}"
+                )
+        if f.transform != "identity" and f.name in types:
+            raise ValueError(
+                f"partition field name {f.name!r} collides with an "
+                f"existing column — rename one"
+            )
+    names = [f.name for f in fields]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate partition fields in spec: {spec}")
+    return fields
+
+
 def _file_partition_values(
     relpath: str, spec: list[str], struct: "T.StructType"
 ) -> dict | None:
     """Typed partition values of one data file, parsed from the
-    ``__p_<col>=<hive-encoded value>`` fragments of its root-relative
-    path. Returns None when any spec column is absent (a file written
-    under a different spec) — callers treat such files conservatively."""
+    ``__p_<field>=<hive-encoded value>`` fragments of its root-relative
+    path, keyed by partition FIELD name. Returns None when any spec
+    field is absent (a file written under a different spec) — callers
+    treat such files conservatively."""
     from urllib.parse import unquote
 
+    fields = [_parse_spec_entry(e) for e in spec]
     types = {f.name: f.dataType for f in struct.fields}
+    by_name = {f.name: f for f in fields}
     found: dict = {}
     for frag in relpath.split(os.sep):
         if frag.startswith(_PARTITION_DIR_PREFIX) and "=" in frag:
             name, _, raw = frag.partition("=")
-            col = name[len(_PARTITION_DIR_PREFIX):]
-            if col in spec and col in types:
-                found[col] = (
+            pname = name[len(_PARTITION_DIR_PREFIX):]
+            pf = by_name.get(pname)
+            if pf is not None and pf.source in types:
+                found[pname] = (
                     None if raw == _HIVE_NULL
-                    else _canon_pv(unquote(raw), types[col])
+                    else pf.canon_result(unquote(raw), types[pf.source])
                 )
-    if set(found) != set(spec):
+    if set(found) != set(by_name):
         return None
     return found
 
@@ -358,9 +578,9 @@ class SnapshotTable:
         <root>/data/c{N}/part-*.parquet   immutable files of commit N
         <root>/_manifests/v{N}.json       {version, mode, schema, files}
 
-    **Partitioning** (``partition_by=['col', ...]``, identity
-    transform): data files land in hive-style subdirectories
-    (``data/c{N}-*/__p_col=value/part-*.parquet``) and the manifest
+    **Partitioning** (``partition_by=['col', ...]``): data files land
+    in hive-style subdirectories
+    (``data/c{N}-*/__p_field=value/part-*.parquet``) and the manifest
     records the spec (``partition_spec``) plus each file's typed
     partition tuple (``file_partitions``), so partition-pruned
     planning — :meth:`read_partition`, ``delete_where(partition_
@@ -376,6 +596,22 @@ class SnapshotTable:
     spec) conservatively. At 100 TB this is the difference between a
     time-partitioned fact table consulting O(partitions-touched)
     manifest entries and consulting a million file footers.
+
+    **Partition transforms** (Iceberg-style HIDDEN partitioning): a
+    spec entry is a bare column (identity) or ``year(col)`` /
+    ``month(col)`` / ``day(col)`` (date/timestamp sources),
+    ``bucket(N, col)`` (CRC-32 mod N — int/string/date sources), or
+    ``truncate(W, col)`` (int width / string prefix). Callers always
+    filter on the SOURCE column (values or :class:`Between` ranges);
+    pruning maps the literals through the transform driver-side and
+    compares against the recorded tuples, whose self-describing field
+    names (``col_month``, ``col_bucket8``) decode independently of
+    the active spec — so evolution between transforms stays
+    prune-correct with no spec-id bookkeeping. ``Between`` prunes
+    through every order-preserving transform; ``bucket`` prunes
+    equality/IN only. The 100 TB norm — ``month(event_ts)`` fact
+    tables, ``bucket(N, key)`` CDC targets — plans this way without
+    the query ever naming a partition value.
     """
 
     def __init__(self, root: str, partition_by: list[str] | None = None):
@@ -599,26 +835,20 @@ class SnapshotTable:
                 else df.schema
             )
             types = {f.name: f.dataType for f in struct.fields}
-            for c in spec:
-                if c not in df.columns:
+            pfields = _validate_spec(spec, types)
+            for pf in pfields:
+                if pf.source not in df.columns:
                     raise ValueError(
-                        f"partitioned write: spec column {c!r} missing "
-                        f"from the data (have {df.columns})"
+                        f"partitioned write: spec column {pf.source!r} "
+                        f"missing from the data (have {df.columns})"
                     )
-                if types.get(c) is not None and (
-                    types[c].simpleString() in _BANNED_PARTITION_TYPES
-                ):
-                    raise ValueError(
-                        f"partition column {c!r} is "
-                        f"{types[c].simpleString()} — float partition "
-                        f"values are lossy in hive paths; partition on "
-                        f"an int/string/date/bool column instead"
-                    )
-            pcols = [f"{_PARTITION_DIR_PREFIX}{c}" for c in spec]
-            for c, pc in zip(spec, pcols):
-                df = df.withColumn(pc, F.col(c))
+            pcols = [f"{_PARTITION_DIR_PREFIX}{pf.name}" for pf in pfields]
+            for pf, pc in zip(pfields, pcols):
+                df = df.withColumn(pc, pf.spark_expr(types[pf.source]))
             if not getattr(self, "_skip_spec_distribution", False):
-                df = df.repartition(*[F.col(c) for c in spec])
+                # distribute on the TRANSFORMED values: one task per
+                # partition value, not per source value
+                df = df.repartition(*[F.col(pc) for pc in pcols])
             self._skip_spec_distribution = False
         rel_dir = None
         while rel_dir is None or os.path.exists(os.path.join(self.root, rel_dir)):
@@ -726,25 +956,50 @@ class SnapshotTable:
         the stats-pruning contract."""
         struct = T.StructType.fromJson(json.loads(m["schema"]))
         types = {f.name: f.dataType for f in struct.fields}
-        want: dict[str, set] = {}
-        for c, v in where.items():
+        for c in where:
             if c not in types:
                 raise KeyError(
                     f"partition filter column {c!r} not in table schema"
                 )
-            vals = v if isinstance(v, (list, tuple, set)) else [v]
-            want[c] = {_canon_pv(x, types[c]) for x in vals}
         fp = m.get("file_partitions", {})
+
+        def _holds(entry: dict, c: str, v) -> bool:
+            """Can a file with partition tuple ``entry`` hold rows
+            matching ``c = v`` (or ``c BETWEEN v.lo AND v.hi``)?
+            HIDDEN partitioning: the filter names the SOURCE column;
+            each recorded tuple key whose decoded field has that
+            source constrains the answer (a key with no applicable
+            field constrains nothing — conservative keep)."""
+            for key, pv in entry.items():
+                pf = _field_from_entry_key(key, types)
+                if pf is None or pf.source != c:
+                    continue
+                dtype = types[c]
+                if isinstance(v, Between):
+                    if not pf.order_preserving:
+                        continue  # bucket can't bound a range
+                    if pv is None:
+                        return False  # NULL never matches BETWEEN
+                    lo = pf.py_apply(v.lo, dtype)
+                    hi = pf.py_apply(v.hi, dtype)
+                    if not (lo <= pv <= hi):
+                        return False
+                else:
+                    vals = (
+                        v if isinstance(v, (list, tuple, set)) else [v]
+                    )
+                    mapped = {pf.py_apply(x, dtype) for x in vals}
+                    if pv not in mapped:
+                        return False
+            return True
+
         kept = []
         for f in files:
             entry = fp.get(f)
             if entry is None:
                 kept.append(f)
                 continue
-            if all(
-                c not in entry or entry[c] in vals
-                for c, vals in want.items()
-            ):
+            if all(_holds(entry, c, v) for c, v in where.items()):
                 kept.append(f)
         return kept
 
@@ -771,6 +1026,12 @@ class SnapshotTable:
         def _cond():
             cond = F.lit(True)
             for c, v in where.items():
+                if isinstance(v, Between):
+                    leg = (F.col(c) >= F.lit(v.lo)) & (
+                        F.col(c) <= F.lit(v.hi)
+                    )
+                    cond = cond & leg
+                    continue
                 vals = list(v) if isinstance(v, (list, tuple, set)) else [v]
                 non_null = [x for x in vals if x is not None]
                 leg = (
@@ -803,20 +1064,7 @@ class SnapshotTable:
         types = {f.name: f.dataType for f in struct.fields}
         spec = list(partition_by) if partition_by else None
         if spec:
-            for c in spec:
-                if c not in types:
-                    raise KeyError(
-                        f"set_partition_spec: no column {c!r} "
-                        f"(have {sorted(types)})"
-                    )
-                if types[c].simpleString() in _BANNED_PARTITION_TYPES:
-                    raise ValueError(
-                        f"set_partition_spec: column {c!r} is "
-                        f"{types[c].simpleString()} — float partition "
-                        f"values are lossy in hive paths"
-                    )
-            if len(set(spec)) != len(spec):
-                raise ValueError(f"duplicate columns in spec: {spec}")
+            spec = [pf.entry for pf in _validate_spec(spec, types)]
         head = m["version"]
         version = head + 1
         man = {
@@ -1008,17 +1256,44 @@ class SnapshotTable:
                 f: {(new if c == old else c): rng for c, rng in st.items()}
                 for f, st in man["stats"].items()
             }
-        if old in (man.get("partition_spec") or []):
+        spec_fields = [
+            _parse_spec_entry(e) for e in (man.get("partition_spec") or [])
+        ]
+        if any(pf.source == old for pf in spec_fields):
             # partition state is keyed by name too: remap the spec and
             # every file's recorded tuple so pruning keeps working
             # post-rename (the hive DIR names on disk keep the old
             # name — harmless, since planning reads the manifest, never
-            # the paths)
+            # the paths). Transform entries remap their SOURCE
+            # (month(old) -> month(new)), and tuple keys remap their
+            # self-describing field name (old_month -> new_month).
+            old_types = {f.name: f.dataType for f in struct.fields}
+
+            def _remap_entry(e: str) -> str:
+                pf = _parse_spec_entry(e)
+                if pf.source != old:
+                    return pf.entry
+                p = pf.param
+                if pf.transform == "identity":
+                    return new
+                return f"{pf.transform}({str(p) + ', ' if p else ''}{new})"
+
+            def _remap_key(k: str) -> str:
+                pf = _field_from_entry_key(k, old_types)
+                if pf is None or pf.source != old:
+                    return k
+                if pf.transform == "identity":
+                    return new
+                return (
+                    f"{new}_{pf.transform}"
+                    f"{pf.param if pf.param is not None else ''}"
+                )
+
             man["partition_spec"] = [
-                new if c == old else c for c in man["partition_spec"]
+                _remap_entry(e) for e in man["partition_spec"]
             ]
             man["file_partitions"] = {
-                f: {(new if c == old else c): v for c, v in pv.items()}
+                f: {_remap_key(c): v for c, v in pv.items()}
                 for f, pv in man.get("file_partitions", {}).items()
             }
         self._publish(version, man)
@@ -1068,7 +1343,10 @@ class SnapshotTable:
             raise KeyError(f"drop_column: no column {name!r} (have {names})")
         if len(names) == 1:
             raise SchemaEvolutionError("drop_column: cannot drop the last column")
-        if name in (m.get("partition_spec") or []):
+        if any(
+            _parse_spec_entry(e).source == name
+            for e in (m.get("partition_spec") or [])
+        ):
             raise SchemaEvolutionError(
                 f"drop_column: {name!r} is a partition column — evolve "
                 f"the spec first (set_partition_spec without it), then "
@@ -1241,13 +1519,24 @@ class SnapshotTable:
                 # (tasks × partition values) shards. The write must
                 # not re-hash on the spec (that would undo this
                 # arrangement), hence the skip flag.
+                sptypes = {f.name: f.dataType for f in current.schema.fields}
+                sexprs = [
+                    pf.spark_expr(sptypes[pf.source]).alias(f"__sp{i}")
+                    for i, pf in enumerate(
+                        _parse_spec_entry(e) for e in spec
+                    )
+                ]
+                spnames = [f"__sp{i}" for i in range(len(sexprs))]
                 out = (
                     current.withColumn("__z", z)
+                    .select("*", *sexprs)
                     .repartitionByRange(
-                        target_files, *[F.col(c) for c in spec], F.col("__z")
+                        target_files,
+                        *[F.col(c) for c in spnames],
+                        F.col("__z"),
                     )
-                    .sortWithinPartitions(*spec, "__z")
-                    .drop("__z")
+                    .sortWithinPartitions(*spnames, "__z")
+                    .drop("__z", *spnames)
                 )
                 self._skip_spec_distribution = True
             else:
@@ -2317,27 +2606,42 @@ class SnapshotTable:
         # the key (a key could then match rows in any partition).
         candidate_files = list(m["files"])
         p_spec = m.get("partition_spec")
-        if (
-            p_spec
-            and set(p_spec) <= set(key_cols)
-            and m.get("file_partitions")
-        ):
+        if p_spec and m.get("file_partitions"):
             types = {f.name: f.dataType for f in schema.fields}
-            if all(c in types for c in p_spec):
+            pfields = [_parse_spec_entry(e) for e in p_spec]
+            sources = [pf.source for pf in pfields]
+            if (
+                set(sources) <= set(key_cols)
+                and all(c in types for c in sources)
+            ):
                 pv_rows = (
-                    changes.select(*p_spec).distinct().limit(10001).collect()
+                    changes.select(*sources)
+                    .distinct()
+                    .limit(10001)
+                    .collect()
                 )
                 if len(pv_rows) <= 10_000:
+                    # map each key's source values through the spec's
+                    # transforms — a bucket/month-partitioned CDC
+                    # target prunes exactly like an identity one
                     batch_tuples = {
-                        tuple(_canon_pv(r[c], types[c]) for c in p_spec)
+                        tuple(
+                            pf.py_apply(r[pf.source], types[pf.source])
+                            for pf in pfields
+                        )
                         for r in pv_rows
                     }
+                    names = [pf.name for pf in pfields]
                     fp = m["file_partitions"]
+                    # a file whose recorded tuple lacks ANY spec field
+                    # (written under an older spec) can hold any key —
+                    # keep it, exactly like _prune_partition_files does
                     candidate_files = [
                         f
                         for f in m["files"]
                         if (e := fp.get(f)) is None
-                        or tuple(e.get(c) for c in p_spec) in batch_tuples
+                        or any(c not in e for c in names)
+                        or tuple(e[c] for c in names) in batch_tuples
                     ]
         self.last_apply_candidates = (len(candidate_files), len(m["files"]))
         if candidate_files:

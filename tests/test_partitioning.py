@@ -334,3 +334,224 @@ def test_changes_stream_tails_partitioned_table(spark, tmp_path):
         assert got == [(1, "EU"), (2, "US"), (3, "AP")]
     finally:
         q.stop()
+
+
+def test_apply_changes_keeps_old_spec_files_after_evolution(spark, tmp_path):
+    """Regression (caught round 7): candidate pruning after partition
+    EVOLUTION. A file written under spec [region] has no 'v' in its
+    recorded tuple; once the spec evolves to [v] (⊆ merge key), the
+    pruner must KEEP that file conservatively — `e.get(c)` semantics
+    pruned it, so the upsert appended instead of superseding and the
+    key duplicated."""
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["region"])
+    t.commit(spark.createDataFrame(
+        [(1, "a", "EU"), (2, "b", "US")], "k long, v string, region string"))
+    t.set_partition_spec(["v"])
+    ch = spark.createDataFrame(
+        [(1, "a", "AP", "upsert")],
+        "k long, v string, region string, _op string")
+    r = t.apply_changes(spark, ch, key_cols=["k", "v"], mode="cow")
+    assert r["rewritten_files"] == 1
+    assert _rows(t.read(spark)) == [(1, "a", "AP"), (2, "b", "US")]
+
+
+# ---------------------------------------------------------------------------
+# Partition TRANSFORMS (hidden partitioning): callers filter on the
+# source column; pruning maps literals through the transform.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+
+def _dates_df(spark, n=24):
+    # two rows per month over a year, k increasing
+    rows = [
+        (i, _dt.date(2024, 1 + (i // 2) % 12, 1 + 13 * (i % 2)), f"s{i:03d}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "k long, d date, v string")
+
+
+def test_month_transform_layout_equality_and_range_pruning(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["month(d)"])
+    df = _dates_df(spark)
+    t.commit(df)
+    m = t.manifest()
+    assert m["partition_spec"] == ["month(d)"]
+    assert all("__p_d_month=" in f for f in m["files"])
+    assert {e["d_month"] for e in m["file_partitions"].values()} == {
+        f"2024-{mm:02d}" for mm in range(1, 13)
+    }
+    # HIDDEN partitioning: equality on the SOURCE column prunes to the
+    # month's single file and returns exactly the matching rows
+    got = t.read_partition(spark, {"d": _dt.date(2024, 3, 14)})
+    assert t.last_partition_counts[0] == 1
+    assert _rows(got) == _rows(df.filter(F.col("d") == "2024-03-14"))
+    # Between on the source column prunes to the covered months
+    from kafka_database_import_spark.sources.snapshot import Between
+
+    got = t.read_partition(spark, {"d": Between("2024-02-01", "2024-04-30")})
+    assert t.last_partition_counts[0] == 3
+    assert _rows(got) == _rows(
+        df.filter((F.col("d") >= "2024-02-01") & (F.col("d") <= "2024-04-30"))
+    )
+
+
+def test_bucket_transform_prunes_and_matches_jvm_hash(spark, tmp_path):
+    """bucket(N, col): the driver-side zlib.crc32 mapping must land on
+    the same bucket the JVM's F.crc32 wrote — asserted by pruning to
+    ONE bucket file and still returning every matching row, for int
+    AND string sources."""
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["bucket(4, k)"])
+    df = _dates_df(spark)
+    t.commit(df)
+    m = t.manifest()
+    assert all("__p_k_bucket4=" in f for f in m["files"])
+    for k in (0, 7, 23):
+        got = t.read_partition(spark, {"k": k})
+        assert t.last_partition_counts[0] == 1
+        assert _rows(got) == _rows(df.filter(F.col("k") == k))
+    # range on a bucket source prunes nothing but stays correct
+    from kafka_database_import_spark.sources.snapshot import Between
+
+    got = t.read_partition(spark, {"k": Between(5, 9)})
+    assert t.last_partition_counts[0] == t.last_partition_counts[1]
+    assert _rows(got) == _rows(df.filter(F.col("k").between(5, 9)))
+
+    ts = SnapshotTable(str(tmp_path / "ts"), partition_by=["bucket(3, v)"])
+    ts.commit(df)
+    got = ts.read_partition(spark, {"v": "s007"})
+    assert ts.last_partition_counts[0] == 1
+    assert _rows(got) == _rows(df.filter(F.col("v") == "s007"))
+
+
+def test_truncate_transform_int_and_string(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["truncate(10, k)"])
+    df = _dates_df(spark)
+    t.commit(df)
+    assert all("__p_k_truncate10=" in f for f in t.manifest()["files"])
+    got = t.read_partition(spark, {"k": 17})
+    assert t.last_partition_counts[0] == 1
+    assert _rows(got) == _rows(df.filter(F.col("k") == 17))
+    from kafka_database_import_spark.sources.snapshot import Between
+
+    got = t.read_partition(spark, {"k": Between(8, 12)})  # spans 0 and 10
+    assert t.last_partition_counts[0] == 2
+    assert _rows(got) == _rows(df.filter(F.col("k").between(8, 12)))
+
+    ts = SnapshotTable(str(tmp_path / "ts"), partition_by=["truncate(2, v)"])
+    ts.commit(spark.createDataFrame(
+        [(1, "alpha"), (2, "alto"), (3, "beta")], "k long, v string"))
+    got = ts.read_partition(spark, {"v": "alto"})
+    assert ts.last_partition_counts == (1, 2)
+    assert _rows(got) == [(2, "alto")]
+
+
+def test_year_transform_and_composite_spec(spark, tmp_path):
+    rows = [(i, _dt.date(2020 + i % 3, 1 + i % 12, 5), REGIONS[i % 3])
+            for i in range(18)]
+    df = spark.createDataFrame(rows, "k long, d date, region string")
+    t = SnapshotTable(
+        str(tmp_path / "t"), partition_by=["year(d)", "region"]
+    )
+    t.commit(df)
+    m = t.manifest()
+    assert all("__p_d_year=" in f and "__p_region=" in f for f in m["files"])
+    got = t.read_partition(spark, {"d": "2021-06-05", "region": "EU"})
+    assert t.last_partition_counts[0] < t.last_partition_counts[1]
+    assert _rows(got) == _rows(
+        df.filter((F.year("d") == 2021) & (F.col("region") == "EU")
+                  & (F.col("d") == "2021-06-05"))
+    )
+
+
+def test_transform_spec_validation(spark, tmp_path):
+    df = _dates_df(spark, 4)
+    for bad, msg in [
+        (["month(k)"], "date/timestamp"),
+        (["bucket(4, d)"], None),        # date IS allowed for bucket
+        (["truncate(3, d)"], "int/string"),
+        (["bucket(0, k)"], "N > 0"),
+        (["month(2, d)"], "one column"),
+        (["month(nope)"], None),         # KeyError
+    ]:
+        t = SnapshotTable(str(tmp_path / f"x{abs(hash(str(bad)))}"),
+                          partition_by=bad)
+        if bad == ["bucket(4, d)"]:
+            t.commit(df)  # allowed
+            continue
+        with pytest.raises((ValueError, KeyError)) as ei:
+            t.commit(df)
+        if msg:
+            assert msg in str(ei.value)
+    # bucket() without a width is rejected at parse time
+    t2 = SnapshotTable(str(tmp_path / "t2"), partition_by=["bucket(k)"])
+    with pytest.raises(ValueError, match="width"):
+        t2.commit(df)
+    # a transform field name colliding with a real column is refused
+    df2 = _dates_df(spark, 4).withColumn("d_month", F.lit("x"))
+    t3 = SnapshotTable(str(tmp_path / "t3"), partition_by=["month(d)"])
+    with pytest.raises(ValueError, match="collides"):
+        t3.commit(df2)
+
+
+def test_transform_evolution_rename_and_apply_changes(spark, tmp_path):
+    """identity -> month evolution, rename of the transform's source,
+    and CDC candidate pruning through a bucket spec."""
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["v"])
+    df = _dates_df(spark, 8)
+    t.commit(df)
+    t.set_partition_spec(["month(d)"])
+    t.commit(_dates_df(spark, 8).withColumn("k", F.col("k") + 100))
+    # filter on d: new files prune by month, old identity-[v] files
+    # are conservatively kept
+    got = t.read_partition(spark, {"d": _dt.date(2024, 2, 1)})
+    planned, total = t.last_partition_counts
+    assert planned < total
+    both = df.union(_dates_df(spark, 8).withColumn("k", F.col("k") + 100))
+    assert _rows(got) == _rows(both.filter(F.col("d") == "2024-02-01"))
+    # rename the transform source: spec entry and tuple keys remap
+    t_ids = SnapshotTable(str(tmp_path / "tid"), partition_by=["month(d)"])
+    t_ids.commit(df)  # fresh table -> field ids present
+    t_ids.rename_column("d", "event_d")
+    m = t_ids.manifest()
+    assert m["partition_spec"] == ["month(event_d)"]
+    assert all("event_d_month" in e for e in m["file_partitions"].values())
+    got = t_ids.read_partition(spark, {"event_d": "2024-03-01"})
+    assert t_ids.last_partition_counts[0] == 1
+    # dropping the source of a transform is refused
+    with pytest.raises(SchemaEvolutionError, match="partition column"):
+        t_ids.drop_column("event_d")
+    # CDC candidate pruning maps key values through bucket()
+    tb = SnapshotTable(str(tmp_path / "tb"), partition_by=["bucket(4, k)"])
+    tb.commit(_dates_df(spark, 16))
+    ch = spark.createDataFrame(
+        [(3, _dt.date(2030, 1, 1), "upd", "upsert")],
+        "k long, d date, v string, _op string")
+    tb.apply_changes(spark, ch, key_cols=["k"], mode="cow")
+    planned, total = tb.last_apply_candidates
+    assert planned < total
+    got = _rows(tb.read(spark))
+    assert (3, _dt.date(2030, 1, 1), "upd") in got
+    assert len([r for r in got if r[0] == 3]) == 1
+
+
+def test_zorder_optimize_on_transform_partitioned_table(spark, tmp_path):
+    """optimize(zorder_by=...) on a TRANSFORM-partitioned table: the
+    range-distribution must compute the transform expressions (it used
+    to F.col() the raw spec strings, which only worked for identity),
+    the rewrite keeps the hive layout, and rows survive exactly."""
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["month(d)"])
+    df = _dates_df(spark, 48).withColumn("m", F.col("k") * 7 % 13)
+    t.commit(df)
+    df2 = df.withColumn("k", F.col("k") + 1000)
+    t.commit(df2)
+    res = t.optimize(spark, zorder_by=("k", "m"), target_files=4)
+    assert res["files_after"] <= res["files_before"]
+    m = t.manifest()
+    assert all("__p_d_month=" in f for f in m["files"])
+    both = df.union(df2)
+    assert _rows(t.read(spark)) == _rows(both)
+    # pruning still works over the rewritten layout
+    t.read_partition(spark, {"d": _dt.date(2024, 5, 1)})
+    assert t.last_partition_counts[0] < t.last_partition_counts[1]
