@@ -412,6 +412,107 @@ def _file_partition_values(
     return found
 
 
+# ---------------------------------------------------------------------------
+# Delta-encoded manifests (metadata O(delta) per commit).
+#
+# A full manifest re-lists every live file with its stats and partition
+# tuple — O(table) JSON per commit. At 100 TB (~1M files) that is the
+# real metadata wall: a streaming CDC sink committing every 10 s would
+# write gigabytes of identical file lists per hour. Iceberg solves this
+# with manifest-list indirection, Delta with a JSON action log +
+# periodic parquet checkpoints; this format takes the Delta shape:
+# a commit whose change is small relative to the table is stored as a
+# DELTA against the previous version (add/remove file lists, upsert/
+# unset stats and partition-tuple entries, every small field verbatim),
+# and every `_CHECKPOINT_EVERY`-th version — or any commit whose delta
+# would not be materially smaller (overwrites, renames that remap every
+# per-file entry) — is stored FULL, bounding reconstruction to a short
+# walk. `manifest()` reconstructs transparently, so every planner /
+# DML / CDC / time-travel path is unchanged; the streaming changes
+# source reads the delta's `files_add` directly (the diff it previously
+# recomputed). Deltas carry `committed_at_ms`, `schema`, `mode`,
+# `base`, `epoch_id`, `rewrite_only` verbatim, so raw-JSON consumers of
+# those fields never reconstruct at all.
+# ---------------------------------------------------------------------------
+
+_DELTA_LIST_KEYS = ("files", "dv_files", "tombstone_files")
+_DELTA_MAP_KEYS = ("stats", "file_partitions")
+_DELTA_COLL_SUFFIXES = ("_add", "_remove", "_set", "_unset")
+_CHECKPOINT_EVERY = 25  # full manifest at least this often
+
+
+def _encode_manifest_delta(full: dict, parent: dict) -> "dict | None":
+    """``full`` re-expressed as a delta against ``parent`` (the
+    previous VERSION — a storage encoding, independent of the `base`
+    lineage field). Returns None when the encoding cannot reproduce
+    ``full`` exactly (file-list reordering), signalling the caller to
+    store the full form."""
+    delta = {
+        k: v
+        for k, v in full.items()
+        if k not in _DELTA_LIST_KEYS and k not in _DELTA_MAP_KEYS
+    }
+    delta["delta_of"] = parent["version"]
+    present = [
+        k
+        for k in (*_DELTA_LIST_KEYS, *_DELTA_MAP_KEYS)
+        if k in full and not full[k]
+    ]
+    if present:
+        # exact reproduction: a key present-but-empty in the full form
+        # must come back present-but-empty
+        delta["empty_keys"] = present
+    for k in _DELTA_LIST_KEYS:
+        new, old = full.get(k, []), parent.get(k, [])
+        new_set, old_set = set(new), set(old)
+        add = [f for f in new if f not in old_set]
+        rem = [f for f in old if f not in new_set]
+        if [f for f in old if f in new_set] + add != new:
+            return None  # order not parent-kept-then-added
+        if add:
+            delta[k + "_add"] = add
+        if rem:
+            delta[k + "_remove"] = rem
+    for k in _DELTA_MAP_KEYS:
+        new, old = full.get(k, {}), parent.get(k, {})
+        upsert = {f: v for f, v in new.items() if f not in old or old[f] != v}
+        unset = [f for f in old if f not in new]
+        if upsert:
+            delta[k + "_set"] = upsert
+        if unset:
+            delta[k + "_unset"] = unset
+    return delta
+
+
+def _apply_manifest_delta(parent: dict, delta: dict) -> dict:
+    """Inverse of :func:`_encode_manifest_delta`: the full manifest."""
+    full = {
+        k: v
+        for k, v in delta.items()
+        if k not in ("delta_of", "empty_keys")
+        and not any(
+            k == base + suf
+            for base in (*_DELTA_LIST_KEYS, *_DELTA_MAP_KEYS)
+            for suf in _DELTA_COLL_SUFFIXES
+        )
+    }
+    empty = set(delta.get("empty_keys", []))
+    for k in _DELTA_LIST_KEYS:
+        rem = set(delta.get(k + "_remove", []))
+        out = [f for f in parent.get(k, []) if f not in rem]
+        out += delta.get(k + "_add", [])
+        if out or k in empty:
+            full[k] = out
+    for k in _DELTA_MAP_KEYS:
+        base = dict(parent.get(k, {}))
+        for f in delta.get(k + "_unset", []):
+            base.pop(f, None)
+        base.update(delta.get(k + "_set", {}))
+        if base or k in empty:
+            full[k] = base
+    return full
+
+
 def _overwrite_schema(
     prev_m: dict, new_schema: "T.StructType"
 ) -> tuple[str, dict]:
@@ -623,6 +724,14 @@ class SnapshotTable:
         # different argument).
         self._default_spec = list(partition_by) if partition_by else None
         self._pending_file_partitions: dict = {}
+        # reconstructed-manifest cache: version -> ((mtime_ns, size),
+        # full-form JSON string). Strings, not dicts, so callers can
+        # never mutate a cached entry; the stat token invalidates on
+        # vacuum/expire deletion (version must fail loudly, not serve
+        # stale) and on admin edits of the manifest file. Small cap —
+        # ascending walks (history, changes) only ever need the
+        # immediate parent.
+        self._man_cache: dict[int, tuple] = {}
         os.makedirs(self._mdir, exist_ok=True)
 
     def partition_spec(self) -> list[str] | None:
@@ -648,11 +757,12 @@ class SnapshotTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def manifest(self, version: int | None = None) -> dict:
-        if version is None:
-            version = self.latest_version()
-            if version is None:
-                raise FileNotFoundError(f"snapshot table {self.root} has no commits")
+    def _read_raw_manifest(self, version: int) -> dict:
+        """The version's manifest file AS STORED — full form or delta
+        form. Small verbatim fields (mode, base, schema, epoch_id,
+        committed_at_ms, rewrite_only, partition_spec) are identical in
+        both forms; only the per-file collections need
+        :meth:`manifest`'s reconstruction."""
         try:
             with open(self._manifest_path(version)) as f:
                 return json.load(f)
@@ -665,6 +775,63 @@ class SnapshotTable:
                 f"{vs[0]}..{vs[-1]})" if vs else
                 f"snapshot table {self.root} has no commits"
             ) from None
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"snapshot table {self.root} has no commits")
+        cached = self._cached_manifest(version)
+        if cached is not None:
+            return json.loads(cached)
+        # walk back through delta-encoded manifests to the nearest full
+        # (or cached) form, then apply the deltas forward — bounded by
+        # the checkpoint cadence
+        chain: list[dict] = []
+        v = version
+        while True:
+            raw = self._read_raw_manifest(v)
+            if "delta_of" not in raw:
+                full = raw
+                break
+            parent_v = raw["delta_of"]
+            chain.append(raw)
+            cached = self._cached_manifest(parent_v)
+            if cached is not None:
+                full = json.loads(cached)
+                break
+            v = parent_v
+        for d in reversed(chain):
+            full = _apply_manifest_delta(full, d)
+        self._cache_manifest(version, json.dumps(full))
+        return full
+
+    def _stat_token(self, version: int) -> "tuple | None":
+        try:
+            st = os.stat(self._manifest_path(version))
+        except FileNotFoundError:
+            return None
+        return (st.st_mtime_ns, st.st_size)
+
+    def _cached_manifest(self, version: int) -> "str | None":
+        entry = self._man_cache.get(version)
+        if entry is None:
+            return None
+        token, payload = entry
+        if self._stat_token(version) != token:
+            # deleted (vacuum/expire — must fail loudly downstream) or
+            # rewritten (vacuum materialize / admin edit)
+            del self._man_cache[version]
+            return None
+        return payload
+
+    def _cache_manifest(self, version: int, payload: str) -> None:
+        token = self._stat_token(version)
+        if token is None:
+            return
+        self._man_cache[version] = (token, payload)
+        while len(self._man_cache) > 8:
+            self._man_cache.pop(next(iter(self._man_cache)))
 
     # ----------------------------------------------------------- commits
     def commit(
@@ -888,10 +1055,27 @@ class SnapshotTable:
             import time as _time
 
             manifest = {**manifest, "committed_at_ms": int(_time.time() * 1000)}
+        full_json = json.dumps(manifest)
+        payload = full_json
+        every = getattr(self, "checkpoint_every", _CHECKPOINT_EVERY)
+        if version > 1 and version % every != 0:
+            try:
+                parent = self.manifest(version - 1)
+            except FileNotFoundError:
+                parent = None  # parent vacuumed away mid-race: store full
+            if parent is not None:
+                delta = _encode_manifest_delta(manifest, parent)
+                if delta is not None:
+                    delta_json = json.dumps(delta)
+                    # only worth a chain link if materially smaller —
+                    # overwrites / renames / restores that touch most
+                    # per-file entries stay full-form
+                    if len(delta_json) < 0.6 * len(full_json):
+                        payload = delta_json
         fd, tmp = tempfile.mkstemp(dir=self._mdir, suffix=".tmp")
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
+                f.write(payload)
             try:
                 # atomic claim: link fails iff the version already exists
                 os.link(tmp, self._manifest_path(version))
@@ -902,6 +1086,10 @@ class SnapshotTable:
                 ) from e
         finally:
             os.unlink(tmp)
+        # seed the cache with the round-tripped FULL form so the very
+        # next manifest() (every DML path re-reads the head) is a dict
+        # parse, not a chain walk
+        self._cache_manifest(version, full_json)
 
     def version_as_of(self, ts_ms: int) -> int:
         """The newest version committed at or before ``ts_ms`` (epoch
@@ -911,7 +1099,9 @@ class SnapshotTable:
         predates every commit."""
         best = None
         for v in self.versions():
-            at = self.manifest(v).get("committed_at_ms", 0)
+            # raw read: committed_at_ms is stored verbatim in delta-
+            # and full-form manifests alike — no reconstruction
+            at = self._read_raw_manifest(v).get("committed_at_ms", 0)
             if at <= ts_ms:
                 best = v
         if best is None:
@@ -3243,7 +3433,8 @@ class SnapshotCommitSink:
         if self._epochs is None:
             self._epochs = set()
             for v in self.table.versions():
-                e = self.table.manifest(v).get("epoch_id")
+                # raw read: epoch_id is verbatim in delta-form manifests
+                e = self.table._read_raw_manifest(v).get("epoch_id")
                 if e is not None:
                     self._epochs.add(e)
         return self._epochs
@@ -3326,7 +3517,8 @@ class SnapshotMergeSink:
         if self._epochs is None:
             self._epochs = set()
             for v in self.table.versions():
-                e = self.table.manifest(v).get("epoch_id")
+                # raw read: epoch_id is verbatim in delta-form manifests
+                e = self.table._read_raw_manifest(v).get("epoch_id")
                 if e is not None:
                     self._epochs.add(e)
         return self._epochs
@@ -3385,6 +3577,19 @@ def vacuum(
         referenced.update(m["files"])
         referenced.update(m.get("dv_files", []))  # DV sidecars are live data
         referenced.update(m.get("tombstone_files", []))  # so are tombstones
+    # Delta-encoded manifests reconstruct through their parents: before
+    # deleting any manifest, MATERIALIZE the oldest retained version to
+    # full form (both keep criteria are ">= threshold", so keep_v is a
+    # contiguous suffix and only its minimum can lose a parent). The
+    # rewrite is content-equivalent — os.replace keeps readers atomic.
+    if drop_v and keep_v:
+        oldest = min(keep_v)
+        if "delta_of" in tbl._read_raw_manifest(oldest):
+            full = tbl.manifest(oldest)  # reconstruct while chain intact
+            fd, tmp = tempfile.mkstemp(dir=tbl._mdir, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(full, f)
+            os.replace(tmp, tbl._manifest_path(oldest))
     for v in drop_v:  # manifests first — see docstring
         os.unlink(tbl._manifest_path(v))
     removed_files = 0
@@ -3428,7 +3633,8 @@ def expire_snapshots(
     head = versions[-1]
     keep = [
         v for v in versions
-        if v == head or tbl.manifest(v).get("committed_at_ms", 0) > older_than_ms
+        if v == head
+        or tbl._read_raw_manifest(v).get("committed_at_ms", 0) > older_than_ms
     ]
     # translate the time cutoff into vacuum's version-count contract:
     # retain everything from the oldest time-retained version up

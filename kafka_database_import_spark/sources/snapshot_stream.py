@@ -81,6 +81,26 @@ def _make():
                 f"slowest consumer's checkpointed version"
             ) from None
 
+    def _full_files(mdir: str, v: int) -> list[str]:
+        """The version's complete file list, walking delta-encoded
+        manifests (snapshot._publish stores a commit as add/remove
+        against its previous version when that is materially smaller
+        than the full form) back to the nearest full checkpoint."""
+        chain: list[dict] = []
+        cur = v
+        while True:
+            m = _manifest(mdir, cur)
+            if "delta_of" not in m:
+                files = list(m.get("files", []))
+                break
+            chain.append(m)
+            cur = m["delta_of"]
+        for d in reversed(chain):
+            rem = set(d.get("files_remove", []))
+            files = [f for f in files if f not in rem]
+            files += d.get("files_add", [])
+        return files
+
     def _added_files(root: str, start_v: int, end_v: int) -> list[str]:
         """Relative paths of the files added in (start_v, end_v] —
         per-version manifest diffs (small JSON, driver-side O(delta)),
@@ -90,7 +110,10 @@ def _make():
         maintenance never breaks a downstream stream consumer; the
         pre-rewrite files an in-range append points at stay readable
         until vacuum reclaims them (and a vacuumed gap fails loudly,
-        per the retention contract)."""
+        per the retention contract). A DELTA-form manifest whose parent
+        IS the lineage base carries the answer verbatim (`files_add`);
+        full-form manifests diff against the parent's reconstructed
+        file list as before."""
         mdir = os.path.join(root, "_manifests")
         added: list[str] = []
         v = end_v
@@ -106,10 +129,20 @@ def _make():
                     f"from a full snapshot after a mutation/overwrite"
                 )
             base_v = m["base"]
-            parent = (
-                set(_manifest(mdir, base_v)["files"]) if base_v else set()
-            )
-            added[:0] = [f for f in m["files"] if f not in parent]
+            if (
+                m.get("delta_of") == base_v
+                and base_v is not None
+                and not m.get("files_remove")
+            ):
+                added[:0] = m.get("files_add", [])
+            else:
+                parent = (
+                    set(_full_files(mdir, base_v)) if base_v else set()
+                )
+                files = (
+                    _full_files(mdir, v) if "delta_of" in m else m["files"]
+                )
+                added[:0] = [f for f in files if f not in parent]
             v = base_v
         return added
 
