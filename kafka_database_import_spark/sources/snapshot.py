@@ -1563,6 +1563,7 @@ class SnapshotTable:
         spark: SparkSession,
         small_file_rows: int,
         target_rows_per_file: int | None = None,
+        partition_filter: dict | None = None,
     ) -> dict:
         """SELECTIVE compaction — the incremental form of
         :meth:`optimize` that survives 100 TB: only files with fewer
@@ -1574,15 +1575,29 @@ class SnapshotTable:
         rewritten files are materialized by the rewrite (their DV rows
         go inert); DVs on carried files stay live and carried.
 
+        ``partition_filter`` (same ``{col: value | [values] | Between}``
+        source-column semantics as :meth:`read_partition`) scopes the
+        candidate scan to matching partitions — the 100 TB maintenance
+        norm is "compact yesterday's partition", and the scoped form
+        reads only that partition's footers instead of a million.
+        Files without recorded tuples (older spec) are conservatively
+        INCLUDED as candidates; rewriting them is correct (the rewrite
+        re-lands rows under the active spec) just wider than asked.
+
         Returns ``{"version", "compacted_files", "kept_files",
         "new_files"}``; fewer than two small files is a no-op."""
         import pyarrow.parquet as pq
 
         target_rows_per_file = target_rows_per_file or small_file_rows * 4
         m = self.manifest()
+        cand = (
+            self._prune_partition_files(m, m["files"], partition_filter)
+            if partition_filter
+            else m["files"]
+        )
         sizes = {
             f: pq.ParquetFile(os.path.join(self.root, f)).metadata.num_rows
-            for f in m["files"]
+            for f in cand
         }
         smalls = sorted(f for f, n in sizes.items() if n < small_file_rows)
         if len(smalls) < 2:
@@ -1615,11 +1630,106 @@ class SnapshotTable:
             "new_files": len(new_files),
         }
 
+    def _zorder_arrangement(
+        self,
+        current: DataFrame,
+        cols: list[str],
+        target_files: int,
+    ) -> "DataFrame | None":
+        """``current`` range-distributed and sorted on the N-D Morton
+        interleave of ``cols`` (spec-aware for partitioned tables —
+        see the comment inline). Returns None when there is nothing to
+        cluster (empty input or an all-NULL clustering column). Sets
+        ``_skip_spec_distribution`` when it has already arranged a
+        spec-aware distribution, so the following ``_write_data`` must
+        be the next write on this handle."""
+        from pyspark.sql import functions as F
+
+        from kafka_database_import_spark.operators.zorder import zvalue_nd
+
+        # ADVICE r6: validate up front — non-numeric clustering
+        # columns would fail the normalization arithmetic with an
+        # opaque error, and an empty table collects lo/hi = None.
+        numeric = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType,
+        )
+        field_types = {f.name: f.dataType for f in current.schema.fields}
+        for c in cols:
+            if c not in field_types:
+                raise ValueError(
+                    f"optimize(zorder_by=...): column {c!r} not in "
+                    f"table schema {sorted(field_types)}"
+                )
+            if not isinstance(field_types[c], numeric):
+                raise ValueError(
+                    f"optimize(zorder_by=...): column {c!r} has type "
+                    f"{field_types[c].simpleString()} — Z-order "
+                    f"clustering needs numeric (int/float) columns; "
+                    f"cast or derive a numeric key (e.g. epoch days "
+                    f"for dates, a hash bucket for strings) first"
+                )
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        b = current.agg(*aggs).collect()[0]
+        if any(b[f"lo_{c}"] is None for c in cols):
+            return None
+        bits = max(1, 32 // len(cols))
+        grid = (1 << bits) - 1
+        normed = [
+            F.floor(
+                (F.col(c) - F.lit(b[f"lo_{c}"])).cast("double")
+                * grid
+                / max(b[f"hi_{c}"] - b[f"lo_{c}"], 1)
+            ).cast("long")
+            for c in cols
+        ]
+        z = zvalue_nd(normed, bits)
+        spec = self.partition_spec()
+        if spec:
+            # Partitioned + Z-ordered: range-distribute on (spec,
+            # z) and sort the same way, so each task covers a
+            # contiguous partition-then-z range — partitionBy then
+            # splits along near-boundaries only, giving ~one
+            # z-ordered file per partition slice instead of
+            # (tasks × partition values) shards. The write must
+            # not re-hash on the spec (that would undo this
+            # arrangement), hence the skip flag.
+            sptypes = {f.name: f.dataType for f in current.schema.fields}
+            sexprs = [
+                pf.spark_expr(sptypes[pf.source]).alias(f"__sp{i}")
+                for i, pf in enumerate(
+                    _parse_spec_entry(e) for e in spec
+                )
+            ]
+            spnames = [f"__sp{i}" for i in range(len(sexprs))]
+            out = (
+                current.withColumn("__z", z)
+                .select("*", *sexprs)
+                .repartitionByRange(
+                    target_files,
+                    *[F.col(c) for c in spnames],
+                    F.col("__z"),
+                )
+                .sortWithinPartitions(*spnames, "__z")
+                .drop("__z", *spnames)
+            )
+            self._skip_spec_distribution = True
+            return out
+        return (
+            current.withColumn("__z", z)
+            .repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+
     def optimize(
         self,
         spark: SparkSession,
         zorder_by: tuple[str, ...] | None = None,
         target_files: int = 8,
+        partition_filter: dict | None = None,
     ) -> dict:
         """The OPTIMIZE maintenance op — one overwrite commit composing
         the three layout tools this format already has separately:
@@ -1641,101 +1751,40 @@ class SnapshotTable:
         Logical state is EXACTLY preserved (same rows as the current
         read; asserted by the optimize tests); old versions keep their
         original immutable files until :func:`vacuum`. Returns
-        ``{"version", "files_before", "files_after", "dv_cleared"}``."""
-        from pyspark.sql import functions as F
+        ``{"version", "files_before", "files_after", "dv_cleared"}``.
 
-        from kafka_database_import_spark.operators.zorder import zvalue_nd
-
+        ``partition_filter`` (same source-column semantics as
+        :meth:`read_partition`) turns the table-wide overwrite into a
+        SCOPED rewrite: only matching files are read, re-clustered,
+        and replaced; every other file is carried by reference — the
+        100 TB contract, where OPTIMIZE targets yesterday's partition
+        and costs O(partition), not O(table). Files without recorded
+        tuples are conservatively included (rewriting them is correct,
+        just wider than asked); deletion vectors over rewritten files
+        are materialized by the rewrite, DV entries for carried files
+        stay live (same convention as :meth:`optimize_small_files`)."""
+        if partition_filter is not None:
+            return self._optimize_scoped(
+                spark, partition_filter, zorder_by, target_files
+            )
         m = self.manifest()
         files_before = len(m["files"])
         dv_before = len(m.get("dv_files", []))
         current = self.read(spark)
         if zorder_by is not None:
-            cols = list(zorder_by)
-            # ADVICE r6: validate up front — non-numeric clustering
-            # columns would fail the normalization arithmetic with an
-            # opaque error, and an empty table collects lo/hi = None.
-            numeric = (
-                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                T.FloatType, T.DoubleType,
+            out = self._zorder_arrangement(
+                current, list(zorder_by), target_files
             )
-            field_types = {f.name: f.dataType for f in current.schema.fields}
-            for c in cols:
-                if c not in field_types:
-                    raise ValueError(
-                        f"optimize(zorder_by=...): column {c!r} not in "
-                        f"table schema {sorted(field_types)}"
-                    )
-                if not isinstance(field_types[c], numeric):
-                    raise ValueError(
-                        f"optimize(zorder_by=...): column {c!r} has type "
-                        f"{field_types[c].simpleString()} — Z-order "
-                        f"clustering needs numeric (int/float) columns; "
-                        f"cast or derive a numeric key (e.g. epoch days "
-                        f"for dates, a hash bucket for strings) first"
-                    )
-            aggs = []
-            for c in cols:
-                aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
-            b = current.agg(*aggs).collect()[0]
-            if any(b[f"lo_{c}"] is None for c in cols):
+            if out is None:
                 # Empty table (or an all-NULL clustering column): there
-                # is nothing to cluster — make it a clean no-op instead
-                # of a TypeError in the normalization below.
+                # is nothing to cluster — a clean no-op instead of a
+                # TypeError in the normalization.
                 return {
                     "version": m["version"],
                     "files_before": files_before,
                     "files_after": files_before,
                     "dv_cleared": 0,
                 }
-            bits = max(1, 32 // len(cols))
-            grid = (1 << bits) - 1
-            normed = [
-                F.floor(
-                    (F.col(c) - F.lit(b[f"lo_{c}"])).cast("double")
-                    * grid
-                    / max(b[f"hi_{c}"] - b[f"lo_{c}"], 1)
-                ).cast("long")
-                for c in cols
-            ]
-            z = zvalue_nd(normed, bits)
-            spec = self.partition_spec()
-            if spec:
-                # Partitioned + Z-ordered: range-distribute on (spec,
-                # z) and sort the same way, so each task covers a
-                # contiguous partition-then-z range — partitionBy then
-                # splits along near-boundaries only, giving ~one
-                # z-ordered file per partition slice instead of
-                # (tasks × partition values) shards. The write must
-                # not re-hash on the spec (that would undo this
-                # arrangement), hence the skip flag.
-                sptypes = {f.name: f.dataType for f in current.schema.fields}
-                sexprs = [
-                    pf.spark_expr(sptypes[pf.source]).alias(f"__sp{i}")
-                    for i, pf in enumerate(
-                        _parse_spec_entry(e) for e in spec
-                    )
-                ]
-                spnames = [f"__sp{i}" for i in range(len(sexprs))]
-                out = (
-                    current.withColumn("__z", z)
-                    .select("*", *sexprs)
-                    .repartitionByRange(
-                        target_files,
-                        *[F.col(c) for c in spnames],
-                        F.col("__z"),
-                    )
-                    .sortWithinPartitions(*spnames, "__z")
-                    .drop("__z", *spnames)
-                )
-                self._skip_spec_distribution = True
-            else:
-                out = (
-                    current.withColumn("__z", z)
-                    .repartitionByRange(target_files, "__z")
-                    .sortWithinPartitions("__z")
-                    .drop("__z")
-                )
         else:
             out = current.coalesce(target_files)
         version = self.commit(out, mode="overwrite", rewrite_only=True)
@@ -1744,6 +1793,53 @@ class SnapshotTable:
             "files_before": files_before,
             "files_after": len(self.manifest(version)["files"]),
             "dv_cleared": dv_before,
+        }
+
+    def _optimize_scoped(
+        self,
+        spark: SparkSession,
+        partition_filter: dict,
+        zorder_by: "tuple[str, ...] | None",
+        target_files: int,
+    ) -> dict:
+        """Partition-scoped OPTIMIZE: a copy-on-write rewrite of ONLY
+        the files matching ``partition_filter``; everything else is
+        carried by reference in a rewrite-only commit (transparent to
+        change lineage, like :meth:`compact`)."""
+        m = self.manifest()
+        files_before = len(m["files"])
+        cand = self._prune_partition_files(m, m["files"], partition_filter)
+        self.last_partition_counts = (len(cand), files_before)
+        if not cand:
+            return {
+                "version": m["version"],
+                "files_before": files_before,
+                "files_after": files_before,
+                "dv_cleared": 0,
+            }
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        sub = self._read_files(spark, cand, schema, m.get("dv_files"))
+        out = None
+        if zorder_by is not None:
+            out = self._zorder_arrangement(sub, list(zorder_by), target_files)
+        if out is None:  # no zorder asked, or nothing to cluster
+            out = sub.coalesce(target_files)
+        version = m["version"] + 1
+        new_files = self._write_data(out, version, m["schema"])
+        kept = [f for f in m["files"] if f not in set(cand)]
+        man = self._cow_manifest(
+            version, m["version"], "compact", m["schema"], kept, new_files, m
+        )
+        man["rewrite_only"] = True
+        if m.get("dv_files"):
+            man["dv_files"] = m["dv_files"]
+        self._publish(version, man)
+        return {
+            "version": version,
+            "files_before": files_before,
+            "files_after": len(kept) + len(new_files),
+            "dv_cleared": 0,
+            "rewritten_files": len(cand),
         }
 
     # --------------------------------------------- copy-on-write mutation

@@ -555,3 +555,78 @@ def test_zorder_optimize_on_transform_partitioned_table(spark, tmp_path):
     # pruning still works over the rewritten layout
     t.read_partition(spark, {"d": _dt.date(2024, 5, 1)})
     assert t.last_partition_counts[0] < t.last_partition_counts[1]
+
+
+def test_optimize_small_files_partition_scoped(spark, tmp_path):
+    """Scoped compaction: only the filtered partition's small files
+    are rewritten; every other partition's files are carried BY
+    REFERENCE (same path strings in the new manifest)."""
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["month(d)"])
+    t.commit(_dates_df(spark, 24))
+    march = _dates_df(spark, 24).filter(F.col("d").between(
+        "2024-03-01", "2024-03-31"))
+    for i in range(3):  # three 2-row files in 2024-03 only
+        t.commit(march.withColumn("k", F.col("k") + 100 * (i + 1)))
+    m0 = t.manifest()
+    non_march = sorted(
+        f for f in m0["files"] if "__p_d_month=2024-03" not in f
+    )
+    from kafka_database_import_spark.sources.snapshot import Between
+
+    res = t.optimize_small_files(
+        spark, small_file_rows=10,
+        partition_filter={"d": Between("2024-03-01", "2024-03-31")},
+    )
+    assert res["compacted_files"] >= 3
+    m1 = t.manifest()
+    assert sorted(
+        f for f in m1["files"] if "__p_d_month=2024-03" not in f
+    ) == non_march  # untouched partitions carried by reference
+    want = _rows(_dates_df(spark, 24)) + sorted(
+        tuple(r)
+        for i in range(3)
+        for r in march.withColumn("k", F.col("k") + 100 * (i + 1)).collect()
+    )
+    assert _rows(t.read(spark)) == sorted(want)
+
+
+def test_optimize_partition_scoped_rewrite_only(spark, tmp_path):
+    """optimize(partition_filter=...): a copy-on-write rewrite of only
+    the matching partition, rewrite-only (transparent to change
+    lineage), rows exactly preserved, pruning recorded."""
+    t = SnapshotTable(str(tmp_path / "t"), partition_by=["month(d)"])
+    df = _dates_df(spark, 48)
+    t.commit(df)
+    df2 = _dates_df(spark, 48).withColumn("k", F.col("k") + 1000)
+    t.commit(df2)
+    non_target = sorted(
+        f for f in t.manifest()["files"] if "__p_d_month=2024-05" not in f
+    )
+    res = t.optimize(
+        spark, partition_filter={"d": _dt.date(2024, 5, 1)}, target_files=1
+    )
+    planned, total = t.last_partition_counts
+    assert planned == res["rewritten_files"] == 2  # one file per commit
+    assert planned < total
+    m1 = t.manifest()
+    assert sorted(
+        f for f in m1["files"] if "__p_d_month=2024-05" not in f
+    ) == non_target
+    assert m1["rewrite_only"] is True
+    both = df.union(df2)
+    assert _rows(t.read(spark)) == _rows(both)
+    # scoped zorder variant on an identity-partitioned table
+    t2 = SnapshotTable(str(tmp_path / "t2"), partition_by=["region"])
+    base = _dates_df(spark, 48).withColumn(
+        "region", F.concat(F.lit("R"), (F.col("k") % 2).cast("string"))
+    ).withColumn("m", F.col("k") * 7 % 13)
+    t2.commit(base)
+    t2.commit(base.withColumn("k", F.col("k") + 500))
+    res2 = t2.optimize(
+        spark, zorder_by=("k", "m"), target_files=2,
+        partition_filter={"region": "R1"},
+    )
+    assert res2["rewritten_files"] == 2
+    assert _rows(t2.read(spark)) == _rows(
+        base.union(base.withColumn("k", F.col("k") + 500))
+    )
