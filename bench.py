@@ -53,6 +53,7 @@ HEADLINE = [
     "q99zzt_restore_rollback",   # metadata-only rollback commit (round 7)
     "tpcds_q67",               # DS rank over rollup hierarchy (round 7)
     "q99zzv_partition_transforms",  # hidden partitioning: month()+Between (round 7)
+    "q99zzw_wap_tags",           # write-audit-publish + tag retention (round 7)
 ]
 
 

@@ -2201,3 +2201,67 @@ def q99zzv_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
     )
     return ordered(rep, "m", "n", "cents")
+
+
+@query(
+    "q99zzw_wap_tags",
+    oracle="""
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 4 = 0 THEN 'staged' ELSE 'base' END AS src,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    ORDER BY k NULLS LAST, src NULLS LAST, cents NULLS LAST
+    """,
+)
+def q99zzw_wap_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish + named tags end-to-end: v1 commits the
+    k%4<>0 orders; the k%4=0 batch is STAGED (production readers still
+    see v1 — asserted), audited via ``read_staged`` (row count checked
+    against the candidate math), then PUBLISHED as v2. ``create_tag``
+    pins v1 and ``vacuum(retain_last=1)`` proves the retention teeth:
+    the tagged version survives the window and ``read(ref=...)`` still
+    returns exactly the pre-publish state. The oracle recomputes the
+    published table relationally — all orders, with the staged rows
+    marked by the same k%4 rule the build used."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        vacuum,
+    )
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_wapq_{tag}")
+    tbl = SnapshotTable(root)
+    if tbl.latest_version() != 2 or tbl.tags().get("pre-publish") != 1:
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        tbl = SnapshotTable(root)
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 4 == 0, "staged")
+            .otherwise("base")
+            .alias("src"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        base = orders.filter(F.col("k") % 4 != 0)
+        batch = orders.filter(F.col("k") % 4 == 0)
+        n_base, n_batch = base.count(), batch.count()
+        tbl.commit(base)                     # v1: production state
+        tbl.create_tag("pre-publish", 1)     # pin it by name
+        tbl.stage(batch, "audit-run")        # WAP step 1: invisible
+        assert tbl.read(spark).count() == n_base          # untouched
+        audited = tbl.read_staged(spark, "audit-run")     # WAP step 2
+        assert audited.count() == n_base + n_batch
+        v = tbl.publish_staged("audit-run")  # WAP step 3: visible
+        assert v == 2 and not tbl.staged()
+        res = vacuum(tbl, retain_last=1)     # tag survives the window
+        assert 1 in res["retained_versions"], res
+        assert tbl.read(spark, ref="pre-publish").count() == n_base
+    out = tbl.read(spark)
+    return ordered(out, "k", "src", "cents")

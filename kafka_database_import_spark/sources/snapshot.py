@@ -1117,14 +1117,24 @@ class SnapshotTable:
         return self.read(spark, version=self.version_as_of(ts_ms))
 
     # ------------------------------------------------------------- reads
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        ref: str | None = None,
+    ) -> DataFrame:
         """Plan a scan of exactly one snapshot's file list. The manifest
         is the unit of isolation: this DataFrame keeps returning the
         same rows no matter how many commits land after it was built.
         If the version carries merge-on-read deletion vectors
         (``delete_where(mode='mor')``), the scan anti-joins them on
         (file-key, row position) — the read-time half of the MOR
-        tradeoff."""
+        tradeoff. ``ref`` reads a named tag (:meth:`create_tag`)
+        instead of a version number."""
+        if ref is not None:
+            if version is not None:
+                raise ValueError("read: pass version OR ref, not both")
+            version = self.resolve_ref(ref)
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not m["files"]:
@@ -1374,6 +1384,275 @@ class SnapshotTable:
             man["dropped_ids"] = sorted(dropped)
         self._publish(new_version, man)
         return new_version
+
+    # --------------------------------------------------- named refs (tags)
+    def _refs_dir(self) -> str:
+        return os.path.join(self.root, "_refs")
+
+    def _ref_path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+            raise ValueError(
+                f"ref name {name!r}: use letters/digits/._- only"
+            )
+        return os.path.join(self._refs_dir(), f"{name}.json")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: head) under an immutable NAME —
+        Iceberg tags / Delta named snapshots. A tag does two things:
+        readers address it (``read(spark, ref='audit-2026-08')``,
+        stable meaning forever), and RETENTION honors it —
+        :func:`vacuum` / :func:`expire_snapshots` keep a tagged
+        version's manifest and files alive regardless of the retention
+        window, which is the actual production use (pin the quarterly
+        compliance snapshot; let everything else age out). Tags are
+        immutable: re-creating an existing name raises — drop first."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(
+                    f"snapshot table {self.root} has no commits"
+                )
+        self.manifest(version)  # loud FileNotFoundError if expired
+        os.makedirs(self._refs_dir(), exist_ok=True)
+        path = self._ref_path(name)
+        fd, tmp = tempfile.mkstemp(dir=self._refs_dir(), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"name": name, "type": "tag", "version": version}, f)
+            try:
+                os.link(tmp, path)  # atomic claim, like a commit
+            except FileExistsError:
+                raise ValueError(
+                    f"tag {name!r} already exists (at version "
+                    f"{self.resolve_ref(name)}) — tags are immutable; "
+                    f"drop_tag first"
+                ) from None
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def resolve_ref(self, name: str) -> int:
+        try:
+            with open(self._ref_path(name)) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            raise KeyError(
+                f"no ref {name!r} (have {sorted(self.tags())})"
+            ) from None
+
+    def tags(self) -> dict[str, int]:
+        d = self._refs_dir()
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for n in os.listdir(d):
+            if n.endswith(".json"):
+                with open(os.path.join(d, n)) as f:
+                    r = json.load(f)
+                out[r["name"]] = r["version"]
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.unlink(self._ref_path(name))
+        except FileNotFoundError:
+            raise KeyError(f"no ref {name!r}") from None
+
+    # -------------------------------------- write-audit-publish (staging)
+    def _staged_dir(self) -> str:
+        return os.path.join(self.root, "_staged")
+
+    def _staged_path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+            raise ValueError(
+                f"staged-commit name {name!r}: letters/digits/._- only"
+            )
+        return os.path.join(self._staged_dir(), f"{name}.json")
+
+    def stage(self, df: DataFrame, name: str, mode: str = "append") -> dict:
+        """Write-audit-publish, step 1 (the Iceberg WAP workflow): the
+        commit's data files are written and its manifest is built
+        against the current head, but nothing is linked into the
+        version log — production readers are untouched. The audit job
+        reads the candidate state with :meth:`read_staged`, and only
+        :meth:`publish_staged` makes it a real version (or
+        :meth:`drop_staged` abandons it; vacuum reclaims the orphaned
+        files). Staged data files are PINNED through vacuum — an audit
+        can't have its evidence collected from under it.
+
+        Returns the staged manifest. One staged commit per name
+        (atomic claim); the name is the audit's handle."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown staged mode: {mode!r}")
+        head = self.latest_version()
+        if head and mode == "append":
+            prev_m = self.manifest(head)
+            prev = prev_m["files"]
+            schema_json = _merge_schema(prev_m, df.schema)
+            extras = _schema_extras(prev_m)
+            dv_files = prev_m.get("dv_files", [])
+            prev_fp = prev_m.get("file_partitions", {})
+        elif head:
+            prev, prev_fp, dv_files = [], {}, []
+            schema_json, extras = _overwrite_schema(self.manifest(head), df.schema)
+        else:
+            prev, prev_fp, dv_files = [], {}, []
+            schema_json, extras = _fresh_schema_json(df.schema), {}
+        files = self._write_data(df, (head or 0) + 1, schema_json)
+        pend_fp = dict(self._pending_file_partitions)
+        man = {
+            "staged_from": head,
+            "mode": mode,
+            "schema": schema_json,
+            "add_files": files,
+            "files": prev + files,
+            **extras,
+        }
+        spec = self.partition_spec()
+        if spec:
+            man["partition_spec"] = spec
+        fp = {
+            **{f: prev_fp[f] for f in prev if f in prev_fp},
+            **{f: pend_fp[f] for f in files if f in pend_fp},
+        }
+        if fp:
+            man["file_partitions"] = fp
+        if dv_files:
+            man["dv_files"] = dv_files
+        self._attach_staged_stats(man, files)
+        os.makedirs(self._staged_dir(), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self._staged_dir(), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(man, f)
+            try:
+                os.link(tmp, self._staged_path(name))
+            except FileExistsError:
+                raise ValueError(
+                    f"staged commit {name!r} already exists — publish or "
+                    f"drop it first"
+                ) from None
+        finally:
+            os.unlink(tmp)
+        return man
+
+    def _attach_staged_stats(self, man: dict, new_files: list[str]) -> None:
+        """Hook for stats-bearing subclasses; base format records no
+        per-file stats."""
+
+    def staged(self) -> list[str]:
+        d = self._staged_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(n[:-5] for n in os.listdir(d) if n.endswith(".json"))
+
+    def _read_staged_manifest(self, name: str) -> dict:
+        try:
+            with open(self._staged_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise KeyError(
+                f"no staged commit {name!r} (have {self.staged()})"
+            ) from None
+
+    def read_staged(self, spark: SparkSession, name: str) -> DataFrame:
+        """The table AS IF the staged commit were published — what the
+        audit job validates before anything becomes visible."""
+        m = self._read_staged_manifest(name)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if not m["files"]:
+            return _strip_field_ids(spark.createDataFrame([], schema))
+        return _strip_field_ids(
+            self._read_files(spark, m["files"], schema, m.get("dv_files"))
+        )
+
+    def publish_staged(self, name: str) -> int:
+        """Write-audit-publish, step 3: link the audited state into the
+        version log as the next version. If the head moved since
+        :meth:`stage`, an APPEND is re-based metadata-only (its already-
+        written files re-referenced against the new head — appends
+        commute, same contract as the commit retry loop) as long as the
+        interim commits did not evolve the schema; anything else raises
+        :class:`ConcurrentCommitError` — re-stage and re-audit, the
+        audited state no longer describes what publishing would make."""
+        man = self._read_staged_manifest(name)
+        for _attempt in range(_MAX_COMMIT_REBASE):
+            head = self.latest_version()
+            version = (head or 0) + 1
+            staged_from = man.get("staged_from")
+            if (head or None) == staged_from:
+                out = {k: v for k, v in man.items()
+                       if k not in ("staged_from", "add_files")}
+                out["version"] = version
+                out["base"] = head
+            else:
+                if man["mode"] != "append":
+                    raise ConcurrentCommitError(
+                        f"publish_staged({name!r}): head moved from "
+                        f"{staged_from} to {head} and the staged commit "
+                        f"is an overwrite — the audited state is stale; "
+                        f"drop_staged and re-stage"
+                    )
+                head_m = self.manifest(head)
+                if head_m["schema"] != (
+                    self.manifest(staged_from)["schema"]
+                    if staged_from else man["schema"]
+                ):
+                    raise ConcurrentCommitError(
+                        f"publish_staged({name!r}): the schema evolved "
+                        f"since staging — the audited state is stale; "
+                        f"drop_staged and re-stage"
+                    )
+                add = man["add_files"]
+                out = {
+                    "version": version,
+                    "base": head,
+                    "mode": "append",
+                    "schema": head_m["schema"],
+                    "files": head_m["files"] + add,
+                    **_schema_extras(head_m),
+                }
+                if head_m.get("partition_spec"):
+                    out["partition_spec"] = head_m["partition_spec"]
+                fp = {
+                    **head_m.get("file_partitions", {}),
+                    **{
+                        f: v
+                        for f, v in man.get("file_partitions", {}).items()
+                        if f in set(add)
+                    },
+                }
+                if fp:
+                    out["file_partitions"] = fp
+                if head_m.get("dv_files"):
+                    out["dv_files"] = head_m["dv_files"]
+                if "stats" in man or "stats" in head_m:
+                    out["stats"] = {
+                        **head_m.get("stats", {}),
+                        **{
+                            f: v
+                            for f, v in man.get("stats", {}).items()
+                            if f in set(add)
+                        },
+                    }
+            try:
+                self._publish(version, out)
+            except ConcurrentCommitError:
+                continue
+            os.unlink(self._staged_path(name))
+            return version
+        raise ConcurrentCommitError(
+            f"publish_staged({name!r}) lost the version race "
+            f"{_MAX_COMMIT_REBASE} times — sustained contention"
+        )
+
+    def drop_staged(self, name: str) -> None:
+        """Abandon a staged commit; its files become unreferenced and
+        the next :func:`vacuum` reclaims them."""
+        try:
+            os.unlink(self._staged_path(name))
+        except FileNotFoundError:
+            raise KeyError(f"no staged commit {name!r}") from None
 
     # -------------------------------------------------------- maintenance
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
@@ -3345,6 +3624,25 @@ class StatsSnapshotTable(SnapshotTable):
         }
         return man
 
+    def _attach_staged_stats(self, man: dict, new_files: list[str]) -> None:
+        """Staged commits carry complete stats (carried files by
+        reference + the new files' footer stats), so the published
+        manifest — and audits that stats-prune — see the same coverage
+        a direct commit would produce."""
+        prev = {}
+        if man.get("staged_from"):
+            prev = self.manifest(man["staged_from"]).get("stats", {})
+        keep = set(man["files"])
+        new = set(new_files)
+        man["stats"] = {
+            **{f: s for f, s in prev.items() if f in keep},
+            **{
+                f: s
+                for f, s in getattr(self, "_pending_stats", {}).items()
+                if f in new
+            },
+        }
+
     def read_pruned(
         self,
         spark: SparkSession,
@@ -3666,26 +3964,39 @@ def vacuum(
     keep_v = set(versions[-retain_last:])
     if min_retained_version is not None:
         keep_v.update(v for v in versions if v >= min_retained_version)
+    # TAGGED versions are pinned regardless of the retention window —
+    # the point of a tag (the quarterly compliance snapshot survives
+    # while the daily churn around it ages out)
+    keep_v.update(v for v in tbl.tags().values() if v in set(versions))
     drop_v = [v for v in versions if v not in keep_v]
     referenced: set[str] = set()
-    for v in keep_v:
+    for v in sorted(keep_v):
         m = tbl.manifest(v)
         referenced.update(m["files"])
         referenced.update(m.get("dv_files", []))  # DV sidecars are live data
         referenced.update(m.get("tombstone_files", []))  # so are tombstones
+    # staged-but-unpublished commits pin their files too: an audit in
+    # flight must not have its evidence collected from under it
+    for name in tbl.staged():
+        sm = tbl._read_staged_manifest(name)
+        referenced.update(sm["files"])
+        referenced.update(sm.get("dv_files", []))
     # Delta-encoded manifests reconstruct through their parents: before
-    # deleting any manifest, MATERIALIZE the oldest retained version to
-    # full form (both keep criteria are ">= threshold", so keep_v is a
-    # contiguous suffix and only its minimum can lose a parent). The
-    # rewrite is content-equivalent — os.replace keeps readers atomic.
-    if drop_v and keep_v:
-        oldest = min(keep_v)
-        if "delta_of" in tbl._read_raw_manifest(oldest):
-            full = tbl.manifest(oldest)  # reconstruct while chain intact
-            fd, tmp = tempfile.mkstemp(dir=tbl._mdir, suffix=".tmp")
-            with os.fdopen(fd, "w") as f:
-                json.dump(full, f)
-            os.replace(tmp, tbl._manifest_path(oldest))
+    # deleting any manifest, MATERIALIZE every retained version whose
+    # parent is being dropped (tags make keep_v non-contiguous, so any
+    # kept version can lose its parent, not just the minimum). Ascending
+    # order, while the chains are still intact; the rewrite is
+    # content-equivalent — os.replace keeps readers atomic.
+    if drop_v:
+        drop_set = set(drop_v)
+        for v in sorted(keep_v):
+            raw = tbl._read_raw_manifest(v)
+            if "delta_of" in raw and raw["delta_of"] in drop_set:
+                full = tbl.manifest(v)  # reconstruct while chain intact
+                fd, tmp = tempfile.mkstemp(dir=tbl._mdir, suffix=".tmp")
+                with os.fdopen(fd, "w") as f:
+                    json.dump(full, f)
+                os.replace(tmp, tbl._manifest_path(v))
     for v in drop_v:  # manifests first — see docstring
         os.unlink(tbl._manifest_path(v))
     removed_files = 0
