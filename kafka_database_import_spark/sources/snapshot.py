@@ -715,9 +715,34 @@ class SnapshotTable:
     the query ever naming a partition value.
     """
 
-    def __init__(self, root: str, partition_by: list[str] | None = None):
+    def __init__(
+        self,
+        root: str,
+        partition_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 65536,
+    ):
         self.root = root
         self._mdir = os.path.join(root, "_manifests")
+        # Bloom SIDECARS (Iceberg-puffin shape): with ``bloom_cols``,
+        # every data file write also computes a per-column bloom filter
+        # over the file's values (distributed — one mapInPandas pass
+        # over the just-written files) and stores it at a path derived
+        # from the data file's relpath. Data files are immutable, so
+        # the sidecar is too: no manifest coupling, no carrying through
+        # commits, and the PROBE side (apply_changes candidate pruning,
+        # read_keys) is presence-driven — a file without a sidecar is
+        # conservatively kept. This is the key-scoped complement to
+        # partition pruning: a CDC target NOT partitioned by the merge
+        # key still skips every file whose blooms reject the whole
+        # batch's key set. ``bloom_bits`` is per column per file
+        # (default 64 Ki bits = 8 KiB; ~1% false positives at ~6k
+        # distinct keys/file — size up for bigger files). Values are
+        # canonicalized through Spark's string cast on the build side
+        # and str() on the probe side, identical for int/string/date/
+        # timestamp keys (floats are not supported as bloom columns).
+        self._bloom_cols = list(bloom_cols) if bloom_cols else None
+        self._bloom_bits = int(bloom_bits)
         # Initial spec for TABLE CREATION only: once any commit exists,
         # the manifest's recorded spec wins (evolve via
         # set_partition_spec, never by re-constructing with a
@@ -1039,13 +1064,16 @@ class SnapshotTable:
                 for f in files
                 if (pv := _file_partition_values(f, spec, struct)) is not None
             }
+            self._write_bloom_sidecars(df.sparkSession, files)
             return files
         df.write.parquet(out_dir)
-        return sorted(
+        files = sorted(
             os.path.join(rel_dir, name)
             for name in os.listdir(out_dir)
             if name.endswith(".parquet")
         )
+        self._write_bloom_sidecars(df.sparkSession, files)
+        return files
 
     def _publish(self, version: int, manifest: dict) -> None:
         if "committed_at_ms" not in manifest:
@@ -3510,8 +3538,15 @@ class StatsSnapshotTable(SnapshotTable):
         root: str,
         stats_cols: list[str],
         partition_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 65536,
     ):
-        super().__init__(root, partition_by=partition_by)
+        super().__init__(
+            root,
+            partition_by=partition_by,
+            bloom_cols=bloom_cols,
+            bloom_bits=bloom_bits,
+        )
         self.stats_cols = list(stats_cols)
 
     def _write_data(
