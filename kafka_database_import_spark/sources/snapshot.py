@@ -1075,6 +1075,55 @@ class SnapshotTable:
         self._write_bloom_sidecars(df.sparkSession, files)
         return files
 
+    def _write_bloom_sidecars(
+        self, spark: SparkSession, files: list[str]
+    ) -> None:
+        """Build the per-file per-column bloom sidecars for just-written
+        data files (see ``__init__``: Iceberg-puffin shape). No-op when
+        the table has no ``bloom_cols``. Data files are immutable, so
+        each sidecar is written exactly once, atomically, next to its
+        file (``<file>.parquet.bloom``), and never touched by later
+        commits; the probe side treats a missing sidecar as
+        conservatively-keep, so a crash between data write and sidecar
+        write costs pruning, never correctness.
+
+        Distribution: one ``mapInPandas`` pass over the FILE LIST (one
+        task per slice of files; each task footer-opens and
+        column-prunes its own parquet with pyarrow and writes the
+        sidecar itself, like a writer job) — no data shuffle, scales
+        with file count not table size. Tiny commits (<= 4 files) skip
+        job-launch overhead and build driver-side with the same helper,
+        so both paths share one code path for the actual bloom math."""
+        if not self._bloom_cols or not files:
+            return
+        root = self.root
+        cols = list(self._bloom_cols)
+        bits = self._bloom_bits
+        if len(files) <= 4:
+            for f in files:
+                _build_bloom_sidecar(root, f, cols, bits)
+            return
+        import pandas as pd
+
+        def _build(batches):
+            for pdf in batches:
+                done = 0
+                for rel in pdf["file"]:
+                    _build_bloom_sidecar(root, rel, cols, bits)
+                    done += 1
+                yield pd.DataFrame({"n": [done]})
+
+        fdf = spark.createDataFrame(
+            [(f,) for f in files], "file string"
+        ).repartition(min(len(files), 32))
+        built = sum(
+            r["n"] for r in fdf.mapInPandas(_build, "n long").collect()
+        )
+        if built != len(files):  # pragma: no cover - defensive
+            raise RuntimeError(
+                f"bloom sidecar build covered {built}/{len(files)} files"
+            )
+
     def _publish(self, version: int, manifest: dict) -> None:
         if "committed_at_ms" not in manifest:
             # wall-clock commit time, stamped at the single publish
@@ -3484,6 +3533,146 @@ class SnapshotTable:
             "deleted_rows": deleted_rows,
             "skipped_stale": skipped_stale,
         }
+
+
+_BLOOM_K = 6  # hash functions; with 64Ki bits / ~6k keys -> ~1% fp
+_BLOOM_SUFFIX = ".bloom"
+
+
+def _bloom_canon(v) -> "str | None":
+    """ONE canonical string form per value, shared by the build side
+    (pyarrow ``to_pylist`` of the just-written parquet) and the probe
+    side (values collected from the Spark change batch / caller
+    literals) — int/string/date/timestamp/decimal/bool/binary agree by
+    construction because both sides call THIS function. ``None``
+    (bloomed values are never null — the build skips them, the probe
+    declines to prune on a column whose batch contains a null).
+    Floats are refused: hash-equality on floats is a modeling bug,
+    same stance as partition values (``_BANNED_PARTITION_TYPES``)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
+    if isinstance(v, float):
+        raise TypeError(
+            "float/double columns are not supported as bloom columns"
+        )
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return "ts:" + v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return "d:" + v.isoformat()
+    return str(v)
+
+
+def _bloom_positions(canon: str, bits: int, k: int = _BLOOM_K) -> list:
+    """k bit positions via double hashing over one sha1 — the standard
+    Kirsch-Mitzenmacher construction, so build and probe agree with no
+    salt/seed bookkeeping."""
+    import hashlib
+
+    d = hashlib.sha1(canon.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % bits for i in range(k)]
+
+
+def _bloom_sidecar_path(root: str, rel: str) -> str:
+    return os.path.join(root, rel + _BLOOM_SUFFIX)
+
+
+def _build_bloom_sidecar(
+    root: str, rel: str, cols: list[str], bits: int
+) -> int:
+    """Compute and atomically write one data file's bloom sidecar.
+    Runs executor-side (mapInPandas task) or driver-side for tiny
+    commits — pure function of (file, cols, bits). Columns absent from
+    the file's schema are skipped (schema evolution: an old-schema
+    rewrite simply carries no bloom for the new column -> probe keeps
+    the file). Returns the number of columns bloomed."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(root, rel)
+    pf = pq.ParquetFile(path)
+    names = set(pf.schema_arrow.names)
+    present = [c for c in cols if c in names]
+    blooms: dict = {}
+    if present:
+        tbl = pf.read(columns=present)
+        for c in present:
+            arr = bytearray(bits // 8)
+            for v in tbl.column(c).to_pylist():
+                canon = _bloom_canon(v)
+                if canon is None:
+                    continue
+                for h in _bloom_positions(canon, bits):
+                    arr[h >> 3] |= 1 << (h & 7)
+            blooms[c] = base64.b64encode(
+                zlib.compress(bytes(arr))
+            ).decode("ascii")
+    payload = json.dumps(
+        {"bits": bits, "k": _BLOOM_K, "codec": "zlib", "blooms": blooms}
+    )
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".bloomtmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        os.replace(tmp, _bloom_sidecar_path(root, rel))
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    return len(blooms)
+
+
+def _load_bloom_sidecar(root: str, rel: str) -> "dict | None":
+    """The decoded sidecar, or None if absent/corrupt (both mean
+    'cannot prune this file')."""
+    import base64
+
+    try:
+        with open(_bloom_sidecar_path(root, rel)) as f:
+            raw = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        return None
+    try:
+        blooms = {
+            c: zlib.decompress(base64.b64decode(b64))
+            for c, b64 in raw.get("blooms", {}).items()
+        }
+        return {"bits": int(raw["bits"]), "k": int(raw["k"]),
+                "blooms": blooms}
+    except (KeyError, ValueError, zlib.error):
+        return None
+
+
+def _bloom_may_contain_any(
+    sidecar: dict, col: str, canons: list[str]
+) -> bool:
+    """False ONLY when the file's bloom for ``col`` rejects EVERY
+    probe value — the one case pruning may drop the file. A sidecar
+    without this column constrains nothing (conservative True)."""
+    data = sidecar["blooms"].get(col)
+    if data is None:
+        return True
+    bits, k = sidecar["bits"], sidecar["k"]
+    for canon in canons:
+        if all(
+            (data[h >> 3] >> (h & 7)) & 1
+            for h in _bloom_positions(canon, bits, k)
+        ):
+            return True
+    return False
 
 
 def _file_stats(path: str, columns: list[str]) -> dict:
