@@ -737,12 +737,30 @@ class SnapshotTable:
         # key still skips every file whose blooms reject the whole
         # batch's key set. ``bloom_bits`` is per column per file
         # (default 64 Ki bits = 8 KiB; ~1% false positives at ~6k
-        # distinct keys/file — size up for bigger files). Values are
-        # canonicalized through Spark's string cast on the build side
-        # and str() on the probe side, identical for int/string/date/
-        # timestamp keys (floats are not supported as bloom columns).
+        # distinct keys/file — size up for bigger files). Both sides
+        # canonicalize through ``_bloom_canon`` (one string form per
+        # value; timestamps normalized to UTC wall-clock on BOTH the
+        # pyarrow build read and the Arrow-collected probe) for
+        # int/string/date/timestamp/decimal/bool/binary keys — floats
+        # are refused as bloom columns (hash-equality on floats is a
+        # modeling bug, same stance as partition values). Probing is
+        # planning-only: a missing/corrupt sidecar, an over-limit
+        # batch key set, or a null/uncanonizable probe value all fall
+        # back to "keep the file" — correctness never depends on it.
         self._bloom_cols = list(bloom_cols) if bloom_cols else None
         self._bloom_bits = int(bloom_bits)
+        if self._bloom_bits <= 0 or self._bloom_bits % 8:
+            # a non-multiple-of-8 would allocate bytearray(bits // 8)
+            # SHORTER than the mod-bits hash positions and crash
+            # executor tasks with IndexError mid-commit (ADVICE r8)
+            raise ValueError(
+                f"bloom_bits must be a positive multiple of 8, got "
+                f"{bloom_bits!r}"
+            )
+        # probe observability: (kept, candidates_before) of the last
+        # bloom-pruned DML discovery on this instance — test/ops hook,
+        # same shape as last_apply_candidates / last_partition_counts
+        self.last_bloom_pruned: "tuple | None" = None
         # Initial spec for TABLE CREATION only: once any commit exists,
         # the manifest's recorded spec wins (evolve via
         # set_partition_spec, never by re-constructing with a
@@ -1123,6 +1141,119 @@ class SnapshotTable:
             raise RuntimeError(
                 f"bloom sidecar build covered {built}/{len(files)} files"
             )
+
+    def _bloom_batch_canons(
+        self, keys_df: DataFrame, limit: int = 10_000
+    ) -> dict:
+        """Canonicalized probe values per bloom∩batch column, from the
+        batch's DISTINCT key tuples — the driver-side half of sidecar
+        pruning (one bounded job, same 10k ceiling as the
+        partition-tuple pruning in :meth:`apply_changes`).
+
+        Collected VIA ARROW, not ``collect()``: Spark's Arrow export
+        carries TIMESTAMP values tz-aware (session zone attached), so
+        ``_bloom_canon`` normalizes them to the same UTC wall-clock
+        string the build side gets from its pyarrow read of the data
+        file — a plain ``collect()`` hands back session-zone NAIVE
+        datetimes, which would canonicalize an equal instant
+        differently and wrongly prune (ADVICE r8). Fallbacks are all
+        toward "don't prune": over-limit batch → ``{}``; a column with
+        a null or uncanonizable value is dropped from the result."""
+        pcols = [
+            c for c in (self._bloom_cols or []) if c in keys_df.columns
+        ]
+        if not pcols:
+            return {}
+        rows = (
+            keys_df.select(*pcols)
+            .distinct()
+            .limit(limit + 1)
+            .toArrow()
+            .to_pylist()
+        )
+        if len(rows) > limit:
+            return {}
+        out: dict = {}
+        for c in pcols:
+            canons = set()
+            try:
+                for r in rows:
+                    canon = _bloom_canon(r[c])
+                    if canon is None:  # null key: decline on this col
+                        canons = None
+                        break
+                    canons.add(canon)
+            except TypeError:  # float key slipped in: decline
+                canons = None
+            if canons:
+                out[c] = sorted(canons)
+        return out
+
+    def _bloom_prune_files(self, files: list[str], probes: dict) -> list:
+        """Drop every candidate file whose sidecar REJECTS all probe
+        values for at least one probed column — a matching row would
+        have to carry one of the batch's values in every key column,
+        so a single all-reject column proves the file holds no match.
+        Bloom filters have no false negatives over the canon strings,
+        which makes the drop exact; false positives only keep extra
+        files. Missing/corrupt sidecars and sidecars without the
+        column keep the file (conservative — crash between data write
+        and sidecar write costs pruning, never correctness). Records
+        ``last_bloom_pruned = (kept, before)``. Driver-side cost is
+        O(candidate files) small-file reads — run AFTER partition and
+        stats pruning, which is where every call site sits."""
+        if not probes or not files:
+            self.last_bloom_pruned = None
+            return list(files)
+        kept = []
+        for f in files:
+            sc = _load_bloom_sidecar(self.root, f)
+            if sc is None or all(
+                _bloom_may_contain_any(sc, c, canons)
+                for c, canons in probes.items()
+            ):
+                kept.append(f)
+        self.last_bloom_pruned = (len(kept), len(files))
+        return kept
+
+    def _bloom_caller_canons(self, probe: dict) -> dict:
+        """Canonicalize a caller-supplied ``bloom_probe`` hint — the
+        bloom analog of ``stats_range`` on the predicate DMLs
+        (:meth:`delete_where` / :meth:`update_where` /
+        :meth:`overwrite_where`): ``{column: [values]}`` asserting the
+        condition can only match rows whose column equals one of the
+        values (the equality/IN shape). Planning-only, same contract
+        as every pruning hint here — the exact predicate is re-applied
+        on the candidate scan. Naive datetimes are taken as UTC
+        wall-clock (how the table stores instants); pass tz-aware
+        values to be explicit. Typos fail loudly: probing a column not
+        in ``bloom_cols`` could never prune (no sidecar carries it),
+        so it's rejected rather than silently useless; an empty value
+        list is rejected too (it would prune EVERY file — a caller
+        with no constraint passes no hint). A null value declines
+        pruning on its column; floats raise (never bloomable)."""
+        out: dict = {}
+        for c, vals in probe.items():
+            if not self._bloom_cols or c not in self._bloom_cols:
+                raise ValueError(
+                    f"bloom_probe column {c!r} is not in this table's "
+                    f"bloom_cols {self._bloom_cols!r}"
+                )
+            if not vals:
+                raise ValueError(
+                    f"bloom_probe for {c!r} is empty — it would prune "
+                    f"every file; omit the hint instead"
+                )
+            canons = set()
+            for v in vals:
+                canon = _bloom_canon(v)
+                if canon is None:
+                    canons = None
+                    break
+                canons.add(canon)
+            if canons:
+                out[c] = sorted(canons)
+        return out
 
     def _publish(self, version: int, manifest: dict) -> None:
         if "committed_at_ms" not in manifest:
@@ -1671,10 +1802,26 @@ class SnapshotTable:
                         f"drop_staged and re-stage"
                     )
                 head_m = self.manifest(head)
-                if head_m["schema"] != (
-                    self.manifest(staged_from)["schema"]
-                    if staged_from else man["schema"]
-                ):
+                try:
+                    base_schema = (
+                        self.manifest(staged_from)["schema"]
+                        if staged_from else man["schema"]
+                    )
+                except FileNotFoundError:
+                    # ADVICE r7: the staging-base manifest was vacuumed
+                    # /expired while the audit ran — the rebase can't
+                    # prove the interim commits kept the schema, so the
+                    # staged state is stale BY POLICY, not an I/O bug;
+                    # surface the same re-stage contract as every other
+                    # stale-staged path instead of a raw
+                    # FileNotFoundError.
+                    raise ConcurrentCommitError(
+                        f"publish_staged({name!r}): the staging base "
+                        f"v{staged_from} was vacuumed while the audit "
+                        f"ran — the audited state is stale; "
+                        f"drop_staged and re-stage"
+                    ) from None
+                if head_m["schema"] != base_schema:
                     raise ConcurrentCommitError(
                         f"publish_staged({name!r}): the schema evolved "
                         f"since staging — the audited state is stale; "
@@ -2411,6 +2558,7 @@ class SnapshotTable:
         stats_range: tuple | None = None,
         mode: str = "cow",
         partition_filter: dict | None = None,
+        bloom_probe: dict | None = None,
     ) -> dict:
         """Row-level DELETE, copy-on-write: rewrite ONLY the files that
         contain rows where ``condition`` is true; every other file is
@@ -2422,9 +2570,18 @@ class SnapshotTable:
         candidate set manifest-side before any file is opened (a
         GDPR-delete keyed on a clustered column touches O(matching
         files) of a million-file table); files lacking stats are
-        conservatively kept as candidates. Correctness never depends on
-        the pruning — the affected-file scan re-applies the exact
-        predicate.
+        conservatively kept as candidates. ``bloom_probe={col:
+        [values]}`` prunes the same way through the per-file bloom
+        SIDECARS when the condition is an equality/IN on ``bloom_cols``
+        (the GDPR delete-by-key shape on a table not clustered by that
+        key — see :meth:`_bloom_caller_canons`). ``partition_filter``
+        SCOPES the delete to the named partitions — the effective
+        predicate is ``condition AND partition_filter`` (Delta
+        ``replaceWhere`` semantics; matches outside the scope are
+        deliberately untouched). All three hints are caller-trusted:
+        a hint that does not actually cover the condition narrows the
+        delete, it never corrupts untouched files — the exact
+        predicate is re-applied on the candidate scan.
 
         ``mode`` picks the write strategy: ``'cow'`` (copy-on-write,
         above) rewrites affected files — pay at write, reads stay pure
@@ -2453,13 +2610,18 @@ class SnapshotTable:
         prev_dv = m.get("dv_files", [])
         candidates = list(m["files"])
         if partition_filter:
-            # Manifest-side partition pruning BEFORE stats pruning: a
+            # Manifest-side partition SCOPING before stats pruning: a
             # DML op scoped to a few partitions (the GDPR / backfill /
             # retention shape) skips whole partitions without
-            # consulting a single footer stat. Same contract as
-            # stats_range: planning only — the exact predicate is
-            # re-applied on the candidate scan, and files without
-            # recorded tuples stay candidates.
+            # consulting a single footer stat. ADVICE r7: this is a
+            # caller-TRUSTED scope, not an inferred-safe pruning — the
+            # effective predicate is ``condition AND <partition
+            # filter>`` (Delta replaceWhere shape), so condition
+            # matches OUTSIDE the named partitions are deliberately
+            # not touched. stats_range and bloom_probe carry the same
+            # trust model: the caller asserts the condition cannot
+            # match outside the hint. Files without recorded tuples
+            # stay candidates, so pre-spec files are never skipped.
             candidates = self._prune_partition_files(
                 m, candidates, partition_filter
             )
@@ -2472,6 +2634,10 @@ class SnapshotTable:
                 if (rng := stats.get(f, {}).get(col)) is None
                 or (rng[0] <= hi and rng[1] >= lo)
             ]
+        if bloom_probe:
+            candidates = self._bloom_prune_files(
+                candidates, self._bloom_caller_canons(bloom_probe)
+            )
         noop = {
             "version": head,
             "rewritten_files": 0,
@@ -2597,6 +2763,7 @@ class SnapshotTable:
         df: DataFrame,
         stats_range: tuple | None = None,
         partition_filter: dict | None = None,
+        bloom_probe: dict | None = None,
     ) -> dict:
         """Atomic predicate-scoped overwrite (the Delta ``replaceWhere``
         backfill pattern): delete every row matching ``condition`` AND
@@ -2626,13 +2793,18 @@ class SnapshotTable:
         prev_dv = m.get("dv_files", [])
         candidates = list(m["files"])
         if partition_filter:
-            # Manifest-side partition pruning BEFORE stats pruning: a
+            # Manifest-side partition SCOPING before stats pruning: a
             # DML op scoped to a few partitions (the GDPR / backfill /
             # retention shape) skips whole partitions without
-            # consulting a single footer stat. Same contract as
-            # stats_range: planning only — the exact predicate is
-            # re-applied on the candidate scan, and files without
-            # recorded tuples stay candidates.
+            # consulting a single footer stat. ADVICE r7: this is a
+            # caller-TRUSTED scope, not an inferred-safe pruning — the
+            # effective predicate is ``condition AND <partition
+            # filter>`` (Delta replaceWhere shape), so condition
+            # matches OUTSIDE the named partitions are deliberately
+            # not touched. stats_range and bloom_probe carry the same
+            # trust model: the caller asserts the condition cannot
+            # match outside the hint. Files without recorded tuples
+            # stay candidates, so pre-spec files are never skipped.
             candidates = self._prune_partition_files(
                 m, candidates, partition_filter
             )
@@ -2645,6 +2817,12 @@ class SnapshotTable:
                 if (rng := stats.get(f, {}).get(col)) is None
                 or (rng[0] <= hi and rng[1] >= lo)
             ]
+        if bloom_probe:
+            # same planning-only contract as stats_range; see
+            # delete_where / _bloom_caller_canons
+            candidates = self._bloom_prune_files(
+                candidates, self._bloom_caller_canons(bloom_probe)
+            )
         affected: set[str] = set()
         deleted_rows = 0
         if candidates:
@@ -2706,6 +2884,7 @@ class SnapshotTable:
         stats_range: tuple | None = None,
         mode: str = "cow",
         partition_filter: dict | None = None,
+        bloom_probe: dict | None = None,
     ) -> dict:
         """Row-level UPDATE — completes the DML triad (DELETE / MERGE /
         UPDATE) on the same machinery, in BOTH strategies. ``'cow'``
@@ -2738,13 +2917,18 @@ class SnapshotTable:
         prev_dv = m.get("dv_files", [])
         candidates = list(m["files"])
         if partition_filter:
-            # Manifest-side partition pruning BEFORE stats pruning: a
+            # Manifest-side partition SCOPING before stats pruning: a
             # DML op scoped to a few partitions (the GDPR / backfill /
             # retention shape) skips whole partitions without
-            # consulting a single footer stat. Same contract as
-            # stats_range: planning only — the exact predicate is
-            # re-applied on the candidate scan, and files without
-            # recorded tuples stay candidates.
+            # consulting a single footer stat. ADVICE r7: this is a
+            # caller-TRUSTED scope, not an inferred-safe pruning — the
+            # effective predicate is ``condition AND <partition
+            # filter>`` (Delta replaceWhere shape), so condition
+            # matches OUTSIDE the named partitions are deliberately
+            # not touched. stats_range and bloom_probe carry the same
+            # trust model: the caller asserts the condition cannot
+            # match outside the hint. Files without recorded tuples
+            # stay candidates, so pre-spec files are never skipped.
             candidates = self._prune_partition_files(
                 m, candidates, partition_filter
             )
@@ -2757,6 +2941,12 @@ class SnapshotTable:
                 if (rng := stats.get(f, {}).get(col)) is None
                 or (rng[0] <= hi and rng[1] >= lo)
             ]
+        if bloom_probe:
+            # same planning-only contract as stats_range; see
+            # delete_where / _bloom_caller_canons
+            candidates = self._bloom_prune_files(
+                candidates, self._bloom_caller_canons(bloom_probe)
+            )
         noop = {
             "version": head,
             "rewritten_files": 0,
@@ -2942,7 +3132,25 @@ class SnapshotTable:
         merged_schema = T.StructType.fromJson(json.loads(schema_json))
         keys = source.select(*key_cols).distinct()
         prev_dv = m.get("dv_files", [])
-        target = self._scan_with_meta(spark, m["files"], schema, prev_dv)
+        candidates = list(m["files"])
+        if self._bloom_cols and candidates:
+            # Bloom-sidecar candidate pruning (see apply_changes): the
+            # affected-file discovery semi-join only needs files whose
+            # blooms may contain a source key — on a bloom_cols table
+            # an incremental merge scans O(files-with-matches), not
+            # O(table), even with no partition spec on the key.
+            candidates = self._bloom_prune_files(
+                candidates, self._bloom_batch_canons(keys)
+            )
+        if candidates:
+            target = self._scan_with_meta(spark, candidates, schema, prev_dv)
+        else:  # every file bloom-rejected: nothing can match
+            target = spark.createDataFrame([], schema).select(
+                "*",
+                F.lit(None).cast("string").alias("_sg_file"),
+                F.lit(None).cast("string").alias("_sg_k3"),
+                F.lit(None).cast("long").alias("_sg_pos"),
+            )
         hit = (
             target.select(*key_cols, "_sg_file")
             .join(keys, on=key_cols, how="left_semi")
@@ -3285,6 +3493,19 @@ class SnapshotTable:
                         or any(c not in e for c in names)
                         or tuple(e[c] for c in names) in batch_tuples
                     ]
+        if self._bloom_cols and candidate_files:
+            # Bloom-sidecar pruning, the key-scoped complement to the
+            # partition arithmetic above: a CDC target NOT partitioned
+            # by the merge key still skips every candidate file whose
+            # per-column blooms reject the whole batch's key set. The
+            # drop is exact (no bloom false negatives), so the
+            # stale-skip max-seq scan riding on the candidate set stays
+            # correct: a pruned file provably holds none of the
+            # changed keys, hence no sequence that could guard them.
+            candidate_files = self._bloom_prune_files(
+                candidate_files,
+                self._bloom_batch_canons(changes.select(*key_cols)),
+            )
         self.last_apply_candidates = (len(candidate_files), len(m["files"]))
         if candidate_files:
             target = self._scan_with_meta(
@@ -3539,100 +3760,122 @@ _BLOOM_K = 6  # hash functions; with 64Ki bits / ~6k keys -> ~1% fp
 _BLOOM_SUFFIX = ".bloom"
 
 
-def _bloom_canon(v) -> "str | None":
-    """ONE canonical string form per value, shared by the build side
-    (pyarrow ``to_pylist`` of the just-written parquet) and the probe
-    side (values collected from the Spark change batch / caller
-    literals) — int/string/date/timestamp/decimal/bool/binary agree by
-    construction because both sides call THIS function. ``None``
-    (bloomed values are never null — the build skips them, the probe
-    declines to prune on a column whose batch contains a null).
-    Floats are refused: hash-equality on floats is a modeling bug,
-    same stance as partition values (``_BANNED_PARTITION_TYPES``)."""
-    import datetime as _dt
+def _bloom_impl():
+    """Factory for the bloom math + sidecar builder. The names are
+    bound at module level right below, but the functions' qualnames
+    carry ``<locals>`` so cloudpickle serializes them BY VALUE when
+    the ``_write_bloom_sidecars`` mapInPandas closure captures them
+    (ADVICE r8: a plain module-level function pickles BY REFERENCE
+    and breaks on executors whose working directory can't import
+    this package — the repo's documented foreign-cwd trap; every
+    other executor closure in the repo is already self-contained).
+    One source of truth for the build side AND the probe side; the
+    only shared state is stdlib imports, resolved executor-side."""
+    k_default = 6  # keep in sync with _BLOOM_K (captured by value)
+    suffix = ".bloom"
 
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return f"b:{int(v)}"
-    if isinstance(v, float):
-        raise TypeError(
-            "float/double columns are not supported as bloom columns"
+    def canon(v) -> "str | None":
+        """ONE canonical string form per value, shared by the build
+        side (pyarrow ``to_pylist`` of the just-written parquet) and
+        the probe side (batch key values collected VIA ARROW, so
+        timestamps arrive tz-aware and normalize to the same UTC
+        wall-clock string as the build side's read; see
+        ``_bloom_batch_canons``) — int/string/date/timestamp/decimal/
+        bool/binary agree by construction because both sides call
+        THIS function. ``None`` means "not bloomable" (the build
+        skips nulls, the probe declines to prune on a column whose
+        batch contains one). Floats are refused: hash-equality on
+        floats is a modeling bug, same stance as partition values
+        (``_BANNED_PARTITION_TYPES``)."""
+        import datetime as _dt
+
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return f"b:{int(v)}"
+        if isinstance(v, float):
+            raise TypeError(
+                "float/double columns are not supported as bloom columns"
+            )
+        if isinstance(v, (bytes, bytearray)):
+            return "x:" + bytes(v).hex()
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return "ts:" + v.isoformat(sep=" ")
+        if isinstance(v, _dt.date):
+            return "d:" + v.isoformat()
+        return str(v)
+
+    def positions(canon_s: str, bits: int, k: int = k_default) -> list:
+        """k bit positions via double hashing over one sha1 — the
+        standard Kirsch-Mitzenmacher construction, so build and probe
+        agree with no salt/seed bookkeeping."""
+        import hashlib
+
+        d = hashlib.sha1(canon_s.encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:16], "big") | 1
+        return [(h1 + i * h2) % bits for i in range(k)]
+
+    def build_sidecar(root: str, rel: str, cols: list, bits: int) -> int:
+        """Compute and atomically write one data file's bloom sidecar.
+        Runs executor-side (mapInPandas task) or driver-side for tiny
+        commits — pure function of (file, cols, bits). Columns absent
+        from the file's schema are skipped (schema evolution: an
+        old-schema rewrite simply carries no bloom for the new column
+        -> probe keeps the file). Returns the count of bloomed cols."""
+        import base64
+        import json as _json
+        import os as _os
+        import tempfile as _tf
+        import zlib as _zlib
+
+        import pyarrow.parquet as pq
+
+        path = _os.path.join(root, rel)
+        pf = pq.ParquetFile(path)
+        names = set(pf.schema_arrow.names)
+        present = [c for c in cols if c in names]
+        blooms: dict = {}
+        if present:
+            tbl = pf.read(columns=present)
+            for c in present:
+                arr = bytearray(bits // 8)
+                for v in tbl.column(c).to_pylist():
+                    canon_s = canon(v)
+                    if canon_s is None:
+                        continue
+                    for h in positions(canon_s, bits):
+                        arr[h >> 3] |= 1 << (h & 7)
+                blooms[c] = base64.b64encode(
+                    _zlib.compress(bytes(arr))
+                ).decode("ascii")
+        payload = _json.dumps(
+            {"bits": bits, "k": k_default, "codec": "zlib", "blooms": blooms}
         )
-    if isinstance(v, (bytes, bytearray)):
-        return "x:" + bytes(v).hex()
-    if isinstance(v, _dt.datetime):
-        if v.tzinfo is not None:
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return "ts:" + v.isoformat(sep=" ")
-    if isinstance(v, _dt.date):
-        return "d:" + v.isoformat()
-    return str(v)
+        d = _os.path.dirname(path)
+        fd, tmp = _tf.mkstemp(dir=d, suffix=".bloomtmp")
+        try:
+            with _os.fdopen(fd, "w") as f:
+                f.write(payload)
+            _os.replace(tmp, path + suffix)
+        except BaseException:
+            try:
+                _os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        return len(blooms)
+
+    return canon, positions, build_sidecar
 
 
-def _bloom_positions(canon: str, bits: int, k: int = _BLOOM_K) -> list:
-    """k bit positions via double hashing over one sha1 — the standard
-    Kirsch-Mitzenmacher construction, so build and probe agree with no
-    salt/seed bookkeeping."""
-    import hashlib
-
-    d = hashlib.sha1(canon.encode("utf-8")).digest()
-    h1 = int.from_bytes(d[:8], "big")
-    h2 = int.from_bytes(d[8:16], "big") | 1
-    return [(h1 + i * h2) % bits for i in range(k)]
+_bloom_canon, _bloom_positions, _build_bloom_sidecar = _bloom_impl()
 
 
 def _bloom_sidecar_path(root: str, rel: str) -> str:
     return os.path.join(root, rel + _BLOOM_SUFFIX)
-
-
-def _build_bloom_sidecar(
-    root: str, rel: str, cols: list[str], bits: int
-) -> int:
-    """Compute and atomically write one data file's bloom sidecar.
-    Runs executor-side (mapInPandas task) or driver-side for tiny
-    commits — pure function of (file, cols, bits). Columns absent from
-    the file's schema are skipped (schema evolution: an old-schema
-    rewrite simply carries no bloom for the new column -> probe keeps
-    the file). Returns the number of columns bloomed."""
-    import base64
-
-    import pyarrow.parquet as pq
-
-    path = os.path.join(root, rel)
-    pf = pq.ParquetFile(path)
-    names = set(pf.schema_arrow.names)
-    present = [c for c in cols if c in names]
-    blooms: dict = {}
-    if present:
-        tbl = pf.read(columns=present)
-        for c in present:
-            arr = bytearray(bits // 8)
-            for v in tbl.column(c).to_pylist():
-                canon = _bloom_canon(v)
-                if canon is None:
-                    continue
-                for h in _bloom_positions(canon, bits):
-                    arr[h >> 3] |= 1 << (h & 7)
-            blooms[c] = base64.b64encode(
-                zlib.compress(bytes(arr))
-            ).decode("ascii")
-    payload = json.dumps(
-        {"bits": bits, "k": _BLOOM_K, "codec": "zlib", "blooms": blooms}
-    )
-    d = os.path.dirname(path)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".bloomtmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
-        os.replace(tmp, _bloom_sidecar_path(root, rel))
-    except BaseException:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
-    return len(blooms)
 
 
 def _load_bloom_sidecar(root: str, rel: str) -> "dict | None":
@@ -4224,13 +4467,30 @@ def vacuum(
     for v in drop_v:  # manifests first — see docstring
         os.unlink(tbl._manifest_path(v))
     removed_files = 0
+    removed_sidecars = 0
     data_root = os.path.join(tbl.root, "data")
     if os.path.isdir(data_root):
         for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
             for name in filenames:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, tbl.root)
-                if name.endswith(".parquet") and rel not in referenced:
+                if name.endswith(".bloomtmp"):
+                    # crash leftover from an interrupted sidecar build
+                    # (the build writes tmp then os.replace's) — always
+                    # dead, and it would block the rmdir below
+                    os.unlink(full)
+                    removed_sidecars += 1
+                elif name.endswith(_BLOOM_SUFFIX):
+                    # a bloom sidecar is live iff ITS DATA FILE is
+                    # referenced — this both rides along with the data
+                    # file's deletion (ADVICE r8: vacuum previously
+                    # matched only *.parquet, orphaning sidecars
+                    # forever) and sweeps orphans a crashed earlier
+                    # vacuum left behind
+                    if rel[: -len(_BLOOM_SUFFIX)] not in referenced:
+                        os.unlink(full)
+                        removed_sidecars += 1
+                elif name.endswith(".parquet") and rel not in referenced:
                     os.unlink(full)
                     removed_files += 1
             if not os.listdir(dirpath):
@@ -4238,6 +4498,7 @@ def vacuum(
     return {
         "dropped_versions": len(drop_v),
         "removed_files": removed_files,
+        "removed_sidecars": removed_sidecars,
         "retained_versions": sorted(keep_v),
     }
 

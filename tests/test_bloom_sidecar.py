@@ -1,0 +1,280 @@
+"""Bloom SIDECAR build + probe (sources/snapshot.py, VERDICT r8 item
+1): per-file per-column bloom filters written at commit time and
+consulted by the DML candidate-file discovery — the key-scoped
+complement to partition/stats pruning for CDC targets not clustered by
+their merge key. Covers the probe wiring (apply_changes / merge_rows /
+delete_where bloom_probe), the conservative-keep contract (a missing
+sidecar — also exactly the state a crash between data write and
+sidecar write leaves — costs pruning, never correctness), the ~1%
+false-positive rate the sizing docstring promises, the cross-engine
+timestamp canonicalization (ADVICE r8: Arrow-collected probe values
+must match the build side's pyarrow read under a non-UTC session
+zone), vacuum's sidecar reclamation, and the by-value pickling of the
+executor-side builder (the repo's foreign-cwd trap)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_database_import_spark.sources.snapshot import (
+    SnapshotTable,
+    _bloom_canon,
+    _bloom_may_contain_any,
+    _bloom_positions,
+    _build_bloom_sidecar,
+    _bloom_sidecar_path,
+    _load_bloom_sidecar,
+    vacuum,
+)
+
+SCHEMA = T.StructType(
+    [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def _ranged_table(spark, root, n_ranges=3, width=100):
+    """One commit (= one file) per disjoint key range."""
+    tbl = SnapshotTable(root, bloom_cols=["k"])
+    for i in range(n_ranges):
+        tbl.commit(
+            _df(
+                spark,
+                [(j, f"v{j}") for j in range(i * width, (i + 1) * width)],
+            ).coalesce(1)
+        )
+    return tbl
+
+
+def _sidecars(root):
+    return sorted(
+        os.path.join(dp, n)
+        for dp, _d, ns in os.walk(root)
+        for n in ns
+        if n.endswith(".bloom")
+    )
+
+
+# ------------------------------------------------------------ build side
+
+
+def test_bloom_bits_validation():
+    for bad in (0, -8, 1001):
+        with pytest.raises(ValueError, match="multiple of 8"):
+            SnapshotTable("/tmp/never-created", bloom_cols=["k"],
+                          bloom_bits=bad)
+
+
+def test_sidecar_written_per_file_including_executor_path(spark, tmp_path):
+    # > 4 files per commit takes the mapInPandas (executor) build path;
+    # every data file must get a decodable sidecar carrying the column
+    tbl = SnapshotTable(str(tmp_path / "t"), bloom_cols=["k"])
+    tbl.commit(
+        _df(spark, [(i, f"v{i}") for i in range(600)]).repartition(6)
+    )
+    m = tbl.manifest()
+    assert len(m["files"]) >= 6
+    for f in m["files"]:
+        sc = _load_bloom_sidecar(tbl.root, f)
+        assert sc is not None and "k" in sc["blooms"], f
+        assert sc["bits"] == 65536 and sc["k"] == 6
+
+
+def test_bloom_builder_pickles_by_value():
+    # ADVICE r8: the builder ships inside a mapInPandas closure; a
+    # module-level qualname would make cloudpickle serialize it BY
+    # REFERENCE and break on executors that can't import the package
+    # (foreign-cwd trap). Factory-made (<locals>) functions go by value.
+    for fn in (_build_bloom_sidecar, _bloom_canon, _bloom_positions):
+        assert "<locals>" in fn.__qualname__, fn.__qualname__
+
+
+# ------------------------------------------------------------ probe side
+
+
+def test_apply_changes_bloom_prunes_candidates(spark, tmp_path):
+    tbl = _ranged_table(spark, str(tmp_path / "t"))
+    batch = spark.createDataFrame(
+        [(5, "UP5", "upsert"), (7, None, "delete")],
+        "k long, v string, _op string",
+    )
+    res = tbl.apply_changes(spark, batch, ["k"])
+    kept, before = tbl.last_bloom_pruned
+    assert before == 3 and kept == 1, tbl.last_bloom_pruned
+    assert tbl.last_apply_candidates == (1, 3)
+    assert res["rewritten_files"] == 1 and res["deleted_rows"] == 1
+    got = dict(_rows(tbl.read(spark)))
+    assert got[5] == "UP5" and 7 not in got and len(got) == 299
+
+
+def test_merge_rows_bloom_prunes_candidates(spark, tmp_path):
+    tbl = _ranged_table(spark, str(tmp_path / "t"))
+    src = _df(spark, [(105, "M105"), (999, "NEW")])
+    res = tbl.merge_rows(spark, src, ["k"])
+    kept, before = tbl.last_bloom_pruned
+    assert before == 3 and kept == 1, tbl.last_bloom_pruned
+    assert res["rewritten_files"] == 1
+    assert res["matched_rows"] == 1 and res["inserted_rows"] == 1
+    got = dict(_rows(tbl.read(spark)))
+    assert got[105] == "M105" and got[999] == "NEW" and len(got) == 301
+
+
+def test_merge_every_file_rejected_insert_only(spark, tmp_path):
+    # all candidates bloom-rejected -> empty target scan branch; the
+    # merge degenerates to a pure append
+    tbl = _ranged_table(spark, str(tmp_path / "t"))
+    res = tbl.merge_rows(spark, _df(spark, [(9999, "NEW")]), ["k"])
+    assert tbl.last_bloom_pruned == (0, 3)
+    assert res["matched_rows"] == 0 and res["inserted_rows"] == 1
+    assert res["rewritten_files"] == 0 and res["kept_files"] == 3
+    assert dict(_rows(tbl.read(spark)))[9999] == "NEW"
+
+
+def test_missing_sidecar_is_conservatively_kept(spark, tmp_path):
+    # Also the crash story: dying between data write and sidecar write
+    # leaves exactly this state — same answer, more files scanned.
+    tbl = _ranged_table(spark, str(tmp_path / "t"))
+    for f in tbl.manifest()["files"]:
+        os.unlink(_bloom_sidecar_path(tbl.root, f))
+    batch = spark.createDataFrame(
+        [(5, "UP5", "upsert")], "k long, v string, _op string"
+    )
+    res = tbl.apply_changes(spark, batch, ["k"])
+    assert tbl.last_bloom_pruned == (3, 3)  # nothing prunable
+    assert res["rewritten_files"] == 1  # discovery scan still exact
+    assert dict(_rows(tbl.read(spark)))[5] == "UP5"
+
+
+def test_delete_where_bloom_probe(spark, tmp_path):
+    tbl = _ranged_table(spark, str(tmp_path / "t"))
+    res = tbl.delete_where(
+        spark, F.col("k").isin(210, 220), bloom_probe={"k": [210, 220]}
+    )
+    assert tbl.last_bloom_pruned == (1, 3)
+    assert res["rewritten_files"] == 1 and res["deleted_rows"] == 2
+    assert res["kept_files"] == 2
+    got = dict(_rows(tbl.read(spark)))
+    assert 210 not in got and 220 not in got and len(got) == 298
+
+
+def test_update_where_bloom_probe(spark, tmp_path):
+    tbl = _ranged_table(spark, str(tmp_path / "t"))
+    res = tbl.update_where(
+        spark, "k = 110", {"v": F.lit("X")}, bloom_probe={"k": [110]}
+    )
+    assert tbl.last_bloom_pruned == (1, 3)
+    assert res["updated_rows"] == 1 and res["rewritten_files"] == 1
+    assert dict(_rows(tbl.read(spark)))[110] == "X"
+
+
+def test_bloom_probe_rejects_typos_and_empty(spark, tmp_path):
+    tbl = _ranged_table(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="not in this table's bloom_cols"):
+        tbl.delete_where(spark, "k = 1", bloom_probe={"nope": [1]})
+    with pytest.raises(ValueError, match="empty"):
+        tbl.delete_where(spark, "k = 1", bloom_probe={"k": []})
+    # a null probe value declines pruning on that column, never prunes
+    res = tbl.delete_where(spark, "k = 1", bloom_probe={"k": [1, None]})
+    assert tbl.last_bloom_pruned is None
+    assert res["deleted_rows"] == 1
+
+
+def test_timestamp_keys_survive_non_utc_session_zone(spark, tmp_path):
+    # ADVICE r8 (canonicalization skew): the build side canonicalizes
+    # pyarrow-read parquet timestamps to UTC wall-clock; the probe
+    # collects the batch VIA ARROW so equal instants canonicalize
+    # identically even when the session zone is not UTC. A skew here
+    # would FALSE-REJECT the file holding the key (kept == 0) and the
+    # upsert would duplicate instead of update.
+    base = dt.datetime(2024, 3, 10, 12, 0, tzinfo=dt.timezone.utc)
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()),
+         T.StructField("v", T.StringType())]
+    )
+    tbl = SnapshotTable(str(tmp_path / "t"), bloom_cols=["ts"])
+    for part in range(3):
+        rows = [
+            (base + dt.timedelta(hours=part * 100 + i), f"v{part}-{i}")
+            for i in range(50)
+        ]
+        tbl.commit(spark.createDataFrame(rows, schema).coalesce(1))
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        batch = spark.createDataFrame(
+            [(base + dt.timedelta(hours=3), "UPDATED", "upsert")],
+            T.StructType(schema.fields + [T.StructField("_op", T.StringType())]),
+        )
+        res = tbl.apply_changes(spark, batch, ["ts"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert tbl.last_bloom_pruned == (1, 3), tbl.last_bloom_pruned
+    assert res["rewritten_files"] == 1
+    got = {r["v"] for r in tbl.read(spark).collect()}
+    assert "UPDATED" in got and "v0-3" not in got
+    assert tbl.read(spark).count() == 150  # updated, not duplicated
+
+
+def test_false_positive_rate_matches_sizing_docstring(spark, tmp_path):
+    # 64 Ki bits / 6 k keys / k=6 -> ~1% fp promised at
+    # sources/snapshot.py (_BLOOM_K); assert empirically < 3%.
+    tbl = SnapshotTable(str(tmp_path / "t"), bloom_cols=["k"])
+    tbl.commit(
+        spark.range(6000)
+        .selectExpr("concat('key-', id) AS k", "CAST(id AS string) AS v")
+        .coalesce(1)
+    )
+    [f] = tbl.manifest()["files"]
+    sc = _load_bloom_sidecar(tbl.root, f)
+    absent = [f"absent-{i}" for i in range(10_000)]
+    fp = sum(
+        _bloom_may_contain_any(sc, "k", [_bloom_canon(a)]) for a in absent
+    )
+    assert fp / len(absent) < 0.03, fp
+    # sanity: every present key must hit (blooms have no false negatives)
+    assert all(
+        _bloom_may_contain_any(sc, "k", [_bloom_canon(f"key-{i}")])
+        for i in range(0, 6000, 97)
+    )
+
+
+# ------------------------------------------------------------ lifecycle
+
+
+def test_vacuum_reclaims_sidecars_and_bloomtmp(spark, tmp_path):
+    tbl = _ranged_table(spark, str(tmp_path / "t"))
+    n_live = len(tbl.manifest()["files"])
+    # plant a crash leftover next to a live file
+    live_dir = os.path.dirname(
+        os.path.join(tbl.root, tbl.manifest()["files"][0])
+    )
+    with open(os.path.join(live_dir, "deadbeef.bloomtmp"), "w") as f:
+        f.write("{}")
+    tbl.commit(_df(spark, [(9999, "z")]), mode="overwrite")
+    res = vacuum(tbl, retain_last=1)
+    # ADVICE r8: reclaiming a data file must reclaim its sidecar (and
+    # sweep crash leftovers) or bloom tables leak disk under churn
+    assert res["removed_files"] == n_live
+    assert res["removed_sidecars"] == n_live + 1
+    leftovers = [
+        n
+        for dp, _d, ns in os.walk(tbl.root)
+        for n in ns
+        if n.endswith((".bloom", ".bloomtmp"))
+    ]
+    # only the overwrite's own (live) sidecars survive
+    assert len(leftovers) == len(tbl.manifest()["files"])
+    assert all(n.endswith(".parquet.bloom") for n in leftovers)
+    assert _rows(tbl.read(spark)) == [(9999, "z")]
