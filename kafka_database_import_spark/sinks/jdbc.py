@@ -233,6 +233,17 @@ class PartitionedDbApiUpsertSink:
        a single driver-side transaction, exactly as before; only the
        bulk transport moved off the driver.
 
+    Staging names are EPOCH-SCOPED (``{table}__stage_e{epoch}`` + the
+    ``_d`` scratch twin): the three steps span three transactions, so
+    a SHARED name would let a concurrent batch for the same target
+    DROP/recreate staging between this batch's steps 1 and 3 and
+    silently lose staged rows (VERDICT r8 item 2). With the epoch in
+    the name, concurrent epochs never touch each other's staging;
+    only a true same-epoch replay shares a name, and that is resolved
+    by the ledger check inside step 3's transaction. A crashed epoch's
+    leftover staging is dropped by its own retry (step 1) and by the
+    post-commit cleanup of the epoch that eventually lands.
+
     ``connection_factory`` must be PICKLABLE (it ships to executors):
     e.g. ``functools.partial(sqlite3.connect, path, timeout=60)`` or a
     module-level psycopg2 DSN binder. The target database must accept
@@ -256,7 +267,9 @@ class PartitionedDbApiUpsertSink:
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         cols = list(batch_df.columns)
-        staging = f"{self.table}__stage"
+        # epoch-scoped staging name (see class docstring); 'm' marks a
+        # negative epoch so the identifier stays valid SQL
+        staging = f"{self.table}__stage_e{str(epoch_id).replace('-', 'm')}"
         ledger = f"{self.table}__epochs"
         ph = "?" if self.paramstyle == "qmark" else "%s"
         col_list = ", ".join(cols)

@@ -692,3 +692,55 @@ def test_partitioned_dbapi_sink_parity_and_replay(spark, tmp_path):
     # task produces; the merge must not raise or double-apply
     retry(dup.distinct().union(dup.distinct()), 0)
     assert rows(db3) == [(1, "a"), (2, "b")]
+
+
+def test_partitioned_dbapi_sink_concurrent_epochs_keep_staging(spark, tmp_path):
+    """VERDICT r8 item 2: the partitioned sink spans three transactions,
+    so staging must be EPOCH-SCOPED — with the old shared
+    ``{table}__stage`` name, a concurrent batch's step-1 DROP between
+    this batch's steps 1 and 3 silently lost its staged rows. Model the
+    exact window: epoch 2 has finished step 2 (rows staged) when epoch
+    1 runs start-to-finish; epoch 2's staging must survive untouched,
+    and both epochs' rows must land."""
+    import functools
+    import sqlite3
+
+    from kafka_database_import_spark.sinks.jdbc import (
+        PartitionedDbApiUpsertSink,
+    )
+
+    db = str(tmp_path / "conc.sqlite")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE imported (id INTEGER PRIMARY KEY, v TEXT)")
+        con.execute("CREATE TABLE imported__stage_e2 (id INTEGER, v TEXT)")
+        con.executemany(
+            "INSERT INTO imported__stage_e2 VALUES (?, ?)",
+            [(100, "b100"), (101, "b101")],
+        )
+    sink = PartitionedDbApiUpsertSink(
+        functools.partial(sqlite3.connect, db, timeout=60), "imported", ["id"]
+    )
+    bA = spark.createDataFrame(
+        [(1, "a1"), (2, "a2")], "id long, v string"
+    ).repartition(2)
+    sink(bA, 1)  # epoch 1 full protocol while epoch 2 sits staged
+    with sqlite3.connect(db) as con:
+        staged = sorted(
+            con.execute("SELECT id, v FROM imported__stage_e2").fetchall()
+        )
+    assert staged == [(100, "b100"), (101, "b101")]  # not clobbered
+    bB = spark.createDataFrame(
+        [(100, "b100"), (101, "b101")], "id long, v string"
+    ).repartition(2)
+    sink(bB, 2)  # epoch 2 completes its own protocol
+    with sqlite3.connect(db) as con:
+        rows_ = sorted(con.execute("SELECT id, v FROM imported").fetchall())
+        names = {
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            )
+        }
+    assert rows_ == [(1, "a1"), (2, "a2"), (100, "b100"), (101, "b101")]
+    # committed epochs clean up their own staging + scratch
+    assert names == {"imported", "imported__epochs"}, names
