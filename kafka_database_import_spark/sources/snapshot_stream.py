@@ -203,6 +203,13 @@ def _make():
             # between them — the maxFilesPerTrigger idea, in version
             # units.
             self.max_versions = int(options.get("maxVersionsPerBatch", "10"))
+            # Durable admission state for the PARTITIONED reader (the
+            # Simple reader's read(start) is handed the true start and
+            # needs none): a directory where the max PLANNED offset is
+            # persisted so a restarted query's first batch stays capped
+            # (see the reader's __init__ note). Must pair 1:1 with the
+            # query's checkpoint, like the checkpoint dir itself.
+            self.cap_state_dir = options.get("capStateDir")
 
     class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, options, schema_json: str):
@@ -279,11 +286,58 @@ def _make():
             # kicks in from the SECOND batch of each run, once the
             # floor is seeded here or by partitions(). Consequence,
             # documented on the data source: the first micro-batch of
-            # each run is uncapped for this reader; a consumer that
-            # needs every batch capped (paged initial backlog) should
-            # use option("reader", "simple"), whose read(start) is
-            # HANDED the true start and caps every batch.
+            # each run is uncapped for this reader — UNLESS
+            # option("capStateDir", dir) persists the floor (below); a
+            # consumer that needs every batch capped without extra
+            # state can instead use option("reader", "simple"), whose
+            # read(start) is HANDED the true start and caps every
+            # batch.
             self._last_end: int | None = None
+            # ADVICE r7 / VERDICT r8 item 3: with capStateDir set, the
+            # max offset this reader ever PLANNED is persisted (atomic
+            # tmp+rename JSON) on every latestOffset/partitions call
+            # and re-read here on construction. The persisted floor is
+            # >= every offset the checkpoint log can carry — offsets
+            # only ever come from planned ends — so seeding _last_end
+            # from it keeps the restart batch CAPPED while still never
+            # answering below a committed offset, even if
+            # maxVersionsPerBatch was lowered between runs (min(head,
+            # floor + cap) >= floor >= any committed V). No state file
+            # -> first-ever run -> the uncapped-head path above.
+            self._cap_state = (
+                os.path.join(o.cap_state_dir, "cap_floor.json")
+                if o.cap_state_dir
+                else None
+            )
+            self._persisted_floor = -1
+            if self._cap_state is not None:
+                try:
+                    with open(self._cap_state) as f:
+                        floor = int(json.load(f)["floor"])
+                    self._persisted_floor = floor
+                    self._last_end = max(floor, self.start_version)
+                except (OSError, ValueError, KeyError):
+                    pass  # absent/corrupt state: fresh-run behavior
+
+        def _persist_floor(self, end: int) -> None:
+            if self._cap_state is None or end <= self._persisted_floor:
+                return
+            import tempfile
+
+            d = os.path.dirname(self._cap_state)
+            os.makedirs(d, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"floor": int(end)}, f)
+                os.replace(tmp, self._cap_state)
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
+            self._persisted_floor = end
 
         def initialOffset(self):
             # Only called when the query has NO checkpointed offset,
@@ -314,11 +368,13 @@ def _make():
                     else floor
                 )
             self._last_end = end
+            self._persist_floor(end)
             return {"version": end}
 
         def partitions(self, start, end):
             s, e = start["version"], end["version"]
             self._last_end = max(self._last_end or 0, s, e)
+            self._persist_floor(self._last_end)
             if e <= s:
                 return []
             return [
