@@ -54,6 +54,7 @@ HEADLINE = [
     "tpcds_q67",               # DS rank over rollup hierarchy (round 7)
     "q99zzv_partition_transforms",  # hidden partitioning: month()+Between (round 7)
     "q99zzw_wap_tags",           # write-audit-publish + tag retention (round 7)
+    "q99zzx_bloom_cold_write",   # COLD commit/DML write path + bloom pruning (round 9)
 ]
 
 

@@ -2265,3 +2265,153 @@ def q99zzw_wap_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert tbl.read(spark, ref="pre-publish").count() == n_base
     out = tbl.read(spark)
     return ordered(out, "k", "src", "cents")
+
+
+@query(
+    "q99zzx_bloom_cold_write",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    merged AS (
+      SELECT k, 'U' AS status, cents * 2 AS cents FROM base
+      WHERE k % 2991 = 3
+      UNION ALL
+      SELECT k, status, cents FROM base WHERE k % 2991 <> 3
+    ),
+    final AS (SELECT * FROM merged WHERE NOT (k % 1497 = 6))
+    SELECT status, COUNT(*) AS n, SUM(cents) AS total_cents
+    FROM final GROUP BY status
+    ORDER BY status NULLS LAST, n NULLS LAST, total_cents NULLS LAST
+    """,
+)
+def q99zzx_bloom_cold_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLD snapshot-table write path + bloom-sidecar pruning, end to
+    end (VERDICT r8 items 1 and 4). Unlike the other snapshot queries,
+    the table is REBUILT from scratch on every call — no cached tmp
+    root — so the bench finally times commit / sidecar build / MERGE /
+    DELETE writes (the blind spot that let round 7's write-path
+    breakage sail through BENCH_r07.json).
+
+    The table carries ``bloom_cols=['k']``: every committed file gets
+    a per-column bloom sidecar, and the MERGE + DELETE discovery scans
+    consult them. Commits chunk orders by ``k % 3``, and both DML
+    batches draw keys from ONE residue class, so the other chunks'
+    files are provably key-free and must be bloom-pruned from the
+    candidate scan — the semi-join pruning shape of the reference's
+    $in filter (kafka-database-import.go:148-170) applied at file
+    granularity. The build asserts ``last_bloom_pruned`` shrank the
+    candidate set both times; the oracle recomputes the final state
+    relationally. Scale shape: the probe is O(candidate files) tiny
+    sidecar reads AFTER partition/stats pruning, and the batch key
+    sets stay bounded (~0.03%/0.07% of keys), so the pattern holds on
+    a CDC target at 100 TB where the merge key is NOT the partition
+    key."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_bloomq_{tag}")
+    _sh.rmtree(root, ignore_errors=True)  # COLD by design, every call
+    # Bloom sizing discipline (the part that must hold at 100 TB):
+    # bits are chosen per KEYS PER FILE, so rows/file is bounded and
+    # the bits sized ~10x above it (512Ki bits / <=40k keys -> ~1% fp).
+    # Without the bound, sf0.1's 50k-key files saturate a default
+    # 64Ki-bit bloom into a no-op (~94% fp — measured, round 9).
+    tbl = SnapshotTable(root, bloom_cols=["k"], bloom_bits=512 * 1024)
+    tbl.max_records_per_file = 40_000
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    for part in range(3):  # three versions, disjoint k%3 residue classes
+        tbl.commit(base.filter(F.col("k") % 3 == part))
+    # MERGE: update one narrow slice of residue class 0 (k%2991==3 =>
+    # k%3==0) — files of classes 1 and 2 must be bloom-rejected
+    src = (
+        base.filter(F.col("k") % 2991 == 3)
+        .withColumn("status", F.lit("U"))
+        .withColumn("cents", F.col("cents") * 2)
+    )
+    n_batch = src.count()
+    assert n_batch > 0
+    res_m = tbl.merge_rows(spark, src, ["k"])
+    kept, before = tbl.last_bloom_pruned
+    assert before > 1 and kept < before, tbl.last_bloom_pruned
+    assert res_m["matched_rows"] == n_batch, res_m
+    # DELETE: another class-0 slice, pruned via the caller-hint path
+    del_keys = [
+        r["k"] for r in base.filter(F.col("k") % 1497 == 6).select("k").collect()
+    ]
+    assert del_keys
+    res_d = tbl.delete_where(
+        spark, F.col("k") % 1497 == 6, bloom_probe={"k": del_keys}
+    )
+    kept_d, before_d = tbl.last_bloom_pruned
+    assert kept_d < before_d, tbl.last_bloom_pruned
+    assert res_d["deleted_rows"] == len(del_keys), res_d
+    out = (
+        tbl.read(spark)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
+    )
+    return ordered(out, "status", "n", "total_cents")
+
+
+@query(
+    "q99zzy_point_lookup",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey IN (1, 3, 7)
+    ORDER BY k NULLS LAST, status NULLS LAST, cents NULLS LAST
+    """,
+)
+def q99zzy_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``read_keys`` point-lookup on a bloom-sidecar table: fetch three
+    known order keys from a multi-file snapshot planned through bloom
+    pruning (files whose sidecars reject every key never reach the
+    scan), then filtered exactly — the fetch-these-keys serving path of
+    a 100 TB table, where the plan cost is a handful of manifest +
+    sidecar reads instead of a scan (reference parity: the $in
+    semi-join of kafka-database-import.go:148-170 resolved at PLANNING
+    time). Keys 1/3/7 exist at every TPC-H scale. The build asserts
+    the planned-file count shrank; the oracle is the plain IN query.
+    Table cached across runs (head-version guard) — the COLD write
+    path is q99zzx's job."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_blkq_{tag}")
+    tbl = SnapshotTable(root, bloom_cols=["k"], bloom_bits=512 * 1024)
+    tbl.max_records_per_file = 40_000
+    if tbl.latest_version() != 3:
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        tbl = SnapshotTable(root, bloom_cols=["k"], bloom_bits=512 * 1024)
+        tbl.max_records_per_file = 40_000
+        base = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        for part in range(3):
+            tbl.commit(base.filter(F.col("k") % 3 == part))
+    out = tbl.read_keys(spark, {"k": [1, 3, 7]})
+    planned, total = tbl.last_keys_counts
+    assert planned < total, tbl.last_keys_counts
+    return ordered(out, "k", "status", "cents")

@@ -1084,7 +1084,16 @@ class SnapshotTable:
             }
             self._write_bloom_sidecars(df.sparkSession, files)
             return files
-        df.write.parquet(out_dir)
+        writer = df.write
+        mrpf = getattr(self, "max_records_per_file", None)
+        if mrpf:
+            # honored on BOTH branches (previously partitioned-only):
+            # bounding rows/file is what keeps per-file bloom sidecars
+            # correctly sized as commits grow — bloom_bits is chosen
+            # per expected keys/FILE, and an unbounded file saturates
+            # its bloom into a no-op (~94% fp at 50k keys / 64Ki bits)
+            writer = writer.option("maxRecordsPerFile", int(mrpf))
+        writer.parquet(out_dir)
         files = sorted(
             os.path.join(rel_dir, name)
             for name in os.listdir(out_dir)
@@ -1457,6 +1466,97 @@ class SnapshotTable:
         return _strip_field_ids(
             self._read_files(spark, keep, schema, m.get("dv_files"))
         ).filter(_cond())
+
+    def read_keys(
+        self,
+        spark: SparkSession,
+        keys: dict,
+        version: int | None = None,
+    ) -> DataFrame:
+        """POINT-LOOKUP read: rows whose columns equal any of the given
+        values (``{col: value | [values]}``, equality/IN, conjunctive
+        across columns) — planned through every file-skipping layer the
+        manifest offers, then filtered exactly:
+
+        1. partition-tuple pruning (when a filtered column is a spec
+           source — identity or transform);
+        2. per-file min/max stats (when the manifest carries them —
+           :class:`StatsSnapshotTable`);
+        3. bloom sidecars (when the column is in ``bloom_cols``).
+
+        Unlike the DML ``bloom_probe`` hint, nothing here is
+        caller-trusted: the predicate is BUILT from ``keys`` and
+        re-applied on the scan, so any column combination is safe —
+        non-prunable columns just don't skip files. This is the
+        fetch-these-keys path of a 100 TB serving table: a handful of
+        sidecar/manifest reads instead of a full scan, the same
+        semi-join shape as the reference's $in filter
+        (kafka-database-import.go:148-170) resolved at planning time.
+        Sets ``last_keys_counts = (planned, total)``; float columns
+        and NULL values filter exactly but never prune."""
+        from pyspark.sql import functions as F
+
+        if not keys:
+            raise ValueError("read_keys: pass at least one column")
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        names = {f.name for f in schema.fields}
+        for c in keys:
+            if c not in names:
+                raise KeyError(f"read_keys column {c!r} not in table schema")
+        vals = {
+            c: list(v) if isinstance(v, (list, tuple, set)) else [v]
+            for c, v in keys.items()
+        }
+        files = self._prune_partition_files(m, list(m["files"]), keys)
+        stats = m.get("stats", {})
+        if stats:
+            def _stats_keep(f: str) -> bool:
+                st = stats.get(f, {})
+                for c, vs in vals.items():
+                    rng = st.get(c)
+                    if rng is None:
+                        continue
+                    if not any(
+                        x is not None and rng[0] <= x <= rng[1] for x in vs
+                    ):
+                        return False
+                return True
+
+            files = [f for f in files if _stats_keep(f)]
+        if self._bloom_cols:
+            probes: dict = {}
+            for c in self._bloom_cols:
+                if c not in vals:
+                    continue
+                canons = set()
+                try:
+                    for x in vals[c]:
+                        canon = _bloom_canon(x)
+                        if canon is None:  # NULL matches only via filter
+                            canons = None
+                            break
+                        canons.add(canon)
+                except TypeError:  # float values: filter-only
+                    canons = None
+                if canons:
+                    probes[c] = sorted(canons)
+            files = self._bloom_prune_files(files, probes)
+        self.last_keys_counts = (len(files), len(m["files"]))
+        cond = F.lit(True)
+        for c, vs in vals.items():
+            non_null = [x for x in vs if x is not None]
+            leg = F.col(c).isin(non_null) if non_null else F.lit(False)
+            if any(x is None for x in vs):
+                leg = leg | F.col(c).isNull()
+            cond = cond & leg
+        if not files:
+            return _strip_field_ids(
+                spark.createDataFrame([], schema)
+            ).filter(cond)
+        return _strip_field_ids(
+            self._read_files(spark, files, schema, m.get("dv_files"))
+        ).filter(cond)
 
     def set_partition_spec(self, partition_by: list[str] | None) -> int:
         """Evolve the partition spec — METADATA-ONLY commit (Iceberg

@@ -250,6 +250,53 @@ def test_false_positive_rate_matches_sizing_docstring(spark, tmp_path):
     )
 
 
+def test_read_keys_point_lookup(spark, tmp_path):
+    """read_keys — the probe side's READ path (the __init__-promised
+    API): plan only the files whose blooms may hold the keys, then
+    filter exactly. Equality/IN, conjunctive across columns; absent
+    keys plan to zero files."""
+    tbl = _ranged_table(spark, str(tmp_path / "t"))
+    out = tbl.read_keys(spark, {"k": [5, 210]})
+    assert _rows(out) == [(5, "v5"), (210, "v210")]
+    assert tbl.last_keys_counts == (2, 3)
+    # scalar form + miss: every file bloom-rejected, still exact
+    assert tbl.read_keys(spark, {"k": 9999}).count() == 0
+    assert tbl.last_keys_counts == (0, 3)
+    # conjunctive second column (not bloomed -> filter-only)
+    assert tbl.read_keys(spark, {"k": [5], "v": ["nope"]}).count() == 0
+    assert tbl.read_keys(spark, {"k": [5], "v": ["v5"]}).count() == 1
+    with pytest.raises(KeyError):
+        tbl.read_keys(spark, {"zz": [1]})
+    # result is identical to read().filter(...) by construction
+    want = _rows(tbl.read(spark).filter(F.col("k").isin(5, 210)))
+    assert _rows(tbl.read_keys(spark, {"k": [5, 210]})) == want
+
+
+def test_read_keys_layers_stats_and_blooms(spark, tmp_path):
+    """read_keys composes manifest min/max stats pruning (layer 2)
+    with bloom pruning (layer 3) on a StatsSnapshotTable."""
+    from kafka_database_import_spark.sources.snapshot import (
+        StatsSnapshotTable,
+    )
+
+    tbl = StatsSnapshotTable(
+        str(tmp_path / "t"), stats_cols=["k"], bloom_cols=["k"]
+    )
+    for i in range(3):
+        tbl.commit(
+            _df(
+                spark, [(j, f"v{j}") for j in range(i * 100, i * 100 + 100)]
+            ).coalesce(1)
+        )
+    # value outside every [min,max]: stats alone plan zero files,
+    # before blooms are even consulted
+    assert tbl.read_keys(spark, {"k": 100000}).count() == 0
+    assert tbl.last_keys_counts == (0, 3)
+    out = tbl.read_keys(spark, {"k": [105]})
+    assert _rows(out) == [(105, "v105")]
+    assert tbl.last_keys_counts == (1, 3)
+
+
 # ------------------------------------------------------------ lifecycle
 
 
