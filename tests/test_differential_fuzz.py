@@ -1043,3 +1043,71 @@ def test_random_restores_interleaved_with_cdc_converge(spark, tmp_path, seed):
     got = sorted(tuple(r) for r in tbl.read(spark).collect())
     want = sorted((k, v, s) for k, (v, s) in live.items())
     assert got == want, (seed, ops, got, want)
+
+
+# ---------------------------------------------------------------------------
+# family 17 (round 9): bloom-sidecar pruning is PLANNING-ONLY. The same
+# random CDC changelog applied to a bloom_cols table and to a plain
+# table must converge to the identical state, no matter how hostile the
+# bloom configuration: deliberately tiny (saturated, ~100% fp) bits,
+# tight rows-per-file (many files -> many per-file prune decisions),
+# string or long keys, COW or MOR, and sidecars randomly deleted
+# mid-stream (the crash-between-data-and-sidecar state). Any divergence
+# would mean a false-negative prune — the one bug class the probe's
+# exact-canon construction forbids. read_keys rides the same law.
+
+
+@pytest.mark.parametrize("seed", _seeds(8))
+def test_random_cdc_on_bloom_table_matches_plain(spark, tmp_path, seed):
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        _bloom_sidecar_path,
+    )
+
+    rows, batches, mode = _cdc_changelog(seed)
+    rng = random.Random(990_000 + seed)
+    bits = rng.choice([64, 1024, 65536])  # 64 bits = saturated on purpose
+    as_str = rng.random() < 0.5
+
+    def key(k):
+        return f"key-{k:03d}" if as_str else k
+
+    ktype = "string" if as_str else "long"
+    plain = SnapshotTable(str(tmp_path / "plain"))
+    bloom = SnapshotTable(
+        str(tmp_path / "bloom"), bloom_cols=["k"], bloom_bits=bits
+    )
+    if rng.random() < 0.5:  # tight files -> more prune decisions
+        mrpf = rng.randint(2, 6)
+        plain.max_records_per_file = mrpf
+        bloom.max_records_per_file = mrpf
+    for b in batches:
+        bdf = [(key(k), v, s, op) for k, v, s, op in b]
+        schema = f"k {ktype}, v string, seq long, _op string"
+        for t in (plain, bloom):
+            t.apply_changes(
+                spark,
+                spark.createDataFrame(bdf, schema),
+                ["k"],
+                seq_col="seq",
+                mode=mode,
+            )
+        if rng.random() < 0.5:  # simulate a sidecar-build crash
+            files = bloom.manifest()["files"]
+            if files:
+                try:
+                    os.unlink(
+                        _bloom_sidecar_path(bloom.root, rng.choice(files))
+                    )
+                except FileNotFoundError:
+                    pass
+    got_b = sorted(tuple(r) for r in bloom.read(spark).collect())
+    got_p = sorted(tuple(r) for r in plain.read(spark).collect())
+    assert got_b == got_p, (seed, mode, bits, as_str)
+    # read_keys obeys the same law: identical to read().filter()
+    probe = [key(k) for k in (0, 5, 11)]
+    via_keys = sorted(
+        tuple(r) for r in bloom.read_keys(spark, {"k": probe}).collect()
+    )
+    want = sorted(t for t in got_b if t[0] in set(probe))
+    assert via_keys == want, (seed, mode, bits, as_str)
