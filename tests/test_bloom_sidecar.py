@@ -297,6 +297,69 @@ def test_read_keys_layers_stats_and_blooms(spark, tmp_path):
     assert tbl.last_keys_counts == (1, 3)
 
 
+def test_streaming_merge_sink_prunes_via_blooms(spark, tmp_path):
+    """Integration: a CDC changelog STREAM (SnapshotMergeSink →
+    apply_changes) into a bloom_cols table engages sidecar pruning
+    mid-stream — batch 3 updates a key from batch 2's range only, so
+    batch 1's file must be bloom-rejected from the candidate scan —
+    and converges to the same state a plain table reaches."""
+    import glob
+    import shutil
+    import tempfile
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotMergeSink,
+        SnapshotTable,
+    )
+
+    schema = "k long, v string, seq long, _op string"
+    batches = [
+        [(1, "a", 1, "upsert"), (2, "b", 2, "upsert"), (3, "c", 3, "upsert")],
+        [(11, "x", 4, "upsert"), (12, "y", 5, "upsert")],
+        [(12, "y2", 6, "upsert"), (13, None, 7, "delete")],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        scratch = tempfile.mkdtemp(prefix="kdis_blcdc_")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.move(glob.glob(os.path.join(scratch, "part-*.parquet"))[0], dst)
+        shutil.rmtree(scratch, ignore_errors=True)
+        os.utime(dst, (1_000 * (i + 1),) * 2)
+
+    results = {}
+    for label, tbl in (
+        ("bloom", SnapshotTable(str(tmp_path / "tb"), bloom_cols=["k"])),
+        ("plain", SnapshotTable(str(tmp_path / "tp"))),
+    ):
+        sink = SnapshotMergeSink(tbl, ["k"], seq_col="seq")
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{label}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results[label] = sorted(
+            tuple(r) for r in tbl.read(spark).collect()
+        )
+        if label == "bloom":
+            # last micro-batch probed keys {12, 13}: batch-1's file
+            # (keys 1-3) must have been rejected from the candidates
+            kept, before = tbl.last_bloom_pruned
+            assert kept < before, tbl.last_bloom_pruned
+    assert results["bloom"] == results["plain"]
+    assert (12, "y2", 6) in results["bloom"]
+    assert not any(r[0] == 13 for r in results["bloom"])
+
+
 # ------------------------------------------------------------ lifecycle
 
 
