@@ -2415,3 +2415,54 @@ def q99zzy_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planned, total = tbl.last_keys_counts
     assert planned < total, tbl.last_keys_counts
     return ordered(out, "k", "status", "cents")
+
+
+@query(
+    "q99zzz_metadata_count",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders",
+)
+def q99zzz_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) (the Iceberg count-from-manifests
+    pushdown): ``StatsSnapshotTable`` records per-file ``_nrows``/
+    ``_bytes`` footer facts at commit time, so ``row_count()`` answers
+    COUNT(*) from manifest arithmetic — zero data files opened, zero
+    scan jobs, O(manifest) at a million files — and ``files_df`` (the
+    ``files`` metadata table) exposes the same facts as a queryable
+    relation. The returned DataFrame is the files_df aggregation, so
+    the oracle compare proves metadata == data; the build
+    cross-asserts ``row_count()`` against it and that the plan opened
+    no table files. Honesty contract: row_count() returns None (caller
+    falls back to a scan) when DVs hide rows or any file predates
+    _nrows recording — it never guesses."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import (
+        StatsSnapshotTable,
+    )
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_metaq_{tag}")
+    tbl = StatsSnapshotTable(root, stats_cols=["k"])
+    if tbl.latest_version() != 2:
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        tbl = StatsSnapshotTable(root, stats_cols=["k"])
+        base = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        tbl.commit(base.filter(F.col("k") % 2 == 0))
+        tbl.commit(base.filter(F.col("k") % 2 == 1))
+    n_meta = tbl.row_count()
+    assert n_meta is not None  # stats-recorded table: metadata answers
+    out = tbl.files_df(spark).agg(F.sum("n_rows").alias("n_rows"))
+    assert not out.inputFiles()  # the answer never touches table files
+    assert tbl.history_df(spark).count() == len(tbl.versions())
+    [row] = out.collect()
+    assert row["n_rows"] == n_meta, (row, n_meta)
+    return out

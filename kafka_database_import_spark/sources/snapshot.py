@@ -2120,6 +2120,53 @@ class SnapshotTable:
             )
         return out
 
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """:meth:`history` as a DataFrame — the ``snapshots`` metadata
+        table of the Iceberg/Delta pattern, queryable/joinable like any
+        relation. Pure manifest reads, O(versions); ``restored_from``
+        is null except on restore commits."""
+        rows = [
+            (
+                h["version"], h.get("base"), h["mode"], h["n_files"],
+                h["n_dv_files"], h["n_tombstone_files"], h.get("epoch_id"),
+                h["rewrite_only"], h.get("committed_at_ms"),
+                h.get("restored_from"),
+            )
+            for h in self.history()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, base long, mode string, n_files long, "
+            "n_dv_files long, n_tombstone_files long, epoch_id long, "
+            "rewrite_only boolean, committed_at_ms long, "
+            "restored_from long",
+        )
+
+    def files_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The ``files`` metadata table: one row per live data file of
+        the snapshot — path, recorded partition tuple (JSON), and the
+        footer facts the manifest carries when the table records stats
+        (``_nrows``/``_bytes``; null otherwise). Pure manifest
+        arithmetic — no listing, no footer reads — so operational
+        queries (skew checks, small-file census, partition row counts)
+        stay O(manifest) at 100 TB."""
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        fp = m.get("file_partitions", {})
+        rows = [
+            (
+                f,
+                json.dumps(fp[f], default=str) if f in fp else None,
+                stats.get(f, {}).get("_nrows"),
+                stats.get(f, {}).get("_bytes"),
+            )
+            for f in m["files"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file string, partition string, n_rows long, size_bytes long",
+        )
+
     def drop_column(self, name: str) -> int:
         """Drop a column — metadata-only commit. The field's id is
         TOMBSTONED in the manifest (``dropped_ids``), so re-adding the
@@ -2198,8 +2245,13 @@ class SnapshotTable:
             if partition_filter
             else m["files"]
         )
+        stats = m.get("stats", {})
         sizes = {
-            f: pq.ParquetFile(os.path.join(self.root, f)).metadata.num_rows
+            # manifest _nrows when recorded (StatsSnapshotTable commits
+            # capture it footer-side once) — the million-file census is
+            # then pure manifest arithmetic; footer-read only the gaps
+            f: stats.get(f, {}).get("_nrows")
+            or pq.ParquetFile(os.path.join(self.root, f)).metadata.num_rows
             for f in cand
         }
         smalls = sorted(f for f, n in sizes.items() if n < small_file_rows)
@@ -4021,12 +4073,17 @@ def _bloom_may_contain_any(
 def _file_stats(path: str, columns: list[str]) -> dict:
     """Per-file column min/max from the parquet FOOTER (pyarrow) —
     computed once at commit time, stored in the manifest. No data pages
-    are read."""
+    are read. Alongside the column entries, two RESERVED keys record
+    file-level facts the footer gives for free: ``_nrows`` (row count)
+    and ``_bytes`` (file size) — they feed :meth:`StatsSnapshotTable.
+    row_count`'s metadata-only COUNT(*) and the ``files_df`` metadata
+    table (a data column literally named ``_nrows``/``_bytes`` would
+    shadow them; don't do that)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    out = {}
+    out = {"_nrows": md.num_rows, "_bytes": os.path.getsize(path)}
     for col in columns:
         if col not in idx:
             continue
@@ -4240,6 +4297,27 @@ class StatsSnapshotTable(SnapshotTable):
             .parquet(*keep)
             .filter(F.col(col).between(lo, hi))
         )
+
+    def row_count(self, version: int | None = None) -> "int | None":
+        """Metadata-only COUNT(*): the sum of per-file ``_nrows``
+        recorded at commit time — zero files opened, zero Spark jobs,
+        O(manifest) at any table size (the Iceberg count-from-manifests
+        pushdown). Returns ``None`` — caller falls back to
+        ``read(spark).count()`` — whenever metadata can't answer
+        EXACTLY: merge-on-read deletion vectors are present (hidden
+        rows), or any live file predates ``_nrows`` recording. Never
+        guesses."""
+        m = self.manifest(version)
+        if m.get("dv_files"):
+            return None
+        stats = m.get("stats", {})
+        total = 0
+        for f in m["files"]:
+            n = stats.get(f, {}).get("_nrows")
+            if n is None:
+                return None
+            total += int(n)
+        return total
 
 
 def changes(
