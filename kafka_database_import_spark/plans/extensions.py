@@ -2365,27 +2365,11 @@ def q99zzx_bloom_cold_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered(out, "status", "n", "total_cents")
 
 
-@query(
-    "q99zzy_point_lookup",
-    oracle="""
-    SELECT o_orderkey AS k, o_orderstatus AS status,
-           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-    FROM orders WHERE o_orderkey IN (1, 3, 7)
-    ORDER BY k NULLS LAST, status NULLS LAST, cents NULLS LAST
-    """,
-)
-def q99zzy_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``read_keys`` point-lookup on a bloom-sidecar table: fetch three
-    known order keys from a multi-file snapshot planned through bloom
-    pruning (files whose sidecars reject every key never reach the
-    scan), then filtered exactly — the fetch-these-keys serving path of
-    a 100 TB table, where the plan cost is a handful of manifest +
-    sidecar reads instead of a scan (reference parity: the $in
-    semi-join of kafka-database-import.go:148-170 resolved at PLANNING
-    time). Keys 1/3/7 exist at every TPC-H scale. The build asserts
-    the planned-file count shrank; the oracle is the plain IN query.
-    Table cached across runs (head-version guard) — the COLD write
-    path is q99zzx's job."""
+def _bloom_lookup_table(spark: SparkSession, sf_dir: str):
+    """Cached (head-version guard) bloom-sidecar'd orders table shared
+    by the lookup queries: three commits chunked by ``k % 3``, rows/
+    file bounded and bloom bits sized for that bound (the q99zzx sizing
+    discipline). Read-only after the build."""
     import hashlib as _hl
     import os as _os
     import tempfile as _tf
@@ -2411,9 +2395,73 @@ def q99zzy_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for part in range(3):
             tbl.commit(base.filter(F.col("k") % 3 == part))
+    return tbl
+
+
+_LOOKUP_ORACLE = """
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey IN (1, 3, 7)
+    ORDER BY k NULLS LAST, status NULLS LAST, cents NULLS LAST
+    """
+
+
+@query("q99zzy_point_lookup", oracle=_LOOKUP_ORACLE)
+def q99zzy_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``read_keys`` point-lookup on a bloom-sidecar table: fetch three
+    known order keys from a multi-file snapshot planned through bloom
+    pruning (files whose sidecars reject every key never reach the
+    scan), then filtered exactly — the fetch-these-keys serving path of
+    a 100 TB table, where the plan cost is a handful of manifest +
+    sidecar reads instead of a scan (reference parity: the $in
+    semi-join of kafka-database-import.go:148-170 resolved at PLANNING
+    time). Keys 1/3/7 exist at every TPC-H scale. The build asserts
+    the planned-file count shrank; the oracle is the plain IN query.
+    Table cached across runs (head-version guard) — the COLD write
+    path is q99zzx's job."""
+    tbl = _bloom_lookup_table(spark, sf_dir)
     out = tbl.read_keys(spark, {"k": [1, 3, 7]})
     planned, total = tbl.last_keys_counts
     assert planned < total, tbl.last_keys_counts
+    return ordered(out, "k", "status", "cents")
+
+
+@query("q99zzza_pushdown_scan", oracle=_LOOKUP_ORACLE)
+def q99zzza_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME point lookup as q99zzy through plain declarative Spark:
+    ``spark.read.format("kdis_snapshot")`` (sources/snapshot_batch.py,
+    the Spark 4 Python DataSource with pushFilters) — Catalyst pushes
+    the IN conjunct, the source prunes the file list through partition
+    tuples / manifest stats / bloom sidecars and emits one
+    InputPartition per surviving file, and Spark re-applies the exact
+    predicate post-scan (every pushed filter is returned, so pruning
+    stays planning-only). The build reads the source's plan report and
+    asserts planned < total — SQL over a temp view of this source gets
+    the identical skipping with zero programmatic API."""
+    import os as _os
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot_batch import register
+
+    tbl = _bloom_lookup_table(spark, sf_dir)
+    register(spark)
+    rpt = _os.path.join(
+        _tf.gettempdir(), f"kdis_pushq_{_os.path.basename(tbl.root)}.json"
+    )
+    out = (
+        spark.read.format("kdis_snapshot")
+        .option("path", tbl.root)
+        .option("planReportPath", rpt)
+        .load()
+        .filter(F.col("k").isin(1, 3, 7))
+        .select("k", "status", "cents")
+    )
+    n = out.count()  # materialize once so the plan report exists
+    assert n == 3, n
+    import json as _json
+
+    plan = _json.load(open(rpt))
+    assert plan["planned"] < plan["total"], plan
     return ordered(out, "k", "status", "cents")
 
 
