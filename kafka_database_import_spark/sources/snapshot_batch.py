@@ -39,6 +39,24 @@ of that self-containment and are kept byte-compatible by tests.
 ``option("planReportPath", file)`` writes ``{"planned": n, "total":
 m, "version": v}`` at planning time — the observability hook the
 pruning tests and ops dashboards read.
+
+The format also WRITES — ``df.write.format("kdis_snapshot")
+.option("path", root).mode("append"|"overwrite").save()`` and
+``df.writeStream.format("kdis_snapshot")`` — committing real snapshot
+versions byte-compatible with ``SnapshotTable``'s manifest protocol
+(same atomic ``os.link`` publish, same field-id schema JSON, footer
+min/max stats recorded per file, optional bloom sidecars via
+``option("bloomCols", "a,b")``), so a table written here reads, DMLs,
+time-travels, and streams through every existing path. Executors
+write immutable parquet files directly (Arrow batches → one file per
+task, rolled at ``option("maxRecordsPerFile", n)``); the driver-side
+``commit()`` assembles and links the manifest, auto-rebasing lost
+append races exactly like ``SnapshotTable.commit``. Loud boundaries:
+schema evolution (new/retyped columns) and partitioned specs go
+through ``SnapshotTable`` — this writer requires the incoming columns
+to be a same-typed subset of the head schema (equal set for
+overwrite); the streaming sink is append-only and skips a replayed
+micro-batch when the head version already carries its epoch id.
 """
 
 from __future__ import annotations
@@ -50,7 +68,9 @@ def _make():
 
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceArrowWriter,
         DataSourceReader,
+        DataSourceStreamArrowWriter,
         EqualTo,
         GreaterThan,
         GreaterThanOrEqual,
@@ -58,6 +78,7 @@ def _make():
         InputPartition,
         LessThan,
         LessThanOrEqual,
+        WriterCommitMessage,
     )
 
     _LIST_KEYS = ("files", "dv_files", "tombstone_files")
@@ -380,6 +401,453 @@ def _make():
         def read(self, partition):
             yield from _batches(partition.path, partition.schema_json)
 
+    # ---------------- write side: immutable files on executors, one
+    # manifest link on the driver — the same two-phase shape as
+    # SnapshotTable.commit, re-expressed in the DataSource writer
+    # lifecycle (write → WriterCommitMessage → commit/abort).
+
+    _FIELD_ID_KEY = "parquet.field.id"  # snapshot.FIELD_ID_KEY
+
+    def _canon_build(v):
+        """BUILD-side canonical form — byte-compatible with
+        snapshot._bloom_impl's ``canon`` (pinned by test): unlike the
+        probe-side ``_canon`` above (which DECLINES timestamps because
+        pushed literals are session-zone-naive), the build side reads
+        values back from the written parquet via pyarrow, so
+        timestamps arrive tz-aware and normalize to one UTC wall-clock
+        string. A sidecar built with the probe's declining canon would
+        leave timestamp blooms empty and FALSE-REJECT matching files
+        under SnapshotTable's DML probe — hence two functions."""
+        import datetime as _dt
+
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return f"b:{int(v)}"
+        if isinstance(v, float):
+            raise TypeError(
+                "float/double columns are not supported as bloom columns"
+            )
+        if isinstance(v, (bytes, bytearray)):
+            return "x:" + bytes(v).hex()
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return "ts:" + v.isoformat(sep=" ")
+        if isinstance(v, _dt.date):
+            return "d:" + v.isoformat()
+        return str(v)
+
+    def _build_sidecar(root: str, rel: str, cols: list, bits: int) -> None:
+        """Byte-compatible twin of snapshot._build_bloom_sidecar: reads
+        the just-written file back through pyarrow (same value domain
+        as the original build side), writes ``<file>.bloom`` atomically
+        via a ``.bloomtmp`` rename. Columns absent from the file are
+        skipped (probe keeps the file)."""
+        import base64
+        import tempfile as _tf
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(root, rel)
+        pf = pq.ParquetFile(path)
+        names = set(pf.schema_arrow.names)
+        present = [c for c in cols if c in names]
+        blooms: dict = {}
+        if present:
+            tbl = pf.read(columns=present)
+            for c in present:
+                arr = bytearray(bits // 8)
+                for v in tbl.column(c).to_pylist():
+                    canon_s = _canon_build(v)
+                    if canon_s is None:
+                        continue
+                    for h in _positions(canon_s, bits, 6):
+                        arr[h >> 3] |= 1 << (h & 7)
+                blooms[c] = base64.b64encode(
+                    zlib.compress(bytes(arr))
+                ).decode("ascii")
+        payload = json.dumps(
+            {"bits": bits, "k": 6, "codec": "zlib", "blooms": blooms}
+        )
+        fd, tmp = _tf.mkstemp(dir=os.path.dirname(path), suffix=".bloomtmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            os.replace(tmp, path + ".bloom")
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+    def _footer_stats(path: str, cols) -> dict:
+        """Manifest stats entry for one written file — the JSON-safe
+        subset of snapshot._file_stats: ``_nrows``/``_bytes`` always,
+        plus footer min/max for columns whose stats are int/float/str
+        (dates, timestamps, decimals, and binary come back as
+        non-JSON-serializable Python objects; skipping them means "no
+        stats recorded" and every pruning consumer conservatively
+        keeps the file). ``cols=None`` records every eligible column —
+        stats are footer-only reads of a file this task just wrote, so
+        the marginal cost is near zero and the table is range-prunable
+        by default."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out: dict = {"_nrows": md.num_rows, "_bytes": os.path.getsize(path)}
+        for col in idx if cols is None else cols:
+            if col not in idx:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if (
+                ok
+                and lo is not None
+                and not isinstance(lo, bool)
+                and isinstance(lo, (int, float, str))
+                and isinstance(hi, (int, float, str))
+            ):
+                out[col] = [lo, hi]
+        return out
+
+    class WriteMessage(WriterCommitMessage):
+        def __init__(self, entries):
+            self.entries = entries  # [(rel_path, stats_dict), ...]
+
+    class _WriterCore:
+        """Shared machinery of the batch and streaming writers. The
+        constructor runs in the driver-side planning worker (schema
+        resolution against the head manifest — loud boundaries live
+        here so a bad write fails at plan time, before any task runs);
+        ``write`` runs on executors; ``_commit_files`` back on the
+        driver worker. Self-contained for the same foreign-cwd reason
+        as the reader classes."""
+
+        def __init__(self, options, schema, overwrite: bool):
+            from pyspark.sql import types as T
+
+            self.root = options.get("path")
+            if not self.root:
+                raise ValueError("kdis_snapshot: 'path' required")
+            self.overwrite = bool(overwrite)
+            self.max_rpf = int(options.get("maxRecordsPerFile", 0)) or None
+            sc = options.get("statsCols")
+            self.stats_cols = (
+                [c.strip() for c in sc.split(",") if c.strip()] if sc else None
+            )
+            bc = options.get("bloomCols")
+            self.bloom_cols = (
+                [c.strip() for c in bc.split(",") if c.strip()] if bc else None
+            )
+            self.bloom_bits = int(options.get("bloomBits", "65536"))
+            if self.bloom_bits <= 0 or self.bloom_bits % 8:
+                raise ValueError(
+                    f"kdis_snapshot: bloomBits must be a positive multiple "
+                    f"of 8, got {self.bloom_bits}"
+                )
+            mdir = os.path.join(self.root, "_manifests")
+            vs = _versions(mdir)
+            head = vs[-1] if vs else None
+            # overwrites never auto-rebase (SnapshotTable.commit's
+            # contract: an overwrite re-published over a concurrent
+            # append silently DELETES the appended rows) — pin the head
+            # this plan was computed against and refuse at commit if it
+            # moved
+            self.head_at_plan = head
+            if head is None:
+                # fresh table: mint field ids 1..n — byte-compatible
+                # with snapshot._fresh_schema_json
+                fields = [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        {**(f.metadata or {}), _FIELD_ID_KEY: i + 1},
+                    )
+                    for i, f in enumerate(schema.fields)
+                ]
+                self.schema_json = T.StructType(fields).json()
+                self.base_schema_json = None
+            else:
+                m = _manifest(mdir, head)
+                if m.get("partition_spec"):
+                    raise ValueError(
+                        "kdis_snapshot: table has an active partition spec — "
+                        "partitioned writes (hive layout + hash distribution "
+                        "+ typed partition tuples) go through "
+                        "SnapshotTable.commit"
+                    )
+                tbl_struct = T.StructType.fromJson(json.loads(m["schema"]))
+                tbl_types = {
+                    f.name: f.dataType.simpleString() for f in tbl_struct.fields
+                }
+                mine = {
+                    f.name: f.dataType.simpleString() for f in schema.fields
+                }
+                bad = sorted(
+                    c
+                    for c, t in mine.items()
+                    if c not in tbl_types or tbl_types[c] != t
+                )
+                if bad or (self.overwrite and set(mine) != set(tbl_types)):
+                    raise ValueError(
+                        f"kdis_snapshot: incoming schema does not match the "
+                        f"table ({bad or sorted(set(tbl_types) - set(mine))} "
+                        f"differ) — schema evolution (new/retyped/dropped "
+                        f"columns) goes through SnapshotTable.commit, which "
+                        f"owns field-id minting"
+                    )
+                self.schema_json = m["schema"]
+                self.base_schema_json = m["schema"]
+            struct = T.StructType.fromJson(json.loads(self.schema_json))
+            self.field_ids = {
+                f.name: f.metadata[_FIELD_ID_KEY]
+                for f in struct.fields
+                if f.metadata and _FIELD_ID_KEY in f.metadata
+            }
+            import tempfile as _tf
+
+            rel = None
+            while rel is None or os.path.exists(os.path.join(self.root, rel)):
+                suffix = os.path.basename(_tf.mktemp(prefix=""))
+                rel = os.path.join("data", f"c{(head or 0) + 1}-ds{suffix}")
+            self.rel_dir = rel
+
+        # -------- executor side
+        def write(self, it):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc else 0
+            tid = tc.taskAttemptId() if tc else 0
+            entries: list = []
+            seq = 0
+            buf: list = []
+            buf_rows = 0
+
+            def _flush():
+                nonlocal seq, buf, buf_rows
+                if not buf_rows:
+                    return
+                tbl = pa.Table.from_batches(buf)
+                if self.field_ids:
+                    fields = [
+                        f.with_metadata(
+                            {
+                                b"PARQUET:field_id": str(
+                                    self.field_ids[f.name]
+                                ).encode()
+                            }
+                        )
+                        if f.name in self.field_ids
+                        else f
+                        for f in tbl.schema
+                    ]
+                    tbl = tbl.cast(pa.schema(fields))
+                rel = os.path.join(
+                    self.rel_dir, f"part-{pid:05d}-{tid}-{seq}.parquet"
+                )
+                path = os.path.join(self.root, rel)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                pq.write_table(tbl, path, compression="snappy")
+                if self.bloom_cols:
+                    _build_sidecar(
+                        self.root, rel, self.bloom_cols, self.bloom_bits
+                    )
+                entries.append((rel, _footer_stats(path, self.stats_cols)))
+                seq += 1
+                buf, buf_rows = [], 0
+
+            for batch in it:
+                while batch.num_rows:
+                    if self.max_rpf:
+                        take = min(batch.num_rows, self.max_rpf - buf_rows)
+                    else:
+                        take = batch.num_rows
+                    buf.append(batch.slice(0, take))
+                    buf_rows += take
+                    batch = batch.slice(take)
+                    if self.max_rpf and buf_rows >= self.max_rpf:
+                        _flush()
+            _flush()
+            return WriteMessage(entries)
+
+        # -------- driver side
+        def _gather(self, messages):
+            return [
+                e
+                for m in messages
+                if m is not None
+                for e in getattr(m, "entries", [])
+            ]
+
+        def _discard(self, entries) -> None:
+            for rel, _st in entries:
+                for p in (
+                    os.path.join(self.root, rel),
+                    os.path.join(self.root, rel + ".bloom"),
+                ):
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+            dirs = {os.path.dirname(rel) for rel, _st in entries}
+            for d in sorted(dirs, reverse=True):
+                try:
+                    os.rmdir(os.path.join(self.root, d))
+                except OSError:
+                    pass
+
+        def _commit_files(self, entries, epoch_id=None) -> None:
+            import tempfile as _tf
+            import time as _time
+
+            files = [rel for rel, _st in entries]
+            stats = {rel: st for rel, st in entries}
+            mode = "overwrite" if self.overwrite else "append"
+            mdir = os.path.join(self.root, "_manifests")
+            os.makedirs(mdir, exist_ok=True)
+            # OCC livelock bound, same constant as snapshot.commit
+            for _attempt in range(50):
+                vs = _versions(mdir)
+                head = vs[-1] if vs else None
+                if mode == "overwrite" and head != self.head_at_plan:
+                    self._discard(entries)
+                    raise ValueError(
+                        "kdis_snapshot: overwrite lost the version race (a "
+                        "concurrent commit landed after this write was "
+                        "planned) — overwrites never auto-rebase; recompute "
+                        "from the new head"
+                    )
+                prev_files: list = []
+                prev_stats: dict = {}
+                prev_fp: dict = {}
+                dv: list = []
+                extras: dict = {}
+                if head is not None:
+                    m = _manifest(mdir, head)
+                    if (
+                        epoch_id is not None
+                        and m.get("epoch_id") == epoch_id
+                    ):
+                        # restarted stream replaying its last committed
+                        # micro-batch: the version is already published —
+                        # drop this attempt's files, keep exactly-once
+                        self._discard(entries)
+                        return
+                    if m.get("partition_spec"):
+                        raise ValueError(
+                            "kdis_snapshot: a concurrent writer activated a "
+                            "partition spec — write via SnapshotTable.commit"
+                        )
+                    committed_schema = m["schema"]
+                    expected = (
+                        self.base_schema_json
+                        if self.base_schema_json is not None
+                        else self.schema_json
+                    )
+                    if committed_schema != expected:
+                        self._discard(entries)
+                        raise ValueError(
+                            "kdis_snapshot: the table schema changed under "
+                            "this write (concurrent evolution) — the files "
+                            "were discarded; re-run the write against the "
+                            "new head"
+                        )
+                    if mode == "append":
+                        prev_files = m["files"]
+                        prev_stats = m.get("stats", {})
+                        prev_fp = m.get("file_partitions", {})
+                        dv = m.get("dv_files", [])
+                    extras = {
+                        k: m[k]
+                        for k in ("dropped_ids", "tombstone_files")
+                        if m.get(k)
+                    }
+                version = (head or 0) + 1
+                manifest = {
+                    "version": version,
+                    "base": head,
+                    "mode": mode,
+                    "schema": self.schema_json,
+                    "files": prev_files + files,
+                    "committed_at_ms": int(_time.time() * 1000),
+                    **extras,
+                }
+                all_stats = {
+                    **{f: prev_stats[f] for f in prev_files if f in prev_stats},
+                    **stats,
+                }
+                if all_stats:
+                    manifest["stats"] = all_stats
+                fp = {f: prev_fp[f] for f in prev_files if f in prev_fp}
+                if fp:
+                    manifest["file_partitions"] = fp
+                if dv:
+                    manifest["dv_files"] = dv
+                if epoch_id is not None:
+                    manifest["epoch_id"] = epoch_id
+                fd, tmp = _tf.mkstemp(dir=mdir, suffix=".tmp")
+                try:
+                    with os.fdopen(fd, "w") as f:
+                        f.write(json.dumps(manifest))
+                    try:
+                        os.link(tmp, os.path.join(mdir, f"v{version}.json"))
+                        return
+                    except FileExistsError:
+                        if mode != "append":
+                            self._discard(entries)
+                            raise ValueError(
+                                "kdis_snapshot: overwrite lost the version "
+                                "race (a concurrent commit landed first) — "
+                                "overwrites never auto-rebase; recompute "
+                                "from the new head"
+                            ) from None
+                finally:
+                    os.unlink(tmp)
+            raise ValueError(
+                "kdis_snapshot: append lost the version race 50 times — "
+                "sustained contention; batch the writers"
+            )
+
+    class SnapshotBatchWriter(_WriterCore, DataSourceArrowWriter):
+        def commit(self, messages):
+            self._commit_files(self._gather(messages))
+
+        def abort(self, messages):
+            self._discard(self._gather(messages))
+
+    class SnapshotStreamWriter(_WriterCore, DataSourceStreamArrowWriter):
+        """Append-only streaming sink: each micro-batch publishes one
+        snapshot version stamped with its epoch id, and a replayed
+        batch after restart is detected at the head and skipped —
+        idempotent per-epoch, the same replay contract as
+        SnapshotTable.commit(epoch_id=...). The head-only check is
+        sound because streaming restarts replay only the LAST
+        committed batch; interleaved foreign writers between a crash
+        and the replay would defeat it, which is why the sink refuses
+        nothing else: a duplicated version is an append of the same
+        rows, caught by the changes() lineage walk."""
+
+        def commit(self, messages, batchId):
+            self._commit_files(self._gather(messages), epoch_id=batchId)
+
+        def abort(self, messages, batchId):
+            self._discard(self._gather(messages))
+
     class SnapshotBatchDataSource(DataSource):
         """``spark.read.format("kdis_snapshot").option("path", root)
         [.option("version", n)].load()`` — pushdown-pruned batch scan
@@ -420,6 +888,18 @@ def _make():
             except AttributeError:
                 schema_json = self._manifest_schema_json()
             return SnapshotBatchReader(self.options, schema_json)
+
+        def writer(self, schema, overwrite):
+            return SnapshotBatchWriter(self.options, schema, overwrite)
+
+        def streamWriter(self, schema, overwrite):
+            if overwrite:
+                raise ValueError(
+                    "kdis_snapshot: the streaming sink is append-only "
+                    "(one snapshot version per micro-batch); complete/"
+                    "update output modes are not supported"
+                )
+            return SnapshotStreamWriter(self.options, schema, overwrite)
 
     return SnapshotBatchDataSource
 
