@@ -55,6 +55,7 @@ HEADLINE = [
     "q99zzv_partition_transforms",  # hidden partitioning: month()+Between (round 7)
     "q99zzw_wap_tags",           # write-audit-publish + tag retention (round 7)
     "q99zzx_bloom_cold_write",   # COLD commit/DML write path + bloom pruning (round 9)
+    "q99zzzb_datasource_write",  # COLD declarative write: Arrow->parquet->manifest (round 9)
 ]
 
 

@@ -1134,3 +1134,472 @@ def tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
              "rank_within_parent")
     return ordered(out, "s_state", "store_sk", "total_cp", "lochierarchy",
                    "rank_within_parent")
+
+
+@query(
+    "tpcds_q88",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT
+      SUM(CASE WHEN d_dom BETWEEN  1 AND  3 THEN 1 ELSE 0 END) AS h1,
+      SUM(CASE WHEN d_dom BETWEEN  4 AND  6 THEN 1 ELSE 0 END) AS h2,
+      SUM(CASE WHEN d_dom BETWEEN  7 AND  9 THEN 1 ELSE 0 END) AS h3,
+      SUM(CASE WHEN d_dom BETWEEN 10 AND 12 THEN 1 ELSE 0 END) AS h4,
+      SUM(CASE WHEN d_dom BETWEEN 13 AND 15 THEN 1 ELSE 0 END) AS h5,
+      SUM(CASE WHEN d_dom BETWEEN 16 AND 18 THEN 1 ELSE 0 END) AS h6,
+      SUM(CASE WHEN d_dom BETWEEN 19 AND 21 THEN 1 ELSE 0 END) AS h7,
+      SUM(CASE WHEN d_dom BETWEEN 22 AND 24 THEN 1 ELSE 0 END) AS h8
+    FROM store_sales
+    JOIN date_dim ON sold_date = d_date
+    WHERE qty BETWEEN 5 AND 45 AND d_year = 1995
+    """,
+)
+def tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 (the 8-band activity census — reference text cross
+    joins EIGHT independent scalar COUNT(*) subqueries over disjoint
+    half-hour bands). Substitutions: time_dim half-hours → day-of-month
+    bands (the fixtures carry dates, not times); household-demographic
+    filter → a qty range. DELIBERATE PLAN REWRITE, documented: the
+    textbook 8-subquery cross join scans the fact table 8 times; the
+    bands are disjoint predicates over one scan, so this fuses them
+    into ONE pass with 8 conditional sums — map-side-combinable, one
+    shuffle of a single 8-column row per partition. At 100 TB the
+    difference is 8 fact scans vs 1; the oracle uses the fused form
+    too, and band-disjointness makes it equal to the cross join by
+    construction."""
+    ss = _channel(spark, sf_dir, "store").filter(F.col("qty").between(5, 45))
+    dd = _date_dim(spark, sf_dir).filter(F.col("d_year") == 1995)
+    j = ss.join(F.broadcast(dd), ss.sold_date == dd.d_date)
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("d_dom").between(lo, lo + 2), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias(f"h{i + 1}")
+        for i, lo in enumerate(range(1, 24, 3))
+    ]
+    return j.agg(*aggs)
+
+
+@query(
+    "tpcds_q38",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_all3 FROM (
+      SELECT DISTINCT cust_sk FROM store_sales
+      JOIN date_dim ON sold_date = d_date WHERE d_year = 1995
+      INTERSECT
+      SELECT DISTINCT cust_sk FROM catalog_sales
+      JOIN date_dim ON sold_date = d_date WHERE d_year = 1995
+      INTERSECT
+      SELECT DISTINCT cust_sk FROM web_sales
+      JOIN date_dim ON sold_date = d_date WHERE d_year = 1995
+    )
+    """,
+)
+def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q38 (customers active in ALL THREE channels within a
+    year — the tri-channel INTERSECT): per-channel DISTINCT customer
+    sets, two INTERSECTs, COUNT. Spark compiles INTERSECT to a
+    left-semi join over aggregated keys, so the plan is three
+    channel-sliced distincts (each one shuffle on cust_sk) followed by
+    two co-partitioned semi-joins — AQE reuses the cust_sk exchange.
+    100 TB: distinct-customer cardinality is bounded by the customer
+    dimension, orders of magnitude below the fact, so the INTERSECT
+    inputs are small relative to the scan regardless of fact size."""
+    dd = _date_dim(spark, sf_dir).filter(F.col("d_year") == 1995)
+
+    def chan_custs(name: str) -> DataFrame:
+        s = _channel(spark, sf_dir, name)
+        return (
+            s.join(F.broadcast(dd), s.sold_date == dd.d_date)
+            .select("cust_sk")
+            .distinct()
+        )
+
+    out = (
+        chan_custs("store")
+        .intersect(chan_custs("catalog"))
+        .intersect(chan_custs("web"))
+        .agg(F.count(F.lit(1)).alias("n_all3"))
+    )
+    return out
+
+
+@query(
+    "tpcds_q31",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    g AS (
+      SELECT i_category,
+        SUM(CASE WHEN chan <= 1 AND d_qoy = 1 THEN ext_cents ELSE 0 END)
+          AS store_q1,
+        SUM(CASE WHEN chan <= 1 AND d_qoy = 2 THEN ext_cents ELSE 0 END)
+          AS store_q2,
+        SUM(CASE WHEN chan  = 3 AND d_qoy = 1 THEN ext_cents ELSE 0 END)
+          AS web_q1,
+        SUM(CASE WHEN chan  = 3 AND d_qoy = 2 THEN ext_cents ELSE 0 END)
+          AS web_q2
+      FROM sales
+      JOIN date_dim ON sold_date = d_date
+      JOIN item ON item_sk = i_item_sk
+      WHERE d_year = 1995 AND d_qoy IN (1, 2) AND chan <> 2
+      GROUP BY i_category
+    )
+    SELECT i_category, store_q1, store_q2, web_q1, web_q2
+    FROM g
+    WHERE store_q1 > 0 AND web_q1 > 0
+      AND CAST(web_q2 AS DOUBLE) / web_q1
+        > CAST(store_q2 AS DOUBLE) / store_q1
+    ORDER BY i_category
+    """,
+)
+def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q31 (categories whose WEB sales grew faster than their
+    STORE sales quarter-over-quarter; reference compares ss/ws growth
+    ratios per county via a 6-way self-join of aggregate subqueries).
+    Substitutions: county → item category (the fixtures' stable
+    grouping key), Q1→Q2 of 1995. DELIBERATE PLAN REWRITE, documented:
+    the textbook form joins four aggregate subqueries over the same
+    fact — four scans, four shuffles, a join pyramid; both quarters
+    and both channels are disjoint slices of ONE scan, so this fuses
+    them into one grouped pass with four conditional sums, then
+    filters on the growth comparison. The ratio compare stays on
+    DOUBLE division of identical exact BIGINTs on both engines (the
+    repo's money discipline: never compare accumulated floats,
+    cross-multiplication would overflow BIGINT at scale)."""
+    s = _sales(spark, sf_dir).filter(F.col("chan") != 2)
+    dd = _date_dim(spark, sf_dir).filter(
+        (F.col("d_year") == 1995) & F.col("d_qoy").isin(1, 2)
+    )
+    it = _item(spark, sf_dir)
+    j = s.join(F.broadcast(dd), s.sold_date == dd.d_date).join(
+        F.broadcast(it), s.item_sk == it.i_item_sk
+    )
+
+    def _slice(chan_store: bool, qoy: int):
+        cond = (
+            (F.col("chan") <= 1) if chan_store else (F.col("chan") == 3)
+        ) & (F.col("d_qoy") == qoy)
+        return F.sum(F.when(cond, F.col("ext_cents")).otherwise(F.lit(0)))
+
+    g = j.groupBy("i_category").agg(
+        _slice(True, 1).alias("store_q1"),
+        _slice(True, 2).alias("store_q2"),
+        _slice(False, 1).alias("web_q1"),
+        _slice(False, 2).alias("web_q2"),
+    )
+    out = g.filter(
+        (F.col("store_q1") > 0)
+        & (F.col("web_q1") > 0)
+        & (
+            F.col("web_q2").cast("double") / F.col("web_q1")
+            > F.col("store_q2").cast("double") / F.col("store_q1")
+        )
+    ).select("i_category", "store_q1", "store_q2", "web_q1", "web_q2")
+    return ordered(out, "i_category")
+
+
+@query(
+    "tpcds_q59",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    m AS (
+      SELECT store_sk, d_moy, SUM(net_cp) AS net
+      FROM store_sales
+      JOIN date_dim ON sold_date = d_date
+      WHERE d_year = 1995
+      GROUP BY store_sk, d_moy
+    )
+    SELECT c.store_sk AS store_sk, c.d_moy AS moy,
+           p.net AS prev_net, c.net AS curr_net,
+           CAST(c.net AS DOUBLE) / p.net AS ratio
+    FROM m c
+    JOIN m p ON c.store_sk = p.store_sk AND c.d_moy = p.d_moy + 1
+    WHERE p.net > 0
+    ORDER BY store_sk, moy
+    """,
+)
+def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q59 (period-over-period revenue ratio per store; the
+    reference self-joins this-year weekly sums against last-year's on
+    week_seq). Substitutions: weeks → months (day-of-week/week-number
+    semantics are a known cross-engine divergence, documented in the
+    module header), year-over-year → month-over-month within 1995.
+    DELIBERATE PLAN REWRITE, documented: the self-join on ``moy =
+    prev_moy + 1`` re-shuffles the aggregate twice; after the grouped
+    sum, LAG over (store_sk ORDER BY d_moy) delivers the previous
+    month in the SAME partitioning — one shuffle total. A gap guard
+    (lag month must be exactly moy-1) keeps the window form equal to
+    the self-join when a month is absent. The oracle keeps the
+    textbook self-join, so the equality also PROVES the rewrite."""
+    ss = _channel(spark, sf_dir, "store")
+    dd = _date_dim(spark, sf_dir).filter(F.col("d_year") == 1995)
+    m = (
+        ss.join(F.broadcast(dd), ss.sold_date == dd.d_date)
+        .groupBy("store_sk", "d_moy")
+        .agg(F.sum("net_cp").alias("net"))
+    )
+    w = Window.partitionBy("store_sk").orderBy("d_moy")
+    out = (
+        m.withColumn("prev_net", F.lag("net").over(w))
+        .withColumn("prev_moy", F.lag("d_moy").over(w))
+        .filter(
+            (F.col("prev_moy") == F.col("d_moy") - 1)
+            & (F.col("prev_net") > 0)
+        )
+        .select(
+            "store_sk",
+            F.col("d_moy").alias("moy"),
+            "prev_net",
+            F.col("net").alias("curr_net"),
+            (F.col("net").cast("double") / F.col("prev_net")).alias("ratio"),
+        )
+    )
+    return ordered(out, "store_sk", "moy")
+
+
+@query(
+    "tpcds_q98",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    rev AS (
+      SELECT i_item_sk, i_class, SUM(net_cp) AS itemrevenue
+      FROM web_sales
+      JOIN date_dim ON sold_date = d_date
+      JOIN item ON item_sk = i_item_sk
+      WHERE d_year = 1995 AND d_moy = 5
+      GROUP BY i_item_sk, i_class
+    )
+    SELECT i_item_sk, i_class, itemrevenue,
+           CAST(itemrevenue AS DOUBLE) * 100
+             / SUM(itemrevenue) OVER (PARTITION BY i_class)
+             AS revenueratio
+    FROM rev
+    ORDER BY i_class, i_item_sk
+    """,
+)
+def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q98 (item revenue share within its class — the
+    ratio-to-report window shape, which no other catalog query
+    exercises: a windowed SUM over the grouped aggregate feeding a
+    per-row percentage). One grouped shuffle on (item, class), then
+    the window re-partitions on the class prefix. The percentage is
+    DOUBLE division of identical exact BIGINTs (window sums of cents
+    stay integer on both engines), per the money discipline. 100 TB:
+    both shuffles key on item/class — dimension-bounded cardinality,
+    not fact-bounded."""
+    ws = _channel(spark, sf_dir, "web")
+    dd = _date_dim(spark, sf_dir).filter(
+        (F.col("d_year") == 1995) & (F.col("d_moy") == 5)
+    )
+    it = _item(spark, sf_dir)
+    rev = (
+        ws.join(F.broadcast(dd), ws.sold_date == dd.d_date)
+        .join(F.broadcast(it), ws.item_sk == it.i_item_sk)
+        .groupBy("i_item_sk", "i_class")
+        .agg(F.sum("net_cp").alias("itemrevenue"))
+    )
+    w = Window.partitionBy("i_class")
+    out = rev.select(
+        "i_item_sk",
+        "i_class",
+        "itemrevenue",
+        (
+            F.col("itemrevenue").cast("double")
+            * 100
+            / F.sum("itemrevenue").over(w)
+        ).alias("revenueratio"),
+    )
+    return ordered(out, "i_class", "i_item_sk")
+
+
+@query(
+    "tpcds_q89",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    ms AS (
+      SELECT i_category, store_sk, d_moy, SUM(net_cp) AS net
+      FROM store_sales
+      JOIN date_dim ON sold_date = d_date
+      JOIN item ON item_sk = i_item_sk
+      WHERE d_year = 1995
+      GROUP BY i_category, store_sk, d_moy
+    ),
+    dev AS (
+      SELECT i_category, store_sk, d_moy, net,
+             AVG(net) OVER (PARTITION BY i_category, store_sk)
+               AS avg_monthly
+      FROM ms
+    )
+    SELECT i_category, store_sk, d_moy, net, avg_monthly
+    FROM dev
+    WHERE avg_monthly > 0
+      AND ABS(net - avg_monthly) / avg_monthly > 0.1
+    ORDER BY i_category, store_sk, d_moy
+    """,
+)
+def tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q89 (months whose sales deviate >10 % from the
+    category-store average — the windowed-average deviation filter).
+    One grouped shuffle to (category, store, month), a window AVG over
+    the (category, store) prefix, then the deviation predicate. AVG of
+    BIGINT is exact-sum/exact-count on both engines, so the doubles
+    compared are bit-identical; the deviation is a final-stage
+    computation, never an accumulated float. Substitutions: the
+    reference's store_name/company → the synthesized store key; one
+    year, all months."""
+    ss = _channel(spark, sf_dir, "store")
+    dd = _date_dim(spark, sf_dir).filter(F.col("d_year") == 1995)
+    it = _item(spark, sf_dir)
+    ms = (
+        ss.join(F.broadcast(dd), ss.sold_date == dd.d_date)
+        .join(F.broadcast(it), ss.item_sk == it.i_item_sk)
+        .groupBy("i_category", "store_sk", "d_moy")
+        .agg(F.sum("net_cp").alias("net"))
+    )
+    w = Window.partitionBy("i_category", "store_sk")
+    dev = ms.withColumn("avg_monthly", F.avg("net").over(w))
+    out = dev.filter(
+        (F.col("avg_monthly") > 0)
+        & (
+            F.abs(F.col("net") - F.col("avg_monthly")) / F.col("avg_monthly")
+            > 0.1
+        )
+    ).select("i_category", "store_sk", "d_moy", "net", "avg_monthly")
+    return ordered(out, "i_category", "store_sk", "d_moy")
+
+
+@query(
+    "tpcds_q76",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT CASE WHEN chan <= 1 THEN 'store'
+                WHEN chan = 2 THEN 'catalog'
+                ELSE 'web' END AS channel,
+           d_year, d_qoy, i_category,
+           CAST(COUNT(*) AS BIGINT) AS sales_cnt,
+           SUM(ext_cents) AS sales_amt
+    FROM sales
+    JOIN date_dim ON sold_date = d_date
+    JOIN item ON item_sk = i_item_sk
+    WHERE returned
+    GROUP BY channel, d_year, d_qoy, i_category
+    ORDER BY channel, d_year, d_qoy, i_category
+    """,
+)
+def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q76 (the cross-channel anomaly census: counts and
+    amounts per channel/period/category for flagged rows, UNION ALL of
+    the three channel legs in the reference). Substitutions: the
+    reference flags NULL dimension keys; the synthesized fact has no
+    NULL keys, so the returns flag (l_returnflag='R', the module's
+    *_returns feed) is the anomaly predicate. DELIBERATE PLAN REWRITE,
+    documented: all three legs read the SAME unified fact here, so
+    the UNION ALL collapses to one scan with a computed channel label
+    — one shuffle on the full grouping key instead of three scans
+    unioned. The oracle keeps the same fused form (the channels
+    partition the fact, so it equals the 3-leg UNION ALL by
+    construction)."""
+    s = _sales(spark, sf_dir).filter(F.col("returned"))
+    dd = _date_dim(spark, sf_dir)
+    it = _item(spark, sf_dir)
+    out = (
+        s.join(F.broadcast(dd), s.sold_date == dd.d_date)
+        .join(F.broadcast(it), s.item_sk == it.i_item_sk)
+        .withColumn(
+            "channel",
+            F.when(F.col("chan") <= 1, F.lit("store"))
+            .when(F.col("chan") == 2, F.lit("catalog"))
+            .otherwise(F.lit("web")),
+        )
+        .groupBy("channel", "d_year", "d_qoy", "i_category")
+        .agg(
+            F.count(F.lit(1)).alias("sales_cnt"),
+            F.sum("ext_cents").alias("sales_amt"),
+        )
+    )
+    return ordered(out, "channel", "d_year", "d_qoy", "i_category")
+
+
+@query(
+    "tpcds_q49",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    t AS (
+      SELECT CASE WHEN chan <= 1 THEN 'store'
+                  WHEN chan = 2 THEN 'catalog'
+                  ELSE 'web' END AS channel,
+             item_sk,
+             SUM(CASE WHEN returned THEN qty ELSE 0 END) AS ret_qty,
+             SUM(qty) AS tot_qty
+      FROM sales
+      JOIN date_dim ON sold_date = d_date
+      WHERE d_year = 1995 AND d_moy = 12
+      GROUP BY channel, item_sk
+    ),
+    r AS (
+      SELECT channel, item_sk, ret_qty, tot_qty,
+             RANK() OVER (
+               PARTITION BY channel
+               ORDER BY CAST(ret_qty AS DOUBLE) / tot_qty DESC, item_sk
+             ) AS rnk
+      FROM t
+      WHERE ret_qty > 0 AND tot_qty > 0
+    )
+    SELECT channel, item_sk, ret_qty, tot_qty, rnk
+    FROM r WHERE rnk <= 10
+    ORDER BY channel, rnk, item_sk
+    """,
+)
+def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q49 (worst return ratios per channel — rank items by
+    returned/total quantity inside each channel, keep the top 10,
+    union the channels). The reference unions three per-channel
+    subqueries; the unified fact fuses them into one grouped pass with
+    a channel label (same rewrite as q76). The rank ordering is made
+    TOTAL with the item key as tiebreaker — RANK over a ratio of
+    identical integers is deterministic cross-engine only when ties
+    are broken; the ratio itself is one double division of exact
+    BIGINTs. WindowGroupLimit applies to the rnk<=10 filter, so the
+    per-channel sort never materializes beyond the running top-10 per
+    partition."""
+    s = _sales(spark, sf_dir)
+    dd = _date_dim(spark, sf_dir).filter(
+        (F.col("d_year") == 1995) & (F.col("d_moy") == 12)
+    )
+    t = (
+        s.join(F.broadcast(dd), s.sold_date == dd.d_date)
+        .withColumn(
+            "channel",
+            F.when(F.col("chan") <= 1, F.lit("store"))
+            .when(F.col("chan") == 2, F.lit("catalog"))
+            .otherwise(F.lit("web")),
+        )
+        .groupBy("channel", "item_sk")
+        .agg(
+            F.sum(
+                F.when(F.col("returned"), F.col("qty")).otherwise(F.lit(0))
+            ).alias("ret_qty"),
+            F.sum("qty").alias("tot_qty"),
+        )
+        .filter((F.col("ret_qty") > 0) & (F.col("tot_qty") > 0))
+    )
+    w = Window.partitionBy("channel").orderBy(
+        (F.col("ret_qty").cast("double") / F.col("tot_qty")).desc(),
+        F.col("item_sk"),
+    )
+    out = (
+        t.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("channel", "item_sk", "ret_qty", "tot_qty", "rnk")
+    )
+    return ordered(out, "channel", "rnk", "item_sk")
