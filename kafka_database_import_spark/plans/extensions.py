@@ -2640,3 +2640,81 @@ def q99zzzc_datasource_stream_write(
         )
     )
     return ordered(out, "priority")
+
+
+@query(
+    "q99zzzd_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def q99zzzd_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-FREE co-located join via Spark bucketed tables — the
+    second half of the brief's join-strategy triad (broadcast for
+    small dims / bucketing for co-located big joins / salting for
+    skew; the first and third are covered by q08 and the skew family).
+    Both fact tables are written once with ``bucketBy(8, key)
+    .sortBy(key)`` — pre-repartitioned to one file per bucket so the
+    per-bucket sort order is trusted — and the join then plans as a
+    SortMergeJoin with ZERO Exchange on either side: the build
+    asserts ``Exchange`` is absent from the executed join plan, so a
+    regression that silently reintroduces the shuffle fails the
+    correctness gate, not just a perf eyeball. At 100 TB this is THE
+    repeated-join pattern: pay one clustering write, then every
+    orders⋈lineitem (same key, same bucket count) runs with no
+    network movement at all — exactly the manifest-side co-location
+    the snapshot format's bucket(N, col) transform gives reads, here
+    expressed through Spark's native catalog so plain SQL gets it.
+    Bucket counts must divide evenly into executor parallelism on a
+    real cluster (8 here for the local fixture; thousands at 100 TB)."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    names = {
+        "orders": f"kdis_bkt_orders_{tag}",
+        "lineitem": f"kdis_bkt_lines_{tag}",
+    }
+    keys = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    for t, name in names.items():
+        if spark.catalog.tableExists(name):
+            continue
+        path = _os.path.join(_tf.gettempdir(), f"kdis_bktq_{tag}_{t}")
+        (
+            load_table(spark, sf_dir, t)
+            .repartition(8, F.col(keys[t]))  # one file per bucket
+            .write.bucketBy(8, keys[t])
+            .sortBy(keys[t])
+            .option("path", path)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table(names["orders"]).filter(F.col("o_totalprice") > 100000)
+    li = spark.table(names["lineitem"]).select(
+        "l_orderkey", F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty")
+    )
+    # merge hint: at fixture scale the planner would BROADCAST the
+    # small side (and skip the bucketed scan entirely); above the
+    # broadcast threshold — the 100 TB case this query demonstrates —
+    # SortMergeJoin is its own choice. The hint pins the strategy so
+    # the no-Exchange property is tested at every fixture size.
+    joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    joined.count()  # let AQE finalize before pinning the plan shape
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "Exchange" not in plan, (
+        "bucketed co-located join reintroduced a shuffle:\n" + plan[:2000]
+    )
+    out = (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("qty"))
+    )
+    return ordered(out, "priority")

@@ -435,3 +435,17 @@ def test_tpcds_q70_having_total_is_conditioned_bnlj(spark, sf_dir):
     # broadcast nested-loop join WITH a condition — never a cartesian
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q99zzzd_bucketed_join_no_exchange(spark, sf_dir):
+    """The bucketed co-located join must plan ZERO shuffles: both scan
+    sides read pre-bucketed tables (bucketBy(8, key), one file per
+    bucket), so the SortMergeJoin consumes bucket-local partitions
+    directly. The in-query assert already fails the build on a plan
+    regression; this pins it in the suite too, plus the bucketed-scan
+    marker on both sides."""
+    plan = _plan(spark, sf_dir, "q99zzzd_bucketed_colocated_join")
+    # the aggregate after the join owns the only exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2, plan
