@@ -1603,3 +1603,306 @@ def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("channel", "item_sk", "ret_qty", "tot_qty", "rnk")
     )
     return ordered(out, "channel", "rnk", "item_sk")
+
+
+@query(
+    "tpcds_q23",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    freq_items AS (
+      SELECT item_sk FROM store_sales
+      JOIN date_dim ON sold_date = d_date
+      WHERE d_year = 1995
+      GROUP BY item_sk HAVING COUNT(*) > 4
+    ),
+    cust_tot AS (
+      SELECT cust_sk, SUM(net_cp) AS tot FROM store_sales GROUP BY cust_sk
+    ),
+    best_cust AS (
+      SELECT cust_sk FROM cust_tot
+      WHERE 2 * tot > (SELECT MAX(tot) FROM cust_tot)
+    )
+    SELECT SUM(net_cp) AS sales_cp
+    FROM (SELECT * FROM catalog_sales UNION ALL SELECT * FROM web_sales) cw
+    JOIN date_dim ON sold_date = d_date
+    WHERE d_year = 1995 AND d_moy = 5
+      AND item_sk IN (SELECT item_sk FROM freq_items)
+      AND cust_sk IN (SELECT cust_sk FROM best_cust)
+    """,
+)
+def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23 (catalog/web revenue from FREQUENT store items bought
+    by the BEST store customers — the double-semi-join gate over two
+    derived sets). Substitutions: "frequent" = sold in store >4 times
+    in the year; "best" = store lifetime spend above half the maximum
+    (the reference's 95%-of-max tops-list), expressed as the INTEGER
+    inequality ``2·tot > max(tot)`` so no engine ever forms a float;
+    month 5 of 1995 as the probe window. Plan: both gate sets are
+    aggregates orders of magnitude smaller than the fact, so they
+    broadcast into LEFT SEMI joins against the catalog+web slice —
+    the reference's own IN-subquery shape (and R4's semi-join spine)
+    at 100 TB: no fact-side shuffle at all, one scalar output row."""
+    dd = _date_dim(spark, sf_dir).filter(F.col("d_year") == 1995)
+    ss = _channel(spark, sf_dir, "store")
+    ssd = ss.join(F.broadcast(dd), ss.sold_date == dd.d_date)
+    freq = (
+        ssd.groupBy("item_sk").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 4)
+        .select("item_sk")
+    )
+    tot = ss.groupBy("cust_sk").agg(F.sum("net_cp").alias("tot"))
+    mx = tot.agg(F.max("tot").alias("mx"))
+    best = (
+        tot.join(F.broadcast(mx), 2 * F.col("tot") > F.col("mx"))
+        .select("cust_sk")
+    )
+    cw = _channel(spark, sf_dir, "catalog").unionAll(
+        _channel(spark, sf_dir, "web")
+    )
+    probe = cw.join(
+        F.broadcast(dd.filter(F.col("d_moy") == 5)),
+        cw.sold_date == F.col("d_date"),
+    )
+    out = (
+        probe.join(F.broadcast(freq), on="item_sk", how="left_semi")
+        .join(F.broadcast(best), on="cust_sk", how="left_semi")
+        .agg(F.sum("net_cp").alias("sales_cp"))
+    )
+    return out
+
+
+@query(
+    "tpcds_q54",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    probe_custs AS (
+      SELECT DISTINCT cust_sk
+      FROM (SELECT * FROM catalog_sales UNION ALL SELECT * FROM web_sales)
+      JOIN date_dim ON sold_date = d_date
+      WHERE d_year = 1995 AND d_moy = 5
+    ),
+    spend AS (
+      SELECT s.cust_sk, SUM(ext_cents) AS spend_cents
+      FROM store_sales s
+      JOIN date_dim ON sold_date = d_date
+      WHERE d_year = 1995 AND d_moy IN (6, 7)
+        AND s.cust_sk IN (SELECT cust_sk FROM probe_custs)
+      GROUP BY s.cust_sk
+    )
+    SELECT CAST(FLOOR(spend_cents / 5000) AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS num_customers
+    FROM spend
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q54 (the revenue-segmentation HISTOGRAM: customers who
+    bought catalog/web in one month, bucketed by their STORE spend in
+    the following two months, counted per 50-dollar segment). The
+    shape no other entry has: an aggregate OF an aggregate — per-
+    customer sums re-grouped by a computed bucket of the sum. Bucket
+    arithmetic stays integer (``floor(cents/5000)`` — exact integer
+    division on both engines). Plan: probe-customer set broadcasts
+    into a semi-join (customer-dimension-bounded), one shuffle to
+    per-customer sums, then the histogram regroup moves only
+    #customers rows — at 100 TB the second shuffle is noise."""
+    dd = _date_dim(spark, sf_dir).filter(F.col("d_year") == 1995)
+    cw = _channel(spark, sf_dir, "catalog").unionAll(
+        _channel(spark, sf_dir, "web")
+    )
+    probe = (
+        cw.join(
+            F.broadcast(dd.filter(F.col("d_moy") == 5)),
+            cw.sold_date == F.col("d_date"),
+        )
+        .select("cust_sk")
+        .distinct()
+    )
+    ss = _channel(spark, sf_dir, "store")
+    spend = (
+        ss.join(
+            F.broadcast(dd.filter(F.col("d_moy").isin(6, 7))),
+            ss.sold_date == F.col("d_date"),
+        )
+        .join(F.broadcast(probe), on="cust_sk", how="left_semi")
+        .groupBy("cust_sk")
+        .agg(F.sum("ext_cents").alias("spend_cents"))
+    )
+    out = (
+        spend.select(
+            F.floor(F.col("spend_cents") / 5000).cast("long").alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("num_customers"))
+    )
+    return ordered(out, "segment")
+
+
+@query(
+    "tpcds_q58",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    c AS (
+      SELECT item_sk, SUM(ext_cents) AS c_rev FROM catalog_sales
+      JOIN date_dim ON sold_date = d_date
+      WHERE d_year = 1995 AND d_moy = 3 GROUP BY item_sk
+    ),
+    w AS (
+      SELECT item_sk, SUM(ext_cents) AS w_rev FROM web_sales
+      JOIN date_dim ON sold_date = d_date
+      WHERE d_year = 1995 AND d_moy = 3 GROUP BY item_sk
+    )
+    SELECT c.item_sk AS item_sk, c_rev, w_rev
+    FROM c JOIN w ON c.item_sk = w.item_sk
+    WHERE 20 * c_rev >= 9 * (c_rev + w_rev)
+      AND 20 * c_rev <= 11 * (c_rev + w_rev)
+      AND 20 * w_rev >= 9 * (c_rev + w_rev)
+      AND 20 * w_rev <= 11 * (c_rev + w_rev)
+    ORDER BY item_sk
+    """,
+)
+def tpcds_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q58 (items selling EVENLY across channels in a period:
+    each channel's revenue within ±10 % of the cross-channel average).
+    Substitutions: the reference's 3-channel balance over the
+    store/catalog/web triple can never fire here — the synthesized
+    channel split gives store 2× the others BY CONSTRUCTION (chan 0,1)
+    — so the balance is tested over the comparable catalog/web pair,
+    documented. The ±10 %-of-mean band is the INTEGER inequality
+    ``9·(c+w) ≤ 20·c ≤ 11·(c+w)`` (mean of two = (c+w)/2; cross-
+    multiplied, no floats, no overflow at BIGINT cents). Plan: two
+    channel-sliced grouped sums co-partitioned on item_sk — AQE reuses
+    the exchange for the join; item-dimension-bounded cardinality."""
+    dd = _date_dim(spark, sf_dir).filter(
+        (F.col("d_year") == 1995) & (F.col("d_moy") == 3)
+    )
+
+    def rev(name: str, alias: str) -> DataFrame:
+        s = _channel(spark, sf_dir, name)
+        return (
+            s.join(F.broadcast(dd), s.sold_date == dd.d_date)
+            .groupBy("item_sk")
+            .agg(F.sum("ext_cents").alias(alias))
+        )
+
+    c, w = rev("catalog", "c_rev"), rev("web", "w_rev")
+    j = c.join(w, on="item_sk")
+    both = F.col("c_rev") + F.col("w_rev")
+    out = j.filter(
+        (20 * F.col("c_rev") >= 9 * both)
+        & (20 * F.col("c_rev") <= 11 * both)
+        & (20 * F.col("w_rev") >= 9 * both)
+        & (20 * F.col("w_rev") <= 11 * both)
+    ).select("item_sk", "c_rev", "w_rev")
+    return ordered(out, "item_sk")
+
+
+@query(
+    "tpcds_q65",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    g AS (
+      SELECT store_sk, item_sk, SUM(ext_cents) AS rev
+      FROM store_sales
+      JOIN date_dim ON sold_date = d_date
+      WHERE d_year = 1995
+      GROUP BY store_sk, item_sk
+    ),
+    m AS (SELECT store_sk, MIN(rev) AS min_rev FROM g GROUP BY store_sk)
+    SELECT g.store_sk AS store_sk, g.item_sk AS item_sk, g.rev AS rev
+    FROM g JOIN m ON g.store_sk = m.store_sk
+    WHERE 10 * g.rev <= 11 * m.min_rev
+    ORDER BY store_sk, item_sk
+    """,
+)
+def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q65 (each store's SLOWEST-moving items: per-store-item
+    revenue at most 110 % of that store's minimum item revenue — the
+    reference's slow-mover report). Two-level aggregate with a
+    re-join: g=(store,item)→rev, m=store→min(rev), filter ``10·rev ≤
+    11·min`` (integer, no floats). Plan: the second aggregate and the
+    join both key on store_sk, a prefix of g's grouping key — one real
+    shuffle on (store,item), then the min-per-store moves 12 rows and
+    BROADCASTS back. The window form (MIN OVER store) would be one
+    shuffle too; the join form is kept because the reference's
+    subquery structure is the point and the broadcast makes them
+    equivalent at any scale."""
+    ss = _channel(spark, sf_dir, "store")
+    dd = _date_dim(spark, sf_dir).filter(F.col("d_year") == 1995)
+    g = (
+        ss.join(F.broadcast(dd), ss.sold_date == dd.d_date)
+        .groupBy("store_sk", "item_sk")
+        .agg(F.sum("ext_cents").alias("rev"))
+    )
+    m = g.groupBy("store_sk").agg(F.min("rev").alias("min_rev"))
+    out = (
+        g.join(F.broadcast(m), on="store_sk")
+        .filter(10 * F.col("rev") <= 11 * F.col("min_rev"))
+        .select("store_sk", "item_sk", "rev")
+    )
+    return ordered(out, "store_sk", "item_sk")
+
+
+@query(
+    "tpcds_q79",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    tickets AS (
+      SELECT cust_sk, sold_date, store_sk,
+             SUM(profit_cp) AS ticket_profit, SUM(qty) AS ticket_qty
+      FROM store_sales
+      JOIN date_dim ON sold_date = d_date
+      WHERE d_year = 1995
+      GROUP BY cust_sk, sold_date, store_sk
+    ),
+    ranked AS (
+      SELECT cust_sk, sold_date, store_sk, ticket_profit, ticket_qty,
+             ROW_NUMBER() OVER (
+               PARTITION BY cust_sk
+               ORDER BY ticket_profit DESC, sold_date, store_sk
+             ) AS rn
+      FROM tickets
+    )
+    SELECT cust_sk, sold_date, store_sk, ticket_profit, ticket_qty
+    FROM ranked WHERE rn = 1
+    ORDER BY cust_sk
+    """,
+)
+def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q79 (every customer's single most profitable store
+    visit — ticket-level aggregation, then argmax-per-customer).
+    A (cust, date, store) "ticket" grouping stands in for the
+    reference's ss_ticket_number (the fixtures have no ticket ids);
+    the argmax is ROW_NUMBER with a TOTAL ordering (profit desc, then
+    date and store as tiebreakers) so both engines pick the same row
+    even on tied profits — exact BIGINT profit makes ties real, not
+    hypothetical. Plan: one shuffle to tickets, and the window
+    re-groups on the cust_sk PREFIX of the same key;
+    WindowGroupLimit keeps per-customer state at one running row."""
+    ss = _channel(spark, sf_dir, "store")
+    dd = _date_dim(spark, sf_dir).filter(F.col("d_year") == 1995)
+    tickets = (
+        ss.join(F.broadcast(dd), ss.sold_date == dd.d_date)
+        .groupBy("cust_sk", "sold_date", "store_sk")
+        .agg(
+            F.sum("profit_cp").alias("ticket_profit"),
+            F.sum("qty").alias("ticket_qty"),
+        )
+    )
+    w = Window.partitionBy("cust_sk").orderBy(
+        F.col("ticket_profit").desc(), F.col("sold_date"), F.col("store_sk")
+    )
+    out = (
+        tickets.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cust_sk", "sold_date", "store_sk", "ticket_profit", "ticket_qty"
+        )
+    )
+    return ordered(out, "cust_sk")
