@@ -40,6 +40,18 @@ of that self-containment and are kept byte-compatible by tests.
 m, "version": v}`` at planning time — the observability hook the
 pruning tests and ops dashboards read.
 
+Session-catalog DDL boundary (upstream, probed 2026-08-15): ``CREATE
+TABLE t USING kdis_snapshot OPTIONS (path ...)`` creates the catalog
+entry (schema inference receives the options, which arrive as a
+``file:`` URI — normalized by ``_localize``), but Spark 4.1 does NOT
+forward the stored options to ``reader()``/``writer()`` when the
+table is later scanned or INSERTed (probed: ``self.options`` is
+``{}``; same with LOCATION). SQL access therefore goes through a temp
+view over ``spark.read.format("kdis_snapshot")...load()`` — full
+pushdown pruning, q99zzza shape — and writes through the DataFrame
+writer. The day the catalog forwards options, DDL works with no
+change here.
+
 The format also WRITES — ``df.write.format("kdis_snapshot")
 .option("path", root).mode("append"|"overwrite").save()`` and
 ``df.writeStream.format("kdis_snapshot")`` — committing real snapshot
@@ -83,6 +95,19 @@ def _make():
 
     _LIST_KEYS = ("files", "dv_files", "tombstone_files")
     _MAP_KEYS = ("stats", "file_partitions")
+
+    def _localize(p):
+        """Catalog DDL (``CREATE TABLE ... USING kdis_snapshot OPTIONS
+        (path ...)``) hands the option through Spark's path resolution,
+        which arrives as a ``file:`` URI; the programmatic
+        ``option("path", ...)`` hands the raw string. Normalize both to
+        a local filesystem path (this source is explicitly
+        local/shared-filesystem, like the rest of the format)."""
+        if p and p.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            return unquote(urlparse(p).path)
+        return p
 
     # ---------------- manifest reading (delta-aware, self-contained)
     def _versions(mdir: str) -> list:
@@ -238,7 +263,7 @@ def _make():
 
     class SnapshotBatchReader(DataSourceReader):
         def __init__(self, options, schema_json: str):
-            self.root = options.get("path")
+            self.root = _localize(options.get("path"))
             if not self.root:
                 raise ValueError("kdis_snapshot: 'path' required")
             v = options.get("version")
@@ -537,7 +562,7 @@ def _make():
         def __init__(self, options, schema, overwrite: bool):
             from pyspark.sql import types as T
 
-            self.root = options.get("path")
+            self.root = _localize(options.get("path"))
             if not self.root:
                 raise ValueError("kdis_snapshot: 'path' required")
             self.overwrite = bool(overwrite)
@@ -859,7 +884,7 @@ def _make():
             return "kdis_snapshot"
 
         def _manifest_schema_json(self) -> str:
-            root = self.options.get("path", "")
+            root = _localize(self.options.get("path", ""))
             mdir = os.path.join(root, "_manifests")
             vs = _versions(mdir)
             if not vs:

@@ -274,3 +274,22 @@ def test_empty_partitions_write_no_files(spark, tmp_path):
     m = SnapshotTable(root).manifest()
     assert 0 < len(m["files"]) <= 3
     assert all(m["stats"][f]["_nrows"] > 0 for f in m["files"])
+
+
+def test_file_uri_paths_accepted(spark, tmp_path):
+    """Catalog DDL and some hadoop-side resolutions hand the path
+    option as a ``file:`` URI; the programmatic API hands a raw path.
+    Both must address the same table (the _localize normalization)."""
+    root = str(tmp_path / "t")
+    _write(_ks(spark, 0, 10), root)
+    via_uri = (
+        spark.read.format("kdis_snapshot")
+        .option("path", "file://" + root)
+        .load()
+    )
+    assert via_uri.count() == 10
+    # and the writer side
+    _ks(spark, 10, 15).write.format("kdis_snapshot").option(
+        "path", "file://" + root
+    ).mode("append").save()
+    assert SnapshotTable(root).read(spark).count() == 15
