@@ -1111,3 +1111,69 @@ def test_random_cdc_on_bloom_table_matches_plain(spark, tmp_path, seed):
     )
     want = sorted(t for t in got_b if t[0] in set(probe))
     assert via_keys == want, (seed, mode, bits, as_str)
+
+
+# family 18 (round 9): the DECLARATIVE WRITER is commit-equivalent.
+# The same random batch sequence — appends, occasional overwrites,
+# occasional subset-schema appends, random rows-per-file rolling,
+# blooms on or off — lands once through df.write.format(
+# "kdis_snapshot") and once through SnapshotTable.commit; the two
+# tables must read identically, evolve identically under a subsequent
+# DML, and expose the same public schema. Any divergence means the
+# writer's manifest protocol drifted from the table's own (field ids,
+# file lists, carried extras) — the one bug class interop tests with
+# fixed shapes can miss.
+
+
+@pytest.mark.parametrize("seed", _seeds(6))
+def test_random_writer_sequence_matches_snapshot_commit(spark, tmp_path, seed):
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+    from kafka_database_import_spark.sources.snapshot_batch import register
+
+    register(spark)
+    rng = random.Random(870_000 + seed)
+    ds_root = str(tmp_path / "ds")
+    st_root = str(tmp_path / "st")
+    mrpf = rng.choice([0, 37, 100])
+    bloom = rng.random() < 0.5
+    lo = 0
+    for i in range(rng.randint(2, 5)):
+        n = rng.randint(1, 400)
+        mode = "overwrite" if (i and rng.random() < 0.25) else "append"
+        subset = bool(i) and mode == "append" and rng.random() < 0.3
+        df = spark.range(lo, lo + n).selectExpr(
+            "id AS k", "cast(id % 7 as string) AS s"
+        )
+        lo += n
+        if subset:
+            df = df.select("k")
+        w = df.write.format("kdis_snapshot").option("path", ds_root)
+        if mrpf:
+            w = w.option("maxRecordsPerFile", str(mrpf))
+        if bloom:
+            w = w.option("bloomCols", "k").option("bloomBits", "4096")
+        w.mode(mode).save()
+        tbl = SnapshotTable(
+            st_root,
+            bloom_cols=["k"] if bloom else None,
+            bloom_bits=4096,
+        )
+        if mrpf:
+            tbl.max_records_per_file = mrpf
+        tbl.commit(df, mode=mode)
+
+    def rows(root):
+        return sorted(
+            (r["k"], r["s"]) for r in SnapshotTable(root).read(spark).collect()
+        )
+
+    assert rows(ds_root) == rows(st_root)
+    a = SnapshotTable(ds_root).read(spark).schema.simpleString()
+    b = SnapshotTable(st_root).read(spark).schema.simpleString()
+    assert a == b, (a, b)
+    # both tables must take the same DML the same way afterwards
+    for root in (ds_root, st_root):
+        SnapshotTable(root).delete_where(spark, F.col("k") % 5 == 0)
+    assert rows(ds_root) == rows(st_root)
