@@ -158,6 +158,47 @@ def _make():
                 full[k] = base
         return full
 
+    def _encode_delta(full: dict, parent: dict) -> "dict | None":
+        """Byte-compatible copy of snapshot._encode_manifest_delta
+        (pinned by test): the writer publishes DELTA manifests on the
+        same cadence as SnapshotTable._publish, because at a
+        million-file table an append that rewrote the FULL manifest
+        would make commit cost O(table) instead of O(commit) — the
+        scale asymmetry this closes. None = store the full form."""
+        delta = {
+            k: v
+            for k, v in full.items()
+            if k not in _LIST_KEYS and k not in _MAP_KEYS
+        }
+        delta["delta_of"] = parent["version"]
+        present = [
+            k for k in (*_LIST_KEYS, *_MAP_KEYS) if k in full and not full[k]
+        ]
+        if present:
+            delta["empty_keys"] = present
+        for k in _LIST_KEYS:
+            new, old = full.get(k, []), parent.get(k, [])
+            new_set, old_set = set(new), set(old)
+            add = [f for f in new if f not in old_set]
+            rem = [f for f in old if f not in new_set]
+            if [f for f in old if f in new_set] + add != new:
+                return None
+            if add:
+                delta[k + "_add"] = add
+            if rem:
+                delta[k + "_remove"] = rem
+        for k in _MAP_KEYS:
+            new, old = full.get(k, {}), parent.get(k, {})
+            upsert = {
+                f: v for f, v in new.items() if f not in old or old[f] != v
+            }
+            unset = [f for f in old if f not in new]
+            if upsert:
+                delta[k + "_set"] = upsert
+            if unset:
+                delta[k + "_unset"] = unset
+        return delta
+
     def _manifest(mdir: str, v: int) -> dict:
         chain: list = []
         cur = v
@@ -825,10 +866,21 @@ def _make():
                     manifest["dv_files"] = dv
                 if epoch_id is not None:
                     manifest["epoch_id"] = epoch_id
+                full_json = json.dumps(manifest)
+                payload = full_json
+                # delta-encode against the head on SnapshotTable's own
+                # cadence (full checkpoint every 25 versions) so chain
+                # walks stay bounded and appends stay O(commit)
+                if head is not None and version % 25 != 0:
+                    d = _encode_delta(manifest, m)
+                    if d is not None:
+                        dj = json.dumps(d)
+                        if len(dj) < 0.6 * len(full_json):
+                            payload = dj
                 fd, tmp = _tf.mkstemp(dir=mdir, suffix=".tmp")
                 try:
                     with os.fdopen(fd, "w") as f:
-                        f.write(json.dumps(manifest))
+                        f.write(payload)
                     try:
                         os.link(tmp, os.path.join(mdir, f"v{version}.json"))
                         return

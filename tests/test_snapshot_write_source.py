@@ -293,3 +293,44 @@ def test_file_uri_paths_accepted(spark, tmp_path):
         "path", "file://" + root
     ).mode("append").save()
     assert SnapshotTable(root).read(spark).count() == 15
+
+
+def test_writer_publishes_delta_manifests_on_table_cadence(spark, tmp_path):
+    """Appends through the DataSource must store DELTA manifests (like
+    SnapshotTable._publish) so commit cost stays O(commit), not
+    O(table), at million-file scale — and the chain must read
+    identically through both the table and the batch source."""
+    root = str(tmp_path / "t")
+    for i in range(4):
+        _write(spark.range(i * 10, i * 10 + 10).selectExpr("id AS k"), root)
+    raw = {
+        v: json.load(open(os.path.join(root, "_manifests", f"v{v}.json")))
+        for v in (1, 2, 3, 4)
+    }
+    assert "delta_of" not in raw[1]  # first commit is a full manifest
+    assert raw[3]["delta_of"] == 2 and raw[4]["delta_of"] == 3
+    assert SnapshotTable(root).read(spark).count() == 40
+    got = (
+        spark.read.format("kdis_snapshot").option("path", root).load().count()
+    )
+    assert got == 40
+
+
+def test_writer_delta_byte_compatible_with_snapshot_encoder(spark, tmp_path):
+    """The duplicated delta encoder must produce EXACTLY what
+    snapshot._encode_manifest_delta produces for the same
+    (full, parent) pair — drift here would corrupt chain reads."""
+    from kafka_database_import_spark.sources import snapshot as S
+
+    root = str(tmp_path / "t")
+    for i in range(3):
+        _write(
+            spark.range(i * 10, i * 10 + 10).selectExpr("id AS k"),
+            root,
+            bloomCols="k",
+            bloomBits=4096,
+        )
+    tbl = SnapshotTable(root)
+    raw3 = json.load(open(os.path.join(root, "_manifests", "v3.json")))
+    expect = S._encode_manifest_delta(tbl.manifest(3), tbl.manifest(2))
+    assert raw3 == expect
