@@ -272,7 +272,14 @@ def _make():
         return False
 
     # ---------------- per-file projected read (executor-side)
-    def _batches(path: str, schema_json: str):
+    def _batches(path: str, schema_json: str, deletes=None):
+        """Arrow batches of one data file projected to the requested
+        schema; ``deletes`` is this FILE's sorted merge-on-read deleted
+        row positions (parquet row index, the same ``_metadata
+        .row_index`` domain ``SnapshotTable._write_dv`` recorded) —
+        masked out with a running offset as batches stream, so the
+        declarative read returns exactly ``SnapshotTable.read``'s
+        DV-anti-joined rows without any Spark-side join."""
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql import types as T
@@ -282,8 +289,21 @@ def _make():
         target = to_arrow_schema(struct)
         table = pq.read_table(path)
         present = set(table.schema.names)
+        offset = 0
         for batch in table.to_batches():
             n = batch.num_rows
+            if deletes:
+                import bisect
+
+                lo = bisect.bisect_left(deletes, offset)
+                hi = bisect.bisect_left(deletes, offset + n)
+                if lo != hi:
+                    keep = [True] * n
+                    for p in deletes[lo:hi]:
+                        keep[p - offset] = False
+                    batch = batch.filter(pa.array(keep))
+            offset += n
+            m = batch.num_rows
             arrays = []
             for field in target:
                 if field.name in present:
@@ -294,13 +314,40 @@ def _make():
                         col = col.cast(field.type)
                     arrays.append(col)
                 else:
-                    arrays.append(pa.nulls(n, field.type))
+                    arrays.append(pa.nulls(m, field.type))
             yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
+    def _load_dv_positions(root: str, dv_files: list) -> dict:
+        """k3 → sorted deleted row positions, read driver-side at
+        planning time. DVs are bounded by the format's own contract —
+        ``SnapshotTable``'s read path BROADCASTS the whole vector set
+        for its anti-join (snapshot.py _write_dv docstring), so loading
+        the same rows here is the same memory bound, and each
+        InputPartition then ships only ITS file's positions (O(that
+        file's deletes), not O(all deletes))."""
+        import pyarrow.parquet as pq
+
+        by_k3: dict = {}
+        for rel in dv_files:
+            t = pq.read_table(os.path.join(root, rel), columns=["k3", "pos"])
+            for k3, pos in zip(
+                t.column("k3").to_pylist(), t.column("pos").to_pylist()
+            ):
+                by_k3.setdefault(k3, set()).add(pos)
+        return {k: sorted(v) for k, v in by_k3.items()}
+
+    def _k3(rel: str) -> str:
+        """Relocation-proof file identity: last three path components —
+        byte-compatible with snapshot._file_key3's
+        ``concat_ws("/", slice(split(file_path, "/"), -3, 3))`` (the
+        DV build side records k3 off the scan's ``_metadata`` path)."""
+        return "/".join(rel.replace(os.sep, "/").split("/")[-3:])
+
     class ScanPartition(InputPartition):
-        def __init__(self, path: str, schema_json: str):
+        def __init__(self, path: str, schema_json: str, deletes=None):
             self.path = path
             self.schema_json = schema_json
+            self.deletes = deletes
 
     class SnapshotBatchReader(DataSourceReader):
         def __init__(self, options, schema_json: str):
@@ -416,13 +463,11 @@ def _make():
                 )
             v = self.version if self.version is not None else vs[-1]
             m = _manifest(mdir, v)
-            if m.get("dv_files"):
-                raise ValueError(
-                    f"kdis_snapshot: version {v} carries merge-on-read "
-                    f"deletion vectors — the DV anti-join is a Spark-side "
-                    f"plan; read this table via SnapshotTable.read() or "
-                    f"compact() it first"
-                )
+            dv_by_k3 = (
+                _load_dv_positions(self.root, m["dv_files"])
+                if m.get("dv_files")
+                else {}
+            )
             files = list(m.get("files", []))
             total = len(files)
             stats = m.get("stats", {})
@@ -459,13 +504,17 @@ def _make():
                 os.replace(tmp, self.report_path)
             return [
                 ScanPartition(
-                    os.path.join(self.root, f), self.schema_json
+                    os.path.join(self.root, f),
+                    self.schema_json,
+                    dv_by_k3.get(_k3(f)),
                 )
                 for f in files
             ]
 
         def read(self, partition):
-            yield from _batches(partition.path, partition.schema_json)
+            yield from _batches(
+                partition.path, partition.schema_json, partition.deletes
+            )
 
     # ---------------- write side: immutable files on executors, one
     # manifest link on the driver — the same two-phase shape as
