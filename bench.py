@@ -146,9 +146,8 @@ def main() -> None:
     prev, prev_src = _load_prev_bench(sf_val)
     if prev:
         pq, pc = prev.get("queries", {}), prev.get("calib_s")
-        scale = (pc / calib) if (pc and calib) else 1.0
         result["vs_prev"] = {
-            k: round(v / (pq[k] * scale), 2)
+            k: round(_vs_prev_ratio(v, calib, pq[k], pc), 2)
             for k, v in timings.items()
             if pq.get(k)
         }
@@ -166,6 +165,23 @@ def main() -> None:
             )
     _append_local_record(result)
     print(json.dumps(result))
+
+
+def _vs_prev_ratio(cur_s, cur_calib, prev_s, prev_calib) -> float:
+    """Host-corrected slowdown ratio vs the previous round (>1 =
+    slower): each round's seconds are first divided by its OWN
+    ``calib_s`` (host work units), then the units are compared —
+    ``(cur/cur_calib) / (prev/prev_calib)``. Identical work on a host
+    of any speed therefore ratios to 1.0 exactly. Falls back to the
+    raw-seconds ratio when either calibration is missing. (Round 10
+    shipped this inverted — ``scale = prev_calib/cur_calib`` then
+    dividing — which MULTIPLIED the raw ratio by calib/pc instead of
+    dividing, inflating every published r10 ratio by (0.126/0.096)² ≈
+    1.72×; the pure-unit test in tests/test_bench_units.py pins the
+    law so it cannot regress silently.)"""
+    if cur_calib and prev_calib:
+        return (cur_s / cur_calib) / (prev_s / prev_calib)
+    return cur_s / prev_s
 
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -228,10 +244,10 @@ def _load_prev_bench(sf) -> tuple[dict, str]:
             continue
         if rec.get("round", cur) < cur and rec.get("sf") == sf and rec.get("queries"):
             return rec, f"BENCH_LOCAL.jsonl round {rec['round']}"
-    return _load_prev_from_wrappers()
+    return _load_prev_from_wrappers(sf)
 
 
-def _load_prev_from_wrappers() -> tuple[dict, str]:
+def _load_prev_from_wrappers(sf=None) -> tuple[dict, str]:
     import glob
     import re
 
@@ -279,6 +295,12 @@ def _load_prev_from_wrappers() -> tuple[dict, str]:
                     p = None
         if not p and "queries" in d:
             p, src = d, os.path.basename(path)
+        # a wrapper recorded at a DIFFERENT scale factor is not a valid
+        # comparison base (ADVICE r10): skip when the payload names its
+        # sf and it differs; payloads reconstructed from queries_norm
+        # carry no sf and are conservatively accepted
+        if p and sf is not None and "sf" in p and p["sf"] != sf:
+            continue
         if p:
             best, best_r, best_src = p, r, src
     return best, best_src
