@@ -2718,3 +2718,58 @@ def q99zzzd_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("qty"))
     )
     return ordered(out, "priority")
+
+
+@query("q99zzze_mor_datasource_read", oracle=_DSW_ORACLE)
+def q99zzze_mor_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes visible through the DECLARATIVE source —
+    the read half that completes q99zzzb's write half: a cold scratch
+    table takes two STACKED MOR deletes (``delete_where(mode="mor")``
+    writes deletion-vector sidecars, no data file rewritten), then
+    ``spark.read.format("kdis_snapshot")`` must return exactly the
+    surviving rows — the source loads the surviving files' DV
+    positions at planning time (after file pruning) and masks them
+    executor-side per Arrow batch, no Spark-side anti-join
+    (sources/snapshot_batch.py ``_batches``). The two deletes remove
+    ``o_orderkey % 6 IN (2, 5)`` — together exactly ``% 3 = 2`` — so
+    the oracle is the same ``% 3 IN (0, 1)`` aggregation the writer
+    queries use: a single resurrected or double-masked row flips the
+    hash. The build cross-asserts the DataSource scan against
+    ``SnapshotTable.read`` (broadcast anti-join path), so the two MOR
+    read implementations watch each other every round. 100 TB shape:
+    DV load is O(surviving files' deletes) driver-side, masks ship
+    per-file to executors — reference parity: per-row skip discipline
+    of kafka-database-import.go:188-197 applied to deleted rows."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+    from kafka_database_import_spark.sources.snapshot_batch import register
+
+    register(spark)
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_morq_{tag}")
+    _sh.rmtree(root, ignore_errors=True)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    tbl = SnapshotTable(root)
+    tbl.commit(base)
+    tbl.delete_where(spark, "o_orderkey % 6 = 2", mode="mor")
+    tbl.delete_where(spark, "o_orderkey % 6 = 5", mode="mor")
+    assert tbl.manifest().get("dv_files"), "MOR deletes must leave DVs"
+    ds = (
+        spark.read.format("kdis_snapshot").option("path", root).load()
+    )
+    # the two MOR read paths must agree row-for-row
+    assert ds.exceptAll(tbl.read(spark)).isEmpty()
+    assert tbl.read(spark).exceptAll(ds).isEmpty()
+    out = (
+        ds.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    return ordered(out, "priority")

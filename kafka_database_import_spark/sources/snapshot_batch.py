@@ -22,10 +22,16 @@ is "a handful of files" vs "a million-file scan". Reference parity:
 the $in semi-join of kafka-database-import.go:148-170 resolved at
 planning time.
 
-Boundaries, loud by design: a version carrying merge-on-read deletion
-vectors refuses batch-source reads (the DV anti-join is a Spark-side
-plan — use ``SnapshotTable.read``); range pruning compares only
-like-typed (numeric/string) stats; bloom probing covers
+Merge-on-read deletion vectors are applied IN the source: at planning
+time (after file pruning) the driver loads the surviving files' DV
+positions — the same O(deletes) bound as ``SnapshotTable.read``'s
+broadcast anti-join, but scoped to files that survived
+partition/stats/bloom pruning — and each ``InputPartition`` carries
+only ITS file's sorted positions, masked out executor-side as Arrow
+batches stream (``_batches``), so the declarative scan of a
+DV-carrying version equals ``SnapshotTable.read`` row-for-row with no
+Spark-side join. Other boundaries, loud by design: range pruning
+compares only like-typed (numeric/string) stats; bloom probing covers
 int/string/bool/date/binary equality values (timestamps decline —
 pushed literals arrive session-zone-naive and must not false-reject).
 
@@ -61,14 +67,23 @@ min/max stats recorded per file, optional bloom sidecars via
 ``option("bloomCols", "a,b")``), so a table written here reads, DMLs,
 time-travels, and streams through every existing path. Executors
 write immutable parquet files directly (Arrow batches → one file per
-task, rolled at ``option("maxRecordsPerFile", n)``); the driver-side
-``commit()`` assembles and links the manifest, auto-rebasing lost
-append races exactly like ``SnapshotTable.commit``. Loud boundaries:
-schema evolution (new/retyped columns) and partitioned specs go
-through ``SnapshotTable`` — this writer requires the incoming columns
-to be a same-typed subset of the head schema (equal set for
-overwrite); the streaming sink is append-only and skips a replayed
-micro-batch when the head version already carries its epoch id.
+task × partition tuple, rolled at ``option("maxRecordsPerFile", n)``);
+the driver-side ``commit()`` assembles and links the manifest,
+auto-rebasing lost append races exactly like ``SnapshotTable.commit``.
+``option("mergeSchema", "true")`` enables additive schema evolution
+under ``SnapshotTable.commit``'s exact rules (new columns minted fresh
+field ids, safe widening keeps the field id, type CHANGES always
+refused); without it the incoming columns must be a same-typed subset
+of the head schema (equal set for overwrite). An active partition
+spec is honored: each row's transformed partition tuple is computed
+executor-side (the Python mirror of the table's write expressions),
+files land hive-style, and the manifest records the same typed tuples
+``commit`` would — pruning parity by construction. The writer cannot
+inject an Exchange, so pre-``repartition`` big partitioned appends by
+the spec columns. The streaming sink is append-only and skips a
+replayed micro-batch when ANY committed manifest carries its epoch id
+(all-manifests scan, robust to foreign appends landing between a
+crash and the restart replay).
 """
 
 from __future__ import annotations
@@ -317,19 +332,27 @@ def _make():
                     arrays.append(pa.nulls(m, field.type))
             yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
-    def _load_dv_positions(root: str, dv_files: list) -> dict:
+    def _load_dv_positions(root: str, dv_files: list, keep_k3s) -> dict:
         """k3 → sorted deleted row positions, read driver-side at
-        planning time. DVs are bounded by the format's own contract —
-        ``SnapshotTable``'s read path BROADCASTS the whole vector set
-        for its anti-join (snapshot.py _write_dv docstring), so loading
-        the same rows here is the same memory bound, and each
-        InputPartition then ships only ITS file's positions (O(that
-        file's deletes), not O(all deletes))."""
+        planning time AFTER file pruning: ``keep_k3s`` is the surviving
+        files' key set, so DV rows for pruned files are dropped at the
+        Arrow filter — the loaded set is O(surviving files' deletes),
+        strictly <= the O(all deletes) SnapshotTable.read BROADCASTS
+        for its anti-join (snapshot.py _write_dv docstring). Each
+        InputPartition then ships only ITS file's positions."""
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        keys = pa_keys = None
         by_k3: dict = {}
         for rel in dv_files:
             t = pq.read_table(os.path.join(root, rel), columns=["k3", "pos"])
+            if pa_keys is None:
+                import pyarrow as pa
+
+                keys = sorted(keep_k3s)
+                pa_keys = pa.array(keys, type=t.column("k3").type)
+            t = t.filter(pc.is_in(t.column("k3"), value_set=pa_keys))
             for k3, pos in zip(
                 t.column("k3").to_pylist(), t.column("pos").to_pylist()
             ):
@@ -463,11 +486,6 @@ def _make():
                 )
             v = self.version if self.version is not None else vs[-1]
             m = _manifest(mdir, v)
-            dv_by_k3 = (
-                _load_dv_positions(self.root, m["dv_files"])
-                if m.get("dv_files")
-                else {}
-            )
             files = list(m.get("files", []))
             total = len(files)
             stats = m.get("stats", {})
@@ -489,6 +507,16 @@ def _make():
                 and self._keep_by_partition(fp.get(f, {}))
                 and self._keep_by_bloom(f, canons_by_col)
             ]
+            # DV positions load AFTER pruning, scoped to survivors —
+            # a point lookup on a heavily-MOR'd table never pays for
+            # pruned files' delete vectors
+            dv_by_k3 = (
+                _load_dv_positions(
+                    self.root, m["dv_files"], {_k3(f) for f in files}
+                )
+                if m.get("dv_files") and files
+                else {}
+            )
             if self.report_path:
                 import tempfile
 
@@ -636,9 +664,149 @@ def _make():
                 out[col] = [lo, hi]
         return out
 
+    def _merge_schema_json(prev_m: dict, new_schema) -> str:
+        """Byte-compatible twin of snapshot._merge_schema (pinned by
+        the writer-evolution tests + fuzz family 18): previous fields +
+        any NEW fields in stable order, new fields minted fresh ids no
+        live or dropped (tombstoned) column ever used, same-name SAFE
+        widening (tinyint→smallint→int→bigint, float→double — Iceberg's
+        promotion set, physically decodable in either commit order)
+        adopts the wider type keeping the field's id, any other type
+        change refused."""
+        from pyspark.sql import types as T
+
+        chains = (
+            ["tinyint", "smallint", "int", "bigint"],
+            ["float", "double"],
+        )
+        prev = T.StructType.fromJson(json.loads(prev_m["schema"]))
+        by_name = {f.name: f for f in prev.fields}
+        ids = {
+            f.name: f.metadata[_FIELD_ID_KEY]
+            for f in prev.fields
+            if f.metadata and _FIELD_ID_KEY in f.metadata
+        }
+        next_id = max([*ids.values(), *prev_m.get("dropped_ids", []), 0]) + 1
+        merged = list(prev.fields)
+        for f in new_schema.fields:
+            if f.name in by_name:
+                pf = by_name[f.name]
+                w = pf.dataType if pf.dataType == f.dataType else None
+                if w is None:
+                    an = pf.dataType.simpleString()
+                    bn = f.dataType.simpleString()
+                    for chain in chains:
+                        if an in chain and bn in chain:
+                            w = (
+                                pf.dataType
+                                if chain.index(an) >= chain.index(bn)
+                                else f.dataType
+                            )
+                if w is None:
+                    raise ValueError(
+                        f"kdis_snapshot: column {f.name!r}: "
+                        f"{pf.dataType.simpleString()} -> "
+                        f"{f.dataType.simpleString()} is a type CHANGE, "
+                        f"not evolution — refused even under mergeSchema"
+                    )
+                if w != pf.dataType:  # widen in place, keep identity
+                    merged[merged.index(pf)] = T.StructField(
+                        pf.name, w, pf.nullable, pf.metadata
+                    )
+            else:
+                meta = dict(f.metadata or {})
+                meta.pop(_FIELD_ID_KEY, None)
+                if ids:  # id-table: stamp the newcomer
+                    meta[_FIELD_ID_KEY] = next_id
+                    next_id += 1
+                merged.append(
+                    T.StructField(f.name, f.dataType, f.nullable, meta or None)
+                )
+        return T.StructType(merged).json()
+
+    # ---------------- partition-spec write support: the driver-side
+    # Python mirror of snapshot._PartitionField (py_apply + _canon_pv,
+    # byte-compatible by the pruning-parity test) — the writer computes
+    # each row's TRANSFORMED partition tuple executor-side and records
+    # it in the manifest directly, so partition pruning of a
+    # declaratively-appended file is identical to a commit-written one.
+    _INT_PTYPES = ("tinyint", "smallint", "int", "bigint")
+    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+    import re as _re
+
+    _SPEC_ENTRY_RE = _re.compile(
+        r"^\s*(year|month|day|bucket|truncate)\s*\(\s*"
+        r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+    )
+
+    def _canon_pv(value, t: str):
+        if value is None:
+            return None
+        if t in _INT_PTYPES:
+            return int(value)
+        if t == "boolean":
+            if isinstance(value, str):
+                return value.lower() == "true"
+            return bool(value)
+        return str(value)
+
+    def _pv_fn(transform: str, param, t: str):
+        """value -> canonical partition value for one spec field.
+        String forms ride str(value): datetime.date/datetime give ISO
+        text, exactly the domain snapshot._PartitionField.py_apply
+        maps filter literals through — the two sides must agree or
+        pruning would silently diverge from placement."""
+        import zlib as _z
+
+        if transform == "identity":
+            return lambda v: _canon_pv(v, t)
+        if transform == "year":
+            return lambda v: None if v is None else int(str(v)[:4])
+        if transform == "month":
+            return lambda v: None if v is None else str(v)[:7]
+        if transform == "day":
+            return lambda v: None if v is None else str(v)[:10]
+        if transform == "bucket":
+            return (
+                lambda v: None
+                if v is None
+                else _z.crc32(str(v).encode("utf-8")) % param
+            )
+        # truncate
+        if t in _INT_PTYPES:
+            return lambda v: None if v is None else int(v) - (int(v) % param)
+        return lambda v: None if v is None else str(v)[: param]
+
+    def _parse_spec(spec: list, types: dict) -> list:
+        """[(field_name, source_col, value_fn)] for an active spec —
+        the same entry grammar as snapshot._parse_spec_entry (the spec
+        was validated against the schema when it was set; this parse
+        trusts the manifest)."""
+        out = []
+        for entry in spec:
+            m = _SPEC_ENTRY_RE.match(entry)
+            if m is None:
+                src, tf, p = entry.strip(), "identity", None
+            else:
+                tf, p, src = m.group(1), m.group(2), m.group(3)
+                p = int(p) if p is not None else None
+            if src not in types:
+                raise ValueError(
+                    f"kdis_snapshot: partition spec entry {entry!r}: no "
+                    f"column {src!r} in the table schema"
+                )
+            name = (
+                src
+                if tf == "identity"
+                else f"{src}_{tf}{p if p is not None else ''}"
+            )
+            out.append((name, src, _pv_fn(tf, p, types[src])))
+        return out
+
     class WriteMessage(WriterCommitMessage):
         def __init__(self, entries):
-            self.entries = entries  # [(rel_path, stats_dict), ...]
+            self.entries = entries  # [(rel_path, stats_dict, fp|None), ...]
 
     class _WriterCore:
         """Shared machinery of the batch and streaming writers. The
@@ -680,6 +848,8 @@ def _make():
             # this plan was computed against and refuse at commit if it
             # moved
             self.head_at_plan = head
+            self.pfields = None  # active partition spec, parsed
+            self.spec_at_plan = None
             if head is None:
                 # fresh table: mint field ids 1..n — byte-compatible
                 # with snapshot._fresh_schema_json
@@ -696,13 +866,6 @@ def _make():
                 self.base_schema_json = None
             else:
                 m = _manifest(mdir, head)
-                if m.get("partition_spec"):
-                    raise ValueError(
-                        "kdis_snapshot: table has an active partition spec — "
-                        "partitioned writes (hive layout + hash distribution "
-                        "+ typed partition tuples) go through "
-                        "SnapshotTable.commit"
-                    )
                 tbl_struct = T.StructType.fromJson(json.loads(m["schema"]))
                 tbl_types = {
                     f.name: f.dataType.simpleString() for f in tbl_struct.fields
@@ -710,21 +873,52 @@ def _make():
                 mine = {
                     f.name: f.dataType.simpleString() for f in schema.fields
                 }
-                bad = sorted(
-                    c
-                    for c, t in mine.items()
-                    if c not in tbl_types or tbl_types[c] != t
+                merge = (
+                    str(options.get("mergeSchema", "false")).lower() == "true"
                 )
-                if bad or (self.overwrite and set(mine) != set(tbl_types)):
-                    raise ValueError(
-                        f"kdis_snapshot: incoming schema does not match the "
-                        f"table ({bad or sorted(set(tbl_types) - set(mine))} "
-                        f"differ) — schema evolution (new/retyped/dropped "
-                        f"columns) goes through SnapshotTable.commit, which "
-                        f"owns field-id minting"
+                if merge:
+                    # additive evolution under the SAME rules as
+                    # SnapshotTable.commit (_merge_schema_json is its
+                    # byte-compatible twin): new columns get fresh field
+                    # ids no live or dropped column ever used, same-name
+                    # safe widening adopts the wider type, any other
+                    # type change still refuses loudly
+                    self.schema_json = _merge_schema_json(m, schema)
+                else:
+                    bad = sorted(
+                        c
+                        for c, t in mine.items()
+                        if c not in tbl_types or tbl_types[c] != t
                     )
-                self.schema_json = m["schema"]
+                    if bad or (self.overwrite and set(mine) != set(tbl_types)):
+                        raise ValueError(
+                            f"kdis_snapshot: incoming schema does not match "
+                            f"the table ({bad or sorted(set(tbl_types) - set(mine))} "
+                            f"differ) — pass option('mergeSchema', 'true') "
+                            f"for additive evolution (new columns, safe "
+                            f"widening); type CHANGES are never accepted"
+                        )
+                    self.schema_json = m["schema"]
                 self.base_schema_json = m["schema"]
+                spec = m.get("partition_spec")
+                if spec:
+                    struct_types = {
+                        f.name: f.dataType.simpleString()
+                        for f in T.StructType.fromJson(
+                            json.loads(self.schema_json)
+                        ).fields
+                    }
+                    self.pfields = _parse_spec(spec, struct_types)
+                    missing = [
+                        s for _n, s, _f in self.pfields if s not in mine
+                    ]
+                    if missing:
+                        raise ValueError(
+                            f"kdis_snapshot: partitioned write: spec "
+                            f"column(s) {missing} missing from the data "
+                            f"(have {sorted(mine)})"
+                        )
+                self.spec_at_plan = spec
             struct = T.StructType.fromJson(json.loads(self.schema_json))
             self.field_ids = {
                 f.name: f.metadata[_FIELD_ID_KEY]
@@ -741,6 +935,19 @@ def _make():
 
         # -------- executor side
         def write(self, it):
+            """One immutable parquet file per (task × partition tuple),
+            rolled at maxRecordsPerFile. Under an active spec each
+            row's TRANSFORMED tuple is computed here (the Python mirror
+            of the table's write-path expressions) and files land in
+            hive-style ``__p_<field>=<value>`` subdirs with the tuple
+            recorded in the commit message — manifest-side pruning of a
+            declarative append is identical to a commit-written file.
+            Scale note: the writer cannot inject an Exchange, so an
+            input NOT clustered by the spec columns fans out to one
+            file per (task × value) — callers append-ing big
+            partitioned data should ``df.repartition(<spec cols>)``
+            first, the same hash-distribution SnapshotTable._write_data
+            applies automatically."""
             import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark import TaskContext
@@ -749,15 +956,20 @@ def _make():
             pid = tc.partitionId() if tc else 0
             tid = tc.taskAttemptId() if tc else 0
             entries: list = []
-            seq = 0
-            buf: list = []
-            buf_rows = 0
+            seqs: dict = {}
+            bufs: dict = {}  # tuple key -> [batch list, row count]
 
-            def _flush():
-                nonlocal seq, buf, buf_rows
-                if not buf_rows:
+            from urllib.parse import quote as _quote
+
+            def _frag(name, v) -> str:
+                s = _HIVE_NULL if v is None else _quote(str(v), safe="")
+                return f"__p_{name}={s}"
+
+            def _flush(key):
+                buf = bufs.get(key)
+                if not buf or not buf[1]:
                     return
-                tbl = pa.Table.from_batches(buf)
+                tbl = pa.Table.from_batches(buf[0])
                 if self.field_ids:
                     fields = [
                         f.with_metadata(
@@ -772,8 +984,19 @@ def _make():
                         for f in tbl.schema
                     ]
                     tbl = tbl.cast(pa.schema(fields))
+                seq = seqs.get(key, 0)
+                seqs[key] = seq + 1
+                parts = (
+                    [
+                        _frag(n, v)
+                        for (n, _s, _f), v in zip(self.pfields, key)
+                    ]
+                    if self.pfields
+                    else []
+                )
                 rel = os.path.join(
-                    self.rel_dir, f"part-{pid:05d}-{tid}-{seq}.parquet"
+                    self.rel_dir, *parts,
+                    f"part-{pid:05d}-{tid}-{seq}.parquet",
                 )
                 path = os.path.join(self.root, rel)
                 os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -782,22 +1005,51 @@ def _make():
                     _build_sidecar(
                         self.root, rel, self.bloom_cols, self.bloom_bits
                     )
-                entries.append((rel, _footer_stats(path, self.stats_cols)))
-                seq += 1
-                buf, buf_rows = [], 0
+                fp = (
+                    {n: v for (n, _s, _f), v in zip(self.pfields, key)}
+                    if self.pfields
+                    else None
+                )
+                entries.append((rel, _footer_stats(path, self.stats_cols), fp))
+                bufs[key] = [[], 0]
+
+            def _add(key, piece):
+                buf = bufs.setdefault(key, [[], 0])
+                while piece.num_rows:
+                    take = (
+                        min(piece.num_rows, self.max_rpf - buf[1])
+                        if self.max_rpf
+                        else piece.num_rows
+                    )
+                    buf[0].append(piece.slice(0, take))
+                    buf[1] += take
+                    piece = piece.slice(take)
+                    if self.max_rpf and buf[1] >= self.max_rpf:
+                        _flush(key)
+                        buf = bufs[key]
 
             for batch in it:
-                while batch.num_rows:
-                    if self.max_rpf:
-                        take = min(batch.num_rows, self.max_rpf - buf_rows)
-                    else:
-                        take = batch.num_rows
-                    buf.append(batch.slice(0, take))
-                    buf_rows += take
-                    batch = batch.slice(take)
-                    if self.max_rpf and buf_rows >= self.max_rpf:
-                        _flush()
-            _flush()
+                if not self.pfields:
+                    _add((), batch)
+                    continue
+                cols = [
+                    batch.column(batch.schema.get_field_index(src)).to_pylist()
+                    for _n, src, _f in self.pfields
+                ]
+                groups: dict = {}
+                for i in range(batch.num_rows):
+                    k = tuple(
+                        f(c[i])
+                        for (_n2, _s2, f), c in zip(self.pfields, cols)
+                    )
+                    groups.setdefault(k, []).append(i)
+                if len(groups) == 1:
+                    _add(next(iter(groups)), batch)
+                else:
+                    for k, idxs in groups.items():
+                        _add(k, batch.take(pa.array(idxs, type=pa.int64())))
+            for key in list(bufs):
+                _flush(key)
             return WriteMessage(entries)
 
         # -------- driver side
@@ -810,7 +1062,8 @@ def _make():
             ]
 
         def _discard(self, entries) -> None:
-            for rel, _st in entries:
+            for e in entries:
+                rel = e[0]
                 for p in (
                     os.path.join(self.root, rel),
                     os.path.join(self.root, rel + ".bloom"),
@@ -819,8 +1072,13 @@ def _make():
                         os.unlink(p)
                     except OSError:
                         pass
-            dirs = {os.path.dirname(rel) for rel, _st in entries}
-            for d in sorted(dirs, reverse=True):
+            dirs: set = set()
+            for e in entries:  # hive layout nests: collect every level
+                d = os.path.dirname(e[0])
+                while d and d != "data":
+                    dirs.add(d)
+                    d = os.path.dirname(d)
+            for d in sorted(dirs, reverse=True):  # deepest first
                 try:
                     os.rmdir(os.path.join(self.root, d))
                 except OSError:
@@ -830,8 +1088,9 @@ def _make():
             import tempfile as _tf
             import time as _time
 
-            files = [rel for rel, _st in entries]
-            stats = {rel: st for rel, st in entries}
+            files = [e[0] for e in entries]
+            stats = {e[0]: e[1] for e in entries}
+            new_fp = {e[0]: e[2] for e in entries if len(e) > 2 and e[2]}
             mode = "overwrite" if self.overwrite else "append"
             mdir = os.path.join(self.root, "_manifests")
             os.makedirs(mdir, exist_ok=True)
@@ -863,10 +1122,16 @@ def _make():
                         # drop this attempt's files, keep exactly-once
                         self._discard(entries)
                         return
-                    if m.get("partition_spec"):
+                    if m.get("partition_spec") != self.spec_at_plan:
+                        # spec evolution landed under this write: the
+                        # tuples were computed under the OLD spec —
+                        # recording them would mis-prune under the new
+                        self._discard(entries)
                         raise ValueError(
-                            "kdis_snapshot: a concurrent writer activated a "
-                            "partition spec — write via SnapshotTable.commit"
+                            "kdis_snapshot: the table's partition spec "
+                            "changed under this write (concurrent "
+                            "set_partition_spec) — the files were "
+                            "discarded; re-run against the new head"
                         )
                     committed_schema = m["schema"]
                     expected = (
@@ -889,7 +1154,11 @@ def _make():
                         dv = m.get("dv_files", [])
                     extras = {
                         k: m[k]
-                        for k in ("dropped_ids", "tombstone_files")
+                        for k in (
+                            "dropped_ids",
+                            "tombstone_files",
+                            "partition_spec",
+                        )
                         if m.get(k)
                     }
                 version = (head or 0) + 1
@@ -909,6 +1178,7 @@ def _make():
                 if all_stats:
                     manifest["stats"] = all_stats
                 fp = {f: prev_fp[f] for f in prev_files if f in prev_fp}
+                fp.update(new_fp)
                 if fp:
                     manifest["file_partitions"] = fp
                 if dv:
@@ -959,16 +1229,39 @@ def _make():
     class SnapshotStreamWriter(_WriterCore, DataSourceStreamArrowWriter):
         """Append-only streaming sink: each micro-batch publishes one
         snapshot version stamped with its epoch id, and a replayed
-        batch after restart is detected at the head and skipped —
-        idempotent per-epoch, the same replay contract as
-        SnapshotTable.commit(epoch_id=...). The head-only check is
-        sound because streaming restarts replay only the LAST
-        committed batch; interleaved foreign writers between a crash
-        and the replay would defeat it, which is why the sink refuses
-        nothing else: a duplicated version is an append of the same
-        rows, caught by the changes() lineage walk."""
+        batch after restart is skipped — idempotent per-epoch, the
+        same replay contract as SnapshotCommitSink. Replay detection
+        scans the epoch ids of ALL committed manifests (exactly
+        snapshot.SnapshotCommitSink.committed_epochs — epoch_id is
+        stored verbatim even in delta-form manifests, so raw reads
+        suffice), NOT just the head: a foreign append landing between
+        a stream crash and the restart replay buries the replayed
+        epoch's version below the head, and a head-only check would
+        commit the batch twice (ADVICE r9/r10). The scan is
+        incremental per writer instance — versions at or below the
+        last scanned floor are never re-read, so a long-running stream
+        stays O(new versions) per batch, not O(versions²)."""
+
+        def _replayed(self, batch_id) -> bool:
+            mdir = os.path.join(self.root, "_manifests")
+            seen = getattr(self, "_seen_epochs", None)
+            floor = getattr(self, "_scan_floor", 0)
+            if seen is None:
+                seen = set()
+            for v in _versions(mdir):
+                if v <= floor:
+                    continue
+                e = _read_raw(mdir, v).get("epoch_id")
+                if e is not None:
+                    seen.add(e)
+                floor = max(floor, v)
+            self._seen_epochs, self._scan_floor = seen, floor
+            return batch_id in seen
 
         def commit(self, messages, batchId):
+            if self._replayed(batchId):
+                self._discard(self._gather(messages))
+                return
             self._commit_files(self._gather(messages), epoch_id=batchId)
 
         def abort(self, messages, batchId):

@@ -938,6 +938,21 @@ def test_random_cdc_changelog_converges_to_latest_per_key(
             mode=mode,
         )
     got = sorted(tuple(r) for r in tbl.read(spark).collect())
+    # the DECLARATIVE batch source must see the identical row set —
+    # MOR-mode changelogs leave deletion vectors in the head manifest,
+    # so this routes random DV-carrying tables through the DataSource's
+    # executor-side position masking every run
+    from kafka_database_import_spark.sources.snapshot_batch import register
+
+    register(spark)
+    via_ds = sorted(
+        tuple(r)
+        for r in spark.read.format("kdis_snapshot")
+        .option("path", tbl.root)
+        .load()
+        .collect()
+    )
+    assert via_ds == got, (seed, mode)
     vals = ", ".join(
         f"({k}, {'NULL' if v is None else repr(v)}, {s}, '{op}')"
         for k, v, s, op in rows
@@ -1104,6 +1119,19 @@ def test_random_cdc_on_bloom_table_matches_plain(spark, tmp_path, seed):
     got_b = sorted(tuple(r) for r in bloom.read(spark).collect())
     got_p = sorted(tuple(r) for r in plain.read(spark).collect())
     assert got_b == got_p, (seed, mode, bits, as_str)
+    # same law through the declarative source, on the bloom table
+    # (random sidecar deletions + MOR deletion vectors both in play)
+    from kafka_database_import_spark.sources.snapshot_batch import register
+
+    register(spark)
+    via_ds = sorted(
+        tuple(r)
+        for r in spark.read.format("kdis_snapshot")
+        .option("path", bloom.root)
+        .load()
+        .collect()
+    )
+    assert via_ds == got_b, (seed, mode, bits, as_str)
     # read_keys obeys the same law: identical to read().filter()
     probe = [key(k) for k in (0, 5, 11)]
     via_keys = sorted(
@@ -1139,17 +1167,26 @@ def test_random_writer_sequence_matches_snapshot_commit(spark, tmp_path, seed):
     mrpf = rng.choice([0, 37, 100])
     bloom = rng.random() < 0.5
     lo = 0
+    evolved = False
     for i in range(rng.randint(2, 5)):
         n = rng.randint(1, 400)
         mode = "overwrite" if (i and rng.random() < 0.25) else "append"
         subset = bool(i) and mode == "append" and rng.random() < 0.3
+        # random additive evolution (round 11): the ds side must land it
+        # via option("mergeSchema") exactly as commit() lands it
+        evolve = bool(i) and not subset and rng.random() < 0.35
         df = spark.range(lo, lo + n).selectExpr(
             "id AS k", "cast(id % 7 as string) AS s"
         )
+        if evolve or (evolved and not subset):
+            df = df.withColumn("e", (F.col("k") * 3).cast("long"))
+            evolved = True
         lo += n
         if subset:
             df = df.select("k")
         w = df.write.format("kdis_snapshot").option("path", ds_root)
+        if evolved:
+            w = w.option("mergeSchema", "true")
         if mrpf:
             w = w.option("maxRecordsPerFile", str(mrpf))
         if bloom:
@@ -1166,14 +1203,85 @@ def test_random_writer_sequence_matches_snapshot_commit(spark, tmp_path, seed):
 
     def rows(root):
         return sorted(
-            (r["k"], r["s"]) for r in SnapshotTable(root).read(spark).collect()
+            tuple(r) for r in SnapshotTable(root).read(spark).collect()
         )
 
     assert rows(ds_root) == rows(st_root)
-    a = SnapshotTable(ds_root).read(spark).schema.simpleString()
-    b = SnapshotTable(st_root).read(spark).schema.simpleString()
+    # the manifest schemas must be BYTE-identical (field ids included)
+    a = SnapshotTable(ds_root).manifest()["schema"]
+    b = SnapshotTable(st_root).manifest()["schema"]
     assert a == b, (a, b)
     # both tables must take the same DML the same way afterwards
     for root in (ds_root, st_root):
         SnapshotTable(root).delete_where(spark, F.col("k") % 5 == 0)
     assert rows(ds_root) == rows(st_root)
+
+
+# family 18b (round 11): the declarative writer under an ACTIVE
+# PARTITION SPEC is commit-equivalent — same rows, same typed partition
+# tuples in the manifest (the writer's Python transform mirror vs the
+# table's Spark write expressions), same partition-pruned reads.
+
+
+@pytest.mark.parametrize("seed", _seeds(5))
+def test_random_partitioned_writer_matches_snapshot_commit(
+    spark, tmp_path, seed
+):
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+    from kafka_database_import_spark.sources.snapshot_batch import register
+
+    register(spark)
+    rng = random.Random(871_000 + seed)
+    spec = rng.choice(
+        [["s"], ["month(d)"], ["bucket(4, k)"], ["s", "truncate(50, k)"]]
+    )
+    ds_root = str(tmp_path / "ds")
+    st_root = str(tmp_path / "st")
+    lo = 0
+    for i in range(rng.randint(2, 4)):
+        n = rng.randint(1, 300)
+        df = spark.range(lo, lo + n).selectExpr(
+            "id AS k",
+            "cast(id % 5 as string) AS s",
+            "date_add(date'2024-01-01', cast(id % 75 as int)) AS d",
+        )
+        lo += n
+        if i == 0:  # both tables born partitioned via SnapshotTable
+            for root in (ds_root, st_root):
+                SnapshotTable(root, partition_by=spec).commit(df)
+            continue
+        df.write.format("kdis_snapshot").option("path", ds_root).mode(
+            "append"
+        ).save()
+        SnapshotTable(st_root).commit(df)
+
+    def rows(root):
+        return sorted(
+            tuple(r) for r in SnapshotTable(root).read(spark).collect()
+        )
+
+    assert rows(ds_root) == rows(st_root), (seed, spec)
+    ds_m, st_m = SnapshotTable(ds_root).manifest(), SnapshotTable(
+        st_root
+    ).manifest()
+    tuples = lambda m: sorted(
+        tuple(sorted(d.items())) for d in m["file_partitions"].values()
+    )
+    # same multiset of typed tuples => the two transform
+    # implementations agree on every written value
+    assert set(tuples(ds_m)) == set(tuples(st_m)), (seed, spec)
+    assert set(ds_m["file_partitions"]) == set(ds_m["files"])
+    # partition-pruned read equals exact recompute on the ds table
+    probe = {"s": "2"} if "s" in spec else (
+        {"d": "2024-02-10"} if "month(d)" in spec else {"k": 7}
+    )
+    got = SnapshotTable(ds_root).read_partition(spark, probe)
+    col = next(iter(probe))
+    want = SnapshotTable(ds_root).read(spark).filter(
+        F.col(col) == probe[col]
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    ), (seed, spec)

@@ -10,7 +10,6 @@ from __future__ import annotations
 import json
 import os
 
-import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -148,11 +147,61 @@ def test_unpushable_predicates_still_exact(spark, tmp_path):
     assert _rows(df) == [(5, "v5"), (105, "v105"), (205, "v205")]
 
 
-def test_dv_version_refuses_loudly(spark, tmp_path):
+def test_dv_version_reads_merge_on_read(spark, tmp_path):
+    """A version carrying merge-on-read deletion vectors reads through
+    the declarative source identically to SnapshotTable.read — the
+    positions are masked executor-side per file, no Spark-side
+    anti-join (snapshot_batch._batches)."""
     tbl = _ranged(spark, str(tmp_path / "t"))
+    tbl.delete_where(spark, "k % 10 = 5", mode="mor")
+    got = _rows(_scan(spark, tbl.root))
+    assert got == _rows(tbl.read(spark))
+    assert len(got) == 270 and (5, "v5") not in got
+    # stacked second MOR delete: both vectors apply
+    tbl.delete_where(spark, "k % 10 = 7", mode="mor")
+    got2 = _rows(_scan(spark, tbl.root))
+    assert got2 == _rows(tbl.read(spark)) and len(got2) == 240
+    # time travel still sees the pre-delete row sets
+    assert len(_rows(_scan(spark, tbl.root, version=3))) == 300
+
+
+def test_dv_with_bloom_pruned_predicate(spark, tmp_path):
+    """DV masking composes with pushdown pruning: an IN probe that
+    bloom-prunes to one file still applies that file's deletion
+    vector — and the plan report shows the pruning happened."""
+    tbl = _ranged(spark, str(tmp_path / "t"), bloom_cols=["k"])
     tbl.delete_where(spark, "k = 5", mode="mor")
-    with pytest.raises(Exception, match="deletion vectors"):
-        _scan(spark, tbl.root).count()
+    rpt = str(tmp_path / "plan.json")
+    df = _scan(spark, tbl.root, report=rpt).filter(F.col("k").isin(5, 7))
+    assert _rows(df) == [(7, "v7")]  # 5 is MOR-deleted
+    plan = json.load(open(rpt))
+    assert plan["total"] == 3 and plan["planned"] == 1, plan
+    assert _rows(df) == _rows(
+        tbl.read(spark).filter(F.col("k").isin(5, 7))
+    )
+
+
+def test_dv_on_partitioned_table(spark, tmp_path):
+    """Partitioned layout puts data files four path components deep
+    (data/c{N}-*/part=val/file.parquet); the k3 binding (last three
+    components, snapshot._file_key3) must still pair DV rows with the
+    right files through the declarative scan."""
+    tbl = SnapshotTable(str(tmp_path / "t"), partition_by=["v"])
+    tbl.commit(
+        spark.createDataFrame(
+            [(i, "odd" if i % 2 else "even") for i in range(40)], SCHEMA
+        )
+    )
+    tbl.delete_where(spark, "k IN (3, 4, 11)", mode="mor")
+    got = _rows(_scan(spark, tbl.root))
+    assert got == _rows(tbl.read(spark)) and len(got) == 37
+    assert not {k for k, _v in got} & {3, 4, 11}
+    # partition pushdown still prunes on the DV-carrying version
+    rpt = str(tmp_path / "plan.json")
+    df = _scan(spark, tbl.root, report=rpt).filter(F.col("v") == "odd")
+    assert len(_rows(df)) == 18  # 20 odd rows minus k=3, k=11
+    plan = json.load(open(rpt))
+    assert plan["planned"] < plan["total"], plan
 
 
 def test_sql_over_registered_view_prunes(spark, tmp_path):

@@ -4,8 +4,11 @@
 versions — byte-compatible manifests (atomic link, field-id schema
 JSON, footer stats), optional bloom sidecars — so everything written
 here reads, DMLs, and time-travels through every existing
-SnapshotTable path. The boundaries (schema evolution, partition
-specs, streaming overwrite) must fail loudly at plan time."""
+SnapshotTable path. Schema evolution is opt-in via
+``option("mergeSchema", "true")`` (same rules as SnapshotTable.commit);
+an active partition spec is honored with commit-identical manifest
+tuples; type changes and streaming overwrite fail loudly at plan
+time."""
 
 from __future__ import annotations
 
@@ -91,7 +94,7 @@ def test_overwrite_replaces_and_append_to_existing_table(spark, tmp_path):
     assert tbl.manifest()["mode"] == "overwrite"
 
 
-def test_schema_evolution_refused_at_plan_time(spark, tmp_path):
+def test_schema_evolution_refused_without_merge_option(spark, tmp_path):
     root = str(tmp_path / "t")
     _write(_ks(spark, 0, 10), root)
     bad = spark.range(5).selectExpr("id AS k", "id AS brand_new")
@@ -114,12 +117,156 @@ def test_subset_append_reads_missing_column_as_null(spark, tmp_path):
     assert got.count() == 5 and got.filter("s IS NULL").count() == 5
 
 
-def test_partitioned_table_refused(spark, tmp_path):
+def test_merge_schema_adds_column_with_fresh_field_id(spark, tmp_path):
+    """option("mergeSchema","true"): a new column appends under
+    SnapshotTable.commit's exact evolution rules — fresh field id,
+    stable ids for existing columns, old rows read NULL, and the
+    resulting schema JSON is byte-identical to what commit() on a twin
+    table produces (the two evolution paths can never drift)."""
+    ds_root, st_root = str(tmp_path / "ds"), str(tmp_path / "st")
+    first = _ks(spark, 0, 10)
+    evolved = spark.range(10, 15).selectExpr(
+        "id AS k", "cast(id % 5 as string) AS s", "id * 2 AS extra"
+    )
+    _write(first, ds_root)
+    _write(evolved, ds_root, mergeSchema="true")
+    twin = SnapshotTable(st_root)
+    twin.commit(first)
+    twin.commit(evolved)
+    m_ds, m_st = SnapshotTable(ds_root).manifest(), twin.manifest()
+    assert m_ds["schema"] == m_st["schema"]  # byte-compatible evolution
+    ids = {
+        f["name"]: f["metadata"]["parquet.field.id"]
+        for f in json.loads(m_ds["schema"])["fields"]
+    }
+    assert ids == {"k": 1, "s": 2, "extra": 3}
+    back = SnapshotTable(ds_root).read(spark)
+    assert back.count() == 15
+    assert back.filter("extra IS NULL").count() == 10  # old files: NULL
+    assert back.filter("extra = 28").count() == 1
+    # time travel still reads v1 under the ORIGINAL two-column schema
+    assert SnapshotTable(ds_root).read(spark, version=1).columns == ["k", "s"]
+
+
+def test_merge_schema_widens_and_refuses_type_change(spark, tmp_path):
     root = str(tmp_path / "t")
-    tbl = SnapshotTable(root, partition_by=["s"])
-    tbl.commit(_ks(spark, 0, 10))
-    with pytest.raises(Exception, match="partition spec"):
-        _write(_ks(spark, 10, 20), root)
+    _write(spark.range(10).selectExpr("cast(id as int) AS k"), root)
+    # safe widening int -> bigint keeps the field id
+    _write(
+        spark.range(10, 15).selectExpr("id AS k"), root, mergeSchema="true"
+    )
+    m = SnapshotTable(root).manifest()
+    [field] = json.loads(m["schema"])["fields"]
+    assert field["type"] == "long"
+    assert field["metadata"]["parquet.field.id"] == 1
+    assert SnapshotTable(root).read(spark).count() == 15
+    # narrower incoming side still reads (bigint column accepts int files)
+    _write(
+        spark.range(15, 20).selectExpr("cast(id as int) AS k"),
+        root,
+        mergeSchema="true",
+    )
+    got = SnapshotTable(root).read(spark)
+    assert sorted(r["k"] for r in got.collect()) == list(range(20))
+    # a genuine type CHANGE refuses even with mergeSchema
+    with pytest.raises(Exception, match="type CHANGE"):
+        _write(
+            spark.range(3).selectExpr("cast(id as string) AS k"),
+            root,
+            mergeSchema="true",
+        )
+
+
+def test_partitioned_append_matches_commit_written_twin(spark, tmp_path):
+    """The declarative writer honors an identity partition spec: the
+    manifest records the same typed partition tuples commit() records,
+    the files land hive-style, and partition-pruned scans of the two
+    tables plan identically."""
+    ds_root, st_root = str(tmp_path / "ds"), str(tmp_path / "st")
+    for root in (ds_root, st_root):
+        SnapshotTable(root, partition_by=["s"]).commit(_ks(spark, 0, 10))
+    _write(_ks(spark, 10, 40).repartition(2, F.col("s")), ds_root)
+    SnapshotTable(st_root).commit(_ks(spark, 10, 40))
+    ds_tbl, st_tbl = SnapshotTable(ds_root), SnapshotTable(st_root)
+    assert sorted(
+        (r["k"], r["s"]) for r in ds_tbl.read(spark).collect()
+    ) == sorted((r["k"], r["s"]) for r in st_tbl.read(spark).collect())
+    m = ds_tbl.manifest()
+    assert m.get("partition_spec") == ["s"]  # spec carried through
+    fp = m["file_partitions"]
+    assert set(fp) == set(m["files"])  # every file has its tuple
+    assert {tuple(sorted(d.items())) for d in fp.values()} == {
+        (("s", str(v)),) for v in range(5)
+    }
+    # hive-style layout for the writer's files
+    assert any("__p_s=" in f for f in m["files"])
+    # partition-scoped DML prunes identically on both tables
+    for tbl in (ds_tbl, st_tbl):
+        res = tbl.delete_where(
+            spark, "k >= 0", partition_filter={"s": "3"}
+        )
+        assert res["deleted_rows"] == 8
+    assert sorted(
+        (r["k"], r["s"]) for r in ds_tbl.read(spark).collect()
+    ) == sorted((r["k"], r["s"]) for r in st_tbl.read(spark).collect())
+
+
+def test_partitioned_append_prunes_via_batch_source(spark, tmp_path):
+    root = str(tmp_path / "t")
+    SnapshotTable(root, partition_by=["s"]).commit(_ks(spark, 0, 10))
+    _write(_ks(spark, 10, 40), root)
+    rpt = str(tmp_path / "plan.json")
+    out = (
+        spark.read.format("kdis_snapshot")
+        .option("path", root)
+        .option("planReportPath", rpt)
+        .load()
+        .filter(F.col("s") == "2")
+    )
+    assert sorted(r["k"] for r in out.collect()) == [
+        k for k in range(40) if k % 5 == 2
+    ]
+    plan = json.load(open(rpt))
+    assert plan["planned"] < plan["total"], plan
+
+
+def test_partitioned_transform_append_parity(spark, tmp_path):
+    """Transformed specs (month(d), bucket(4, k)): the writer's Python
+    value mirror must agree with the table's write expressions — the
+    twin tables' manifests record the same tuple-value sets, and a
+    source-column filter prunes the ds-written files."""
+    ds_root, st_root = str(tmp_path / "ds"), str(tmp_path / "st")
+    df = spark.range(200).selectExpr(
+        "id AS k",
+        "date_add(date'2024-01-01', cast(id % 90 as int)) AS d",
+    )
+    for root in (ds_root, st_root):
+        SnapshotTable(
+            root, partition_by=["month(d)", "bucket(4, k)"]
+        ).commit(df.filter("k < 100"))
+    _write(df.filter("k >= 100"), ds_root)
+    SnapshotTable(st_root).commit(df.filter("k >= 100"))
+    ds_m = SnapshotTable(ds_root).manifest()
+    st_m = SnapshotTable(st_root).manifest()
+    tuples = lambda m: {
+        tuple(sorted(d.items())) for d in m["file_partitions"].values()
+    }
+    assert tuples(ds_m) == tuples(st_m)
+    assert set(ds_m["file_partitions"]) == set(ds_m["files"])
+    # hidden-partitioning prune on the SOURCE column, ds-written table
+    got = SnapshotTable(ds_root).read_partition(spark, {"d": "2024-02-10"})
+    want = sorted(
+        r["k"]
+        for r in df.filter("d = date'2024-02-10'").collect()
+    )
+    assert sorted(r["k"] for r in got.collect()) == want
+
+
+def test_partitioned_write_missing_spec_column_refused(spark, tmp_path):
+    root = str(tmp_path / "t")
+    SnapshotTable(root, partition_by=["s"]).commit(_ks(spark, 0, 10))
+    with pytest.raises(Exception, match="spec column"):
+        _write(spark.range(5).selectExpr("id AS k"), root)
 
 
 def test_bloom_sidecars_byte_compatible_and_pruning(spark, tmp_path):
@@ -218,7 +365,7 @@ def test_abort_unlinks_written_files(spark, tmp_path):
         if "ds" in _dp
     ) or msg.entries
     w.abort([msg])
-    for rel, _st in msg.entries:
+    for rel, *_rest in msg.entries:
         assert not os.path.exists(os.path.join(root, rel))
 
 
@@ -248,7 +395,7 @@ def test_stream_sink_available_now_and_epoch_replay(spark, tmp_path):
     sw.commit([msg], 0)
     assert tbl.latest_version() == 1
     assert SnapshotTable(root).read(spark).count() == 40
-    for rel, _st in msg.entries:  # replayed files reclaimed
+    for rel, *_rest in msg.entries:  # replayed files reclaimed
         assert not os.path.exists(os.path.join(root, rel))
     # the next epoch commits normally
     sw2 = SnapshotBatchDataSource({"path": root}).streamWriter(
@@ -258,6 +405,36 @@ def test_stream_sink_available_now_and_epoch_replay(spark, tmp_path):
     sw2.commit([msg2], 1)
     assert SnapshotTable(root).read(spark).count() == 45
     assert SnapshotTable(root).manifest().get("epoch_id") == 1
+
+
+def test_stream_replay_detected_below_foreign_append(spark, tmp_path):
+    """ADVICE r9/r10: a foreign append landing between a stream crash
+    and the restart replay buries the replayed epoch's version below
+    the head — the sink must STILL skip the replay (epoch set scanned
+    over ALL manifests, like SnapshotCommitSink.committed_epochs), or
+    the micro-batch commits twice."""
+    root = str(tmp_path / "t")
+    schema = spark.range(1).selectExpr("id AS k").schema
+    sw = SnapshotBatchDataSource({"path": root}).streamWriter(schema, False)
+    msg = sw.write(_arrow_batches(spark.range(10).selectExpr("id AS k")))
+    sw.commit([msg], 7)  # epoch 7 committed as v1
+    # foreign append lands "after the crash": head no longer carries 7
+    SnapshotTable(root).commit(spark.range(100, 105).selectExpr("id AS k"))
+    assert SnapshotTable(root).manifest().get("epoch_id") is None
+    # restart replays epoch 7 through a FRESH writer instance
+    sw2 = SnapshotBatchDataSource({"path": root}).streamWriter(schema, False)
+    msg2 = sw2.write(_arrow_batches(spark.range(10).selectExpr("id AS k")))
+    sw2.commit([msg2], 7)
+    tbl = SnapshotTable(root)
+    assert tbl.latest_version() == 2  # no duplicate version published
+    assert tbl.read(spark).count() == 15  # 10 + 5, NOT 25
+    for rel, *_rest in msg2.entries:  # replayed files reclaimed
+        assert not os.path.exists(os.path.join(root, rel))
+    # a genuinely new epoch still commits
+    sw3 = SnapshotBatchDataSource({"path": root}).streamWriter(schema, False)
+    msg3 = sw3.write(_arrow_batches(spark.range(200, 202).selectExpr("id AS k")))
+    sw3.commit([msg3], 8)
+    assert SnapshotTable(root).read(spark).count() == 17
 
 
 def test_stream_sink_refuses_overwrite_modes(spark, tmp_path):
