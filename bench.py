@@ -56,6 +56,7 @@ HEADLINE = [
     "q99zzw_wap_tags",           # write-audit-publish + tag retention (round 7)
     "q99zzx_bloom_cold_write",   # COLD commit/DML write path + bloom pruning (round 9)
     "q99zzzb_datasource_write",  # COLD declarative write: Arrow->parquet->manifest (round 9)
+    "q99r_salted_skew_join",     # hot-key salted shuffle join, merge-pinned (round 11)
 ]
 
 

@@ -30,18 +30,27 @@ def salted_join(
     right_key: str,
     n_salts: int = 16,
     how: str = "inner",
+    hint: str | None = None,
 ) -> DataFrame:
     """Equi-join ``skewed ⋈ other`` with the skewed side salted.
 
     The salt is ``xxhash64`` of the whole skewed row (deterministic —
     reruns produce identical partitioning; no rand() in the plan).
     Supported join types: inner, left_semi — types where duplicating
-    build-side rows per salt cannot change the result."""
+    build-side rows per salt cannot change the result.
+
+    ``hint`` (e.g. ``"merge"``) pins the join strategy: at small
+    fixture scale the planner broadcasts the exploded dim side, which
+    silently skips the salted shuffle this operator exists to create —
+    above the broadcast threshold (the 100 TB case) the shuffle join is
+    the planner's own choice and the hint is a no-op."""
     if how not in ("inner", "left_semi"):
         raise ValueError(f"salted_join supports inner/left_semi, got {how}")
     salted = skewed.withColumn(
         SALT_COL, F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts))
     )
+    if hint:
+        salted = salted.hint(hint)
     exploded = other.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

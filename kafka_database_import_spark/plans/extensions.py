@@ -371,7 +371,12 @@ def q99r_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     too big to broadcast). The skewed side gets a 16-way deterministic
     row-hash salt; the dim side explodes ×16 so every salted key still
     matches — the hot key's rows spread over 16 shuffle partitions.
-    Result is bit-identical to the plain join the oracle runs."""
+    Result is bit-identical to the plain join the oracle runs. The
+    merge hint pins the shuffle strategy at fixture scale (the planner
+    would broadcast the ×16 dim and silently skip the salted shuffle
+    this query exists to WATCH — the same discipline as q99zzzd);
+    plan-shape test asserts the exchange keys include the salt. Bench
+    HEADLINE since round 11: at 100× the skewed shuffle dies first."""
     from kafka_database_import_spark.operators.skew import salted_join
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -384,7 +389,9 @@ def q99r_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("long").alias("c_custkey"), "c_mktsegment"
     )
-    out = salted_join(ev, cust, "uid", "c_custkey", n_salts=16, how="inner")
+    out = salted_join(
+        ev, cust, "uid", "c_custkey", n_salts=16, how="inner", hint="merge"
+    )
     return ordered(out.select("event_id", "uid", "c_mktsegment"))
 
 
@@ -2621,14 +2628,20 @@ def q99zzzc_datasource_stream_write(
     stream = spark.readStream.schema(base.schema).option(
         "maxFilesPerTrigger", "64"
     ).parquet(src + "/*")
+    # checkpoint derives from the tag and is wiped with the table (the
+    # query is cold-by-design) — mkdtemp accumulated a dir per run and,
+    # ignored, awaitTermination's False meant a half-drained table
+    # (ADVICE r9 lows)
+    ckpt = _os.path.join(_tf.gettempdir(), f"kdis_dsswq_ckpt_{tag}")
+    _sh.rmtree(ckpt, ignore_errors=True)
     q = (
         stream.writeStream.format("kdis_snapshot")
         .option("path", root)
-        .option("checkpointLocation", _tf.mkdtemp(prefix="kdis_dsswq_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain within 180s"
     tbl = SnapshotTable(root)
     assert tbl.manifest().get("epoch_id") is not None
     out = (
@@ -2677,7 +2690,21 @@ def q99zzzd_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFra
     import os as _os
     import tempfile as _tf
 
-    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # CONTENT-keyed cache tag (ADVICE r10 low): path alone goes stale
+    # when the fixture is regenerated in place — fold in each source
+    # table's parquet file names/sizes/mtimes so a regenerated fixture
+    # mints a fresh bucketed table instead of reading the old one.
+    h = _hl.sha256(_os.path.abspath(sf_dir).encode())
+    for t in ("orders", "lineitem"):
+        d = _os.path.join(sf_dir, f"{t}.parquet")
+        entries = (
+            sorted(_os.listdir(d)) if _os.path.isdir(d) else [_os.path.basename(d)]
+        )
+        for name in entries:
+            p = _os.path.join(d, name) if _os.path.isdir(d) else d
+            st = _os.stat(p)
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    tag = h.hexdigest()[:12]
     names = {
         "orders": f"kdis_bkt_orders_{tag}",
         "lineitem": f"kdis_bkt_lines_{tag}",

@@ -54,6 +54,22 @@ def test_q54_star_join_broadcasts_dims(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+def test_q99r_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salted skew join (bench HEADLINE since round 11) must be a
+    real shuffle join whose exchange keys INCLUDE the salt — that is
+    the mechanism spreading one hot key over 16 partitions. A plan
+    that broadcasts the dim (losing the salted shuffle this query
+    watches) or shuffles on the bare key (hot key back on one
+    partition) changes no rows but dies at 100×."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q99r_salted_skew_join")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert m and "__salt" in m.group(1), plan[:2000]
+
+
 def test_q45_brute_force_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q45_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan  # corpus never shuffles for the join
