@@ -1906,3 +1906,407 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ordered(out, "cust_sk")
+
+
+@query(
+    "tpcds_q47",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    monthly AS (
+      SELECT i_brand, store_sk,
+             YEAR(sold_date) AS yr, MONTH(sold_date) AS moy,
+             SUM(ext_cents) AS sum_cents
+      FROM store_sales JOIN item ON item_sk = i_item_sk
+      WHERE YEAR(sold_date) IN (1995, 1996, 1997)
+      GROUP BY i_brand, store_sk, YEAR(sold_date), MONTH(sold_date)
+    ),
+    w AS (
+      SELECT i_brand, store_sk, yr, moy, sum_cents,
+             SUM(sum_cents) OVER (PARTITION BY i_brand, store_sk, yr)
+               AS ysum,
+             CAST(COUNT(*) OVER (PARTITION BY i_brand, store_sk, yr)
+                  AS BIGINT) AS ycnt,
+             LAG(sum_cents) OVER (PARTITION BY i_brand, store_sk
+                                  ORDER BY yr, moy) AS prev_cents,
+             LEAD(sum_cents) OVER (PARTITION BY i_brand, store_sk
+                                   ORDER BY yr, moy) AS next_cents
+      FROM monthly
+    )
+    SELECT i_brand AS brand, store_sk AS store, yr, moy, sum_cents,
+           prev_cents, next_cents
+    FROM w
+    WHERE yr = 1996 AND ysum > 0
+      AND prev_cents IS NOT NULL AND next_cents IS NOT NULL
+      AND 10 * ABS(ycnt * sum_cents - ysum) > ysum
+    ORDER BY brand NULLS LAST, store NULLS LAST, yr NULLS LAST,
+             moy NULLS LAST, sum_cents NULLS LAST, prev_cents NULLS LAST,
+             next_cents NULLS LAST
+    """,
+)
+def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47 (monthly brand×store sales that deviate >10 % from
+    that year's average, with the neighboring months' figures via
+    LAG/LEAD). The reference's three-way self-join of the v1 CTE (v1,
+    v1_lag, v1_lead) collapses to LAG/LEAD windows over ONE pass —
+    same relation, two fewer shuffles, the same plan TPC-DS vendors
+    hand-optimize to. Deviation |sum − ysum/ycnt| > 0.1·(ysum/ycnt) is
+    cross-multiplied to exact BIGINT (10·|ycnt·sum − ysum| > ysum), so
+    no division is compared across engines. 100 TB: one shuffle to
+    (brand, store, yr, moy) groups; both windows re-use the (brand,
+    store) prefix of that partitioning; the item join broadcasts."""
+    ss = _channel(spark, sf_dir, "store").filter(
+        F.year("sold_date").isin(1995, 1996, 1997)
+    )
+    it = _item(spark, sf_dir).select("i_item_sk", "i_brand")
+    monthly = (
+        ss.join(F.broadcast(it), ss.item_sk == it.i_item_sk)
+        .groupBy(
+            "i_brand",
+            "store_sk",
+            F.year("sold_date").alias("yr"),
+            F.month("sold_date").alias("moy"),
+        )
+        .agg(F.sum("ext_cents").alias("sum_cents"))
+    )
+    wy = Window.partitionBy("i_brand", "store_sk", "yr")
+    ws = Window.partitionBy("i_brand", "store_sk").orderBy("yr", "moy")
+    out = (
+        monthly.select(
+            "*",
+            F.sum("sum_cents").over(wy).alias("ysum"),
+            F.count(F.lit(1)).over(wy).cast("long").alias("ycnt"),
+            F.lag("sum_cents").over(ws).alias("prev_cents"),
+            F.lead("sum_cents").over(ws).alias("next_cents"),
+        )
+        .filter(
+            (F.col("yr") == 1996)
+            & (F.col("ysum") > 0)
+            & F.col("prev_cents").isNotNull()
+            & F.col("next_cents").isNotNull()
+            & (
+                10 * F.abs(F.col("ycnt") * F.col("sum_cents") - F.col("ysum"))
+                > F.col("ysum")
+            )
+        )
+        .select(
+            F.col("i_brand").alias("brand"),
+            F.col("store_sk").alias("store"),
+            "yr",
+            "moy",
+            "sum_cents",
+            "prev_cents",
+            "next_cents",
+        )
+    )
+    return ordered(
+        out, "brand", "store", "yr", "moy", "sum_cents", "prev_cents",
+        "next_cents",
+    )
+
+
+@query(
+    "tpcds_q57",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    monthly AS (
+      SELECT i_category, site_sk,
+             YEAR(sold_date) AS yr, MONTH(sold_date) AS moy,
+             SUM(net_cp) AS net
+      FROM catalog_sales JOIN item ON item_sk = i_item_sk
+      WHERE YEAR(sold_date) IN (1997, 1998, 1999)
+      GROUP BY i_category, site_sk, YEAR(sold_date), MONTH(sold_date)
+    ),
+    w AS (
+      SELECT i_category, site_sk, yr, moy, net,
+             SUM(net) OVER (PARTITION BY i_category, site_sk, yr) AS ysum,
+             CAST(COUNT(*) OVER (PARTITION BY i_category, site_sk, yr)
+                  AS BIGINT) AS ycnt,
+             LAG(net) OVER (PARTITION BY i_category, site_sk
+                            ORDER BY yr, moy) AS prev_net,
+             LEAD(net) OVER (PARTITION BY i_category, site_sk
+                             ORDER BY yr, moy) AS next_net
+      FROM monthly
+    )
+    SELECT i_category AS category, site_sk AS site, yr, moy, net,
+           prev_net, next_net
+    FROM w
+    WHERE yr = 1998 AND ysum > 0
+      AND prev_net IS NOT NULL AND next_net IS NOT NULL
+      AND 10 * ABS(ycnt * net - ysum) > ysum
+    ORDER BY category NULLS LAST, site NULLS LAST, yr NULLS LAST,
+             moy NULLS LAST, net NULLS LAST, prev_net NULLS LAST,
+             next_net NULLS LAST
+    """,
+)
+def tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q57 — Q47's catalog-channel twin over a different
+    hierarchy (category × call-center; the fixtures' site_sk stands in
+    for cc_name) and a different measure (net after discount, cent·pct
+    units), different years. Same self-join→LAG/LEAD collapse and
+    exact cross-multiplied deviation as q47 — together they pin the
+    year-over-year window family on two channels with two
+    hierarchies."""
+    cs = _channel(spark, sf_dir, "catalog").filter(
+        F.year("sold_date").isin(1997, 1998, 1999)
+    )
+    it = _item(spark, sf_dir).select("i_item_sk", "i_category")
+    monthly = (
+        cs.join(F.broadcast(it), cs.item_sk == it.i_item_sk)
+        .groupBy(
+            "i_category",
+            "site_sk",
+            F.year("sold_date").alias("yr"),
+            F.month("sold_date").alias("moy"),
+        )
+        .agg(F.sum("net_cp").alias("net"))
+    )
+    wy = Window.partitionBy("i_category", "site_sk", "yr")
+    ws = Window.partitionBy("i_category", "site_sk").orderBy("yr", "moy")
+    out = (
+        monthly.select(
+            "*",
+            F.sum("net").over(wy).alias("ysum"),
+            F.count(F.lit(1)).over(wy).cast("long").alias("ycnt"),
+            F.lag("net").over(ws).alias("prev_net"),
+            F.lead("net").over(ws).alias("next_net"),
+        )
+        .filter(
+            (F.col("yr") == 1998)
+            & (F.col("ysum") > 0)
+            & F.col("prev_net").isNotNull()
+            & F.col("next_net").isNotNull()
+            & (
+                10 * F.abs(F.col("ycnt") * F.col("net") - F.col("ysum"))
+                > F.col("ysum")
+            )
+        )
+        .select(
+            F.col("i_category").alias("category"),
+            F.col("site_sk").alias("site"),
+            "yr",
+            "moy",
+            "net",
+            "prev_net",
+            "next_net",
+        )
+    )
+    return ordered(
+        out, "category", "site", "yr", "moy", "net", "prev_net", "next_net"
+    )
+
+
+@query(
+    "tpcds_q34",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    ticket AS (
+      SELECT cust_sk, sold_date, store_sk, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM store_sales
+      WHERE YEAR(sold_date) BETWEEN 1995 AND 1997
+      GROUP BY cust_sk, sold_date, store_sk
+    )
+    SELECT c_custkey AS cust, c_mktsegment AS segment, sold_date, cnt
+    FROM ticket JOIN customer ON cust_sk = c_custkey
+    WHERE cnt BETWEEN 3 AND 6
+    ORDER BY cust NULLS LAST, segment NULLS LAST, sold_date NULLS LAST,
+             cnt NULLS LAST
+    """,
+)
+def tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34 (customers whose store tickets fall in a target
+    basket-size band, with their identity columns). Substitutions: the
+    (cust, date, store) grouping stands in for ss_ticket_number (as
+    q79), the 15–20 band becomes 3–6 (the fixtures' per-ticket line
+    count is ~4), and c_mktsegment stands in for the name columns. The
+    shape under test is the aggregate-then-band-filter-then-dim-join:
+    the HAVING band must apply BEFORE the customer join (bands first,
+    join the survivors) — joining first would shuffle every ticket
+    against the dim for nothing at 100 TB."""
+    ss = _channel(spark, sf_dir, "store").filter(
+        F.year("sold_date").between(1995, 1997)
+    )
+    ticket = (
+        ss.groupBy("cust_sk", "sold_date", "store_sk")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt").between(3, 6))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = ticket.join(
+        F.broadcast(cust), ticket.cust_sk == cust.c_custkey
+    ).select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+        "sold_date",
+        "cnt",
+    )
+    return ordered(out, "cust", "segment", "sold_date", "cnt")
+
+
+@query(
+    "tpcds_q87",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_store_only
+    FROM (
+      SELECT DISTINCT cust_sk, sold_date FROM store_sales
+      WHERE YEAR(sold_date) = 1996
+      EXCEPT
+      SELECT DISTINCT cust_sk, sold_date FROM catalog_sales
+      WHERE YEAR(sold_date) = 1996
+      EXCEPT
+      SELECT DISTINCT cust_sk, sold_date FROM web_sales
+      WHERE YEAR(sold_date) = 1996
+    ) t
+    """,
+)
+def tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q87 (how many customer-days bought in store but through
+    NO other channel — the EXCEPT-chain census, the set-difference dual
+    of q38's INTERSECT). Left-associative EXCEPT over three distinct
+    projections; Spark's subtract is EXCEPT DISTINCT, so the chain is
+    literal. 100 TB: three scans shuffle-dedup on the SAME (cust, date)
+    key, and the EXCEPTs reuse that partitioning — one logical
+    exchange, no broadcast (all three sides are fact-sized)."""
+    y = F.year("sold_date")
+
+    def days(chan):
+        return (
+            _channel(spark, sf_dir, chan)
+            .filter(y == 1996)
+            .select("cust_sk", "sold_date")
+            .distinct()
+        )
+
+    only_store = days("store").subtract(days("catalog")).subtract(
+        days("web")
+    )
+    return only_store.agg(
+        F.count(F.lit(1)).cast("long").alias("n_store_only")
+    )
+
+
+@query(
+    "tpcds_q16",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS total_cents
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-03-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      AND (SELECT COUNT(DISTINCT l.l_suppkey) FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey) >= 2
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+    """,
+)
+def tpcds_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q16 (orders shipped late from multi-supplier fulfilment
+    with no returns — the EXISTS + NOT-EXISTS + distinct-count
+    decorrelation query; TPC-H Q21 is its cousin). The oracle states
+    the three correlated subqueries literally; the Spark plan
+    DECORRELATES them by hand into ONE aggregation pass over lineitem
+    (per-order: late-ship flag, distinct suppliers, returned flag)
+    joined once against the date-filtered orders — three subqueries,
+    one shuffle, which is exactly what a correlated EXISTS must become
+    at 100 TB (per-row re-scans are quadratic death). Dates are
+    TIMESTAMP + INTERVAL arithmetic, exact on both engines."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-03-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_returnflag"
+    )
+    j = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    per_order = j.groupBy("o_orderkey").agg(
+        F.max(
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ).cast("int")
+        ).alias("late"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret"),
+    )
+    hits = per_order.filter(
+        (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("ret") == 0)
+    )
+    out = hits.join(
+        o.select(
+            F.col("o_orderkey").alias("ok"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        ),
+        hits.o_orderkey == F.col("ok"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )
+    return out
+
+
+@query(
+    "tpcds_q41",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT DISTINCT i1.i_brand AS brand
+    FROM item i1
+    WHERE i1.i_category IN ('PROMO', 'ECONOMY')
+      AND i1.i_manufact_id BETWEEN 700 AND 740
+      AND EXISTS (SELECT 1 FROM item i2
+                  WHERE i2.i_category IN ('PROMO', 'ECONOMY')
+                    AND i2.i_manufact_id = i1.i_manufact_id
+                    AND i2.i_brand <> i1.i_brand)
+    ORDER BY brand NULLS LAST
+    """,
+)
+def tpcds_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q41 (brands from manufacturers whose line spans more
+    than one brand in the target categories — the DIMENSION-ONLY
+    correlated-EXISTS self-join; the reference correlates on a
+    disjunction of attribute combos, here the category IN-list carries
+    the reference's attribute filtering and the brand-diversity EXISTS
+    its correlation — class diversity is degenerate in the fixtures:
+    i_class = key % 8 collides for a manufacturer's two keys, which
+    differ by 1000 ≡ 0 mod 8). The Spark plan decorrelates to a LEFT
+    SEMI self-join on the manufacturer key with the inequality as the
+    residual condition — dimension-sized on both sides, so it
+    broadcasts and never touches a fact table: the rare query whose
+    100 TB cost is the same as its 100 MB cost. Both scans push the
+    category IN-list to parquet (the manufact band is computed,
+    unpushable by construction; plan lint demands the real-column
+    conjunct reach PushedFilters on each scan)."""
+    it = _item(spark, sf_dir).filter(
+        F.col("i_category").isin("PROMO", "ECONOMY")
+    )
+    i1 = it.filter(F.col("i_manufact_id").between(700, 740)).alias("i1")
+    i2 = it.select(
+        F.col("i_manufact_id").alias("m2"), F.col("i_brand").alias("b2")
+    ).alias("i2")
+    out = (
+        i1.join(
+            F.broadcast(i2),
+            (F.col("i1.i_manufact_id") == F.col("m2"))
+            & (F.col("i1.i_brand") != F.col("b2")),
+            "left_semi",
+        )
+        .select(F.col("i_brand").alias("brand"))
+        .distinct()
+    )
+    return ordered(out, "brand")

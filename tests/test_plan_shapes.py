@@ -465,3 +465,59 @@ def test_q99zzzd_bucketed_join_no_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" in plan
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_tpcds_q47_windows_ride_one_monthly_aggregate(spark, sf_dir):
+    """Q47's reference is a 3-way self-join of the same CTE; the plan
+    under test collapses it to LAG/LEAD windows over ONE monthly
+    aggregate — the item dim broadcasts, and there is no self-join of
+    the fact (at most the agg exchange plus the two window
+    re-partitionings)."""
+    plan = _plan(spark, sf_dir, "tpcds_q47")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1  # fact scanned ONCE
+    assert plan.count("Exchange hashpartitioning") <= 3, plan.count(
+        "Exchange hashpartitioning"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q57_windows_ride_one_monthly_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpcds_q57")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q34_band_filters_before_customer_join(spark, sf_dir):
+    """The basket-size band must apply to the ticket aggregate BELOW
+    the customer join (plan prints top-down: the band filter appears
+    after the join node), and the dim side broadcasts."""
+    plan = _plan(spark, sf_dir, "tpcds_q34")
+    assert "BroadcastHashJoin" in plan
+    band_at = plan.index(">= 3)")
+    join_at = plan.index("BroadcastHashJoin")
+    assert band_at > join_at, "band filter floated above the join"
+
+
+def test_tpcds_q16_exists_decorrelates_to_one_lineitem_pass(spark, sf_dir):
+    """Three correlated subqueries (EXISTS late-ship, COUNT DISTINCT
+    suppliers, NOT EXISTS returns) must decorrelate into ONE pass over
+    lineitem — a per-row re-scan plan would be quadratic at scale."""
+    plan = _plan(spark, sf_dir, "tpcds_q16")
+    assert plan.count("lineitem.parquet") == 1, plan.count(
+        "lineitem.parquet"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpcds_q41_never_touches_a_fact_table(spark, sf_dir):
+    """The dimension-only self-join must stay dimension-only: a
+    broadcast left-semi over part, zero fact scans."""
+    plan = _plan(spark, sf_dir, "tpcds_q41")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "lineitem.parquet" not in plan
+    assert "orders.parquet" not in plan
