@@ -78,7 +78,12 @@ of the head schema (equal set for overwrite). An active partition
 spec is honored: each row's transformed partition tuple is computed
 executor-side (the Python mirror of the table's write expressions),
 files land hive-style, and the manifest records the same typed tuples
-``commit`` would — pruning parity by construction. The writer cannot
+``commit`` would — pruning parity by construction. A FRESH table can
+be born partitioned via ``option("partitionBy", "s, month(d),
+bucket(4, k)")`` — validated with SnapshotTable's spec rules and
+stored canonically, so the table's next ``commit`` accepts it
+verbatim; on an existing table the option must MATCH the active spec
+(spec evolution stays with ``set_partition_spec``). The writer cannot
 inject an Exchange, so pre-``repartition`` big partitioned appends by
 the spec columns. The streaming sink is append-only and skips a
 replayed micro-batch when ANY committed manifest carries its epoch id
@@ -804,6 +809,89 @@ def _make():
             out.append((name, src, _pv_fn(tf, p, types[src])))
         return out
 
+    def _fresh_spec(pb: str, types: dict) -> list:
+        """Canonical spec entries for a FRESH table created through the
+        writer (``option("partitionBy", "s, month(d), bucket(4, k)")``)
+        — validated with the SAME rules as snapshot._validate_spec so a
+        spec this writer stores is always one ``SnapshotTable`` accepts
+        verbatim on its next write."""
+        _DATEISH = ("date", "timestamp", "timestamp_ntz")
+        entries = [e.strip() for e in pb.split(",") if e.strip()]
+        # re-stitch transform entries the comma split broke apart:
+        # "bucket(4" + "k)" -> "bucket(4, k)"
+        merged: list = []
+        for e in entries:
+            if merged and "(" in merged[-1] and ")" not in merged[-1]:
+                merged[-1] = f"{merged[-1]}, {e}"
+            else:
+                merged.append(e)
+        canon: list = []
+        names: list = []
+        for entry in merged:
+            m = _SPEC_ENTRY_RE.match(entry)
+            if m is None:
+                src, tf, p = entry.strip(), "identity", None
+            else:
+                tf, p, src = m.group(1), m.group(2), m.group(3)
+                if tf in ("bucket", "truncate") and p is None:
+                    raise ValueError(
+                        f"kdis_snapshot: partition transform {tf}() needs "
+                        f"a width: {tf}(N, {src})"
+                    )
+                p = int(p) if p is not None else None
+                if p is not None and p <= 0:
+                    raise ValueError(
+                        f"kdis_snapshot: partition transform "
+                        f"{tf}({p}, {src}): N > 0"
+                    )
+            if src not in types:
+                raise ValueError(
+                    f"kdis_snapshot: partition spec {entry!r}: no column "
+                    f"{src!r} (have {sorted(types)})"
+                )
+            t = types[src]
+            if tf == "identity":
+                if t in ("float", "double"):
+                    raise ValueError(
+                        f"kdis_snapshot: partition column {src!r} is {t} — "
+                        f"float partition values are lossy in hive paths"
+                    )
+                canon.append(src)
+                names.append(src)
+                continue
+            if tf in ("year", "month", "day") and t not in _DATEISH:
+                raise ValueError(
+                    f"kdis_snapshot: partition transform {entry!r}: source "
+                    f"must be date/timestamp, got {t}"
+                )
+            if tf == "bucket" and t not in _INT_PTYPES and t not in (
+                "string", "date"
+            ):
+                raise ValueError(
+                    f"kdis_snapshot: partition transform {entry!r}: bucket "
+                    f"source must be int/string/date, got {t}"
+                )
+            if tf == "truncate" and t not in _INT_PTYPES and t != "string":
+                raise ValueError(
+                    f"kdis_snapshot: partition transform {entry!r}: "
+                    f"truncate source must be int/string, got {t}"
+                )
+            name = f"{src}_{tf}{p if p is not None else ''}"
+            if name in types:
+                raise ValueError(
+                    f"kdis_snapshot: partition field name {name!r} collides "
+                    f"with an existing column — rename one"
+                )
+            names.append(name)
+            canon.append(
+                f"{tf}({str(p) + ', ' if p is not None else ''}{src})"
+            )
+        if len(set(names)) != len(names):
+            raise ValueError(
+                f"kdis_snapshot: duplicate partition field names: {names}"
+            )
+        return canon
+
     class WriteMessage(WriterCommitMessage):
         def __init__(self, entries):
             self.entries = entries  # [(rel_path, stats_dict, fp|None), ...]
@@ -864,6 +952,16 @@ def _make():
                 ]
                 self.schema_json = T.StructType(fields).json()
                 self.base_schema_json = None
+                pb = options.get("partitionBy")
+                if pb:
+                    struct_types = {
+                        f.name: f.dataType.simpleString()
+                        for f in schema.fields
+                    }
+                    self.spec_at_plan = _fresh_spec(pb, struct_types)
+                    self.pfields = _parse_spec(
+                        self.spec_at_plan, struct_types
+                    )
             else:
                 m = _manifest(mdir, head)
                 tbl_struct = T.StructType.fromJson(json.loads(m["schema"]))
@@ -919,6 +1017,16 @@ def _make():
                             f"(have {sorted(mine)})"
                         )
                 self.spec_at_plan = spec
+                pb = options.get("partitionBy")
+                if pb is not None:
+                    want = _fresh_spec(pb, tbl_types)
+                    if want != (spec or []):
+                        raise ValueError(
+                            f"kdis_snapshot: partitionBy={want} does not "
+                            f"match the table's active spec {spec or []} — "
+                            f"spec evolution goes through "
+                            f"SnapshotTable.set_partition_spec"
+                        )
             struct = T.StructType.fromJson(json.loads(self.schema_json))
             self.field_ids = {
                 f.name: f.metadata[_FIELD_ID_KEY]
@@ -1183,6 +1291,9 @@ def _make():
                     manifest["file_partitions"] = fp
                 if dv:
                     manifest["dv_files"] = dv
+                if self.spec_at_plan and "partition_spec" not in manifest:
+                    # fresh table born partitioned through the writer
+                    manifest["partition_spec"] = self.spec_at_plan
                 if epoch_id is not None:
                     manifest["epoch_id"] = epoch_id
                 full_json = json.dumps(manifest)

@@ -262,6 +262,72 @@ def test_partitioned_transform_append_parity(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == want
 
 
+def test_fresh_table_born_partitioned_via_writer(spark, tmp_path):
+    """option("partitionBy", ...) on a FRESH table mints the canonical
+    spec in the first manifest — SnapshotTable then writes, prunes, and
+    DMLs it exactly as one of its own partitioned tables."""
+    root = str(tmp_path / "t")
+    df = spark.range(60).selectExpr(
+        "id AS k",
+        "cast(id % 5 as string) AS s",
+        "date_add(date'2024-01-01', cast(id % 75 as int)) AS d",
+    )
+    _write(df, root, partitionBy="s, month(d)")
+    tbl = SnapshotTable(root)
+    m = tbl.manifest()
+    assert m["partition_spec"] == ["s", "month(d)"]  # canonical entries
+    assert set(m["file_partitions"]) == set(m["files"])
+    # a SnapshotTable commit continues the spec seamlessly
+    tbl.commit(
+        spark.range(60, 90).selectExpr(
+            "id AS k",
+            "cast(id % 5 as string) AS s",
+            "date_add(date'2024-01-01', cast(id % 75 as int)) AS d",
+        )
+    )
+    got = tbl.read_partition(spark, {"s": "2"})
+    assert sorted(r["k"] for r in got.collect()) == [
+        k for k in range(90) if k % 5 == 2
+    ]
+    planned, total = tbl.last_partition_counts
+    assert planned < total
+    # mismatched partitionBy on the existing table refuses loudly
+    with pytest.raises(Exception, match="active spec"):
+        _write(df, root, partitionBy="s")
+    # invalid transform/type pairings refuse at plan time
+    with pytest.raises(Exception, match="date/timestamp"):
+        _write(df, str(tmp_path / "t2"), partitionBy="month(s)")
+    with pytest.raises(Exception, match="needs a width"):
+        _write(df, str(tmp_path / "t3"), partitionBy="bucket(k)")
+
+
+def test_fresh_partitioned_streaming_sink(spark, tmp_path):
+    register(spark)
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "t")
+    spark.range(40).selectExpr(
+        "id AS k", "cast(id % 3 as string) AS s"
+    ).write.parquet(os.path.join(src, "a"))
+    q = (
+        spark.readStream.schema("k bigint, s string")
+        .parquet(src + "/*")
+        .writeStream.format("kdis_snapshot")
+        .option("path", root)
+        .option("partitionBy", "s")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    tbl = SnapshotTable(root)
+    assert tbl.manifest()["partition_spec"] == ["s"]
+    assert tbl.read(spark).count() == 40
+    got = tbl.read_partition(spark, {"s": "1"})
+    assert got.count() == 13
+    planned, total = tbl.last_partition_counts
+    assert planned < total
+
+
 def test_partitioned_write_missing_spec_column_refused(spark, tmp_path):
     root = str(tmp_path / "t")
     SnapshotTable(root, partition_by=["s"]).commit(_ks(spark, 0, 10))
