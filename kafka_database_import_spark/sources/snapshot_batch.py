@@ -463,12 +463,54 @@ def _make():
                     return False
             return True
 
-        def _keep_by_partition(self, entry: dict) -> bool:
-            # identity entries only (key == source column); transform
-            # keys (col_month, col_bucket8) are skipped — conservative
+        def _keep_by_partition(self, entry: dict, types: dict) -> bool:
+            """HIDDEN partitioning for the declarative scan: a pushed
+            equality/IN on a SOURCE column prunes through every
+            decodable tuple key — identity (key == column) or a
+            self-describing transform suffix (col_month, col_bucket8;
+            the same grammar snapshot._field_from_entry_key decodes) —
+            by mapping the literals through the transform's Python
+            mirror and comparing canonical values. Undecodable keys or
+            unmappable literal types constrain nothing (conservative
+            keep); timestamp literals decline (session-zone-naive,
+            like the bloom probe). A NULL tuple value prunes under any
+            equality (NULL never equality-matches)."""
+            import datetime as _dt
+
             for col, vals in self._eq.items():
-                if col in entry and entry[col] not in vals:
-                    return False
+                t = types.get(col)
+                if t is None:
+                    continue
+                for key, pv in entry.items():
+                    if key == col:
+                        tf, p = "identity", None
+                    else:
+                        km = _FIELD_KEY_RE.match(key)
+                        if km is None:
+                            continue
+                        if km.group(1) is not None:
+                            src, tf, p = km.group(1), km.group(2), None
+                        else:
+                            src, tf, p = (
+                                km.group(3),
+                                km.group(4),
+                                int(km.group(5)),
+                            )
+                        # identity wins a literal column-name match: a
+                        # column literally named x_month is just a column
+                        if src != col or key in types:
+                            continue
+                    fn = _pv_fn(tf, p, t)
+                    mapped = []
+                    for v in vals:
+                        if isinstance(v, _dt.datetime) or not isinstance(
+                            v, (bool, int, str, _dt.date)
+                        ):
+                            mapped = None  # unmappable literal: keep
+                            break
+                        mapped.append(fn(v))
+                    if mapped is not None and pv not in mapped:
+                        return False
             return True
 
         def _keep_by_bloom(self, rel: str, canons_by_col: dict) -> bool:
@@ -495,6 +537,14 @@ def _make():
             total = len(files)
             stats = m.get("stats", {})
             fp = m.get("file_partitions", {})
+            from pyspark.sql import types as T
+
+            col_types = {
+                f.name: f.dataType.simpleString()
+                for f in T.StructType.fromJson(
+                    json.loads(m["schema"])
+                ).fields
+            }
             canons_by_col: dict = {}
             unsat = False
             for col, vals in self._eq.items():
@@ -509,7 +559,7 @@ def _make():
                 f
                 for f in files
                 if self._keep_by_stats(stats.get(f, {}))
-                and self._keep_by_partition(fp.get(f, {}))
+                and self._keep_by_partition(fp.get(f, {}), col_types)
                 and self._keep_by_bloom(f, canons_by_col)
             ]
             # DV positions load AFTER pruning, scoped to survivors —
@@ -743,6 +793,11 @@ def _make():
     _SPEC_ENTRY_RE = _re.compile(
         r"^\s*(year|month|day|bucket|truncate)\s*\(\s*"
         r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+    )
+    # recorded tuple KEY -> (source, transform, param) — byte-compatible
+    # with snapshot._FIELD_NAME_RE (self-describing suffixes)
+    _FIELD_KEY_RE = _re.compile(
+        r"^(?:(.+)_(year|month|day)|(.+)_(bucket|truncate)(\d+))$"
     )
 
     def _canon_pv(value, t: str):

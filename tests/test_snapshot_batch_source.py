@@ -119,6 +119,58 @@ def test_identity_partition_pushdown(spark, tmp_path):
     assert plan["planned"] < plan["total"], plan
 
 
+def test_transform_partition_pushdown(spark, tmp_path):
+    """HIDDEN partitioning through the declarative scan: a pushed
+    equality on the SOURCE column maps through the recorded transform
+    keys (month(d), bucket(4, k)) and prunes files — the declarative
+    mirror of read_partition's manifest arithmetic. The exact
+    predicate still re-applies, so results equal read().filter()."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("d", T.DateType()),
+        ]
+    )
+    import datetime as dt
+
+    rows = [
+        (i, dt.date(2024, 1 + (i % 3), 1 + (i % 27))) for i in range(90)
+    ]
+    tbl = SnapshotTable(
+        str(tmp_path / "t"), partition_by=["month(d)", "bucket(4, k)"]
+    )
+    tbl.commit(spark.createDataFrame(rows, schema))
+    total = len(tbl.manifest()["files"])
+    assert total > 4  # enough partitions for pruning to be visible
+    # month prune on the DATE source column
+    rpt = str(tmp_path / "p1.json")
+    df = _scan(spark, tbl.root, report=rpt).filter(
+        F.col("d") == dt.date(2024, 2, 3)
+    )
+    want = sorted(i for i, d in rows if d == dt.date(2024, 2, 3))
+    assert sorted(r["k"] for r in df.collect()) == want
+    plan = json.load(open(rpt))
+    assert plan["planned"] < plan["total"] == total, plan
+    # bucket prune on the INT source column
+    rpt2 = str(tmp_path / "p2.json")
+    df2 = _scan(spark, tbl.root, report=rpt2).filter(F.col("k") == 7)
+    assert [r["k"] for r in df2.collect()] == [7]
+    plan2 = json.load(open(rpt2))
+    assert plan2["planned"] < plan2["total"], plan2
+    # IN-list over two months prunes to those months' files only
+    rpt3 = str(tmp_path / "p3.json")
+    df3 = _scan(spark, tbl.root, report=rpt3).filter(
+        F.col("d").isin(dt.date(2024, 1, 2), dt.date(2024, 3, 4))
+    )
+    got3 = sorted(r["k"] for r in df3.collect())
+    want3 = sorted(
+        i for i, d in rows
+        if d in (dt.date(2024, 1, 2), dt.date(2024, 3, 4))
+    )
+    assert got3 == want3
+    assert json.load(open(rpt3))["planned"] < total
+
+
 def test_conjunct_intersection_reader_level(spark, tmp_path):
     """Catalyst folds literal contradictions before the source is ever
     consulted (verified: the plan report is not even written), so the
