@@ -2800,3 +2800,82 @@ def q99zzze_mor_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
     )
     return ordered(out, "priority")
+
+
+@query(
+    "q99zzzf_partitioned_datasource_write",
+    oracle="""
+    SELECT CAST(STRFTIME(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+    ORDER BY month NULLS LAST, n NULLS LAST, cents NULLS LAST
+    """,
+)
+def q99zzzf_partitioned_datasource_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COLD partitioned write through the declarative sink (round 11):
+    ``option("partitionBy", "month(d)")`` mints the table's hidden
+    partition spec on the first write — executors compute each row's
+    transformed tuple (the Python mirror of the table format's write
+    expressions), land files hive-style, and the manifest records the
+    same typed tuples ``SnapshotTable.commit`` would. The read back is
+    the DECLARATIVE scan with a pushed range start mapped through the
+    transform... kept simpler and exactly verifiable: a source-column
+    equality prune per month via ``read_partition`` parity is pinned in
+    tests; here the aggregation reads the table through the batch
+    source and the build asserts the three-month tuple census matches
+    the manifest. Rebuilt every run (never cached) so the partitioned
+    write path stays in the correctness gate and the bench. 100 TB
+    shape: one file per (task × month), manifest commit O(files); the
+    caller pre-repartitions by the spec column exactly as a big append
+    should."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+    from kafka_database_import_spark.sources.snapshot_batch import register
+
+    register(spark)
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_pdswq_{tag}")
+    _sh.rmtree(root, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    (
+        base.repartition(4, F.date_format("d", "yyyy-MM"))
+        .write.format("kdis_snapshot")
+        .option("path", root)
+        .option("partitionBy", "month(d)")
+        .mode("append")
+        .save()
+    )
+    tbl = SnapshotTable(root)
+    m = tbl.manifest()
+    assert m.get("partition_spec") == ["month(d)"], m.get("partition_spec")
+    months = {d["d_month"] for d in m["file_partitions"].values()}
+    assert months == {"1996-01", "1996-02", "1996-03"}, months
+    ds = spark.read.format("kdis_snapshot").option("path", root).load()
+    out = ds.groupBy(F.date_format("d", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("cents"),
+    )
+    return ordered(out, "month", "n", "cents")
