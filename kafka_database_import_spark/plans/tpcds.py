@@ -2310,3 +2310,173 @@ def tpcds_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return ordered(out, "brand")
+
+
+@query(
+    "tpcds_q32",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    ia AS (
+      SELECT item_sk, SUM(disc_pct) AS sum_disc,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM catalog_sales GROUP BY item_sk
+    )
+    SELECT SUM(s.ext_cents * s.disc_pct) AS excess_disc_cp
+    FROM catalog_sales s JOIN ia ON s.item_sk = ia.item_sk
+    WHERE YEAR(s.sold_date) = 1997
+      AND 10 * s.disc_pct * ia.cnt > 13 * ia.sum_disc
+    """,
+)
+def tpcds_q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q32 (excess discount: money discounted on lines whose
+    discount exceeds 1.3× the item's average). The reference's
+    correlated scalar-AVG subquery decorrelates to one per-item
+    aggregate joined back — and the 1.3×-average comparison
+    cross-multiplies to exact integers (10·disc·cnt > 13·sum_disc), so
+    no float AVG crosses engines. 100 TB: the per-item aggregate is
+    map-side-partial over the fact, its result is item-sized and
+    BROADCASTS back; the fact never shuffles."""
+    cs = _channel(spark, sf_dir, "catalog")
+    ia = cs.groupBy("item_sk").agg(
+        F.sum("disc_pct").alias("sum_disc"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    s = cs.filter(F.year("sold_date") == 1997)
+    out = s.join(
+        F.broadcast(ia.withColumnRenamed("item_sk", "ia_item")),
+        s.item_sk == F.col("ia_item"),
+    ).filter(
+        10 * F.col("disc_pct") * F.col("cnt") > 13 * F.col("sum_disc")
+    ).agg(
+        F.sum(F.col("ext_cents") * F.col("disc_pct")).alias(
+            "excess_disc_cp"
+        )
+    )
+    return out
+
+
+@query(
+    "tpcds_q62",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d30,
+           CAST(SUM(CASE WHEN lag_days > 30 AND lag_days <= 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN lag_days > 60 AND lag_days <= 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN lag_days > 90 AND lag_days <= 120
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+           CAST(SUM(CASE WHEN lag_days > 120 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dmore
+    FROM (
+      SELECT o_orderpriority,
+             DATEDIFF('day', o_orderdate, l_shipdate) AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE YEAR(o_orderdate) = 1997
+    ) t
+    GROUP BY o_orderpriority
+    ORDER BY priority NULLS LAST
+    """,
+)
+def tpcds_q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q62 (the shipping-lag bucket census: how many lines
+    shipped within 30/60/90/120/120+ days, pivoted per group — ship
+    mode in the reference, order priority here; the fixtures' REAL
+    l_shipdate drives the lag). Five CASE sums in ONE aggregation
+    pass — the pivot-census shape. Day arithmetic truncates both
+    engines' timestamps to dates (Spark datediff / DuckDB
+    datediff('day')), an exact integer."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1997
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lag_days"
+        ),
+    )
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    lag = F.col("lag_days")
+    out = j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        band(lag <= 30, "d30"),
+        band((lag > 30) & (lag <= 60), "d60"),
+        band((lag > 60) & (lag <= 90), "d90"),
+        band((lag > 90) & (lag <= 120), "d120"),
+        band(lag > 120, "dmore"),
+    )
+    return ordered(out, "priority")
+
+
+@query(
+    "tpcds_q90",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN HOUR(ts) BETWEEN 6 AND 11 THEN 1 ELSE 0 END)
+                AS BIGINT) AS am_cnt,
+           CAST(SUM(CASE WHEN HOUR(ts) BETWEEN 18 AND 23 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pm_cnt
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q90 (the am/pm activity ratio — morning vs evening web
+    traffic; the events stream stands in for web_sales' time_dim join,
+    with HOUR extracted directly instead of a dimension join). The
+    reference divides the two counts; both counts return EXACTLY and
+    the consumer divides — the integer-pair discipline every ratio
+    query here follows. The event_type filter pushes to the scan; one
+    conditional-aggregation pass, no join at all."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    h = F.hour("ts")
+    return ev.agg(
+        F.sum(F.when(h.between(6, 11), 1).otherwise(0))
+        .cast("long")
+        .alias("am_cnt"),
+        F.sum(F.when(h.between(18, 23), 1).otherwise(0))
+        .cast("long")
+        .alias("pm_cnt"),
+    )
+
+
+@query(
+    "tpcds_q61",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT SUM(CASE WHEN i_category = 'PROMO' THEN net_cp ELSE 0 END)
+             AS promo_cp,
+           SUM(net_cp) AS total_cp
+    FROM store_sales JOIN item ON item_sk = i_item_sk
+    WHERE YEAR(sold_date) = 1997 AND MONTH(sold_date) = 11
+    """,
+)
+def tpcds_q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q61 (promotional share of a month's store revenue). The
+    reference computes two scalar aggregates in separate subqueries and
+    cross-joins the 1-row results to divide; here both land in ONE
+    conditional-aggregation pass over a single fact scan (the PROMO
+    category plays the promotion flag) — same numbers, half the scans,
+    no 1×1 cross join for the lint to flag — and the ratio ships as
+    the exact integer pair, division left to the consumer."""
+    ss = _channel(spark, sf_dir, "store").filter(
+        (F.year("sold_date") == 1997) & (F.month("sold_date") == 11)
+    )
+    it = _item(spark, sf_dir).select("i_item_sk", "i_category")
+    out = ss.join(F.broadcast(it), ss.item_sk == it.i_item_sk).agg(
+        F.sum(
+            F.when(F.col("i_category") == "PROMO", F.col("net_cp")).otherwise(
+                F.lit(0)
+            )
+        ).alias("promo_cp"),
+        F.sum("net_cp").alias("total_cp"),
+    )
+    return out

@@ -521,3 +521,37 @@ def test_tpcds_q41_never_touches_a_fact_table(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "lineitem.parquet" not in plan
     assert "orders.parquet" not in plan
+
+
+def test_tpcds_q32_item_average_broadcasts_back(spark, sf_dir):
+    """The correlated scalar-AVG decorrelates to a per-item aggregate
+    BROADCAST back onto the fact — the fact never shuffles for the
+    join (the aggregate side is item-sized)."""
+    plan = _plan(spark, sf_dir, "tpcds_q32")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan  # per-item aggregate combines map-side
+
+
+def test_tpcds_q62_census_is_one_pass(spark, sf_dir):
+    """Five lag buckets, one aggregation pass — no per-bucket scans."""
+    plan = _plan(spark, sf_dir, "tpcds_q62")
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "partial_" in plan
+
+
+def test_tpcds_q90_pushes_type_filter_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpcds_q90")
+    assert "PushedFilters" in plan and "event_type" in plan
+    assert "Join" not in plan
+
+
+def test_tpcds_q61_promo_share_single_fact_scan(spark, sf_dir):
+    """Two scalar aggregates (promo, total) must ride ONE fact scan as
+    conditional sums — the reference's 1x1 cross join of two subquery
+    scans is the anti-pattern."""
+    plan = _plan(spark, sf_dir, "tpcds_q61")
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
