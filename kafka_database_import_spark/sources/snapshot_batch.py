@@ -414,8 +414,14 @@ def _make():
                         )
                     else:
                         continue
-                    if isinstance(f.value, (int, float, str)) and not (
-                        isinstance(f.value, bool)
+                    import datetime as _dt
+
+                    if (
+                        isinstance(f.value, (int, float, str))
+                        and not isinstance(f.value, bool)
+                    ) or (
+                        isinstance(f.value, _dt.date)
+                        and not isinstance(f.value, _dt.datetime)
                     ):
                         side[col] = (f.value, inc)
                     continue
@@ -464,53 +470,75 @@ def _make():
             return True
 
         def _keep_by_partition(self, entry: dict, types: dict) -> bool:
-            """HIDDEN partitioning for the declarative scan: a pushed
-            equality/IN on a SOURCE column prunes through every
-            decodable tuple key — identity (key == column) or a
-            self-describing transform suffix (col_month, col_bucket8;
-            the same grammar snapshot._field_from_entry_key decodes) —
-            by mapping the literals through the transform's Python
-            mirror and comparing canonical values. Undecodable keys or
-            unmappable literal types constrain nothing (conservative
-            keep); timestamp literals decline (session-zone-naive,
-            like the bloom probe). A NULL tuple value prunes under any
-            equality (NULL never equality-matches)."""
+            """HIDDEN partitioning for the declarative scan: pushed
+            equality/IN AND range conjuncts on a SOURCE column prune
+            through every decodable tuple key — identity (key ==
+            column) or a self-describing transform suffix (col_month,
+            col_bucket8; the same grammar snapshot._field_from_entry_key
+            decodes) — by mapping the literals through the transform's
+            Python mirror and comparing canonical values. Undecodable
+            keys or unmappable literal types constrain nothing
+            (conservative keep); timestamp literals decline
+            (session-zone-naive, like the bloom probe). A NULL tuple
+            value prunes under any equality or range (NULL satisfies
+            neither). Range bounds prune through ORDER-PRESERVING
+            transforms only (identity, year/month/day, truncate —
+            monotone, so pv < f(lo) means no row in the file reaches
+            the bound; bucket scrambles order and constrains nothing),
+            and only when the mapped bound and the recorded value share
+            a Python type (int-with-int, str-with-str — the stats
+            rule). Inclusivity never matters at partition granularity:
+            x > b still implies f(x) >= f(b) for monotone f."""
             import datetime as _dt
+
+            def _decoded(key, col):
+                """(transform, param) when ``key`` is a tuple key over
+                source ``col``, else None. Identity wins a literal
+                column-name match (a column named x_month is a column)."""
+                if key == col:
+                    return ("identity", None)
+                km = _FIELD_KEY_RE.match(key)
+                if km is None or key in types:
+                    return None
+                if km.group(1) is not None:
+                    src, tf, p = km.group(1), km.group(2), None
+                else:
+                    src, tf, p = km.group(3), km.group(4), int(km.group(5))
+                return (tf, p) if src == col else None
+
+            def _mappable(v):
+                return isinstance(v, (bool, int, str, _dt.date)) and not (
+                    isinstance(v, _dt.datetime)
+                )
 
             for col, vals in self._eq.items():
                 t = types.get(col)
                 if t is None:
                     continue
                 for key, pv in entry.items():
-                    if key == col:
-                        tf, p = "identity", None
-                    else:
-                        km = _FIELD_KEY_RE.match(key)
-                        if km is None:
+                    d = _decoded(key, col)
+                    if d is None:
+                        continue
+                    fn = _pv_fn(*d, t)
+                    if all(_mappable(v) for v in vals):
+                        if pv not in [fn(v) for v in vals]:
+                            return False
+            for side, below in ((self._lo, True), (self._hi, False)):
+                for col, (b, _inc) in side.items():
+                    t = types.get(col)
+                    if t is None or not _mappable(b):
+                        continue
+                    for key, pv in entry.items():
+                        d = _decoded(key, col)
+                        if d is None or d[0] == "bucket":
+                            continue  # not order-preserving
+                        if pv is None:
+                            return False  # all-NULL source: nothing passes
+                        m = _pv_fn(*d, t)(b)
+                        if m is None or type(pv) is not type(m):
                             continue
-                        if km.group(1) is not None:
-                            src, tf, p = km.group(1), km.group(2), None
-                        else:
-                            src, tf, p = (
-                                km.group(3),
-                                km.group(4),
-                                int(km.group(5)),
-                            )
-                        # identity wins a literal column-name match: a
-                        # column literally named x_month is just a column
-                        if src != col or key in types:
-                            continue
-                    fn = _pv_fn(tf, p, t)
-                    mapped = []
-                    for v in vals:
-                        if isinstance(v, _dt.datetime) or not isinstance(
-                            v, (bool, int, str, _dt.date)
-                        ):
-                            mapped = None  # unmappable literal: keep
-                            break
-                        mapped.append(fn(v))
-                    if mapped is not None and pv not in mapped:
-                        return False
+                        if (below and pv < m) or (not below and pv > m):
+                            return False
             return True
 
         def _keep_by_bloom(self, rel: str, canons_by_col: dict) -> bool:

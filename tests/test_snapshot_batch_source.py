@@ -171,6 +171,57 @@ def test_transform_partition_pushdown(spark, tmp_path):
     assert json.load(open(rpt3))["planned"] < total
 
 
+def test_range_pushdown_through_month_partition(spark, tmp_path):
+    """Time-range on a month(d)-partitioned table — THE 100 TB query
+    shape: a pushed d >= lo AND d < hi range maps through the
+    order-preserving month transform and plans only the overlapping
+    months' files, with the exact predicate re-applied by Spark."""
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("d", T.DateType()),
+        ]
+    )
+    rows = [
+        (i, dt.date(2024, 1 + (i % 6), 1 + (i % 27))) for i in range(120)
+    ]
+    tbl = SnapshotTable(str(tmp_path / "t"), partition_by=["month(d)"])
+    tbl.commit(spark.createDataFrame(rows, schema))
+    total = len(tbl.manifest()["files"])
+    assert total >= 6
+    rpt = str(tmp_path / "plan.json")
+    df = _scan(spark, tbl.root, report=rpt).filter(
+        (F.col("d") >= dt.date(2024, 3, 5)) & (F.col("d") < dt.date(2024, 5, 1))
+    )
+    want = sorted(
+        i for i, d in rows
+        if dt.date(2024, 3, 5) <= d < dt.date(2024, 5, 1)
+    )
+    assert sorted(r["k"] for r in df.collect()) == want
+    plan = json.load(open(rpt))
+    # months 01/02/06 prune; 03 and 04 survive, and so does the
+    # hi-BOUNDARY month 05 (its pv equals f(bound) — at partition
+    # granularity an exclusive bound cannot prune its own partition;
+    # the exact re-filter removes those rows): 3 of 6 planned
+    assert plan["planned"] == 3 and plan["total"] == total == 6, plan
+
+
+def test_range_pushdown_identity_int_partition(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"), partition_by=["k"])
+    tbl.commit(
+        spark.createDataFrame(
+            [(i % 4, f"v{i}") for i in range(40)], SCHEMA
+        )
+    )
+    rpt = str(tmp_path / "plan.json")
+    df = _scan(spark, tbl.root, report=rpt).filter(F.col("k") >= 2)
+    assert len(_rows(df)) == 20
+    plan = json.load(open(rpt))
+    assert plan["planned"] < plan["total"], plan
+
+
 def test_conjunct_intersection_reader_level(spark, tmp_path):
     """Catalyst folds literal contradictions before the source is ever
     consulted (verified: the plan report is not even written), so the
