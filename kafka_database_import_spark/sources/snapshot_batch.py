@@ -389,6 +389,7 @@ def _make():
             # pushFilters() state consumed by partitions():
             self._eq: dict = {}  # col -> set of equality/IN values
             self._lo: dict = {}  # col -> (bound, inclusive)
+            self._pv_memo: dict = {}  # (tag, col, (tf, p)) -> mapped literals
             self._hi: dict = {}  # col -> (bound, inclusive)
 
         # -------- pushdown: remember prunable conjuncts, return ALL
@@ -511,6 +512,28 @@ def _make():
                     isinstance(v, _dt.datetime)
                 )
 
+            # mapped-literal memo: pruning runs per FILE, but the
+            # mapping depends only on (col, transform, param) — at a
+            # million files recomputing the lambdas per file is real
+            # driver time for zero information
+            memo = self._pv_memo
+
+            def _mapped_eq(col, d, t, vals):
+                key = ("eq", col, d)
+                if key not in memo:
+                    memo[key] = (
+                        set(_pv_fn(*d, t)(v) for v in vals)
+                        if all(_mappable(v) for v in vals)
+                        else None
+                    )
+                return memo[key]
+
+            def _mapped_bound(col, d, t, b, tag):
+                key = (tag, col, d)
+                if key not in memo:
+                    memo[key] = _pv_fn(*d, t)(b)
+                return memo[key]
+
             for col, vals in self._eq.items():
                 t = types.get(col)
                 if t is None:
@@ -519,11 +542,13 @@ def _make():
                     d = _decoded(key, col)
                     if d is None:
                         continue
-                    fn = _pv_fn(*d, t)
-                    if all(_mappable(v) for v in vals):
-                        if pv not in [fn(v) for v in vals]:
-                            return False
-            for side, below in ((self._lo, True), (self._hi, False)):
+                    mapped = _mapped_eq(col, d, t, vals)
+                    if mapped is not None and pv not in mapped:
+                        return False
+            for side, below, tag in (
+                (self._lo, True, "lo"),
+                (self._hi, False, "hi"),
+            ):
                 for col, (b, _inc) in side.items():
                     t = types.get(col)
                     if t is None or not _mappable(b):
@@ -534,7 +559,7 @@ def _make():
                             continue  # not order-preserving
                         if pv is None:
                             return False  # all-NULL source: nothing passes
-                        m = _pv_fn(*d, t)(b)
+                        m = _mapped_bound(col, d, t, b, tag)
                         if m is None or type(pv) is not type(m):
                             continue
                         if (below and pv < m) or (not below and pv > m):
