@@ -57,6 +57,7 @@ HEADLINE = [
     "q99zzx_bloom_cold_write",   # COLD commit/DML write path + bloom pruning (round 9)
     "q99zzzb_datasource_write",  # COLD declarative write: Arrow->parquet->manifest (round 9)
     "q99r_salted_skew_join",     # hot-key salted shuffle join, merge-pinned (round 11)
+    "q99zzzf_partitioned_datasource_write",  # COLD partitioned declarative write (round 11)
 ]
 
 
