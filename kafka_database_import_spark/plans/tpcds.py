@@ -2480,3 +2480,133 @@ def tpcds_q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("net_cp").alias("total_cp"),
     )
     return out
+
+
+@query(
+    "tpcds_q10",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM store_sales s
+                  WHERE s.cust_sk = c.c_custkey
+                    AND YEAR(s.sold_date) = 1996)
+      AND (EXISTS (SELECT 1 FROM web_sales w
+                   WHERE w.cust_sk = c.c_custkey
+                     AND YEAR(w.sold_date) = 1996)
+           OR EXISTS (SELECT 1 FROM catalog_sales x
+                      WHERE x.cust_sk = c.c_custkey
+                        AND YEAR(x.sold_date) = 1996))
+    GROUP BY c_mktsegment
+    ORDER BY segment NULLS LAST, n NULLS LAST
+    """,
+)
+def tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q10 (customer demographics census gated on EXISTS store
+    AND (EXISTS web OR EXISTS catalog)). The DISJUNCTIVE exists is the
+    shape a semi-join chain cannot express directly — an OR of two
+    semi-joins decorrelates to ONE semi-join against the UNION of the
+    two channels' customer key sets, and the conjunctive store gate
+    stays its own semi-join: two left-semis total, no correlated
+    re-scan, no row duplication to undo (the reference's rewrite).
+    100 TB: both gate sets are distinct customer keys (dimension-sized
+    after dedup) and broadcast; the customer dim never shuffles."""
+    y = F.year("sold_date")
+
+    def custs(chan):
+        return (
+            _channel(spark, sf_dir, chan)
+            .filter(y == 1996)
+            .select("cust_sk")
+            .distinct()
+        )
+
+    other = custs("web").union(custs("catalog")).distinct()
+    cust = load_table(spark, sf_dir, "customer")
+    gated = cust.join(
+        F.broadcast(custs("store")),
+        cust.c_custkey == F.col("cust_sk"),
+        "left_semi",
+    )
+    gated = gated.join(
+        F.broadcast(other),
+        gated.c_custkey == other.cust_sk,
+        "left_semi",
+    )
+    out = gated.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return ordered(out, "segment", "n")
+
+
+@query(
+    "tpcds_q78",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    ss AS (
+      SELECT cust_sk, item_sk, SUM(qty) AS s_qty, SUM(net_cp) AS s_net
+      FROM store_sales WHERE YEAR(sold_date) = 1996
+      GROUP BY cust_sk, item_sk
+    ),
+    ws AS (
+      SELECT cust_sk, item_sk, SUM(qty) AS w_qty
+      FROM web_sales WHERE YEAR(sold_date) = 1996
+      GROUP BY cust_sk, item_sk
+    ),
+    cs AS (
+      SELECT cust_sk, item_sk, SUM(qty) AS c_qty
+      FROM catalog_sales WHERE YEAR(sold_date) = 1996
+      GROUP BY cust_sk, item_sk
+    )
+    SELECT ss.cust_sk AS cust, ss.item_sk AS item, s_qty, s_net,
+           COALESCE(w_qty, 0) + COALESCE(c_qty, 0) AS other_qty
+    FROM ss
+    LEFT JOIN ws ON ss.cust_sk = ws.cust_sk AND ss.item_sk = ws.item_sk
+    LEFT JOIN cs ON ss.cust_sk = cs.cust_sk AND ss.item_sk = cs.item_sk
+    WHERE COALESCE(w_qty, 0) + COALESCE(c_qty, 0) > 0
+    ORDER BY cust NULLS LAST, item NULLS LAST, s_qty NULLS LAST,
+             s_net NULLS LAST, other_qty NULLS LAST
+    """,
+)
+def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q78 (store loyalty: per customer-item, store volume
+    beside the OTHER channels' volume, outer-joined so store-only
+    pairs keep NULL→0 on the other side). Three per-channel aggregates
+    on the SAME (cust, item) key LEFT-joined — the null-padding and
+    COALESCE arithmetic ride the co-partitioned key, so AQE plans the
+    two joins with no additional exchange after the aggregates. All
+    quantities exact BIGINTs; the reference's store/other ratio is the
+    integer pair (s_qty, other_qty), division left to the consumer."""
+    y = F.year("sold_date")
+
+    def agg(chan, *cols):
+        return (
+            _channel(spark, sf_dir, chan)
+            .filter(y == 1996)
+            .groupBy("cust_sk", "item_sk")
+            .agg(*cols)
+        )
+
+    ss = agg(
+        "store",
+        F.sum("qty").alias("s_qty"),
+        F.sum("net_cp").alias("s_net"),
+    )
+    ws = agg("web", F.sum("qty").alias("w_qty"))
+    cs = agg("catalog", F.sum("qty").alias("c_qty"))
+    j = ss.join(ws, ["cust_sk", "item_sk"], "left").join(
+        cs, ["cust_sk", "item_sk"], "left"
+    )
+    other = F.coalesce(F.col("w_qty"), F.lit(0)) + F.coalesce(
+        F.col("c_qty"), F.lit(0)
+    )
+    out = j.filter(other > 0).select(
+        F.col("cust_sk").alias("cust"),
+        F.col("item_sk").alias("item"),
+        "s_qty",
+        "s_net",
+        other.alias("other_qty"),
+    )
+    return ordered(out, "cust", "item", "s_qty", "s_net", "other_qty")

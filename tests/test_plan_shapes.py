@@ -555,3 +555,23 @@ def test_tpcds_q61_promo_share_single_fact_scan(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpcds_q10_disjunctive_exists_is_two_semis(spark, sf_dir):
+    """EXISTS store AND (EXISTS web OR EXISTS catalog) must plan as
+    exactly TWO broadcast left-semi joins (the OR legs union into one
+    key set) — never a correlated re-scan or an existence-join
+    explosion."""
+    plan = _plan(spark, sf_dir, "tpcds_q10")
+    assert plan.count("LeftSemi") == 2, plan.count("LeftSemi")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q78_left_joins_ride_aggregate_partitioning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpcds_q78")
+    assert "LeftOuter" in plan
+    # three aggregates shuffle on the SAME (cust, item) key; the two
+    # left joins must reuse that partitioning, not add exchanges
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 3, (n_ex, plan[:1500])
