@@ -328,6 +328,44 @@ def test_fresh_partitioned_streaming_sink(spark, tmp_path):
     assert planned < total
 
 
+def test_partitioned_write_with_bloom_sidecars(spark, tmp_path):
+    """Bloom sidecars land next to hive-nested partitioned files and
+    both probe paths prune through them: read_keys (programmatic) and
+    the batch source's pushed equality (declarative)."""
+    root = str(tmp_path / "t")
+    SnapshotTable(root, partition_by=["s"]).commit(_ks(spark, 0, 10))
+    _write(
+        _ks(spark, 10, 60),
+        root,
+        bloomCols="k",
+        bloomBits=8192,
+        maxRecordsPerFile=10,
+    )
+    tbl = SnapshotTable(root, bloom_cols=["k"], bloom_bits=8192)
+    m = tbl.manifest()
+    # the declarative append's files (dir marker c{N}-ds*) are hive-
+    # nested AND carry sidecars; the v1 commit predates bloom config
+    nested = [f for f in m["files"] if "__p_s=" in f and "-ds" in f]
+    assert nested and all(
+        os.path.exists(os.path.join(root, f + ".bloom")) for f in nested
+    )
+    got = tbl.read_keys(spark, {"k": [23, 47]})
+    assert sorted(r["k"] for r in got.collect()) == [23, 47]
+    planned, total = tbl.last_keys_counts
+    assert planned < total
+    rpt = str(tmp_path / "plan.json")
+    out = (
+        spark.read.format("kdis_snapshot")
+        .option("path", root)
+        .option("planReportPath", rpt)
+        .load()
+        .filter(F.col("k") == 23)
+    )
+    assert [r["k"] for r in out.collect()] == [23]
+    plan = json.load(open(rpt))
+    assert plan["planned"] < plan["total"], plan
+
+
 def test_partitioned_write_missing_spec_column_refused(spark, tmp_path):
     root = str(tmp_path / "t")
     SnapshotTable(root, partition_by=["s"]).commit(_ks(spark, 0, 10))
