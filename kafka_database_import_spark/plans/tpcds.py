@@ -2610,3 +2610,431 @@ def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         other.alias("other_qty"),
     )
     return ordered(out, "cust", "item", "s_qty", "s_net", "other_qty")
+
+
+@query(
+    "tpcds_q01",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    ctr AS (
+      SELECT cust_sk, store_sk, SUM(net_cp) AS ctr_total
+      FROM store_sales
+      WHERE returned AND YEAR(sold_date) = 1996
+      GROUP BY cust_sk, store_sk
+    ),
+    w AS (
+      SELECT cust_sk, store_sk, ctr_total,
+             SUM(ctr_total) OVER (PARTITION BY store_sk) AS st_sum,
+             CAST(COUNT(*) OVER (PARTITION BY store_sk) AS BIGINT) AS st_n
+      FROM ctr JOIN store ON store_sk = s_store_sk
+      WHERE s_state = 'TN'
+    )
+    SELECT cust_sk AS cust, store_sk AS store, ctr_total
+    FROM w
+    WHERE 5 * st_n * ctr_total > 6 * st_sum
+    ORDER BY cust NULLS LAST, store NULLS LAST, ctr_total NULLS LAST
+    """,
+)
+def tpcds_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1 (customers whose store-return total exceeds 1.2x the
+    per-customer average for the same store, state-restricted). The
+    reference's correlated scalar subquery (avg over the SAME store's
+    customer totals) decorrelates to SUM/COUNT windows PARTITIONed BY
+    store over the one per-(customer, store) aggregate -- no second
+    aggregate, no re-join, the group-average gate rides the relation
+    it gates. 1.2x is cross-multiplied to exact BIGINT
+    (5*st_n*ctr_total > 6*st_sum). The state filter lands BEFORE the
+    window (per-store window values are unaffected -- the partition
+    key IS the filter grain), so pruned stores never enter the window
+    exchange. 100 TB: one shuffle to (cust, store), the window re-uses
+    the store prefix; the 12-row store dim broadcasts."""
+    ss = _channel(spark, sf_dir, "store").filter(
+        F.col("returned") & (F.year("sold_date") == 1996)
+    )
+    ctr = ss.groupBy("cust_sk", "store_sk").agg(
+        F.sum("net_cp").alias("ctr_total")
+    )
+    st = _store(spark).filter(F.col("s_state") == "TN")
+    ctr = ctr.join(F.broadcast(st), ctr.store_sk == st.s_store_sk).drop(
+        "s_store_sk", "s_state"
+    )
+    w = Window.partitionBy("store_sk")
+    out = (
+        ctr.select(
+            "*",
+            F.sum("ctr_total").over(w).alias("st_sum"),
+            F.count(F.lit(1)).over(w).cast("long").alias("st_n"),
+        )
+        .filter(
+            5 * F.col("st_n") * F.col("ctr_total") > 6 * F.col("st_sum")
+        )
+        .select(
+            F.col("cust_sk").alias("cust"),
+            F.col("store_sk").alias("store"),
+            "ctr_total",
+        )
+    )
+    return ordered(out, "cust", "store", "ctr_total")
+
+
+@query(
+    "tpcds_q06",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    priced AS (
+      SELECT i_item_sk, i_price_cents,
+             SUM(i_price_cents) OVER (PARTITION BY i_category) AS cat_sum,
+             CAST(COUNT(*) OVER (PARTITION BY i_category) AS BIGINT) AS cat_n
+      FROM item
+    ),
+    gated AS (
+      SELECT i_item_sk FROM priced
+      WHERE 5 * cat_n * i_price_cents > 6 * cat_sum
+    )
+    SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM store_sales
+    JOIN customer ON cust_sk = c_custkey
+    WHERE YEAR(sold_date) = 1996
+      AND item_sk IN (SELECT i_item_sk FROM gated)
+    GROUP BY c_nationkey
+    HAVING COUNT(*) >= 10
+    ORDER BY nation NULLS LAST, cnt NULLS LAST
+    """,
+)
+def tpcds_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q6 (customer geography census restricted to items priced
+    >= 1.2x their category's average). Unlike Q32 -- whose average is a
+    FACT-side per-item aggregate broadcast back -- this gate lives
+    entirely on the item DIMENSION: the category average is a window
+    over the item table itself, so the expensive side of the
+    correlation never touches a fact row. The gated key set is
+    dimension-sized and broadcasts into a LEFT SEMI against the fact;
+    the customer join broadcasts too, leaving ONE fact shuffle (the
+    final nation aggregate). 1.2x cross-multiplied to exact BIGINT.
+    100 TB: fact is scanned once, semi-pruned at the scan by the
+    broadcast key set; only the census aggregate shuffles."""
+    it = _item(spark, sf_dir)
+    wc = Window.partitionBy("i_category")
+    gated = (
+        it.select(
+            "i_item_sk",
+            "i_price_cents",
+            F.sum("i_price_cents").over(wc).alias("cat_sum"),
+            F.count(F.lit(1)).over(wc).cast("long").alias("cat_n"),
+        )
+        .filter(
+            5 * F.col("cat_n") * F.col("i_price_cents")
+            > 6 * F.col("cat_sum")
+        )
+        .select("i_item_sk")
+    )
+    ss = _channel(spark, sf_dir, "store").filter(F.year("sold_date") == 1996)
+    ss = ss.join(
+        F.broadcast(gated), ss.item_sk == gated.i_item_sk, "left_semi"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    out = (
+        ss.join(F.broadcast(cust), ss.cust_sk == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+    )
+    return ordered(out, "nation", "cnt")
+
+
+@query(
+    "tpcds_q09",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT
+      CASE WHEN SUM(CASE WHEN qty BETWEEN 1 AND 10 THEN 1 ELSE 0 END) > 5000
+           THEN SUM(CASE WHEN qty BETWEEN 1 AND 10 THEN ext_cents ELSE 0 END)
+           ELSE SUM(CASE WHEN qty BETWEEN 1 AND 10 THEN net_cp ELSE 0 END)
+      END AS b1,
+      CASE WHEN SUM(CASE WHEN qty BETWEEN 11 AND 20 THEN 1 ELSE 0 END) > 5000
+           THEN SUM(CASE WHEN qty BETWEEN 11 AND 20 THEN ext_cents ELSE 0 END)
+           ELSE SUM(CASE WHEN qty BETWEEN 11 AND 20 THEN net_cp ELSE 0 END)
+      END AS b2,
+      CASE WHEN SUM(CASE WHEN qty BETWEEN 21 AND 30 THEN 1 ELSE 0 END) > 5000
+           THEN SUM(CASE WHEN qty BETWEEN 21 AND 30 THEN ext_cents ELSE 0 END)
+           ELSE SUM(CASE WHEN qty BETWEEN 21 AND 30 THEN net_cp ELSE 0 END)
+      END AS b3,
+      CASE WHEN SUM(CASE WHEN qty BETWEEN 31 AND 40 THEN 1 ELSE 0 END) > 5000
+           THEN SUM(CASE WHEN qty BETWEEN 31 AND 40 THEN ext_cents ELSE 0 END)
+           ELSE SUM(CASE WHEN qty BETWEEN 31 AND 40 THEN net_cp ELSE 0 END)
+      END AS b4,
+      CASE WHEN SUM(CASE WHEN qty BETWEEN 41 AND 50 THEN 1 ELSE 0 END) > 5000
+           THEN SUM(CASE WHEN qty BETWEEN 41 AND 50 THEN ext_cents ELSE 0 END)
+           ELSE SUM(CASE WHEN qty BETWEEN 41 AND 50 THEN net_cp ELSE 0 END)
+      END AS b5
+    FROM store_sales
+    """,
+)
+def tpcds_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q9 (five quantity-band statistics, each picked by a
+    count threshold). The reference phrases this as FIFTEEN correlated
+    scalar subqueries over the same fact (a count, and two candidate
+    aggregates per band, selected by CASE in the projection); all
+    fifteen collapse to ONE conditional-aggregation pass -- per band, a
+    conditional count and both conditional sums -- with the CASE
+    selection applied to the single aggregate row afterward. The count
+    threshold (5000) intentionally lands between the fixture scales,
+    so sf0.001 exercises the ELSE branch and sf0.01+ the THEN branch
+    on every band -- both branches stay oracle-watched. All sums are
+    exact BIGINT cents / cent*pct units. 100 TB: one scan, one
+    map-side-combinable aggregate to a single row; nothing shuffles
+    but 15 partial sums."""
+    ss = _channel(spark, sf_dir, "store")
+    aggs = []
+    for i, (lo, hi) in enumerate(
+        [(1, 10), (11, 20), (21, 30), (31, 40), (41, 50)], start=1
+    ):
+        band = F.col("qty").between(lo, hi)
+        aggs += [
+            F.sum(F.when(band, 1).otherwise(0)).alias(f"cnt{i}"),
+            F.sum(F.when(band, F.col("ext_cents")).otherwise(0)).alias(
+                f"ext{i}"
+            ),
+            F.sum(F.when(band, F.col("net_cp")).otherwise(0)).alias(
+                f"net{i}"
+            ),
+        ]
+    one = ss.agg(*aggs)
+    out = one.select(
+        *[
+            F.when(F.col(f"cnt{i}") > 5000, F.col(f"ext{i}"))
+            .otherwise(F.col(f"net{i}"))
+            .alias(f"b{i}")
+            for i in range(1, 6)
+        ]
+    )
+    return ordered(out, "b1", "b2", "b3", "b4", "b5")
+
+
+@query(
+    "tpcds_q17",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    sr AS (
+      SELECT cust_sk, item_sk, store_sk, qty AS r_qty
+      FROM store_sales
+      WHERE returned AND YEAR(sold_date) = 1996 AND QUARTER(sold_date) = 1
+    ),
+    cs AS (
+      SELECT cust_sk, item_sk, qty AS c_qty
+      FROM catalog_sales
+      WHERE YEAR(sold_date) = 1996 AND QUARTER(sold_date) <= 3
+    )
+    SELECT i_category AS category, s_state AS state,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(r_qty) AS ret_qty, SUM(r_qty * r_qty) AS ret_qty_sq,
+           SUM(c_qty) AS rep_qty, SUM(c_qty * c_qty) AS rep_qty_sq
+    FROM sr
+    JOIN cs ON sr.cust_sk = cs.cust_sk AND sr.item_sk = cs.item_sk
+    JOIN item ON sr.item_sk = i_item_sk
+    JOIN store ON sr.store_sk = s_store_sk
+    GROUP BY i_category, s_state
+    ORDER BY category NULLS LAST, state NULLS LAST, n NULLS LAST,
+             ret_qty NULLS LAST, ret_qty_sq NULLS LAST,
+             rep_qty NULLS LAST, rep_qty_sq NULLS LAST
+    """,
+)
+def tpcds_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q17 (items store-sold in Q1, returned, then repurchased
+    through the catalog within three quarters: quantity statistics per
+    category x store-state). The reference chains THREE facts
+    (store_sales |x| store_returns |x| catalog_sales); the fixtures
+    fold sales/returns into one line via the `returned` flag
+    (module docstring), so the ss|x|sr leg is that flag filter and the
+    real cross-channel shuffle is the (cust, item) join to the catalog
+    repurchase -- the same co-partitioned composite-key fact-fact join,
+    one shuffle per side. STDDEV_SAMP/AVG of the reference are carried
+    as exact integer moments (n, SUM q, SUM q^2) so no float crosses
+    engines; variance is derivable downstream. 100 TB: both facts
+    shuffle once on (cust, item); item and the 12-row store dim
+    broadcast into the post-join aggregate."""
+    sr = (
+        _channel(spark, sf_dir, "store")
+        .filter(
+            F.col("returned")
+            & (F.year("sold_date") == 1996)
+            & (F.quarter("sold_date") == 1)
+        )
+        .select("cust_sk", "item_sk", "store_sk", F.col("qty").alias("r_qty"))
+    )
+    cs = (
+        _channel(spark, sf_dir, "catalog")
+        .filter(
+            (F.year("sold_date") == 1996) & (F.quarter("sold_date") <= 3)
+        )
+        .select("cust_sk", "item_sk", F.col("qty").alias("c_qty"))
+    )
+    it = _item(spark, sf_dir).select("i_item_sk", "i_category")
+    st = _store(spark)
+    out = (
+        sr.join(cs, ["cust_sk", "item_sk"])
+        .join(F.broadcast(it), F.col("item_sk") == it.i_item_sk)
+        .join(F.broadcast(st), F.col("store_sk") == st.s_store_sk)
+        .groupBy(
+            F.col("i_category").alias("category"),
+            F.col("s_state").alias("state"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("r_qty").alias("ret_qty"),
+            F.sum(F.col("r_qty") * F.col("r_qty")).alias("ret_qty_sq"),
+            F.sum("c_qty").alias("rep_qty"),
+            F.sum(F.col("c_qty") * F.col("c_qty")).alias("rep_qty_sq"),
+        )
+    )
+    return ordered(
+        out, "category", "state", "n", "ret_qty", "ret_qty_sq", "rep_qty",
+        "rep_qty_sq",
+    )
+
+
+@query(
+    "tpcds_q39",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    inv AS (
+      SELECT store_sk AS wh, MONTH(sold_date) AS moy,
+             CAST(COUNT(*) AS BIGINT) AS n, SUM(qty) AS s,
+             SUM(qty * qty) AS sq
+      FROM store_sales
+      WHERE YEAR(sold_date) = 1996
+      GROUP BY store_sk, MONTH(sold_date)
+    ),
+    flagged AS (
+      SELECT * FROM inv
+      WHERE n > 1 AND 4 * n * (n * sq - s * s) > (n - 1) * s * s
+    )
+    SELECT a.wh AS wh, a.n AS n1, a.s AS s1, a.sq AS sq1,
+           b.n AS n2, b.s AS s2, b.sq AS sq2
+    FROM flagged a
+    JOIN flagged b ON a.wh = b.wh AND a.moy = 3 AND b.moy = 4
+    ORDER BY wh NULLS LAST, n1 NULLS LAST, s1 NULLS LAST, sq1 NULLS LAST,
+             n2 NULLS LAST, s2 NULLS LAST, sq2 NULLS LAST
+    """,
+)
+def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q39 (warehouses whose demand is high-variance in BOTH of
+    two adjacent months: the inventory CTE self-joined on the
+    time-shifted key). The coefficient-of-variation gate
+    stdev/mean > 1/2 is cross-multiplied through the sample-variance
+    definition to exact BIGINT: 4n(n*SUMSQ - SUM^2) > (n-1)*SUM^2 --
+    no sqrt, no division, no float crosses engines (n > 1 guards the
+    degenerate sample). The grain is (warehouse, month) -- the
+    fixtures' store_sk stands in for warehouse_sk as elsewhere.
+    100 TB: ONE aggregate pass builds the (wh, moy) relation (144
+    groups per year -- dimension-sized), so the self-join is a
+    broadcast of a filtered copy against itself; Spark's exchange
+    reuse dedups the underlying scan under AQE, and even replayed
+    twice the cost is two map-side-combinable passes, never a
+    fact-fact shuffle."""
+    inv = (
+        _channel(spark, sf_dir, "store")
+        .filter(F.year("sold_date") == 1996)
+        .groupBy(
+            F.col("store_sk").alias("wh"),
+            F.month("sold_date").alias("moy"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qty").alias("s"),
+            F.sum(F.col("qty") * F.col("qty")).alias("sq"),
+        )
+    )
+    flagged = inv.filter(
+        (F.col("n") > 1)
+        & (
+            4 * F.col("n") * (F.col("n") * F.col("sq") - F.col("s") * F.col("s"))
+            > (F.col("n") - 1) * F.col("s") * F.col("s")
+        )
+    )
+    a = flagged.filter(F.col("moy") == 3).alias("a")
+    b = flagged.filter(F.col("moy") == 4).alias("b")
+    out = a.join(F.broadcast(b), F.col("a.wh") == F.col("b.wh")).select(
+        F.col("a.wh").alias("wh"),
+        F.col("a.n").alias("n1"),
+        F.col("a.s").alias("s1"),
+        F.col("a.sq").alias("sq1"),
+        F.col("b.n").alias("n2"),
+        F.col("b.s").alias("s2"),
+        F.col("b.sq").alias("sq2"),
+    )
+    return ordered(out, "wh", "n1", "s1", "sq1", "n2", "s2", "sq2")
+
+
+@query(
+    "tpcds_q44",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    perf AS (
+      SELECT item_sk, SUM(profit_cp) AS profit
+      FROM store_sales
+      WHERE store_sk = 4
+      GROUP BY item_sk
+    ),
+    asc_r AS (
+      SELECT item_sk,
+             ROW_NUMBER() OVER (ORDER BY profit, item_sk) AS rnk
+      FROM perf
+    ),
+    desc_r AS (
+      SELECT item_sk,
+             ROW_NUMBER() OVER (ORDER BY profit DESC, item_sk DESC) AS rnk
+      FROM perf
+    )
+    SELECT a.rnk AS rnk, a.item_sk AS worst_item, d.item_sk AS best_item
+    FROM asc_r a JOIN desc_r d ON a.rnk = d.rnk
+    WHERE a.rnk <= 10
+    ORDER BY rnk NULLS LAST, worst_item NULLS LAST, best_item NULLS LAST
+    """,
+)
+def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q44 (best and worst performing items at one store,
+    paired positionally: ascending rank i beside descending rank i --
+    the rank-MEET shape, two opposite total orders of ONE aggregate
+    joined on rank). Ranking is by exact BIGINT profit with the item
+    key as total tiebreak, so ROW_NUMBER is deterministic on both
+    engines (the reference ranks by avg net profit; the fixtures'
+    integer-cents units make SUM the exact equivalent ordering for a
+    fixed count grain). The global (unpartitioned) windows are the
+    operator's SEMANTICS -- they run over the per-item aggregate, a
+    dimension-sized relation (documented single-task reduce, same
+    allowance class as q79_ntile); the fact is reduced by a
+    store-pruned one-pass aggregate first. The rnk<=10 filter lands
+    under both windows' outputs before the 10-row join."""
+    perf = (
+        _channel(spark, sf_dir, "store")
+        .filter(F.col("store_sk") == 4)
+        .groupBy("item_sk")
+        .agg(F.sum("profit_cp").alias("profit"))
+    )
+    wa = Window.orderBy("profit", "item_sk")
+    wd = Window.orderBy(F.col("profit").desc(), F.col("item_sk").desc())
+    asc_r = perf.select(
+        "item_sk", F.row_number().over(wa).alias("rnk")
+    ).filter(F.col("rnk") <= 10)
+    desc_r = perf.select(
+        "item_sk", F.row_number().over(wd).alias("rnk")
+    ).filter(F.col("rnk") <= 10)
+    out = (
+        asc_r.alias("a")
+        .join(F.broadcast(desc_r.alias("d")), F.col("a.rnk") == F.col("d.rnk"))
+        .select(
+            F.col("a.rnk").alias("rnk"),
+            F.col("a.item_sk").alias("worst_item"),
+            F.col("d.item_sk").alias("best_item"),
+        )
+    )
+    return ordered(out, "rnk", "worst_item", "best_item")

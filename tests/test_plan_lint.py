@@ -132,6 +132,9 @@ _AUDIT_ALLOW = {
     # ranks); documented single-task reduce over pre-aggregated input
     "q79_ntile_discretize": {"unbounded-window"},
     "q99m_vocab_build": {"unbounded-window"},
+    # rank-meet: two opposite total orders of a per-item aggregate
+    # (dimension-sized input, documented single-task reduce)
+    "tpcds_q44": {"unbounded-window"},
     # computed predicates (corrupt-injection CASE, length/token
     # blocking) are inherently non-convertible to parquet filters
     "q49_dead_letter": {"no-pushed-filters"},

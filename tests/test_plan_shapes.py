@@ -575,3 +575,68 @@ def test_tpcds_q78_left_joins_ride_aggregate_partitioning(spark, sf_dir):
     # left joins must reuse that partitioning, not add exchanges
     n_ex = plan.count("Exchange hashpartitioning")
     assert n_ex <= 3, (n_ex, plan[:1500])
+
+
+def test_tpcds_q01_group_average_gate_is_one_window(spark, sf_dir):
+    """The correlated per-store average must decorrelate to a window
+    over the one (cust, store) aggregate — one hash aggregate, one
+    Window, the 12-row store dim broadcast — never a second aggregate
+    joined back."""
+    plan = _plan(spark, sf_dir, "tpcds_q01")
+    assert "Window" in plan
+    assert plan.count("HashAggregate") <= 4  # partial+final of ONE agg (+AQE dup)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q06_dimension_gate_never_scans_fact_twice(spark, sf_dir):
+    """The category-average price gate computes on the item DIMENSION
+    (window over item) and broadcasts a LEFT SEMI key set into the
+    single fact pass; customer broadcasts too."""
+    plan = _plan(spark, sf_dir, "tpcds_q06")
+    assert "LeftSemi" in plan
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # exactly one lineitem scan feeds the query
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("lineitem") <= 2
+
+
+def test_tpcds_q09_fifteen_subqueries_one_pass(spark, sf_dir):
+    """All 15 scalar subqueries collapse into ONE conditional
+    aggregation pass: the only join is the lineitem |x| orders sales
+    spine, no Window, one global aggregate (partial + final)."""
+    plan = _plan(spark, sf_dir, "tpcds_q09")
+    assert plan.count("Join") == 1, plan.count("Join")
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") == 2
+
+
+def test_tpcds_q17_cross_channel_join_copartitions(spark, sf_dir):
+    """The sale->return->repurchase chain shuffles BOTH fact legs on
+    the composite (cust, item) key (sort-merge or shuffled-hash, never
+    broadcast of a fact side at scale is the claim; at fixture scale
+    AQE may elect broadcast — pin that the dims broadcast and nothing
+    is cartesian)."""
+    plan = _plan(spark, sf_dir, "tpcds_q17")
+    assert plan.count("BroadcastHashJoin") >= 2  # item + store dims
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q39_self_join_is_broadcast_of_aggregate(spark, sf_dir):
+    """The adjacent-month self-join runs over the (wh, moy) aggregate
+    (144 rows/year): its join must be a broadcast, and the variance
+    gate must sit above the aggregate, not trigger extra shuffles."""
+    plan = _plan(spark, sf_dir, "tpcds_q39")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q44_rank_meet_windows_ride_one_aggregate(spark, sf_dir):
+    """Two opposite-order ROW_NUMBERs over the per-item aggregate,
+    rnk<=10 filtered BEFORE the positional join (a 10-row broadcast).
+    The global windows are the documented dimension-sized total-order
+    allowance (like q79_ntile)."""
+    plan = _plan(spark, sf_dir, "tpcds_q44")
+    assert plan.count("Window") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
