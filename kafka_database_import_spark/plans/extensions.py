@@ -2879,3 +2879,73 @@ def q99zzzf_partitioned_datasource_write(
         F.sum("cents").alias("cents"),
     )
     return ordered(out, "month", "n", "cents")
+
+
+@query(
+    "q99zzzg_incremental_mv",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents,
+           MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS mx
+    FROM orders
+    WHERE o_orderkey % 5 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def q99zzzg_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view (sources/mv.py),
+    COLD every run: create the per-priority aggregate at base v1
+    (two-thirds of orders), append the remaining third, COW-delete
+    every fifth key, then ``refresh`` — which diffs the base's exact
+    row changes since the applied version, recomputes ONLY the touched
+    groups via a broadcast null-safe semi-join on the base head, and
+    swaps them in with ONE atomic ``replace_where_keys`` commit whose
+    ``epoch_id`` records the base version it reflects. The oracle
+    recomputes the FINAL base state from scratch — so a refresh that
+    double-applies, drops a group, or misses MAX-shrink under deletes
+    hash-mismatches. The build also asserts the bookkeeping: applied
+    version == base head, and an immediate second refresh is a noop.
+    100 TB shape: refresh reads O(changed files) for the diff + one
+    key-pruned base pass for the recompute + O(affected groups) of the
+    view rewritten; only `create` ever pays a full scan. Reference
+    framing: the reference re-reads its source per run
+    (kafka-database-import.go:148-158); this is the maintained-view
+    alternative an engine owes repeated aggregations."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.mv import MaterializedView
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_mvq_{tag}")
+    _sh.rmtree(root, ignore_errors=True)
+    base_rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    base = SnapshotTable(_os.path.join(root, "base"))
+    base.commit(base_rows.filter(F.col("o_orderkey") % 3 != 2))
+    mv = MaterializedView.create(
+        spark,
+        base,
+        _os.path.join(root, "mv"),
+        ["priority"],
+        [
+            {"fn": "count", "alias": "n"},
+            {"fn": "sum", "col": "cents", "alias": "cents"},
+            {"fn": "max", "col": "cents", "alias": "mx"},
+        ],
+    )
+    base.commit(base_rows.filter(F.col("o_orderkey") % 3 == 2))
+    base.delete_where(spark, F.col("o_orderkey") % 5 == 0)
+    res = mv.refresh(spark)
+    assert not res["noop"] and res["base_version"] == base.latest_version()
+    assert mv.applied_base_version() == base.latest_version()
+    assert mv.refresh(spark)["noop"]
+    return ordered(mv.read(spark), "priority", "n", "cents", "mx")

@@ -3432,6 +3432,202 @@ class SnapshotTable:
             "inserted_rows": inserted_rows,
         }
 
+    def replace_where_keys(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        replacement: DataFrame,
+        key_cols: list[str],
+        epoch_id: int | None = None,
+        validate: bool = True,
+    ) -> dict:
+        """Atomic key-scoped overwrite: delete every target row whose
+        key tuple appears in ``keys``, append ``replacement``'s rows —
+        ONE copy-on-write commit (the key-set analog of Delta's
+        ``replaceWhere``). The primitive incremental view maintenance
+        needs (operators recompute a set of groups and swap them in),
+        and the GDPR "re-key this customer's rows" shape.
+
+        Semantics differ from :meth:`merge_rows` in three load-bearing
+        ways: ``replacement`` may carry ZERO OR MANY rows per key (a
+        group can shrink to nothing — the key is simply deleted — or
+        expand); key matching is NULL-SAFE (a NULL group key is a
+        legitimate GROUP BY value, and ``eqNullSafe`` keeps it
+        addressable, where a plain equi-join would strand it forever);
+        and the delete+insert publishes as one manifest, so no reader
+        ever observes the half-applied state. ``validate=True`` (the
+        default) asserts every replacement row's key is inside the
+        ``keys`` scope — a row outside it would silently duplicate
+        against the untouched copy still in the table. ``epoch_id`` is
+        stamped into the manifest (same field the streaming sinks use
+        for replay detection); incremental maintainers use it to record
+        the upstream version a refresh applied, atomically with the
+        data it produced.
+
+        Scale shape: affected-file discovery is one key semi-join
+        against the candidate scan (bloom sidecars prune candidates
+        first when the table indexes a key column); survivors of
+        affected files rewrite, untouched files carry by reference,
+        and ``replacement`` lands as fresh files — O(affected + new),
+        never O(table). Returns ``{"version", "rewritten_files",
+        "kept_files", "replaced_rows", "inserted_rows"}``; a call that
+        matches nothing and inserts nothing publishes NO new version."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        keys = keys.select(*key_cols).distinct()
+
+        def _key_cond(left_alias: str, right_alias: str):
+            return reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"{left_alias}.{c}").eqNullSafe(
+                        F.col(f"{right_alias}.{c}")
+                    )
+                    for c in key_cols
+                ],
+            )
+
+        if validate:
+            stray = (
+                replacement.alias("__rr")
+                .join(keys.alias("__rk"), _key_cond("__rr", "__rk"), "left_anti")
+                .limit(1)
+                .collect()
+            )
+            if stray:
+                raise ValueError(
+                    f"replacement row outside the keys scope, e.g. "
+                    f"{tuple(stray[0][c] for c in key_cols)!r} — it would "
+                    f"duplicate against the untouched copy; widen `keys` "
+                    f"or pass validate=False if the scope is intentional"
+                )
+        if self.latest_version() is None:  # fresh table: pure insert
+            n = replacement.count()
+            if n == 0:
+                return {
+                    "version": None,
+                    "rewritten_files": 0,
+                    "kept_files": 0,
+                    "replaced_rows": 0,
+                    "inserted_rows": 0,
+                }
+            v = self.commit(replacement, mode="append", epoch_id=epoch_id)
+            return {
+                "version": v,
+                "rewritten_files": 0,
+                "kept_files": 0,
+                "replaced_rows": 0,
+                "inserted_rows": n,
+            }
+        m = self.manifest()
+        head = m["version"]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        schema_json = _merge_schema(m, replacement.schema)
+        merged_schema = T.StructType.fromJson(json.loads(schema_json))
+        prev_dv = m.get("dv_files", [])
+        candidates = list(m["files"])
+        if self._bloom_cols and candidates:
+            candidates = self._bloom_prune_files(
+                candidates, self._bloom_batch_canons(keys)
+            )
+        affected: set = set()
+        replaced_rows = 0
+        if candidates:
+            target = self._scan_with_meta(spark, candidates, schema, prev_dv)
+            hit = (
+                target.alias("__rt")
+                .join(keys.alias("__rk"), _key_cond("__rt", "__rk"), "left_semi")
+                .groupBy("_sg_file")
+                .count()
+                .collect()
+            )
+            replaced_rows = sum(r["count"] for r in hit)
+            if hit:
+                affected = set(
+                    self._files_of(
+                        spark,
+                        spark.createDataFrame(
+                            hit, "`_sg_file` string, `count` long"
+                        ),
+                    )
+                )
+
+        def _align(df: DataFrame) -> DataFrame:
+            cols = [
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in merged_schema.fields
+            ]
+            return df.select(*cols)
+
+        inserted_rows = replacement.count()
+        if not affected and inserted_rows == 0:
+            return {
+                "version": head,
+                "rewritten_files": 0,
+                "kept_files": len(m["files"]),
+                "replaced_rows": 0,
+                "inserted_rows": 0,
+            }
+        parts = [_align(replacement)]
+        if affected:
+            aff_df = self._scan_with_meta(
+                spark, sorted(affected), schema, prev_dv
+            )
+            survivors = (
+                aff_df.alias("__rt")
+                .join(keys.alias("__rk"), _key_cond("__rt", "__rk"), "left_anti")
+                .drop("_sg_file", "_sg_k3", "_sg_pos")
+            )
+            parts.insert(0, _align(survivors))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        version = head + 1
+        new_files = self._write_data(out, version, schema_json)
+        kept = [f for f in m["files"] if f not in affected]
+        man = self._cow_manifest(
+            version, head, "replace", schema_json, kept, new_files, m
+        )
+        if prev_dv:
+            # DV rows aimed at dropped files match nothing — carried
+            # harmlessly until compaction clears them (delete_where's
+            # documented contract)
+            man["dv_files"] = prev_dv
+        if epoch_id is not None:
+            man["epoch_id"] = epoch_id
+        for _attempt in range(_MAX_COMMIT_REBASE):
+            try:
+                self._publish(version, man)
+                break
+            except ConcurrentCommitError:
+                m2 = self._rebase_dml(m, sorted(affected))
+                version = m2["version"] + 1
+                kept = [f for f in m2["files"] if f not in affected]
+                man = self._cow_manifest(
+                    version, m2["version"], "replace", schema_json, kept,
+                    new_files, m2,
+                )
+                if prev_dv:
+                    man["dv_files"] = prev_dv
+                if epoch_id is not None:
+                    man["epoch_id"] = epoch_id
+        else:
+            raise ConcurrentCommitError(
+                f"replace lost the version race {_MAX_COMMIT_REBASE} "
+                f"times — sustained contention"
+            )
+        return {
+            "version": version,
+            "rewritten_files": len(affected),
+            "kept_files": len(kept),
+            "replaced_rows": replaced_rows,
+            "inserted_rows": inserted_rows,
+        }
+
     def apply_changes(
         self,
         spark: SparkSession,

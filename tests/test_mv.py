@@ -1,0 +1,297 @@
+"""Materialized views (sources/mv.py) and the replace_where_keys table
+primitive: the view must equal a full recompute after every kind of
+base mutation, refresh cost must be change-driven, and the swap must
+be atomic (one commit carrying data + applied-version stamp)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_database_import_spark.sources.mv import MaterializedView
+from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+
+def _base_rows(spark, rows):
+    return spark.createDataFrame(rows, "g string, k long, x long")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+AGGS = [
+    {"fn": "count", "alias": "n"},
+    {"fn": "sum", "col": "x", "alias": "sx"},
+    {"fn": "min", "col": "x", "alias": "mn"},
+    {"fn": "max", "col": "x", "alias": "mx"},
+]
+
+
+def _expected(spark, tbl):
+    return (
+        tbl.read(spark)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+    )
+
+
+def _mk(spark, tmp_path, rows):
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(_base_rows(spark, rows))
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"], AGGS
+    )
+    return base, mv
+
+
+def test_create_equals_full_recompute(spark, tmp_path):
+    base, mv = _mk(
+        spark, tmp_path, [("a", 1, 10), ("a", 2, 20), ("b", 3, 5)]
+    )
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+    assert mv.applied_base_version() == 1
+
+
+def test_refresh_after_append_new_and_changed_groups(spark, tmp_path):
+    base, mv = _mk(spark, tmp_path, [("a", 1, 10), ("b", 2, 5)])
+    base.commit(_base_rows(spark, [("a", 3, 7), ("c", 4, 99)]))
+    res = mv.refresh(spark)
+    assert not res["noop"]
+    assert res["groups_touched"] == 2  # a changed, c new; b untouched
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+    assert mv.applied_base_version() == base.latest_version()
+
+
+def test_refresh_after_delete_shrinks_and_removes_groups(spark, tmp_path):
+    base, mv = _mk(
+        spark, tmp_path,
+        [("a", 1, 10), ("a", 2, 20), ("gone", 3, 1), ("b", 4, 4)],
+    )
+    base.delete_where(spark, F.col("k").isin(2, 3))
+    mv.refresh(spark)
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+    # the fully-deleted group's row must be GONE, not zeroed
+    assert mv.read(spark).filter(F.col("g") == "gone").count() == 0
+
+
+def test_refresh_minmax_exact_under_update(spark, tmp_path):
+    """The delta-maintenance killer: shrinking a group's MAX needs the
+    base rows — affected-group recompute gets it exact."""
+    base, mv = _mk(spark, tmp_path, [("a", 1, 10), ("a", 2, 99)])
+    base.merge_rows(
+        spark,
+        _base_rows(spark, [("a", 2, 3)]),  # max row 99 -> 3
+        key_cols=["k"],
+    )
+    mv.refresh(spark)
+    [row] = mv.read(spark).filter(F.col("g") == "a").collect()
+    assert (row["mn"], row["mx"], row["n"]) == (3, 10, 2)
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+
+
+def test_refresh_after_mor_delete(spark, tmp_path):
+    base, mv = _mk(
+        spark, tmp_path, [("a", 1, 10), ("a", 2, 20), ("b", 3, 5)]
+    )
+    base.delete_where(spark, F.col("k") == 2, mode="mor")
+    mv.refresh(spark)
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+
+
+def test_refresh_noop_and_restart_handle(spark, tmp_path):
+    base, mv = _mk(spark, tmp_path, [("a", 1, 10)])
+    v = mv.table.latest_version()
+    res = mv.refresh(spark)
+    assert res["noop"] and mv.table.latest_version() == v
+    # a fresh handle (process restart) recovers the applied version
+    # from the manifests alone
+    mv2 = MaterializedView(mv.root)
+    assert mv2.applied_base_version() == base.latest_version()
+    assert mv2.refresh(spark)["noop"]
+
+
+def test_refresh_survives_view_compaction(spark, tmp_path):
+    """Compacting the VIEW table inserts an epoch-less rewrite_only
+    manifest; applied_base_version must walk past it."""
+    base, mv = _mk(spark, tmp_path, [("a", 1, 10), ("b", 2, 5)])
+    base.commit(_base_rows(spark, [("a", 3, 7)]))
+    mv.refresh(spark)
+    mv.table.compact(spark)
+    assert mv.applied_base_version() == base.latest_version()
+    base.commit(_base_rows(spark, [("b", 4, 1)]))
+    mv.refresh(spark)
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+
+
+def test_null_group_key_is_maintained(spark, tmp_path):
+    """NULL is a legitimate GROUP BY value; the null-safe key joins
+    must keep the NULL group addressable across refreshes."""
+    base, mv = _mk(spark, tmp_path, [(None, 1, 10), ("a", 2, 5)])
+    base.commit(_base_rows(spark, [(None, 3, 32)]))
+    mv.refresh(spark)
+    [row] = mv.read(spark).filter(F.col("g").isNull()).collect()
+    assert (row["n"], row["sx"]) == (2, 42)
+    base.delete_where(spark, F.col("g").isNull())
+    mv.refresh(spark)
+    assert mv.read(spark).filter(F.col("g").isNull()).count() == 0
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+
+
+def test_replace_cost_is_change_driven(spark, tmp_path):
+    """Files holding no scoped key are carried by REFERENCE: replacing
+    one key of a two-file table rewrites one file and carries the
+    other untouched (the property that makes MV refresh O(affected
+    groups), not O(view))."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_base_rows(spark, [("a", 1, 1), ("a", 2, 2)]).coalesce(1))
+    tbl.commit(_base_rows(spark, [("b", 3, 3), ("c", 4, 4)]).coalesce(1))
+    before = set(tbl.manifest()["files"])
+    assert len(before) == 2
+    keys = spark.createDataFrame([("a",)], "g string")
+    res = tbl.replace_where_keys(
+        spark, keys, _base_rows(spark, [("a", 9, 9)]), ["g"]
+    )
+    assert res["rewritten_files"] == 1 and res["kept_files"] == 1
+    carried = set(tbl.manifest()["files"]) & before
+    assert len(carried) == 1
+    assert _rows(tbl.read(spark)) == [("a", 9, 9), ("b", 3, 3), ("c", 4, 4)]
+
+
+def test_refresh_is_idempotent_under_replay(spark, tmp_path):
+    """Crash-sim: re-applying a refresh's work AFTER it committed (the
+    worst replay) must converge, because the post-image is recomputed
+    from the base head, not delta-added."""
+    base, mv = _mk(spark, tmp_path, [("a", 1, 10), ("b", 2, 5)])
+    base.commit(_base_rows(spark, [("a", 3, 7)]))
+    last = mv.applied_base_version()
+    mv.refresh(spark)
+    # replay the SAME range by hand (as if the epoch stamp was lost)
+    from kafka_database_import_spark.sources.snapshot import row_changes
+
+    delta = row_changes(base, spark, last, base.latest_version())
+    keys = delta.select("g").distinct()
+    post = (
+        base.read(spark)
+        .join(keys, "g", "left_semi")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+    )
+    mv.table.replace_where_keys(
+        spark, keys, post, ["g"], epoch_id=base.latest_version()
+    )
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+
+
+def test_mini_fuzz_mv_equals_recompute(spark, tmp_path):
+    """Seeded op sequence (append / cow delete / mor delete / merge
+    update) with a refresh after each op: view ≡ recompute always."""
+    import random
+
+    rng = random.Random(11)
+    base = SnapshotTable(str(tmp_path / "base"))
+    rows = [(f"g{rng.randrange(5)}", k, rng.randrange(100)) for k in range(30)]
+    base.commit(_base_rows(spark, rows))
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"], AGGS
+    )
+    next_k = 1000
+    for step in range(6):
+        op = rng.choice(["append", "delete", "mor", "merge"])
+        if op == "append":
+            new = [
+                (f"g{rng.randrange(6)}", next_k + i, rng.randrange(100))
+                for i in range(4)
+            ]
+            next_k += 4
+            base.commit(_base_rows(spark, new))
+        elif op in ("delete", "mor"):
+            lo = rng.randrange(30)
+            base.delete_where(
+                spark,
+                (F.col("k") % 7) == (lo % 7),
+                mode="cow" if op == "delete" else "mor",
+            )
+        else:
+            ks = [r[1] for r in rows[: rng.randrange(1, 5)]]
+            src = _base_rows(
+                spark,
+                [(f"g{rng.randrange(5)}", k, rng.randrange(100)) for k in ks],
+            )
+            base.merge_rows(spark, src, key_cols=["k"])
+        mv.refresh(spark)
+        assert _rows(mv.read(spark)) == _rows(_expected(spark, base)), (
+            step,
+            op,
+        )
+
+
+# ------------------------------------------------- replace_where_keys unit
+
+
+def test_replace_validate_rejects_stray_replacement(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_base_rows(spark, [("a", 1, 1), ("b", 2, 2)]))
+    keys = spark.createDataFrame([("a",)], "g string")
+    repl = _base_rows(spark, [("b", 9, 9)])  # outside scope
+    with pytest.raises(ValueError, match="outside the keys scope"):
+        tbl.replace_where_keys(spark, keys, repl, ["g"])
+
+
+def test_replace_deletes_scope_with_empty_replacement(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_base_rows(spark, [("a", 1, 1), ("b", 2, 2)]))
+    keys = spark.createDataFrame([("a",)], "g string")
+    repl = _base_rows(spark, []).limit(0)
+    res = tbl.replace_where_keys(spark, keys, repl, ["g"])
+    assert res["replaced_rows"] == 1 and res["inserted_rows"] == 0
+    assert _rows(tbl.read(spark)) == [("b", 2, 2)]
+
+
+def test_replace_on_fresh_table_is_insert(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    keys = spark.createDataFrame([("a",)], "g string")
+    repl = _base_rows(spark, [("a", 1, 1)])
+    res = tbl.replace_where_keys(spark, keys, repl, ["g"], epoch_id=7)
+    assert res["version"] == 1 and res["inserted_rows"] == 1
+    assert tbl.manifest()["epoch_id"] == 7
+
+
+def test_replace_nothing_matched_nothing_inserted_is_noop(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_base_rows(spark, [("a", 1, 1)]))
+    keys = spark.createDataFrame([("zzz",)], "g string")
+    repl = _base_rows(spark, []).limit(0)
+    res = tbl.replace_where_keys(spark, keys, repl, ["g"])
+    assert res["version"] == 1  # head unchanged, no new manifest
+    assert tbl.latest_version() == 1
+
+
+def test_replace_commit_is_atomic_one_version(spark, tmp_path):
+    """Delete + insert publish as ONE version: no intermediate state
+    where the scope is deleted but the replacement absent."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_base_rows(spark, [("a", 1, 1), ("b", 2, 2)]))
+    keys = spark.createDataFrame([("a",)], "g string")
+    repl = _base_rows(spark, [("a", 10, 10), ("a", 11, 11)])
+    res = tbl.replace_where_keys(spark, keys, repl, ["g"], epoch_id=42)
+    assert res["version"] == 2 and tbl.latest_version() == 2
+    assert tbl.manifest()["epoch_id"] == 42
+    assert tbl.manifest()["mode"] == "replace"
+    assert _rows(tbl.read(spark)) == [
+        ("a", 10, 10),
+        ("a", 11, 11),
+        ("b", 2, 2),
+    ]
+    # time travel below the replace still sees the old group
+    assert ("a", 1, 1) in _rows(tbl.read(spark, version=1))
