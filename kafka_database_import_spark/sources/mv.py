@@ -201,13 +201,36 @@ class MaterializedView:
         keys = delta.select(*group_cols).distinct()
         n_groups = keys.count()
         if n_groups == 0:
-            # a pure rewrite range (compaction) — nothing to do; the
-            # next real change re-diffs the same empty range cheaply
+            # a pure rewrite range (compaction / a delta that nets to
+            # zero rows): the view's DATA is already right, but the
+            # applied-version marker must still advance or every future
+            # refresh re-diffs this same range forever. Publish a
+            # files-unchanged marker commit: same file list, flagged
+            # rewrite_only so lineage walkers pass through, stamped
+            # with the caught-up epoch. Parent-commit markers are
+            # EXCLUDED from the copy (the round-6 metadata-commit
+            # lesson: inheriting them corrupts semantics).
+            m = self.table.manifest()
+            marker = {
+                k: v
+                for k, v in m.items()
+                if k
+                not in ("version", "base", "epoch_id", "committed_at_ms",
+                        "rewrite_only")
+            }
+            marker.update(
+                version=m["version"] + 1,
+                base=m["version"],
+                mode="replace",
+                epoch_id=head,
+                rewrite_only=True,
+            )
+            self.table._publish(marker["version"], marker)
             return {
                 "noop": True,
                 "base_version": head,
                 "applied_from": last,
-                "mv_version": self.table.latest_version(),
+                "mv_version": marker["version"],
                 "groups_touched": 0,
             }
         cond = reduce(

@@ -1285,3 +1285,149 @@ def test_random_partitioned_writer_matches_snapshot_commit(
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in want.collect()
     ), (seed, spec)
+
+
+# ---------------------------------------------------------------------------
+# family 19 (round 11): incremental MV maintenance converges. Random base
+# mutation scripts (multi-row appends, cow/mor deletes by predicate, merge
+# upserts, compactions) with refreshes sprinkled at random points — after
+# every refresh the view must equal a from-scratch recompute of the base
+# head, for count/sum AND the non-self-maintainable min/max. The view table
+# is ALSO read back through the declarative DataSource each time, so mode
+# 'replace' manifests stay interop-covered.
+
+
+
+def _nsort(rows):
+    """Sort tuples that may carry None (NULL group keys)."""
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+def _mv_script(seed: int):
+    rng = random.Random(1_911_000 + seed)
+    ops = []
+    next_k = 100
+    for _ in range(rng.randint(4, 8)):
+        r = rng.random()
+        if r < 0.35:
+            n = rng.randint(2, 6)
+            ops.append(
+                (
+                    "append",
+                    [
+                        (
+                            rng.choice(["a", "b", "c", "d", None]),
+                            next_k + i,
+                            rng.randrange(-50, 100),
+                        )
+                        for i in range(n)
+                    ],
+                )
+            )
+            next_k += n
+        elif r < 0.55:
+            ops.append(("delete", rng.randrange(5), rng.choice(["cow", "mor"])))
+        elif r < 0.7:
+            ops.append(
+                (
+                    "merge",
+                    [
+                        (
+                            rng.choice(["a", "b", "e", None]),
+                            rng.randrange(next_k),  # any live-or-dead key
+                            rng.randrange(-50, 100),
+                        )
+                        for _ in range(rng.randint(1, 3))
+                    ],
+                )
+            )
+        elif r < 0.8:
+            ops.append(("compact",))
+        else:
+            ops.append(("refresh",))
+    ops.append(("refresh",))
+    return ops
+
+
+@pytest.mark.parametrize("seed", _seeds(6))
+def test_random_mutations_mv_refresh_converges(spark, tmp_path, seed):
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.sources.mv import MaterializedView
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+    from kafka_database_import_spark.sources.snapshot_batch import register
+
+    register(spark)
+    base = SnapshotTable(str(tmp_path / f"mvbase{seed}"))
+    rng = random.Random(1_911_500 + seed)
+    base.commit(
+        spark.createDataFrame(
+            [
+                (rng.choice(["a", "b", "c", None]), k, rng.randrange(-50, 100))
+                for k in range(100)
+            ],
+            "g string, k long, x long",
+        )
+    )
+    mv = MaterializedView.create(
+        spark,
+        base,
+        str(tmp_path / f"mv{seed}"),
+        ["g"],
+        [
+            {"fn": "count", "alias": "n"},
+            {"fn": "sum", "col": "x", "alias": "sx"},
+            {"fn": "min", "col": "x", "alias": "mn"},
+            {"fn": "max", "col": "x", "alias": "mx"},
+        ],
+    )
+    dedup_keys = set(range(100))
+
+    def _recompute():
+        return _nsort(
+            tuple(r)
+            for r in base.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").alias("sx"),
+                F.min("x").alias("mn"),
+                F.max("x").alias("mx"),
+            )
+            .collect()
+        )
+
+    for i, op in enumerate(_mv_script(seed)):
+        if op[0] == "append":
+            base.commit(
+                spark.createDataFrame(op[1], "g string, k long, x long")
+            )
+            dedup_keys.update(k for _, k, _ in op[1])
+        elif op[0] == "delete":
+            base.delete_where(
+                spark, (F.col("k") % 5) == op[1], mode=op[2]
+            )
+        elif op[0] == "merge":
+            # merge source needs unique keys per batch
+            uniq = {k: (g, k, x) for g, k, x in op[1]}
+            base.merge_rows(
+                spark,
+                spark.createDataFrame(
+                    list(uniq.values()), "g string, k long, x long"
+                ),
+                key_cols=["k"],
+            )
+        elif op[0] == "compact":
+            base.compact(spark, target_files=2)
+        else:
+            mv.refresh(spark)
+            got = _nsort(tuple(r) for r in mv.read(spark).collect())
+            assert got == _recompute(), (seed, i)
+            via_ds = _nsort(
+                tuple(r)
+                for r in spark.read.format("kdis_snapshot")
+                .option("path", mv.root)
+                .load()
+                .collect()
+            )
+            assert via_ds == got, (seed, i, "datasource read diverged")
+    assert mv.applied_base_version() == base.latest_version()
