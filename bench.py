@@ -58,6 +58,7 @@ HEADLINE = [
     "q99zzzb_datasource_write",  # COLD declarative write: Arrow->parquet->manifest (round 9)
     "q99r_salted_skew_join",     # hot-key salted shuffle join, merge-pinned (round 11)
     "q99zzzf_partitioned_datasource_write",  # COLD partitioned declarative write (round 11)
+    "q99zzzg_incremental_mv",    # COLD MV create+mutate+incremental refresh (round 11)
 ]
 
 

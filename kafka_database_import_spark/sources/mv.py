@@ -70,7 +70,22 @@ _AGG_FNS = {
 }
 
 
-def _agg_exprs(aggs: list[dict]):
+#: hidden per-SUM non-null counter column prefix (delta-eligible views
+#: persist one per sum so SUM's NULL semantics survive +/- maintenance:
+#: a group whose non-null count falls to 0 must read SUM = NULL, which
+#: running arithmetic alone cannot distinguish from SUM = 0)
+_NN = "__nn__"
+
+
+def _delta_eligible(aggs: list[dict]) -> bool:
+    """COUNT and SUM are self-maintainable: insert/delete deltas apply
+    arithmetically with no base re-read. MIN/MAX/AVG/COUNT-DISTINCT
+    need the surviving rows when a delete removes the extreme value,
+    so views carrying them refresh by affected-group recompute."""
+    return all(a["fn"] in ("count", "sum") for a in aggs)
+
+
+def _agg_exprs(aggs: list[dict], with_nn: bool = False):
     out = []
     for a in aggs:
         fn = a["fn"]
@@ -83,6 +98,18 @@ def _agg_exprs(aggs: list[dict]):
         if needs_col and not a.get("col"):
             raise ValueError(f"aggregate {fn!r} needs a 'col'")
         out.append(build(a.get("col")).alias(a["alias"]))
+    if with_nn:
+        # hidden row counter: group liveness under +/- maintenance (a
+        # group whose row count reaches 0 must DROP, which a sum-only
+        # visible spec cannot detect)
+        out.append(F.count(F.lit(1)).cast("long").alias(_NN + "rows"))
+        for a in aggs:
+            if a["fn"] == "sum":
+                out.append(
+                    F.count(F.col(a["col"]))
+                    .cast("long")
+                    .alias(_NN + a["alias"])
+                )
     return out
 
 
@@ -133,7 +160,7 @@ class MaterializedView:
         full = (
             base.read(spark)
             .groupBy(*group_cols)
-            .agg(*_agg_exprs(aggs))
+            .agg(*_agg_exprs(aggs, with_nn=_delta_eligible(aggs)))
         )
         tbl = SnapshotTable(mv_root)
         tbl.commit(full, mode="append", epoch_id=base_head)
@@ -153,7 +180,9 @@ class MaterializedView:
         return SnapshotTable(self.spec["base_root"])
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return self.table.read(spark)
+        df = self.table.read(spark)
+        vis = [c for c in df.columns if not c.startswith(_NN)]
+        return df.select(*vis)
 
     def applied_base_version(self) -> int:
         """The base version the view currently reflects: walk back from
@@ -171,14 +200,27 @@ class MaterializedView:
         )
 
     # ----------------------------------------------------------- refresh
-    def refresh(self, spark: SparkSession) -> dict:
+    def refresh(self, spark: SparkSession, strategy: str = "auto") -> dict:
         """Advance the view to the base table's current head.
 
-        Idempotent and crash-safe: the affected groups' post-image is
-        recomputed from the base HEAD (pure function of base state),
-        and the swap + applied-version stamp publish as one commit.
+        Two maintenance paths, both crash-safe (the swap and the
+        applied-version stamp publish as ONE commit, and nothing is
+        applied before it):
+
+        * **delta** (all-COUNT/SUM views, ``strategy='auto'`` default):
+          the exact change rows apply ARITHMETICALLY against the view's
+          own current rows — O(change rows + touched groups), the base
+          is never re-read. Exactly-once, not merely idempotent: the
+          delta applies iff the commit that records it publishes.
+        * **recompute** (MIN/MAX/AVG/COUNT-DISTINCT, or
+          ``strategy='recompute'``): touched groups recompute from the
+          base head via a broadcast null-safe semi-join — a pure
+          function of base state, so replays converge.
+
         Returns ``{"noop", "base_version", "applied_from",
-        "mv_version", "groups_touched"}``."""
+        "mv_version", "groups_touched", "strategy"}``."""
+        if strategy not in ("auto", "delta", "recompute"):
+            raise ValueError(f"strategy: {strategy!r}")
         base = self.base()
         head = base.latest_version()
         last = self.applied_base_version()
@@ -197,7 +239,29 @@ class MaterializedView:
                 f"{last} — the base table lost history (manifests "
                 f"removed?); rebuild the view"
             )
-        delta = row_changes(base, spark, from_version=last, to_version=head)
+        # the diff replays for every downstream action (group count,
+        # post-image, swap bookkeeping) — pin it once; it is O(changed
+        # rows), the one size refresh is allowed to hold
+        delta = row_changes(
+            base, spark, from_version=last, to_version=head
+        ).persist()
+        try:
+            return self._refresh_from_delta(
+                spark, base, delta, head, last, strategy
+            )
+        finally:
+            delta.unpersist()
+
+    def _refresh_from_delta(
+        self,
+        spark: SparkSession,
+        base: SnapshotTable,
+        delta: DataFrame,
+        head: int,
+        last: int,
+        strategy: str,
+    ) -> dict:
+        group_cols = self.spec["group_cols"]
         keys = delta.select(*group_cols).distinct()
         n_groups = keys.count()
         if n_groups == 0:
@@ -233,20 +297,42 @@ class MaterializedView:
                 "mv_version": marker["version"],
                 "groups_touched": 0,
             }
-        cond = reduce(
-            lambda a, b: a & b,
-            [
-                F.col(f"__b.{c}").eqNullSafe(F.col(f"__k.{c}"))
-                for c in group_cols
-            ],
+        aggs = self.spec["aggs"]
+        mv_cols = set(self.table.read(spark).columns)
+        use_delta = (
+            _delta_eligible(aggs)
+            and strategy != "recompute"
+            # the hidden counters only exist if the view was CREATED
+            # delta-eligible; an older/foreign view falls back
+            and _NN + "rows" in mv_cols
+            and all(
+                _NN + a["alias"] in mv_cols
+                for a in aggs
+                if a["fn"] == "sum"
+            )
         )
-        post = (
-            base.read(spark)
-            .alias("__b")
-            .join(F.broadcast(keys.alias("__k")), cond, "left_semi")
-            .groupBy(*group_cols)
-            .agg(*_agg_exprs(self.spec["aggs"]))
-        )
+        if strategy == "delta" and not use_delta:
+            raise ValueError(
+                "strategy='delta' needs an all-COUNT/SUM view created "
+                "by this module (hidden non-null counters present)"
+            )
+        if use_delta:
+            post = self._delta_post_image(spark, delta, keys)
+        else:
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__b.{c}").eqNullSafe(F.col(f"__k.{c}"))
+                    for c in group_cols
+                ],
+            )
+            post = (
+                base.read(spark)
+                .alias("__b")
+                .join(F.broadcast(keys.alias("__k")), cond, "left_semi")
+                .groupBy(*group_cols)
+                .agg(*_agg_exprs(aggs, with_nn=_delta_eligible(aggs)))
+            )
         res = self.table.replace_where_keys(
             spark,
             keys,
@@ -261,4 +347,77 @@ class MaterializedView:
             "applied_from": last,
             "mv_version": res["version"],
             "groups_touched": n_groups,
+            "strategy": "delta" if use_delta else "recompute",
         }
+
+    def _delta_post_image(
+        self, spark: SparkSession, delta: DataFrame, keys: DataFrame
+    ) -> DataFrame:
+        """Post-image of the touched groups by ARITHMETIC — COUNT/SUM
+        views never re-read the base: each change row contributes
+        ``+value`` (insert) or ``-value`` (delete) and the view's own
+        current row supplies the running totals, so refresh cost is
+        O(change rows) + O(touched view groups). SUM's SQL semantics
+        ride the hidden non-null counters: a sum is NULL exactly when
+        its group holds zero non-null values, which the persisted
+        ``__nn__*`` column tracks through inserts AND deletes (running
+        sums alone cannot tell "all values deleted" from "sums to 0").
+        Groups whose row count reaches zero are omitted — the swap
+        deletes them."""
+        group_cols = self.spec["group_cols"]
+        aggs = self.spec["aggs"]
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        d_exprs = [F.sum(sign).alias("__d_rows")]
+        for a in aggs:
+            al = a["alias"]
+            if a["fn"] == "count":
+                d_exprs.append(F.sum(sign).alias(f"__d_{al}"))
+            else:  # sum
+                c = F.col(a["col"])
+                d_exprs.append(
+                    F.sum(sign * F.coalesce(c, F.lit(0))).alias(f"__d_{al}")
+                )
+                d_exprs.append(
+                    F.sum(sign * c.isNotNull().cast("long")).alias(
+                        f"__dnn_{al}"
+                    )
+                )
+        d = delta.groupBy(*group_cols).agg(*d_exprs).alias("__d")
+        cur = self.table.read(spark).alias("__m")
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__d.{c}").eqNullSafe(F.col(f"__m.{c}"))
+                for c in group_cols
+            ],
+        )
+        j = d.join(cur, cond, "left")
+        out_cols = [F.col(f"__d.{c}").alias(c) for c in group_cols]
+        new_rows = F.coalesce(
+            F.col(f"__m.{_NN}rows"), F.lit(0)
+        ) + F.col("__d.__d_rows")
+        out_cols.append(new_rows.alias(_NN + "rows"))
+        for a in aggs:
+            al = a["alias"]
+            if a["fn"] == "count":
+                out_cols.append(
+                    (
+                        F.coalesce(F.col(f"__m.{al}"), F.lit(0))
+                        + F.col(f"__d.__d_{al}")
+                    ).alias(al)
+                )
+            else:
+                new_nn = F.coalesce(
+                    F.col(f"__m.{_NN}{al}"), F.lit(0)
+                ) + F.col(f"__d.__dnn_{al}")
+                new_sum = F.when(
+                    new_nn == 0, F.lit(None)
+                ).otherwise(
+                    F.coalesce(F.col(f"__m.{al}"), F.lit(0))
+                    + F.col(f"__d.__d_{al}")
+                )
+                out_cols.append(new_sum.alias(al))
+                out_cols.append(new_nn.alias(_NN + al))
+        return j.select(*out_cols).filter(F.col(_NN + "rows") > 0)

@@ -3563,8 +3563,13 @@ class SnapshotTable:
             ]
             return df.select(*cols)
 
+        # the replacement is consumed twice (count + file write) and is
+        # often an expensive derived frame (an MV post-image chained
+        # onto a CDC diff) — pin it for the op's duration
+        replacement = replacement.persist()
         inserted_rows = replacement.count()
         if not affected and inserted_rows == 0:
+            replacement.unpersist()
             return {
                 "version": head,
                 "rewritten_files": 0,
@@ -3620,6 +3625,7 @@ class SnapshotTable:
                 f"replace lost the version race {_MAX_COMMIT_REBASE} "
                 f"times — sustained contention"
             )
+        replacement.unpersist()
         return {
             "version": version,
             "rewritten_files": len(affected),

@@ -1431,3 +1431,93 @@ def test_random_mutations_mv_refresh_converges(spark, tmp_path, seed):
             )
             assert via_ds == got, (seed, i, "datasource read diverged")
     assert mv.applied_base_version() == base.latest_version()
+
+
+# family 19b (round 11): the DELTA fast path (all-COUNT/SUM views apply
+# change rows arithmetically, never re-reading the base) must converge to
+# the same state the recompute path / a from-scratch recompute produces —
+# including NULL values in the summed column (SUM over zero non-null
+# values must come back NULL, tracked by the hidden counters) and NULL
+# group keys.
+
+
+@pytest.mark.parametrize("seed", _seeds(6))
+def test_random_mutations_mv_delta_path_converges(spark, tmp_path, seed):
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.sources.mv import MaterializedView
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    base = SnapshotTable(str(tmp_path / f"mvdbase{seed}"))
+    rng = random.Random(1_912_000 + seed)
+
+    def _x():
+        return None if rng.random() < 0.2 else rng.randrange(-50, 100)
+
+    base.commit(
+        spark.createDataFrame(
+            [
+                (rng.choice(["a", "b", "c", None]), k, _x())
+                for k in range(60)
+            ],
+            "g string, k long, x long",
+        )
+    )
+    mv = MaterializedView.create(
+        spark,
+        base,
+        str(tmp_path / f"mvd{seed}"),
+        ["g"],
+        [
+            {"fn": "count", "alias": "n"},
+            {"fn": "sum", "col": "x", "alias": "sx"},
+        ],
+    )
+    next_k = 60
+    for i in range(5):
+        r = rng.random()
+        if r < 0.4:
+            n = rng.randint(2, 6)
+            base.commit(
+                spark.createDataFrame(
+                    [
+                        (rng.choice(["a", "b", "d", None]), next_k + j, _x())
+                        for j in range(n)
+                    ],
+                    "g string, k long, x long",
+                )
+            )
+            next_k += n
+        elif r < 0.7:
+            base.delete_where(
+                spark,
+                (F.col("k") % 4) == rng.randrange(4),
+                mode=rng.choice(["cow", "mor"]),
+            )
+        else:
+            uniq = {
+                k: (rng.choice(["a", "b", None]), k, _x())
+                for k in [rng.randrange(next_k) for _ in range(3)]
+            }
+            base.merge_rows(
+                spark,
+                spark.createDataFrame(
+                    list(uniq.values()), "g string, k long, x long"
+                ),
+                key_cols=["k"],
+            )
+        res = mv.refresh(spark)
+        assert res["noop"] or res["strategy"] == "delta", (seed, i, res)
+        got = _nsort(tuple(r) for r in mv.read(spark).collect())
+        want = _nsort(
+            tuple(r)
+            for r in base.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").alias("sx"),
+            )
+            .collect()
+        )
+        assert got == want, (seed, i)
+    assert mv.applied_base_version() == base.latest_version()

@@ -295,3 +295,112 @@ def test_replace_commit_is_atomic_one_version(spark, tmp_path):
     ]
     # time travel below the replace still sees the old group
     assert ("a", 1, 1) in _rows(tbl.read(spark, version=1))
+
+
+# ------------------------------------------------------- delta fast path
+
+
+DELTA_AGGS = [
+    {"fn": "count", "alias": "n"},
+    {"fn": "sum", "col": "x", "alias": "sx"},
+]
+
+
+def _expected_delta(spark, tbl):
+    return (
+        tbl.read(spark)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+        )
+    )
+
+
+def test_delta_refresh_no_base_reread(spark, tmp_path):
+    """An all-COUNT/SUM view refreshes arithmetically: strategy
+    reports 'delta', the result matches recompute, and hidden columns
+    never leak through read()."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(_base_rows(spark, [("a", 1, 10), ("a", 2, 20), ("b", 3, 5)]))
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"], DELTA_AGGS
+    )
+    assert mv.read(spark).columns == ["g", "n", "sx"]
+    base.commit(_base_rows(spark, [("a", 4, 7), ("c", 5, 1)]))
+    base.delete_where(spark, F.col("k") == 1)
+    res = mv.refresh(spark)
+    assert res["strategy"] == "delta"
+    assert _rows(mv.read(spark)) == _rows(_expected_delta(spark, base))
+
+
+def test_delta_refresh_drops_emptied_group(spark, tmp_path):
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(_base_rows(spark, [("gone", 1, 10), ("b", 2, 5)]))
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"], DELTA_AGGS
+    )
+    base.delete_where(spark, F.col("g") == "gone")
+    res = mv.refresh(spark)
+    assert res["strategy"] == "delta"
+    assert mv.read(spark).filter(F.col("g") == "gone").count() == 0
+    assert _rows(mv.read(spark)) == _rows(_expected_delta(spark, base))
+
+
+def test_delta_refresh_null_sum_semantics(spark, tmp_path):
+    """SQL SUM is NULL over zero non-null values. Delete every non-null
+    x of a group (rows remain): running arithmetic would report 0; the
+    hidden non-null counter must take the sum back to NULL."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(
+        _base_rows(spark, [("a", 1, 10), ("a", 2, None), ("b", 3, 5)])
+    )
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"], DELTA_AGGS
+    )
+    base.delete_where(spark, F.col("k") == 1)  # a's only non-null x
+    res = mv.refresh(spark)
+    assert res["strategy"] == "delta"
+    [row] = mv.read(spark).filter(F.col("g") == "a").collect()
+    assert row["n"] == 1 and row["sx"] is None
+    assert _rows(mv.read(spark)) == _rows(_expected_delta(spark, base))
+    # and an insert of a non-null value revives the sum
+    base.commit(_base_rows(spark, [("a", 9, 4)]))
+    mv.refresh(spark)
+    [row] = mv.read(spark).filter(F.col("g") == "a").collect()
+    assert row["n"] == 2 and row["sx"] == 4
+
+
+def test_delta_strategy_forcing(spark, tmp_path):
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(_base_rows(spark, [("a", 1, 10)]))
+    eligible = MaterializedView.create(
+        spark, base, str(tmp_path / "mv1"), ["g"], DELTA_AGGS
+    )
+    full = MaterializedView.create(
+        spark, base, str(tmp_path / "mv2"), ["g"], AGGS
+    )
+    base.commit(_base_rows(spark, [("a", 2, 1)]))
+    # recompute forced on an eligible view still matches
+    res = eligible.refresh(spark, strategy="recompute")
+    assert res["strategy"] == "recompute"
+    assert _rows(eligible.read(spark)) == _rows(_expected_delta(spark, base))
+    # delta demanded of a min/max view refuses
+    with pytest.raises(ValueError, match="all-COUNT/SUM"):
+        full.refresh(spark, strategy="delta")
+    assert not full.refresh(spark)["noop"]
+
+
+def test_delta_refresh_on_update_via_merge(spark, tmp_path):
+    """merge_rows surfaces as delete(old)+insert(new) in the change
+    feed; the arithmetic nets to the value difference."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(_base_rows(spark, [("a", 1, 10), ("a", 2, 99)]))
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"], DELTA_AGGS
+    )
+    base.merge_rows(spark, _base_rows(spark, [("a", 2, 3)]), key_cols=["k"])
+    res = mv.refresh(spark)
+    assert res["strategy"] == "delta"
+    [row] = mv.read(spark).collect()
+    assert (row["n"], row["sx"]) == (2, 13)
