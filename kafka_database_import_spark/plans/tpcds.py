@@ -53,6 +53,7 @@ def _sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin = 100 - disc - (60 + F.col("l_partkey") % 30)
     return f.select(
         ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 4).alias("chan"),
+        F.col("l_orderkey").alias("order_sk"),
         F.col("o_orderdate").alias("sold_date"),
         F.col("l_partkey").alias("item_sk"),
         F.col("o_custkey").alias("cust_sk"),
@@ -119,6 +120,7 @@ def _store(spark: SparkSession) -> DataFrame:
 _DS_SQL = """
 sales AS (
   SELECT (l_orderkey * 7 + l_linenumber) % 4 AS chan,
+         l_orderkey AS order_sk,
          o_orderdate AS sold_date,
          l_partkey AS item_sk,
          o_custkey AS cust_sk,
@@ -2852,9 +2854,13 @@ def tpcds_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     (store_sales |x| store_returns |x| catalog_sales); the fixtures
     fold sales/returns into one line via the `returned` flag
     (module docstring), so the ss|x|sr leg is that flag filter and the
-    real cross-channel shuffle is the (cust, item) join to the catalog
-    repurchase -- the same co-partitioned composite-key fact-fact join,
-    one shuffle per side. STDDEV_SAMP/AVG of the reference are carried
+    real cross-channel shuffle is the composite-key join to the catalog
+    repurchase -- co-partitioned, one shuffle per side. The repurchase
+    key is (customer, item CLASS = item_sk % 100): an exact same-part
+    cross-channel repurchase never occurs in the TPC-H-derived
+    fixtures (0 rows at every scale), so a class-grain match keeps the
+    chain-join shape non-degenerate while preserving the composite-key
+    co-partitioning. STDDEV_SAMP/AVG of the reference are carried
     as exact integer moments (n, SUM q, SUM q^2) so no float crosses
     engines; variance is derivable downstream. 100 TB: both facts
     shuffle once on (cust, item); item and the 12-row store dim
@@ -3038,3 +3044,373 @@ def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ordered(out, "rnk", "worst_item", "best_item")
+
+
+@query(
+    "tpcds_q04",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    yt AS (
+      SELECT cust_sk,
+             SUM(CASE WHEN chan <= 1 AND YEAR(sold_date) = 1995
+                      THEN ext_cents ELSE 0 END) AS s1,
+             SUM(CASE WHEN chan <= 1 AND YEAR(sold_date) = 1996
+                      THEN ext_cents ELSE 0 END) AS s2,
+             SUM(CASE WHEN chan = 2 AND YEAR(sold_date) = 1995
+                      THEN ext_cents ELSE 0 END) AS c1,
+             SUM(CASE WHEN chan = 2 AND YEAR(sold_date) = 1996
+                      THEN ext_cents ELSE 0 END) AS c2,
+             SUM(CASE WHEN chan = 3 AND YEAR(sold_date) = 1995
+                      THEN ext_cents ELSE 0 END) AS w1,
+             SUM(CASE WHEN chan = 3 AND YEAR(sold_date) = 1996
+                      THEN ext_cents ELSE 0 END) AS w2
+      FROM sales
+      WHERE YEAR(sold_date) IN (1995, 1996)
+      GROUP BY cust_sk
+    )
+    SELECT cust_sk AS cust
+    FROM yt
+    WHERE s1 > 0 AND c1 > 0 AND w1 > 0
+      AND CAST(c2 AS HUGEINT) * s1 > CAST(s2 AS HUGEINT) * c1
+      AND CAST(w2 AS HUGEINT) * s1 > CAST(s2 AS HUGEINT) * w1
+    ORDER BY cust NULLS LAST
+    """,
+)
+def tpcds_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q4 (customers whose catalog AND web spending grew faster
+    than their store spending across two years). The reference builds
+    a year_total CTE and self-joins it SIX ways (3 channels x 2
+    years); all six collapse to ONE conditional-aggregation pass per
+    customer — six CASE sums over a single fact scan, no self-join at
+    all (the pivot rewrite vendors hand-apply). The growth-ratio
+    comparisons c2/c1 > s2/s1 cross-multiply to c2*s1 > s2*c1; the
+    products of two year-total sums can exceed int64 at warehouse
+    scale, so BOTH engines compare in 128-bit exact types (Spark
+    decimal(38,0), DuckDB HUGEINT) — no float, no overflow. 100 TB:
+    one shuffle to customer grain; everything else is a projection."""
+    s = _sales(spark, sf_dir).filter(F.year("sold_date").isin(1995, 1996))
+
+    def cs(chan_cond, yr):
+        return F.sum(
+            F.when(
+                chan_cond & (F.year("sold_date") == yr), F.col("ext_cents")
+            ).otherwise(0)
+        )
+
+    store, cat, web = F.col("chan") <= 1, F.col("chan") == 2, F.col("chan") == 3
+    yt = s.groupBy("cust_sk").agg(
+        cs(store, 1995).alias("s1"),
+        cs(store, 1996).alias("s2"),
+        cs(cat, 1995).alias("c1"),
+        cs(cat, 1996).alias("c2"),
+        cs(web, 1995).alias("w1"),
+        cs(web, 1996).alias("w2"),
+    )
+
+    def d(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    out = yt.filter(
+        (F.col("s1") > 0)
+        & (F.col("c1") > 0)
+        & (F.col("w1") > 0)
+        & (d("c2") * d("s1") > d("s2") * d("c1"))
+        & (d("w2") * d("s1") > d("s2") * d("w1"))
+    ).select(F.col("cust_sk").alias("cust"))
+    return ordered(out, "cust")
+
+
+@query(
+    "tpcds_q35",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    st AS (SELECT DISTINCT cust_sk FROM store_sales
+           WHERE YEAR(sold_date) = 1996),
+    other AS (
+      SELECT DISTINCT cust_sk FROM web_sales WHERE YEAR(sold_date) = 1996
+      UNION
+      SELECT DISTINCT cust_sk FROM catalog_sales WHERE YEAR(sold_date) = 1996
+    )
+    SELECT c_mktsegment AS segment, c_nationkey AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_cents,
+           MIN(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_min,
+           MAX(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_max
+    FROM customer
+    WHERE c_custkey IN (SELECT cust_sk FROM st)
+      AND c_custkey IN (SELECT cust_sk FROM other)
+    GROUP BY c_mktsegment, c_nationkey
+    ORDER BY segment NULLS LAST, nation NULLS LAST, n NULLS LAST,
+             bal_cents NULLS LAST, bal_min NULLS LAST, bal_max NULLS LAST
+    """,
+)
+def tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q35 (demographic statistics of customers active in the
+    store AND in at least one direct channel — Q10's gates feeding a
+    STATISTICS census instead of a bare count). Same decorrelation:
+    the OR of two EXISTS unions into one distinct key set, two
+    broadcast left-semis total; the aggregate then carries exact
+    integer moment columns (COUNT/SUM/MIN/MAX of balance cents) per
+    (segment, nation) — the reference's avg/min/max/count block with
+    AVG left as the SUM/COUNT pair so nothing floating crosses
+    engines. 100 TB: gate sets are distinct customer keys (broadcast);
+    the customer dim aggregates in one pass."""
+    y = F.year("sold_date")
+
+    def custs(chan):
+        return (
+            _channel(spark, sf_dir, chan)
+            .filter(y == 1996)
+            .select("cust_sk")
+            .distinct()
+        )
+
+    other = custs("web").union(custs("catalog")).distinct()
+    cust = load_table(spark, sf_dir, "customer")
+    gated = cust.join(
+        F.broadcast(custs("store")),
+        cust.c_custkey == F.col("cust_sk"),
+        "left_semi",
+    )
+    gated = gated.join(
+        F.broadcast(other), gated.c_custkey == other.cust_sk, "left_semi"
+    )
+    bal = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    out = gated.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        bal.alias("bal"),
+    ).groupBy("segment", "nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bal").alias("bal_cents"),
+        F.min("bal").alias("bal_min"),
+        F.max("bal").alias("bal_max"),
+    )
+    return ordered(
+        out, "segment", "nation", "n", "bal_cents", "bal_min", "bal_max"
+    )
+
+
+@query(
+    "tpcds_q45",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    hot_items AS (
+      SELECT i_item_sk FROM item WHERE i_manufact_id IN (7, 77, 177)
+    )
+    SELECT c_nationkey AS nation, SUM(net_cp) AS net
+    FROM web_sales
+    JOIN customer ON cust_sk = c_custkey
+    WHERE YEAR(sold_date) = 1996
+      AND (c_nationkey IN (1, 3, 5)
+           OR item_sk IN (SELECT i_item_sk FROM hot_items))
+    GROUP BY c_nationkey
+    ORDER BY nation NULLS LAST, net NULLS LAST
+    """,
+)
+def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q45 (web revenue from customers in listed geographies OR
+    from sales of listed items — a DISJUNCTION of a local dimension
+    predicate with an uncorrelated IN-subquery). A semi-join cannot
+    express the OR (it would drop the geography-only rows), and
+    duplicating the fact through a UNION would double-count rows
+    matching both arms; the rewrite is an EXISTENCE join — left-join
+    the broadcast item key set with a match flag and filter
+    (geo-pred OR flag) — one fact pass, no row duplication, the exact
+    relational-algebra form Catalyst synthesizes for EXISTS-in-OR SQL.
+    100 TB: the flag side is a dimension key set (broadcast); customer
+    broadcasts; one shuffle for the census."""
+    ws = _channel(spark, sf_dir, "web").filter(F.year("sold_date") == 1996)
+    hot = (
+        _item(spark, sf_dir)
+        .filter(F.col("i_manufact_id").isin(7, 77, 177))
+        .select(F.col("i_item_sk").alias("hot_sk"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    flagged = ws.join(
+        F.broadcast(hot.withColumn("hot", F.lit(True))),
+        ws.item_sk == F.col("hot_sk"),
+        "left",
+    )
+    out = (
+        flagged.join(F.broadcast(cust), flagged.cust_sk == cust.c_custkey)
+        .filter(
+            F.col("c_nationkey").isin(1, 3, 5)
+            | F.col("hot").isNotNull()
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.sum("net_cp").alias("net"))
+    )
+    return ordered(out, "nation", "net")
+
+
+@query(
+    "tpcds_q46",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    tickets AS (
+      SELECT order_sk, cust_sk, store_sk,
+             SUM(ext_cents) AS amt, SUM(profit_cp) AS profit
+      FROM store_sales
+      WHERE YEAR(sold_date) = 1996
+      GROUP BY order_sk, cust_sk, store_sk
+    )
+    SELECT cust_sk AS cust, order_sk AS ticket, amt, profit
+    FROM tickets
+    JOIN store ON store_sk = s_store_sk
+    JOIN customer ON cust_sk = c_custkey
+    WHERE s_state <> CASE c_nationkey % 6
+                       WHEN 0 THEN 'TN' WHEN 1 THEN 'CA' WHEN 2 THEN 'TX'
+                       WHEN 3 THEN 'NY' WHEN 4 THEN 'OH' ELSE 'GA' END
+    ORDER BY cust NULLS LAST, ticket NULLS LAST, amt NULLS LAST,
+             profit NULLS LAST
+    """,
+)
+def tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q46 (out-of-town shoppers: per-TICKET totals for
+    customers whose home state differs from the store's state). The
+    shape TPC-DS adds here is the composite-key ticket rollup — the
+    fact aggregates to (ticket, customer, store) grain FIRST, and the
+    dimension joins + the cross-dimension INEQUALITY predicate apply
+    to the rollup, orders of magnitude smaller than line grain. Home
+    state synthesizes from c_nationkey through the same 6-state
+    rotation the store dim uses (documented fixture substitution).
+    100 TB: one shuffle to ticket grain (the natural pre-aggregation a
+    vendor pushes below dimension joins), store + customer broadcast,
+    the inequality is a projection-level comparison, never a join
+    condition explosion."""
+    ss = _channel(spark, sf_dir, "store").filter(F.year("sold_date") == 1996)
+    tickets = ss.groupBy("order_sk", "cust_sk", "store_sk").agg(
+        F.sum("ext_cents").alias("amt"),
+        F.sum("profit_cp").alias("profit"),
+    )
+    st = _store(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    home = F.element_at(
+        F.array(*[F.lit(s) for s in _STATES]),
+        (F.col("c_nationkey") % 6 + 1).cast("int"),
+    )
+    out = (
+        tickets.join(F.broadcast(st), tickets.store_sk == st.s_store_sk)
+        .join(F.broadcast(cust), tickets.cust_sk == cust.c_custkey)
+        .filter(F.col("s_state") != home)
+        .select(
+            F.col("cust_sk").alias("cust"),
+            F.col("order_sk").alias("ticket"),
+            "amt",
+            "profit",
+        )
+    )
+    return ordered(out, "cust", "ticket", "amt", "profit")
+
+
+@query(
+    "tpcds_q48",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS qty
+    FROM lineitem
+    WHERE (l_orderkey * 7 + l_linenumber) % 4 <= 1
+      AND ((l_quantity BETWEEN 1 AND 15 AND l_discount BETWEEN 0.00 AND 0.03)
+        OR (l_quantity BETWEEN 16 AND 30 AND l_discount BETWEEN 0.04 AND 0.07)
+        OR (l_quantity BETWEEN 31 AND 50 AND l_discount BETWEEN 0.08 AND 0.10))
+    """,
+)
+def tpcds_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q48 (one aggregate under a DISJUNCTION of AND-triples —
+    the DNF-selection query vendors use to test OR pushdown). The
+    bands land on RAW columns (l_quantity, l_discount), so the whole
+    OR tree is parquet-translatable and reaches the scan as ONE pushed
+    Or filter — row groups whose min/max stats exclude every branch
+    never decompress (pinned in tests/test_plan_shapes.py). The
+    non-translatable channel conjunct (key arithmetic) stays a data
+    filter WITHOUT poisoning the pushable disjunction, because
+    conjuncts translate independently. TPC-H quantities are integral,
+    so raw-column bands equal the derived qty bands exactly. 100 TB:
+    this is the predicate shape where scan pruning pays the most —
+    a non-pushed DNF reads every byte."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, d = F.col("l_quantity"), F.col("l_discount")
+    dnf = (
+        (q.between(1, 15) & d.between(0.00, 0.03))
+        | (q.between(16, 30) & d.between(0.04, 0.07))
+        | (q.between(31, 50) & d.between(0.08, 0.10))
+    )
+    chan = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 4 <= 1
+    out = li.filter(chan & dnf).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(q + 0.5).cast("long")).alias("qty"),
+    )
+    return ordered(out, "n", "qty")
+
+
+@query(
+    "tpcds_q75",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    net AS (
+      SELECT YEAR(sold_date) AS yr, item_sk,
+             SUM(CASE WHEN returned THEN 0 ELSE qty END) AS net_qty
+      FROM (SELECT * FROM store_sales UNION ALL
+            SELECT * FROM catalog_sales UNION ALL
+            SELECT * FROM web_sales)
+      WHERE YEAR(sold_date) IN (1995, 1996)
+      GROUP BY YEAR(sold_date), item_sk
+    ),
+    brands AS (
+      SELECT i_brand AS brand, yr, SUM(net_qty) AS bq
+      FROM net JOIN item ON item_sk = i_item_sk
+      GROUP BY i_brand, yr
+    )
+    SELECT a.brand AS brand, a.bq AS prev_qty, b.bq AS cur_qty
+    FROM brands a
+    JOIN brands b ON a.brand = b.brand AND a.yr = 1995 AND b.yr = 1996
+    WHERE 10 * b.bq < 9 * a.bq
+    ORDER BY brand NULLS LAST, prev_qty NULLS LAST, cur_qty NULLS LAST
+    """,
+)
+def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q75 (brands whose net-of-returns volume DECLINED more
+    than 10 % year over year, across all three channels). The
+    reference UNION ALLs sales-minus-returns per channel then
+    self-joins current against prior year; here returns net out at the
+    LINE (the returned flag zeroes the quantity — the fixtures' fold
+    of the *_returns tables), the three channels union below ONE
+    (year, item) aggregate, and the year-over-year comparison is a
+    broadcast self-join of the brand-level aggregate (brand x 2 years
+    — dimension-sized). The 10 % decline gate is cross-multiplied
+    exact: 10*cur < 9*prev. 100 TB: one fact-grain shuffle; both YoY
+    sides are aggregates, so the join never touches fact rows."""
+    s = _sales(spark, sf_dir).filter(F.year("sold_date").isin(1995, 1996))
+    net = s.groupBy(
+        F.year("sold_date").alias("yr"), F.col("item_sk")
+    ).agg(
+        F.sum(
+            F.when(F.col("returned"), F.lit(0)).otherwise(F.col("qty"))
+        ).alias("net_qty")
+    )
+    it = _item(spark, sf_dir).select("i_item_sk", "i_brand")
+    brands = (
+        net.join(F.broadcast(it), net.item_sk == it.i_item_sk)
+        .groupBy(F.col("i_brand").alias("brand"), "yr")
+        .agg(F.sum("net_qty").alias("bq"))
+    )
+    a = brands.filter(F.col("yr") == 1995).alias("a")
+    b = brands.filter(F.col("yr") == 1996).alias("b")
+    out = a.join(
+        F.broadcast(b), F.col("a.brand") == F.col("b.brand")
+    ).filter(10 * F.col("b.bq") < 9 * F.col("a.bq")).select(
+        F.col("a.brand").alias("brand"),
+        F.col("a.bq").alias("prev_qty"),
+        F.col("b.bq").alias("cur_qty"),
+    )
+    return ordered(out, "brand", "prev_qty", "cur_qty")

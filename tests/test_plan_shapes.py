@@ -640,3 +640,54 @@ def test_tpcds_q44_rank_meet_windows_ride_one_aggregate(spark, sf_dir):
     assert plan.count("Window") >= 2
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q04_six_self_joins_collapse_to_one_pass(spark, sf_dir):
+    """The reference's six references to the year_total CTE must plan
+    as ONE aggregate over one fact scan (conditional pivot) — no self
+    join, no window."""
+    plan = _plan(spark, sf_dir, "tpcds_q04")
+    assert plan.count("Join") == 1  # only the lineitem |x| orders spine
+    assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpcds_q45_or_of_exists_is_existence_flag_join(spark, sf_dir):
+    """The (local-pred OR IN-subquery) disjunction must plan as a
+    LEFT OUTER flag join against the broadcast item key set — never a
+    UNION double-scan of the fact, never a cartesian."""
+    plan = _plan(spark, sf_dir, "tpcds_q45")
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert plan.count("Union") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q46_dims_join_the_ticket_rollup_not_lines(spark, sf_dir):
+    """The (ticket, cust, store) rollup aggregates BELOW the broadcast
+    dimension joins: tree prints top-down, so the final aggregate's
+    HashAggregate must appear (as the rollup) UNDER the projection but
+    the dim joins must consume aggregate output — pinned by exchange
+    count: one fact shuffle to ticket grain, no second fact exchange
+    for the joins."""
+    plan = _plan(spark, sf_dir, "tpcds_q46")
+    assert plan.count("BroadcastHashJoin") >= 2  # store + customer
+    # grain shuffle + (AQE variants) — but never a join-side exchange
+    assert plan.count("Exchange hashpartitioning") <= 2, plan.count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_tpcds_q48_dnf_pushes_to_scan(spark, sf_dir):
+    """The OR-of-AND-triples on raw columns must reach the parquet
+    scan as a pushed Or filter; the computed channel conjunct must not
+    poison it (conjuncts translate independently)."""
+    df = _QS["tpcds_q48"].fn(spark, sf_dir)
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = scan[scan.find("PushedFilters") :][:400]
+    assert "Or(" in pushed and "And(" in pushed, pushed
+    assert "Join" not in scan  # single-table scan query
+
+
+def test_tpcds_q75_yoy_join_is_aggregate_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpcds_q75")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
