@@ -350,6 +350,54 @@ class MaterializedView:
             "strategy": "delta" if use_delta else "recompute",
         }
 
+    # --------------------------------------------------- streaming drive
+    def maintain_stream(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        processing_time: str | None = None,
+    ):
+        """Continuously maintain the view off the base table's CHANGES
+        STREAM (sources/snapshot_stream.py): each micro-batch of newly
+        committed base versions triggers one :meth:`refresh`. The
+        stream is the TRIGGER, not the data path — refresh re-derives
+        its exact delta from the manifests, so a replayed micro-batch
+        (crash-restart) or a batch that lags the head refreshes
+        idempotently; the view never double-applies. APPEND-ONLY bases
+        only (the changes stream's documented contract — a delete/merge
+        commit fails the stream; mutating bases refresh batch-side on
+        whatever cadence the maintainer chooses). Returns the
+        StreamingQuery; availableNow=True drains the backlog and stops
+        (the ingest-then-report pattern); pass
+        ``processing_time='30 seconds'`` instead for a long-running
+        maintainer."""
+        from kafka_database_import_spark.sources.snapshot_stream import (
+            register,
+        )
+
+        register(spark)
+        stream = (
+            spark.readStream.format("kdis_snapshot_changes")
+            .option("path", self.spec["base_root"])
+            .load()
+        )
+
+        def _refresh_batch(batch_df, _epoch):
+            # batch content is deliberately unused: versions, not rows,
+            # drive the refresh (exactly-once lives in the manifest
+            # epoch stamp, not in Spark's sink-commit log)
+            self.refresh(spark)
+
+        w = stream.writeStream.foreachBatch(_refresh_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        elif processing_time:
+            w = w.trigger(processingTime=processing_time)
+        return w.start()
+
     def _delta_post_image(
         self, spark: SparkSession, delta: DataFrame, keys: DataFrame
     ) -> DataFrame:

@@ -404,3 +404,28 @@ def test_delta_refresh_on_update_via_merge(spark, tmp_path):
     assert res["strategy"] == "delta"
     [row] = mv.read(spark).collect()
     assert (row["n"], row["sx"]) == (2, 13)
+
+
+# --------------------------------------------------- stream-driven upkeep
+
+
+def test_maintain_stream_catches_up_append_only_base(spark, tmp_path):
+    """The changes stream drives refreshes: appends committed before
+    the drain all land in the view; a second drain with no new
+    versions leaves the view version unchanged (refreshes are noops,
+    not re-applies)."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(_base_rows(spark, [("a", 1, 10), ("b", 2, 5)]))
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"], DELTA_AGGS
+    )
+    base.commit(_base_rows(spark, [("a", 3, 7), ("c", 4, 99)]))
+    base.commit(_base_rows(spark, [("c", 5, 1)]))
+    q = mv.maintain_stream(spark, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+    assert mv.applied_base_version() == base.latest_version()
+    assert _rows(mv.read(spark)) == _rows(_expected_delta(spark, base))
+    v = mv.table.latest_version()
+    q2 = mv.maintain_stream(spark, str(tmp_path / "ckpt"))
+    assert q2.awaitTermination(120)
+    assert mv.table.latest_version() == v  # nothing new: no new version
