@@ -3414,3 +3414,358 @@ def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.bq").alias("cur_qty"),
     )
     return ordered(out, "brand", "prev_qty", "cur_qty")
+
+
+@query(
+    "tpcds_q18",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT c_nationkey AS nation, c_mktsegment AS segment,
+           GROUPING(c_nationkey) + 2 * GROUPING(c_mktsegment) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(qty) AS qty, SUM(qty * qty) AS qty_sq,
+           SUM(ext_cents) AS ext
+    FROM catalog_sales
+    JOIN customer ON cust_sk = c_custkey
+    WHERE YEAR(sold_date) = 1996
+    GROUP BY ROLLUP(c_nationkey, c_mktsegment)
+    ORDER BY nation NULLS LAST, segment NULLS LAST, gid NULLS LAST,
+             n NULLS LAST, qty NULLS LAST, qty_sq NULLS LAST, ext NULLS LAST
+    """,
+)
+def tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q18 (catalog demographics report: AVG quantities per
+    customer attribute ROLLUP). The reference averages seven measures
+    over ROLLUP(country, state, county); the fixtures' demographic
+    axes are (nation, segment), and every AVG is carried as exact
+    integer moments (COUNT + SUM + SUM of squares) so the rollup's
+    super-aggregate rows — where both engines must combine partial
+    groups — compare bit-exactly; GROUPING() ids disambiguate NULL
+    group values from rollup NULLs. 100 TB: the Expand for the rollup
+    multiplies AGGREGATE inputs only after the broadcast customer
+    join; moments are map-side combinable at every grouping level."""
+    cs = _channel(spark, sf_dir, "catalog").filter(
+        F.year("sold_date") == 1996
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    j = cs.join(F.broadcast(cust), cs.cust_sk == cust.c_custkey)
+    out = (
+        j.rollup("c_nationkey", "c_mktsegment")
+        .agg(
+            (
+                F.grouping("c_nationkey") + 2 * F.grouping("c_mktsegment")
+            ).alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qty").alias("qty"),
+            F.sum(F.col("qty") * F.col("qty")).alias("qty_sq"),
+            F.sum("ext_cents").alias("ext"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "gid",
+            "n",
+            "qty",
+            "qty_sq",
+            "ext",
+        )
+    )
+    return ordered(out, "nation", "segment", "gid", "n", "qty", "qty_sq", "ext")
+
+
+@query(
+    "tpcds_q21",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    buckets AS (
+      SELECT store_sk AS wh, item_sk,
+             SUM(CASE WHEN sold_date <  DATE '1996-07-01' THEN qty
+                      ELSE 0 END) AS before_qty,
+             SUM(CASE WHEN sold_date >= DATE '1996-07-01' THEN qty
+                      ELSE 0 END) AS after_qty
+      FROM store_sales
+      WHERE YEAR(sold_date) = 1996
+      GROUP BY store_sk, item_sk
+    )
+    SELECT wh, item_sk AS item, before_qty, after_qty
+    FROM buckets
+    WHERE before_qty > 0 AND after_qty > 0
+      AND 2 * before_qty <= 3 * after_qty
+      AND 2 * after_qty <= 3 * before_qty
+    ORDER BY wh NULLS LAST, item NULLS LAST, before_qty NULLS LAST,
+             after_qty NULLS LAST
+    """,
+)
+def tpcds_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q21 (warehouse/item pairs whose demand before and after
+    a pivot date stays within a 2:3 band — the inventory-balance
+    check). One conditional-aggregation pass produces BOTH temporal
+    buckets (the reference's CASE-on-date pair), and the band
+    before/after ∈ [2/3, 3/2] is the symmetric cross-multiplied
+    integer pair 2*before <= 3*after AND 2*after <= 3*before — no
+    division, no float. 100 TB: one shuffle to (wh, item); the date
+    CASE is scan-local; the band filter runs on aggregate output."""
+    ss = _channel(spark, sf_dir, "store").filter(
+        F.year("sold_date") == 1996
+    )
+    pivot = F.lit("1996-07-01").cast("timestamp")
+    b = ss.groupBy(
+        F.col("store_sk").alias("wh"), F.col("item_sk").alias("item")
+    ).agg(
+        F.sum(
+            F.when(F.col("sold_date") < pivot, F.col("qty")).otherwise(0)
+        ).alias("before_qty"),
+        F.sum(
+            F.when(F.col("sold_date") >= pivot, F.col("qty")).otherwise(0)
+        ).alias("after_qty"),
+    )
+    out = b.filter(
+        (F.col("before_qty") > 0)
+        & (F.col("after_qty") > 0)
+        & (2 * F.col("before_qty") <= 3 * F.col("after_qty"))
+        & (2 * F.col("after_qty") <= 3 * F.col("before_qty"))
+    )
+    return ordered(out, "wh", "item", "before_qty", "after_qty")
+
+
+@query(
+    "tpcds_q50",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    lagged AS (
+      SELECT l_suppkey % 12 AS wh,
+             DATEDIFF('day', o_orderdate, l_shipdate) AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE (l_orderkey * 7 + l_linenumber) % 4 <= 1
+        AND l_returnflag = 'R' AND YEAR(o_orderdate) = 1996
+    )
+    SELECT s_store_sk AS store, s_state AS state,
+           CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN lag_days BETWEEN 31 AND 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN lag_days BETWEEN 61 AND 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN lag_days BETWEEN 91 AND 120 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d120,
+           CAST(SUM(CASE WHEN lag_days > 120 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d120p
+    FROM lagged JOIN store ON wh = s_store_sk
+    GROUP BY s_store_sk, s_state
+    ORDER BY store NULLS LAST, state NULLS LAST, d30 NULLS LAST,
+             d60 NULLS LAST, d90 NULLS LAST, d120 NULLS LAST,
+             d120p NULLS LAST
+    """,
+)
+def tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q50 (return-lag histogram PER STORE: how long after the
+    sale do returns come back, five day-buckets wide). The reference
+    joins store_sales to store_returns on (ticket, item, customer) and
+    datediffs the two date keys; the fixtures fold returns into the
+    line (returned flag) and carry one date pair, so the lag is
+    order→ship on RETURNED lines — same bucket census, one join fewer
+    (documented substitution). Needs raw l_shipdate, so it builds from
+    lineitem directly rather than the `sales` projection; the returned
+    + year filters push to the scans. vs Q62: Q62 buckets globally by
+    lag alone; Q50's grain is the STORE dimension join — 12 broadcast
+    rows — with the five buckets as conditional counts. 100 TB: one
+    fact pass, one 12-key shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    f = li.filter(
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 4 <= 1)
+        & (F.col("l_returnflag") == "R")
+    ).join(o, F.col("l_orderkey") == o.o_orderkey)
+    f = f.filter(F.year("o_orderdate") == 1996).select(
+        (F.col("l_suppkey") % 12).alias("wh"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lag_days"
+        ),
+    )
+    st = _store(spark)
+    lag = F.col("lag_days")
+
+    def bucket(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    out = (
+        f.join(F.broadcast(st), f.wh == st.s_store_sk)
+        .groupBy(
+            F.col("s_store_sk").alias("store"), F.col("s_state").alias("state")
+        )
+        .agg(
+            bucket(lag <= 30, "d30"),
+            bucket(lag.between(31, 60), "d60"),
+            bucket(lag.between(61, 90), "d90"),
+            bucket(lag.between(91, 120), "d120"),
+            bucket(lag > 120, "d120p"),
+        )
+    )
+    return ordered(out, "store", "state", "d30", "d60", "d90", "d120", "d120p")
+
+
+@query(
+    "tpcds_q66",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT store_sk AS wh,
+    """
+    + ", ".join(
+        f"SUM(CASE WHEN MONTH(sold_date) = {m} AND item_sk % 2 = 0 "
+        f"THEN qty ELSE 0 END) AS air_m{m:02d}, "
+        f"SUM(CASE WHEN MONTH(sold_date) = {m} AND item_sk % 2 = 1 "
+        f"THEN qty ELSE 0 END) AS truck_m{m:02d}"
+        for m in range(1, 13)
+    )
+    + """
+    FROM (SELECT * FROM catalog_sales UNION ALL SELECT * FROM web_sales)
+    WHERE YEAR(sold_date) = 1996
+    GROUP BY store_sk
+    ORDER BY wh NULLS LAST
+    """,
+)
+def tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q66 (the warehouse shipping report: a WIDE PIVOT — 24
+    monthly quantity columns, 12 months x 2 carriers, per warehouse,
+    over the catalog+web union). The reference UNION ALLs two
+    per-channel 24-column aggregates and re-aggregates; here the
+    channels union BELOW one aggregate pass, and the 24 columns are
+    conditional sums in that single pass — the pivot never becomes 24
+    scans or a (month, carrier) shuffle key explosion. Carrier
+    synthesizes from key arithmetic (item_sk parity → AIR/TRUCK), the
+    same fixture convention as the channel split. Ordering on the
+    warehouse key alone is total (GROUP BY key). 100 TB: one shuffle
+    on the 12-value warehouse key; 24 partial sums combine map-side —
+    the wide-aggregation shape where map-side combine matters most."""
+    s = _sales(spark, sf_dir).filter(
+        (F.col("chan") >= 2) & (F.year("sold_date") == 1996)
+    )
+    aggs = []
+    for m in range(1, 13):
+        mo = F.month("sold_date") == m
+        even = F.col("item_sk") % 2 == 0
+        aggs.append(
+            F.sum(F.when(mo & even, F.col("qty")).otherwise(0)).alias(
+                f"air_m{m:02d}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(mo & ~even, F.col("qty")).otherwise(0)).alias(
+                f"truck_m{m:02d}"
+            )
+        )
+    out = s.groupBy(F.col("store_sk").alias("wh")).agg(*aggs)
+    return ordered(out, "wh")
+
+
+@query(
+    "tpcds_q69",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    st AS (SELECT DISTINCT cust_sk FROM store_sales
+           WHERE YEAR(sold_date) = 1996),
+    wb AS (SELECT DISTINCT cust_sk FROM web_sales
+           WHERE YEAR(sold_date) = 1996),
+    ct AS (SELECT DISTINCT cust_sk FROM catalog_sales
+           WHERE YEAR(sold_date) = 1996)
+    SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey IN (SELECT cust_sk FROM st)
+      AND c_custkey NOT IN (SELECT cust_sk FROM wb)
+      AND c_custkey NOT IN (SELECT cust_sk FROM ct)
+    GROUP BY c_mktsegment
+    ORDER BY segment NULLS LAST, n NULLS LAST
+    """,
+)
+def tpcds_q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q69 (store-ONLY customers: bought in a store but through
+    NEITHER direct channel — Q10's disjunctive-EXISTS census inverted
+    into NOT-EXISTS gates). EXISTS decorrelates to a broadcast LEFT
+    SEMI as before; each NOT EXISTS becomes a broadcast LEFT ANTI on
+    the channel's distinct customer set — the key-set form is safe
+    here precisely because the sets are NOT NULL (distinct keys of an
+    inner join), where a raw NOT IN over a nullable column would have
+    three-valued-logic traps. 100 TB: three dimension-sized key sets
+    broadcast; the customer dim is scanned once and never shuffles
+    before the census aggregate."""
+    y = F.year("sold_date")
+
+    def custs(chan):
+        return (
+            _channel(spark, sf_dir, chan)
+            .filter(y == 1996)
+            .select("cust_sk")
+            .distinct()
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    gated = cust.join(
+        F.broadcast(custs("store")),
+        cust.c_custkey == F.col("cust_sk"),
+        "left_semi",
+    )
+    for chan in ("web", "catalog"):
+        ch = custs(chan)
+        gated = gated.join(
+            F.broadcast(ch), gated.c_custkey == ch.cust_sk, "left_anti"
+        )
+    out = gated.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return ordered(out, "segment", "n")
+
+
+@query(
+    "tpcds_q95",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    per_order AS (
+      SELECT order_sk,
+             COUNT(DISTINCT store_sk) AS nwh,
+             MAX(CASE WHEN returned THEN 1 ELSE 0 END) AS has_ret,
+             SUM(net_cp) AS net
+      FROM web_sales
+      WHERE YEAR(sold_date) = 1996
+      GROUP BY order_sk
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, SUM(net) AS net
+    FROM per_order
+    WHERE nwh >= 2 AND has_ret = 1
+    """,
+)
+def tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q95 (web orders shipped from MORE THAN ONE warehouse
+    that also had a return — the reference phrases both conditions as
+    correlated self-EXISTS over web_sales: 'another row, same order,
+    different warehouse' and 'a matching web_returns row'). Both
+    decorrelate into ONE grouped pass at order grain: a distinct-
+    warehouse count replaces the inequality self-join (which at scale
+    explodes quadratically within hot orders) and a MAX(flag) replaces
+    the returns semi-join. vs Q16 (its catalog NOT-EXISTS dual): the
+    gate here is existence, and both land in the same aggregate. The
+    order-grain totals then reduce to the single report row. 100 TB:
+    one shuffle to order grain; COUNT(DISTINCT wh) within an order is
+    bounded by the 12-warehouse dimension, so no hot-key blowup."""
+    ws = _channel(spark, sf_dir, "web").filter(F.year("sold_date") == 1996)
+    per_order = ws.groupBy("order_sk").agg(
+        F.count_distinct(F.col("store_sk")).alias("nwh"),
+        F.max(F.when(F.col("returned"), 1).otherwise(0)).alias("has_ret"),
+        F.sum("net_cp").alias("net"),
+    )
+    out = per_order.filter(
+        (F.col("nwh") >= 2) & (F.col("has_ret") == 1)
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("net").alias("net"),
+    )
+    return ordered(out, "n_orders", "net")

@@ -691,3 +691,50 @@ def test_tpcds_q75_yoy_join_is_aggregate_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpcds_q75")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q18_rollup_expands_after_customer_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpcds_q18")
+    assert "Expand" in plan and "BroadcastHashJoin" in plan
+    assert "partial_" in plan  # moments combine map-side at every level
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q21_band_is_one_conditional_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpcds_q21")
+    assert plan.count("Join") == 1  # lineitem |x| orders spine only
+    assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpcds_q50_buckets_ride_the_store_broadcast(spark, sf_dir):
+    """Five lag buckets as conditional counts, the 12-row store dim
+    broadcast, and the returnflag filter PUSHED to the lineitem scan."""
+    plan = _plan(spark, sf_dir, "tpcds_q50")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed, not post-scan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q66_wide_pivot_is_one_pass(spark, sf_dir):
+    """24 pivot columns must be ONE aggregate (partial+final), never
+    24 scans or a (month, carrier) key explosion."""
+    plan = _plan(spark, sf_dir, "tpcds_q66")
+    assert plan.count("Join") == 1  # the sales spine
+    assert plan.count("HashAggregate") == 2
+    assert "Expand" not in plan
+
+
+def test_tpcds_q69_anti_gates_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpcds_q69")
+    assert plan.count("LeftAnti") == 2 and plan.count("LeftSemi") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q95_self_exists_is_one_grouped_pass(spark, sf_dir):
+    """The two correlated self-EXISTS must NOT plan as self-joins of
+    the fact: one aggregate to order grain (expand for the distinct),
+    no join beyond the sales spine."""
+    plan = _plan(spark, sf_dir, "tpcds_q95")
+    assert plan.count("Join") == 1
+    assert "CartesianProduct" not in plan
