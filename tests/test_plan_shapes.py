@@ -687,9 +687,14 @@ def test_tpcds_q48_dnf_pushes_to_scan(spark, sf_dir):
     assert "Join" not in scan  # single-table scan query
 
 
-def test_tpcds_q75_yoy_join_is_aggregate_broadcast(spark, sf_dir):
+def test_tpcds_q75_yoy_pivot_scans_fact_once(spark, sf_dir):
+    """The YoY comparison is a conditional pivot in ONE aggregate
+    pass: exactly two joins (sales spine + item broadcast), each
+    appearing once — a self-join of the brand aggregate would replay
+    the whole fact chain twice (measured 5.2x at 10x)."""
     plan = _plan(spark, sf_dir, "tpcds_q75")
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("Join") == 2, plan.count("Join")
+    assert plan.count("lineitem") <= 2  # one scan subtree
     assert "CartesianProduct" not in plan
 
 
