@@ -3774,3 +3774,160 @@ def tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("net").alias("net"),
     )
     return ordered(out, "n_orders", "net")
+
+
+@query(
+    "tpcds_q05",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT CASE WHEN chan <= 1 THEN 'store'
+                WHEN chan = 2 THEN 'catalog' ELSE 'web' END AS channel,
+           GROUPING(CASE WHEN chan <= 1 THEN 'store'
+                         WHEN chan = 2 THEN 'catalog' ELSE 'web' END) AS gid,
+           SUM(CASE WHEN returned THEN 0 ELSE ext_cents END) AS sales_cents,
+           SUM(CASE WHEN returned THEN ext_cents ELSE 0 END) AS ret_cents,
+           SUM(profit_cp) AS profit_cp
+    FROM sales
+    WHERE YEAR(sold_date) = 1996
+    GROUP BY ROLLUP(CASE WHEN chan <= 1 THEN 'store'
+                         WHEN chan = 2 THEN 'catalog' ELSE 'web' END)
+    ORDER BY channel NULLS LAST, gid NULLS LAST, sales_cents NULLS LAST,
+             ret_cents NULLS LAST, profit_cp NULLS LAST
+    """,
+)
+def tpcds_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q5 (the channel P&L report: sales, returns, and profit
+    per channel with a grand-total rollup). The reference UNION ALLs
+    three per-channel salesreturns CTEs and re-aggregates under
+    ROLLUP(channel, id); the fixtures' single fact already carries the
+    channel, so the union disappears — one pass, returns split out by
+    the flag, ROLLUP over the derived channel label, GROUPING()
+    disambiguating the total row. 100 TB: the rollup Expand doubles a
+    4-value grouping column only — the fact is read once and the
+    aggregate is map-side combinable at both levels."""
+    s = _sales(spark, sf_dir).filter(F.year("sold_date") == 1996)
+    channel = (
+        F.when(F.col("chan") <= 1, "store")
+        .when(F.col("chan") == 2, "catalog")
+        .otherwise("web")
+    )
+    out = (
+        s.withColumn("channel", channel)
+        .rollup("channel")
+        .agg(
+            F.grouping("channel").alias("gid"),
+            F.sum(
+                F.when(F.col("returned"), 0).otherwise(F.col("ext_cents"))
+            ).alias("sales_cents"),
+            F.sum(
+                F.when(F.col("returned"), F.col("ext_cents")).otherwise(0)
+            ).alias("ret_cents"),
+            F.sum("profit_cp").alias("profit_cp"),
+        )
+    )
+    return ordered(out, "channel", "gid", "sales_cents", "ret_cents",
+                   "profit_cp")
+
+
+@query(
+    "tpcds_q13",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(qty) AS qty, SUM(ext_cents) AS ext, SUM(net_cp) AS net
+    FROM store_sales
+    JOIN customer ON cust_sk = c_custkey
+    WHERE YEAR(sold_date) = 1996
+      AND ((c_mktsegment = 'BUILDING'
+              AND qty BETWEEN 1 AND 20 AND disc_pct BETWEEN 0 AND 5)
+        OR (c_mktsegment = 'MACHINERY'
+              AND qty BETWEEN 21 AND 35 AND disc_pct BETWEEN 3 AND 8)
+        OR (c_nationkey IN (1, 2, 3)
+              AND qty BETWEEN 36 AND 50 AND disc_pct BETWEEN 6 AND 10))
+    """,
+)
+def tpcds_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q13 (average store-sale statistics under an OR of
+    (demographic AND fact-band) triples — Q48's DNF selection with the
+    disjuncts SPANNING the dimension join). Because each disjunct
+    mixes customer attributes with fact bands, nothing pushes below
+    the join; the scale property is instead that the dimension
+    BROADCASTS and the DNF evaluates post-join in one codegen stage —
+    never three fact passes unioned (the naive per-disjunct plan). The
+    reference's AVGs are the exact COUNT/SUM pairs. 100 TB: one fact
+    scan, one broadcast, one 1-row aggregate."""
+    ss = _channel(spark, sf_dir, "store").filter(F.year("sold_date") == 1996)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    j = ss.join(F.broadcast(cust), ss.cust_sk == cust.c_custkey)
+    q, d, seg = F.col("qty"), F.col("disc_pct"), F.col("c_mktsegment")
+    dnf = (
+        ((seg == "BUILDING") & q.between(1, 20) & d.between(0, 5))
+        | ((seg == "MACHINERY") & q.between(21, 35) & d.between(3, 8))
+        | (F.col("c_nationkey").isin(1, 2, 3)
+           & q.between(36, 50) & d.between(6, 10))
+    )
+    out = j.filter(dnf).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qty").alias("qty"),
+        F.sum("ext_cents").alias("ext"),
+        F.sum("net_cp").alias("net"),
+    )
+    return ordered(out, "n", "qty", "ext", "net")
+
+
+@query(
+    "tpcds_q28",
+    oracle="WITH "
+    + _DS_SQL
+    + """
+    SELECT
+    """
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN qty BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_b{i}, "
+        f"CAST(COUNT(DISTINCT CASE WHEN qty BETWEEN {lo} AND {hi}"
+        f" THEN ext_cents END) AS BIGINT) AS d_b{i}, "
+        f"SUM(CASE WHEN qty BETWEEN {lo} AND {hi} THEN ext_cents"
+        f" ELSE 0 END) AS s_b{i}"
+        for i, (lo, hi) in enumerate(
+            [(1, 5), (6, 10), (11, 15), (16, 20), (21, 25), (26, 30)],
+            start=1,
+        )
+    )
+    + """
+    FROM store_sales
+    """,
+)
+def tpcds_q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q28 (six price-band blocks, each reporting a row count,
+    a DISTINCT count, and an average — the multi-DISTINCT aggregate).
+    The reference cross-joins six single-row subqueries; all six
+    collapse into ONE aggregate carrying six COUNT(DISTINCT CASE ...)
+    columns — the shape that forces Spark's Expand-based
+    multi-distinct plan: the input replicates once per distinct group
+    (6x here), partials still combine map-side within each group, and
+    the counts land in one row. That replication is the documented
+    cost of exact multi-distinct; sketch alternatives live in
+    plans/sketches.py. AVG ships as the exact (count, sum) pair.
+    100 TB: one scan, 6x Expand on the aggregate input, one shuffle."""
+    ss = _channel(spark, sf_dir, "store")
+    aggs = []
+    for i, (lo, hi) in enumerate(
+        [(1, 5), (6, 10), (11, 15), (16, 20), (21, 25), (26, 30)], start=1
+    ):
+        band = F.col("qty").between(lo, hi)
+        aggs += [
+            F.sum(F.when(band, 1).otherwise(0)).cast("long").alias(f"n_b{i}"),
+            F.count_distinct(
+                F.when(band, F.col("ext_cents"))
+            ).alias(f"d_b{i}"),
+            F.sum(
+                F.when(band, F.col("ext_cents")).otherwise(0)
+            ).alias(f"s_b{i}"),
+        ]
+    out = ss.agg(*aggs)
+    return ordered(out, *[c for c in out.columns])

@@ -743,3 +743,29 @@ def test_tpcds_q95_self_exists_is_one_grouped_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpcds_q95")
     assert plan.count("Join") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q05_channel_rollup_is_one_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpcds_q05")
+    assert "Expand" in plan  # the ROLLUP over the derived channel
+    assert plan.count("Join") == 1  # sales spine; no per-channel union
+    assert "partial_" in plan
+
+
+def test_tpcds_q13_dnf_spans_broadcast_join_one_pass(spark, sf_dir):
+    """Disjuncts mix dim and fact attributes: nothing can push below
+    the join, so the pin is the single fact pass + broadcast dim +
+    post-join codegen filter — never three unioned fact passes."""
+    plan = _plan(spark, sf_dir, "tpcds_q13")
+    assert "BroadcastHashJoin" in plan
+    assert "Union" not in plan
+    assert plan.count("lineitem") <= 2  # one scan subtree
+
+
+def test_tpcds_q28_multi_distinct_uses_expand(spark, sf_dir):
+    """Six COUNT(DISTINCT CASE...) columns must plan as ONE aggregate
+    via the Expand-based multi-distinct strategy — not six self-joined
+    subqueries (the reference's formulation)."""
+    plan = _plan(spark, sf_dir, "tpcds_q28")
+    assert "Expand" in plan
+    assert plan.count("Join") == 1  # only the sales spine
