@@ -17,7 +17,10 @@ def _base_rows(spark, rows):
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
 
 
 AGGS = [
@@ -429,3 +432,50 @@ def test_maintain_stream_catches_up_append_only_base(spark, tmp_path):
     q2 = mv.maintain_stream(spark, str(tmp_path / "ckpt"))
     assert q2.awaitTermination(120)
     assert mv.table.latest_version() == v  # nothing new: no new version
+
+
+# ----------------------------------------- pruned recompute (declarative)
+
+
+def test_recompute_uses_pruned_declarative_scan(spark, tmp_path):
+    """Single-column groups inline the touched keys into a pushed IN
+    on the version-pinned declarative source: a partitioned base
+    refreshes from the affected partitions only. Pinned here:
+    correctness on a PARTITIONED base (min/max spec → recompute path),
+    including a NULL group key riding the isNull disjunct."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(_base_rows(spark, [("b", 0, 2)]))  # spec needs a table
+    base.set_partition_spec(["g"])
+    base.commit(
+        _base_rows(
+            spark,
+            [("a", 1, 10), ("a", 2, 99), ("b", 3, 5), (None, 4, 7)],
+        ).repartition("g")
+    )
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"], AGGS
+    )
+    base.merge_rows(spark, _base_rows(spark, [("a", 2, 3)]), key_cols=["k"])
+    base.commit(_base_rows(spark, [(None, 5, 1)]))
+    res = mv.refresh(spark)
+    assert res["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+    [row] = mv.read(spark).filter(F.col("g").isNull()).collect()
+    assert (row["n"], row["sx"], row["mn"], row["mx"]) == (2, 8, 1, 7)
+
+
+def test_recompute_fallback_above_inline_cap(spark, tmp_path):
+    """Key sets beyond the inline cap use the broadcast semi-join
+    fallback — same answers."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(
+        _base_rows(spark, [(f"g{i}", i, i * 3 % 17) for i in range(20)])
+    )
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"], AGGS
+    )
+    base.delete_where(spark, F.col("k") % 2 == 0)
+    mv._INLINE_KEY_CAP = 3  # force the fallback
+    res = mv.refresh(spark)
+    assert res["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
