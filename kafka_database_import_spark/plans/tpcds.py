@@ -3931,3 +3931,65 @@ def tpcds_q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     out = ss.agg(*aggs)
     return ordered(out, *[c for c in out.columns])
+
+
+@query(
+    "tpcds_q14",
+    oracle="WITH "
+    + _DS_SQL
+    + """,
+    cross_items AS (
+      SELECT item_sk FROM store_sales WHERE YEAR(sold_date) = 1996
+      INTERSECT
+      SELECT item_sk FROM catalog_sales WHERE YEAR(sold_date) = 1996
+      INTERSECT
+      SELECT item_sk FROM web_sales WHERE YEAR(sold_date) = 1996
+    )
+    SELECT i_category AS category, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(ext_cents) AS sales_cents
+    FROM store_sales
+    JOIN item ON item_sk = i_item_sk
+    WHERE YEAR(sold_date) = 1997
+      AND item_sk IN (SELECT item_sk FROM cross_items)
+    GROUP BY i_category
+    ORDER BY category NULLS LAST, n NULLS LAST, sales_cents NULLS LAST
+    """,
+)
+def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14 (cross-channel items: next year's store revenue
+    restricted to items that sold through ALL THREE channels — the
+    INTERSECT-chain gate; the reference's full query wraps this in a
+    sales-above-average ROLLUP, whose rollup/average shapes q36/q67/
+    q32 already pin). INTERSECT of three key sets is set semantics on
+    a DIMENSION-cardinality domain: Spark plans each leg as a
+    left-semi under distinct aggregation, the result broadcasts into
+    the fact gate. The fixture channels are slices of one fact, so the
+    three legs share the scan subtree; at 100 TB with separate fact
+    tables each leg is an independent column-pruned scan feeding a
+    dimension-sized distinct. One fact pass for the 1997 census."""
+    y = F.year("sold_date")
+
+    def items(chan, yr):
+        return (
+            _channel(spark, sf_dir, chan)
+            .filter(y == yr)
+            .select("item_sk")
+        )
+
+    cross = (
+        items("store", 1996)
+        .intersect(items("catalog", 1996))
+        .intersect(items("web", 1996))
+    )
+    ss = _channel(spark, sf_dir, "store").filter(y == 1997)
+    ss = ss.join(F.broadcast(cross), "item_sk", "left_semi")
+    it = _item(spark, sf_dir).select("i_item_sk", "i_category")
+    out = (
+        ss.join(F.broadcast(it), ss.item_sk == it.i_item_sk)
+        .groupBy(F.col("i_category").alias("category"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ext_cents").alias("sales_cents"),
+        )
+    )
+    return ordered(out, "category", "n", "sales_cents")

@@ -769,3 +769,13 @@ def test_tpcds_q28_multi_distinct_uses_expand(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpcds_q28")
     assert "Expand" in plan
     assert plan.count("Join") == 1  # only the sales spine
+
+
+def test_tpcds_q14_intersect_gate_broadcasts(spark, sf_dir):
+    """The three-channel INTERSECT must resolve to dimension-sized
+    semi joins whose result broadcasts into the fact gate — no
+    cartesian, no fact-fact shuffle join for the set operation."""
+    plan = _plan(spark, sf_dir, "tpcds_q14")
+    assert plan.count("LeftSemi") >= 3  # 2 intersect legs + the gate
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
