@@ -353,42 +353,32 @@ class MaterializedView:
 
         Two scan strategies, same semantics: when the view groups on
         ONE column and the touched-key set is small, the keys inline
-        into a pushed IN filter on the DECLARATIVE batch source pinned
-        to ``option("version", head)`` — so hidden-partition pruning,
-        bloom sidecars, and footer stats all engage, and a refresh of
-        a base PARTITIONED on the group column reads only the affected
-        partitions' files (the 100 TB shape: refresh cost follows the
-        mutation, not the table). Version pinning keeps the snapshot
-        contract — a concurrent base commit cannot leak newer rows
-        into a post-image stamped with ``head``. Composite keys or
-        huge key sets fall back to a broadcast null-safe semi-join on
-        :meth:`SnapshotTable.read` (no manifest pruning, one full scan
-        filtered at the reader)."""
+        into :meth:`SnapshotTable.read_partition` pinned to ``head`` —
+        manifest-level partition pruning plans only the affected
+        partitions' files when the base is partitioned on the group
+        column, the exact predicate re-applies on the survivors (so an
+        unpartitioned base degrades to read+filter, never to wrong
+        answers), and the scan stays a plain JVM parquet read (the
+        Python DataSource's per-row Arrow path measured SLOWER than
+        the pruning saved at 10×: 14.1 s vs 9.2 s — manifest pruning
+        wants to live driver-side, not behind a Python reader).
+        Version pinning keeps the snapshot contract — a concurrent
+        base commit cannot leak newer rows into a post-image stamped
+        with ``head``. Composite keys or huge key sets fall back to a
+        broadcast null-safe semi-join on the same pinned read."""
         group_cols = self.spec["group_cols"]
         aggs = self.spec["aggs"]
         agg_exprs = _agg_exprs(aggs, with_nn=_delta_eligible(aggs))
         if len(group_cols) == 1:
             key_rows = keys.limit(self._INLINE_KEY_CAP + 1).collect()
             if len(key_rows) <= self._INLINE_KEY_CAP:
-                from kafka_database_import_spark.sources.snapshot_batch import (
-                    register,
-                )
-
-                register(spark)
                 vals = [r[0] for r in key_rows]
-                non_null = [v for v in vals if v is not None]
-                c = F.col(group_cols[0])
-                cond = c.isin(non_null) if non_null else F.lit(False)
-                if len(non_null) < len(vals):  # NULL group touched
-                    cond = cond | c.isNull()
-                src = (
-                    spark.read.format("kdis_snapshot")
-                    .option("path", base.root)
-                    .option("version", str(head))
-                    .load()
-                )
                 return (
-                    src.filter(cond).groupBy(*group_cols).agg(*agg_exprs)
+                    base.read_partition(
+                        spark, {group_cols[0]: vals}, version=head
+                    )
+                    .groupBy(*group_cols)
+                    .agg(*agg_exprs)
                 )
         cond = reduce(
             lambda a, b: a & b,
