@@ -2949,3 +2949,62 @@ def q99zzzg_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert mv.applied_base_version() == base.latest_version()
     assert mv.refresh(spark)["noop"]
     return ordered(mv.read(spark), "priority", "n", "cents", "mx")
+
+
+@query(
+    "q99zzzh_mv_stream_maintain",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def q99zzzh_mv_stream_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-driven materialized-view maintenance, COLD every run:
+    the base table lands as three append versions AFTER the view is
+    created, then ``maintain_stream`` drains the changes stream under
+    availableNow — each micro-batch triggers one idempotent refresh
+    (all-COUNT/SUM view → the arithmetic delta path, no base re-read).
+    The oracle recomputes the aggregate from the full orders table, so
+    a dropped version, a double-applied batch, or a NULL-sum slip all
+    hash-mismatch. The build asserts the drained view's applied
+    version equals the base head. 100 TB shape: ingest-then-report —
+    the stream plans O(new files) per batch, the refresh applies
+    O(change rows); neither ever rescans the table."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.mv import MaterializedView
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_mvsq_{tag}")
+    _sh.rmtree(root, ignore_errors=True)
+    base_rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    base = SnapshotTable(_os.path.join(root, "base"))
+    base.commit(base_rows.filter(F.col("o_orderkey") % 4 == 0))
+    mv = MaterializedView.create(
+        spark,
+        base,
+        _os.path.join(root, "mv"),
+        ["priority"],
+        [
+            {"fn": "count", "alias": "n"},
+            {"fn": "sum", "col": "cents", "alias": "cents"},
+        ],
+    )
+    for rem in (1, 2, 3):  # three more versions land AFTER create
+        base.commit(base_rows.filter(F.col("o_orderkey") % 4 == rem))
+    q = mv.maintain_stream(spark, _os.path.join(root, "ckpt"))
+    assert q.awaitTermination(180), "stream drain timed out"
+    assert mv.applied_base_version() == base.latest_version()
+    return ordered(mv.read(spark), "priority", "n", "cents")
