@@ -338,8 +338,8 @@ class MaterializedView:
         }
 
     #: single-column touched-key sets up to this size inline into a
-    #: pushed IN filter; beyond it (or for composite keys) the
-    #: broadcast semi-join path applies
+    #: read_partition key list (manifest-pruned JVM scan); beyond it
+    #: (or for composite keys) the broadcast semi-join path applies
     _INLINE_KEY_CAP = 1000
 
     def _recompute_post_image(
