@@ -184,19 +184,56 @@ class MaterializedView:
         vis = [c for c in df.columns if not c.startswith(_NN)]
         return df.select(*vis)
 
-    def applied_base_version(self) -> int:
-        """The base version the view currently reflects: walk back from
-        the view head past epoch-less commits (compaction on the view
-        itself stamps none) to the newest refresh/create manifest."""
+    def marker_version(self) -> int:
+        """The view VERSION holding the newest applied-base marker:
+        walk back from the head past epoch-less commits (compaction on
+        the view stamps none — metadata commits deliberately exclude
+        the parent's markers). Retention must never drop this version;
+        :meth:`expire` clamps to it."""
         v = self.table.latest_version()
         while v is not None:
-            m = self.table.manifest(v)
+            try:
+                m = self.table.manifest(v)
+            except Exception as e:  # expired/vacuumed mid-walk
+                raise ValueError(
+                    f"the applied-version marker below view version {v} "
+                    f"was expired (retention ran without the "
+                    f"MaterializedView.expire clamp?) — rebuild the view "
+                    f"or restore the manifests: {e}"
+                ) from e
             if "epoch_id" in m:
-                return m["epoch_id"]
+                return v
             v = m.get("base")
         raise ValueError(
             f"no applied-version marker in any manifest under "
             f"{self.root} — not a MaterializedView table?"
+        )
+
+    def applied_base_version(self) -> int:
+        """The base version the view currently reflects — the
+        ``epoch_id`` of :meth:`marker_version`'s manifest. The DELTA
+        refresh path's exactly-once contract rides this value being
+        exactly right, which is why it lives in the commit protocol
+        (atomic with the data) and not in a side file."""
+        return self.table.manifest(self.marker_version())["epoch_id"]
+
+    def expire(self, older_than_ms: int) -> dict:
+        """Retention for the VIEW's own history, marker-safe: delegate
+        to :func:`expire_snapshots` with ``min_retained_version``
+        clamped to :meth:`marker_version` — time-based expiry can never
+        orphan the applied-version marker, no matter how the head has
+        been compacted. (Raw ``expire_snapshots`` on a view whose head
+        is an epoch-less compact WOULD orphan it: head-only retention
+        keeps the compact, drops the marker, and the next refresh
+        cannot tell what was applied.)"""
+        from kafka_database_import_spark.sources.snapshot import (
+            expire_snapshots,
+        )
+
+        return expire_snapshots(
+            self.table,
+            older_than_ms,
+            min_retained_version=self.marker_version(),
         )
 
     # ----------------------------------------------------------- refresh

@@ -479,3 +479,44 @@ def test_recompute_fallback_above_inline_cap(spark, tmp_path):
     res = mv.refresh(spark)
     assert res["strategy"] == "recompute"
     assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+
+
+# -------------------------------------------------- retention vs marker
+
+
+def test_expire_clamps_to_marker_version(spark, tmp_path):
+    """View retention must never drop the newest epoch-carrying
+    manifest: compact (epoch-less head), then expire EVERYTHING by
+    time — the marker version survives via the clamp and the applied
+    version still resolves; a further refresh works."""
+    import time
+
+    base, mv = _mk(spark, tmp_path, [("a", 1, 10), ("b", 2, 5)])
+    base.commit(_base_rows(spark, [("a", 3, 7)]))
+    mv.refresh(spark)
+    mv.table.compact(spark)  # head now epoch-less
+    res = mv.expire(older_than_ms=int(time.time() * 1000) + 10_000)
+    assert res["dropped_versions"] >= 1
+    assert mv.applied_base_version() == base.latest_version()
+    base.commit(_base_rows(spark, [("b", 4, 1)]))
+    mv.refresh(spark)
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+
+
+def test_raw_expire_orphan_is_detected_loudly(spark, tmp_path):
+    """The failure mode the clamp prevents: raw expire_snapshots on an
+    epoch-less head drops the marker — the walk must raise the
+    explicit rebuild error, never return a stale/None answer."""
+    import time
+
+    from kafka_database_import_spark.sources.snapshot import (
+        expire_snapshots,
+    )
+
+    base, mv = _mk(spark, tmp_path, [("a", 1, 10)])
+    base.commit(_base_rows(spark, [("a", 2, 3)]))
+    mv.refresh(spark)
+    mv.table.compact(spark)
+    expire_snapshots(mv.table, int(time.time() * 1000) + 10_000)
+    with pytest.raises(ValueError, match="expired|marker"):
+        mv.applied_base_version()
