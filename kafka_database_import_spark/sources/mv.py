@@ -388,9 +388,9 @@ class MaterializedView:
     ) -> DataFrame:
         """Exact post-image of the touched groups from the base head.
 
-        Two scan strategies, same semantics: when the view groups on
-        ONE column and the touched-key set is small, the keys inline
-        into :meth:`SnapshotTable.read_partition` pinned to ``head`` —
+        Two scan strategies, same semantics: when the touched-key set
+        is small, the per-column key values inline into
+        :meth:`SnapshotTable.read_partition` pinned to ``head`` —
         manifest-level partition pruning plans only the affected
         partitions' files when the base is partitioned on the group
         column, the exact predicate re-applies on the survivors (so an
@@ -401,22 +401,14 @@ class MaterializedView:
         wants to live driver-side, not behind a Python reader).
         Version pinning keeps the snapshot contract — a concurrent
         base commit cannot leak newer rows into a post-image stamped
-        with ``head``. Composite keys or huge key sets fall back to a
-        broadcast null-safe semi-join on the same pinned read."""
+        with ``head``. Composite keys prune through the per-column
+        cross-product scope with an exact null-safe semi-join on top
+        (the scope is a SUPERSET of the touched tuples — sound for
+        pruning, not for the aggregate); huge key sets fall back to
+        the broadcast semi-join on the same pinned read."""
         group_cols = self.spec["group_cols"]
         aggs = self.spec["aggs"]
         agg_exprs = _agg_exprs(aggs, with_nn=_delta_eligible(aggs))
-        if len(group_cols) == 1:
-            key_rows = keys.limit(self._INLINE_KEY_CAP + 1).collect()
-            if len(key_rows) <= self._INLINE_KEY_CAP:
-                vals = [r[0] for r in key_rows]
-                return (
-                    base.read_partition(
-                        spark, {group_cols[0]: vals}, version=head
-                    )
-                    .groupBy(*group_cols)
-                    .agg(*agg_exprs)
-                )
         cond = reduce(
             lambda a, b: a & b,
             [
@@ -424,6 +416,32 @@ class MaterializedView:
                 for c in group_cols
             ],
         )
+        key_rows = keys.limit(self._INLINE_KEY_CAP + 1).collect()
+        if len(key_rows) <= self._INLINE_KEY_CAP:
+            where = {
+                c: sorted(
+                    {r[c] for r in key_rows if r[c] is not None},
+                    key=str,
+                )
+                + ([None] if any(r[c] is None for r in key_rows) else [])
+                for c in group_cols
+            }
+            scan = base.read_partition(spark, where, version=head)
+            if len(group_cols) == 1:
+                # single column: the scope IS the exact key set
+                return scan.groupBy(*group_cols).agg(*agg_exprs)
+            # composite keys: the per-column scope is a CROSS-PRODUCT
+            # superset of the touched tuples — pruning is sound, the
+            # aggregate is not (it would emit post-rows for untouched
+            # groups, which the swap would then insert as duplicates).
+            # An exact null-safe semi-join on the touched tuples rides
+            # the pruned scan.
+            return (
+                scan.alias("__b")
+                .join(F.broadcast(keys.alias("__k")), cond, "left_semi")
+                .groupBy(*group_cols)
+                .agg(*agg_exprs)
+            )
         return (
             base.read(spark, version=head)
             .alias("__b")
