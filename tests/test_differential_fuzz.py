@@ -1521,3 +1521,73 @@ def test_random_mutations_mv_delta_path_converges(spark, tmp_path, seed):
         )
         assert got == want, (seed, i)
     assert mv.applied_base_version() == base.latest_version()
+
+
+# family 20 (round 11): replace_where_keys vs a pure-Python multiset
+# model. Random single- and composite-key scoped replaces (empty scopes,
+# empty replacements, NULL keys, replacements that shrink/grow groups)
+# over a growing table — after every op the table equals the model, and
+# the epoch stamp round-trips.
+
+
+@pytest.mark.parametrize("seed", _seeds(6))
+def test_random_scoped_replaces_match_model(spark, tmp_path, seed):
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    rng = random.Random(1_920_000 + seed)
+    key_cols = ["g"] if seed % 2 == 0 else ["g", "h"]
+    schema = "g string, h long, k long, x long"
+
+    def row(k):
+        return (
+            rng.choice(["a", "b", "c", None]),
+            rng.randrange(3),
+            k,
+            rng.randrange(100),
+        )
+
+    model = [row(k) for k in range(25)]
+    tbl = SnapshotTable(str(tmp_path / f"rwk{seed}"))
+    tbl.commit(spark.createDataFrame(model, schema))
+    next_k = 1000
+    for i in range(rng.randint(3, 6)):
+        n_keys = rng.randint(0, 3)
+        scope = {
+            tuple(
+                (rng.choice(["a", "b", "c", "zzz", None]), rng.randrange(3))[
+                    : len(key_cols)
+                ]
+            )
+            for _ in range(n_keys)
+        }
+        n_repl = rng.randint(0, 4)
+        repl = []
+        for _ in range(n_repl):
+            if not scope:
+                break
+            kt = rng.choice(sorted(scope, key=str))
+            g = kt[0]
+            h = kt[1] if len(key_cols) == 2 else rng.randrange(3)
+            repl.append((g, h, next_k, rng.randrange(100)))
+            next_k += 1
+        key_schema = "g string" if len(key_cols) == 1 else "g string, h long"
+        keys_df = spark.createDataFrame(
+            sorted(scope, key=str), key_schema
+        ) if scope else spark.createDataFrame([], key_schema)
+        repl_df = spark.createDataFrame(repl, schema) if repl else (
+            spark.createDataFrame([], schema)
+        )
+        epoch = 7000 + i
+        res = tbl.replace_where_keys(
+            spark, keys_df, repl_df, key_cols, epoch_id=epoch
+        )
+        # model: drop rows whose key tuple is in scope, append repl
+        def kt_of(r):
+            return tuple(r[: len(key_cols)])
+
+        model = [r for r in model if kt_of(r) not in scope] + repl
+        got = _nsort(tuple(r) for r in tbl.read(spark).collect())
+        assert got == _nsort(model), (seed, i)
+        if res["replaced_rows"] or res["inserted_rows"]:
+            # a publishing replace stamps its epoch atomically
+            assert tbl.manifest()["epoch_id"] == epoch
