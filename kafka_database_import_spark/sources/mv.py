@@ -14,28 +14,36 @@ MAINTENANCE loop:
 * ``refresh`` reads the base table's exact row-level diff since the
   last applied version (``row_changes`` — the copy-on-write format's
   change-data-feed, O(files touched), sound across delete/merge/
-  compaction commits), takes the DISTINCT GROUP KEYS the diff touches,
-  recomputes ONLY those groups from the base head, and swaps them into
-  the view with ONE atomic :meth:`SnapshotTable.replace_where_keys`
-  commit stamped ``epoch_id = base head version``.
+  compaction commits), derives the touched groups' POST-IMAGE by one of
+  two strategies, and swaps them into the view with ONE atomic
+  :meth:`SnapshotTable.replace_where_keys` commit stamped
+  ``epoch_id = base head version``:
 
-Why affected-group RECOMPUTE instead of algebraic +/- deltas: delta
-maintenance is exact only for self-maintainable aggregates (COUNT/SUM);
-MIN/MAX/COUNT(DISTINCT) under deletes need the base rows anyway. The
-recompute path supports every aggregate uniformly AND is idempotent —
-the post-image is a pure function of the base head, so a crash between
-any two steps (or a re-run of a half-applied refresh) converges instead
-of double-applying. The applied-version bookkeeping is atomic WITH the
-data because ``replace_where_keys`` publishes both in one manifest; the
-failure mode of a separate pointer file (pointer advanced, data not, or
-vice versa) cannot exist.
+  - **delta** (all-COUNT/SUM views): the change rows apply
+    ARITHMETICALLY against the view's own current rows — the base is
+    never re-read. Exactly-once rather than merely idempotent: the
+    delta takes effect iff the commit recording it publishes. SQL NULL
+    semantics for SUM and group drop-on-empty ride hidden non-null /
+    row counters (``__nn__*``), stripped from :meth:`read`.
+  - **recompute** (MIN/MAX/AVG/COUNT-DISTINCT — the aggregates deletes
+    make non-self-maintainable): touched groups recompute from the
+    base head via :meth:`SnapshotTable.read_partition` with the key
+    values inlined (manifest-level partition pruning + a plain JVM
+    scan; composite keys add an exact null-safe semi-join over the
+    cross-product scope), falling back to a broadcast semi-join for
+    huge key sets. A pure function of base state → replays converge.
+
+Both paths keep the applied-version bookkeeping atomic WITH the data
+(one manifest), so the failure mode of a separate pointer file
+(pointer advanced, data not, or vice versa) cannot exist; reads are
+version-pinned, so a concurrent base commit cannot leak newer rows
+into a post-image stamped with an older head.
 
 Scale shape at 100 TB: the diff is O(rows in files the change range
-touched); the recompute scans the base ONCE filtered by a broadcast
-null-safe semi-join on the touched keys (when the group column is a
-partition-spec source or bloom-indexed column, that scan prunes at the
-manifest/sidecar level too); the swap rewrites O(affected groups) of
-the view. Nothing is ever O(base table) except the initial ``create``.
+touched); the delta path then costs O(change rows + touched view
+groups), the recompute path O(affected partitions' files); the swap
+rewrites O(affected groups) of the view. Nothing is ever O(base table)
+except the initial ``create``.
 
 Reference framing: the reference pipeline materializes nothing — every
 query re-reads the source (kafka-database-import.go:148-158 re-scans
