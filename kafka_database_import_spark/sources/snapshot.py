@@ -3610,6 +3610,30 @@ class SnapshotTable:
                 break
             except ConcurrentCommitError:
                 m2 = self._rebase_dml(m, sorted(affected))
+                if epoch_id is not None:
+                    # an epoch-stamped replace is an exactly-once
+                    # refresh, and an insert-only one (affected empty —
+                    # e.g. an MV delta that only adds new groups) would
+                    # otherwise pass the disjoint-file check and
+                    # re-publish: two racing refreshes of the same base
+                    # range would double-insert those rows. Walk the
+                    # winner chain — if any concurrent commit already
+                    # stamped an epoch >= this one, the refresh this
+                    # commit records was applied by another writer.
+                    v = m2["version"]
+                    while v is not None and v > m["version"]:
+                        cm = m2 if v == m2["version"] else self.manifest(v)
+                        e = cm.get("epoch_id")
+                        if e is not None and e >= epoch_id:
+                            replacement.unpersist()
+                            raise ConcurrentCommitError(
+                                f"concurrent commit v{v} already stamped "
+                                f"epoch {e} >= this replace's epoch "
+                                f"{epoch_id} — the refresh this epoch "
+                                f"records was applied by another writer; "
+                                f"recompute from the new head"
+                            )
+                        v = cm.get("base")
                 version = m2["version"] + 1
                 kept = [f for f in m2["files"] if f not in affected]
                 man = self._cow_manifest(
@@ -3621,6 +3645,7 @@ class SnapshotTable:
                 if epoch_id is not None:
                     man["epoch_id"] = epoch_id
         else:
+            replacement.unpersist()
             raise ConcurrentCommitError(
                 f"replace lost the version race {_MAX_COMMIT_REBASE} "
                 f"times — sustained contention"

@@ -1433,12 +1433,14 @@ def test_random_mutations_mv_refresh_converges(spark, tmp_path, seed):
     assert mv.applied_base_version() == base.latest_version()
 
 
-# family 19b (round 11): the DELTA fast path (all-COUNT/SUM views apply
-# change rows arithmetically, never re-reading the base) must converge to
-# the same state the recompute path / a from-scratch recompute produces —
-# including NULL values in the summed column (SUM over zero non-null
-# values must come back NULL, tracked by the hidden counters) and NULL
-# group keys.
+# family 19b (round 11; AVG added round 12): the DELTA fast path
+# (all-COUNT/SUM/AVG views apply change rows arithmetically, never
+# re-reading the base) must converge to the same state the recompute
+# path / a from-scratch recompute produces — including NULL values in
+# the summed column (SUM over zero non-null values must come back NULL,
+# AVG likewise, both tracked by the hidden counters) and NULL group
+# keys. The AVG expectation uses the exact-sum/count definition the
+# view documents (identical to DuckDB AVG over integers).
 
 
 @pytest.mark.parametrize("seed", _seeds(6))
@@ -1471,6 +1473,7 @@ def test_random_mutations_mv_delta_path_converges(spark, tmp_path, seed):
         [
             {"fn": "count", "alias": "n"},
             {"fn": "sum", "col": "x", "alias": "sx"},
+            {"fn": "avg", "col": "x", "alias": "ax"},
         ],
     )
     next_k = 60
@@ -1516,6 +1519,10 @@ def test_random_mutations_mv_delta_path_converges(spark, tmp_path, seed):
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n"),
                 F.sum("x").alias("sx"),
+                F.when(
+                    F.count("x") > 0,
+                    F.sum("x").cast("double") / F.count("x"),
+                ).alias("ax"),
             )
             .collect()
         )

