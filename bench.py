@@ -57,6 +57,8 @@ HEADLINE = [
     "q99zzx_bloom_cold_write",   # COLD commit/DML write path + bloom pruning (round 9)
     "q99zzzb_datasource_write",  # COLD declarative write: Arrow->parquet->manifest (round 9)
     "q99r_salted_skew_join",     # hot-key salted shuffle join, merge-pinned (round 11)
+    "tpcds_q02",               # weekly YoY dow pivot: cross-engine week arithmetic (round 12)
+    "tpcds_q72",               # inventory-on-hand date-spine probe join (round 12)
     "q99zzzf_partitioned_datasource_write",  # COLD partitioned declarative write (round 11)
     "q99zzzg_incremental_mv",    # COLD MV create+mutate+incremental refresh (round 11)
 ]

@@ -27,7 +27,11 @@ MAINTENANCE loop:
     row counters (``__nn__*``), stripped from :meth:`read`.
   - **recompute** (MIN/MAX/COUNT-DISTINCT — the aggregates deletes
     make non-self-maintainable): touched groups recompute from the
-    base head via :meth:`SnapshotTable.read_partition` with the key
+    base head. EXCEPTION: an INSERT-ONLY change window keeps even
+    MIN/MAX self-maintainable (least/greatest merge of the inserts'
+    partial aggregate — ``delta_insert_only``); only windows carrying
+    deletes/updates pay the re-read. Recompute reads the base via
+    :meth:`SnapshotTable.read_partition` with the key
     values inlined (manifest-level partition pruning + a plain JVM
     scan; composite keys add an exact null-safe semi-join over the
     cross-product scope), falling back to a broadcast semi-join for
@@ -306,8 +310,11 @@ class MaterializedView:
           delta applies iff the commit that records it publishes.
         * **recompute** (MIN/MAX/COUNT-DISTINCT, or
           ``strategy='recompute'``): touched groups recompute from the
-          base head via a broadcast null-safe semi-join — a pure
-          function of base state, so replays converge.
+          base head via a pruned scan / semi-join — a pure function of
+          base state, so replays converge. An INSERT-ONLY window on a
+          COUNT/SUM/MIN/MAX view upgrades itself to the arithmetic
+          ``delta_insert_only`` merge (no base re-read) — deletes and
+          updates in the window fall back here.
 
         Returns ``{"noop", "base_version", "applied_from",
         "mv_version", "groups_touched", "strategy"}``."""
@@ -392,8 +399,27 @@ class MaterializedView:
                 "strategy='delta' needs an all-COUNT/SUM/AVG view "
                 "created by this module (hidden counters present)"
             )
+        strategy_used = "recompute"
         if use_delta:
             post = self._delta_post_image(spark, delta, keys)
+            strategy_used = "delta"
+        elif (
+            strategy != "recompute"
+            and all(a["fn"] in ("count", "sum", "min", "max") for a in aggs)
+            and delta.filter(F.col("_change_type") == "delete")
+            .limit(1)
+            .count()
+            == 0
+        ):
+            # insert-only window: MIN/MAX (and hidden-counter-less
+            # foreign COUNT/SUM views) ARE self-maintainable when no
+            # row was deleted — merge the inserts arithmetically, skip
+            # the base re-read entirely. Deletes/updates in the window
+            # (updates surface as delete+insert) fall back to the
+            # pruned recompute below, which remains the correctness
+            # anchor for non-self-maintainable aggregates.
+            post = self._insert_only_post_image(spark, delta, keys)
+            strategy_used = "delta_insert_only"
         else:
             post = self._recompute_post_image(
                 spark, base, keys, head, n_groups=n_groups
@@ -423,8 +449,67 @@ class MaterializedView:
             "applied_from": last,
             "mv_version": mv_version,
             "groups_touched": n_groups,
-            "strategy": "delta" if use_delta else "recompute",
+            "strategy": strategy_used,
         }
+
+    def _insert_only_post_image(
+        self, spark: SparkSession, delta: DataFrame, keys: DataFrame
+    ) -> DataFrame:
+        """Post-image for an INSERT-ONLY change window over a
+        COUNT/SUM/MIN/MAX view: each aggregate merges its old value
+        with the inserts' partial aggregate — COUNT adds, SUM adds
+        with SQL NULL semantics preserved WITHOUT hidden counters
+        (inserts-only means the old visible SUM is NULL iff the group
+        held zero non-null values, so old-NULL + all-NULL-delta stays
+        NULL), MIN/MAX take least/greatest (null-skipping on both
+        engines' semantics). Group liveness needs no counter either:
+        inserts never empty a group. Cost is O(change rows + touched
+        view groups) — the base is not re-read."""
+        group_cols = self.spec["group_cols"]
+        aggs = self.spec["aggs"]
+        d_exprs = []
+        for a in aggs:
+            al = a["alias"]
+            if a["fn"] == "count":
+                d_exprs.append(
+                    F.count(F.lit(1)).cast("long").alias(f"__d_{al}")
+                )
+            else:  # sum / min / max: partial aggregate of the inserts
+                _, build = _AGG_FNS[a["fn"]]
+                d_exprs.append(build(a["col"]).alias(f"__d_{al}"))
+        d = delta.groupBy(*group_cols).agg(*d_exprs).alias("__d")
+        cur = self.table.read(spark).alias("__m")
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__d.{c}").eqNullSafe(F.col(f"__m.{c}"))
+                for c in group_cols
+            ],
+        )
+        j = d.join(cur, cond, "left")
+        out_cols = [F.col(f"__d.{c}").alias(c) for c in group_cols]
+        for a in aggs:
+            al = a["alias"]
+            old, dlt = F.col(f"__m.{al}"), F.col(f"__d.__d_{al}")
+            if a["fn"] == "count":
+                out_cols.append(
+                    (F.coalesce(old, F.lit(0)) + dlt).alias(al)
+                )
+            elif a["fn"] == "sum":
+                out_cols.append(
+                    F.when(
+                        old.isNull() & dlt.isNull(), F.lit(None)
+                    )
+                    .otherwise(
+                        F.coalesce(old, F.lit(0)) + F.coalesce(dlt, F.lit(0))
+                    )
+                    .alias(al)
+                )
+            elif a["fn"] == "min":
+                out_cols.append(F.least(old, dlt).alias(al))
+            else:  # max
+                out_cols.append(F.greatest(old, dlt).alias(al))
+        return j.select(*out_cols)
 
     def _publish_marker(self, head: int) -> int:
         """Publish a files-unchanged marker commit: same file list,

@@ -551,7 +551,10 @@ def test_composite_group_keys_refresh_exactly(spark, tmp_path):
             "g string, h long, k long, x long",
         )
     )
-    res = mv.refresh(spark)
+    # force recompute: this test pins the composite-key SUPERSET
+    # pruning (an insert-only window would otherwise upgrade itself to
+    # the round-12 delta_insert_only merge and never exercise it)
+    res = mv.refresh(spark, strategy="recompute")
     assert res["strategy"] == "recompute"
     assert res["groups_touched"] == 2
     got = _rows(mv.read(spark))
@@ -797,3 +800,59 @@ def test_avg_delta_fast_path(spark, tmp_path):
     res2 = mv.refresh(spark, strategy="recompute")
     assert res2["strategy"] == "recompute"
     assert _rows(mv.read(spark)) == expected()
+
+
+def test_insert_only_window_upgrades_minmax_to_delta(spark, tmp_path):
+    """Round 12: an INSERT-ONLY change window keeps MIN/MAX
+    self-maintainable — refresh merges the inserts arithmetically
+    (strategy 'delta_insert_only', no base re-read); a window carrying
+    a delete falls back to recompute. NULL values and new/NULL group
+    keys covered."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(
+        spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 20), ("b", 3, None), (None, 4, 5)],
+            "g string, k long, x long",
+        )
+    )
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"], AGGS
+    )
+
+    # pure-insert window: new rows for an existing group (raising max,
+    # lowering min), an all-NULL-value insert, a brand-new group
+    base.commit(
+        spark.createDataFrame(
+            [("a", 5, -7), ("b", 6, None), ("c", 7, 99), (None, 8, 2)],
+            "g string, k long, x long",
+        )
+    )
+    res = mv.refresh(spark)
+    assert res["strategy"] == "delta_insert_only"
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+    [brow] = mv.read(spark).filter(F.col("g") == "b").collect()
+    assert (brow["sx"], brow["mn"], brow["mx"]) == (None, None, None)
+
+    # a window with a delete must NOT take the arithmetic path
+    base.delete_where(spark, F.col("k") == 5)
+    res2 = mv.refresh(spark)
+    assert res2["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+
+    # an update (merge) surfaces as delete+insert -> recompute too
+    base.merge_rows(
+        spark,
+        spark.createDataFrame([("c", 7, 1)], "g string, k long, x long"),
+        key_cols=["k"],
+    )
+    res3 = mv.refresh(spark)
+    assert res3["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+
+    # forcing recompute always wins over the upgrade
+    base.commit(
+        spark.createDataFrame([("d", 9, 4)], "g string, k long, x long")
+    )
+    res4 = mv.refresh(spark, strategy="recompute")
+    assert res4["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))

@@ -779,3 +779,54 @@ def test_tpcds_q14_intersect_gate_broadcasts(spark, sf_dir):
     assert plan.count("LeftSemi") >= 3  # 2 intersect legs + the gate
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------- round-12 TPC-DS tail
+
+
+def test_tpcds_q02_single_fact_shuffle_conditional_pivot(spark, sf_dir):
+    """The weekly YoY dow pivot must aggregate the union'd fact to
+    (week, dow) grain map-side — seven conditional sums in ONE
+    aggregate, no per-day scans — and the YoY self-join must run on
+    the week-grain output, never the fact."""
+    plan = _plan(spark, sf_dir, "tpcds_q02")
+    assert "partial_" in plan  # map-side combine on the fact aggregate
+    # the pivot is conditional aggregation: no Expand (that would be a
+    # rollup/pivot expansion multiplying fact rows)
+    assert "Expand" not in plan
+
+
+def test_tpcds_q72_inventory_probe_is_keyed_join(spark, sf_dir):
+    """The inventory-on-hand date-spine probe must be a KEYED join on
+    (item, warehouse, week) — hash or sort-merge, never a nested-loop
+    over the snapshots — with the sale-week resolution broadcast."""
+    plan = _plan(spark, sf_dir, "tpcds_q72")
+    assert "BroadcastHashJoin" in plan  # date spine resolution
+    assert (
+        "SortMergeJoin" in plan
+        or plan.count("BroadcastHashJoin") >= 2
+    )  # the (item, wh, week) probe is key-based either way
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q22_rollup_expands_after_gates(spark, sf_dir):
+    """The on-hand rollup's Expand must sit above the week semi-gate
+    and the item broadcast join (aggregate inputs only) — an Expand
+    below the joins would multiply the inventory relation 3× before
+    filtering."""
+    plan = _plan(spark, sf_dir, "tpcds_q22")
+    assert "Expand" in plan
+    # rollup output is grouped map-side before the final exchange
+    assert "partial_" in plan
+
+
+def test_tpcds_q94_decorrelates_to_one_aggregate(spark, sf_dir):
+    """q94 (like q16) must compute all three EXISTS polarities in ONE
+    aggregation pass over the web lines — a correlated rewrite would
+    show repeated lineitem scans per predicate."""
+    plan = _plan(spark, sf_dir, "tpcds_q94")
+    assert "CartesianProduct" not in plan
+    # one grouped pass: late flag, distinct suppliers, returned flag
+    # aggregate together (expand for count-distinct is fine — it is
+    # aggregate-side, not a rescan)
+    assert plan.count("FileScan parquet") <= 4  # lineitem + orders ×2 legs
