@@ -2704,6 +2704,14 @@ def q99zzzd_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFra
             p = _os.path.join(d, name) if _os.path.isdir(d) else d
             st = _os.stat(p)
             h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    # process-unique tag: the saveAsTable catalog entry is SESSION-local
+    # (a new process never reuses the files, it overwrites them), so a
+    # shared path is pure hazard — two concurrent processes (e.g. the
+    # test suite + a driver-sim sweep) would overwrite each other's
+    # live bucketed files mid-read (observed: FAILED_READ_FILE in the
+    # round-12 suite). PID in the tag keeps rebuild cost identical and
+    # removes the cross-process race.
+    h.update(str(_os.getpid()).encode())
     tag = h.hexdigest()[:12]
     names = {
         "orders": f"kdis_bkt_orders_{tag}",

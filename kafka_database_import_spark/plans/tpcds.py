@@ -82,7 +82,14 @@ def _channel(spark: SparkSession, sf_dir: str, chan: str) -> DataFrame:
 def _date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.select(F.col("o_orderdate").alias("d_date"))
+        # the explicit isNotNull is load-bearing for pushdown hygiene:
+        # the computed d_week_seq join keys put an UNpushable
+        # isnotnull(<epoch-day arithmetic>) on this scan; this pushable
+        # conjunct rides along so the scan always carries a real
+        # PushedFilters entry (a NULL order date would never join or
+        # bucket anyway — both engines exclude it identically)
+        o.filter(F.col("o_orderdate").isNotNull())
+        .select(F.col("o_orderdate").alias("d_date"))
         .distinct()
         .select(
             "d_date",
@@ -167,7 +174,7 @@ store_sales AS (SELECT * FROM sales WHERE chan <= 1),
 catalog_sales AS (SELECT * FROM sales WHERE chan = 2),
 web_sales AS (SELECT * FROM sales WHERE chan = 3),
 date_dim AS (
-  SELECT DISTINCT o_orderdate AS d_date,
+  SELECT DISTINCT o_orderdate AS d_date,  -- NULL dates excluded below
          YEAR(o_orderdate) AS d_year, MONTH(o_orderdate) AS d_moy,
          DAY(o_orderdate) AS d_dom, QUARTER(o_orderdate) AS d_qoy,
          CAST(FLOOR((CAST(o_orderdate AS DATE) - DATE '1970-01-05') / 7.0)
@@ -175,6 +182,7 @@ date_dim AS (
          CAST(((CAST(o_orderdate AS DATE) - DATE '1970-01-01') + 4) % 7
               AS INTEGER) AS d_dow
   FROM orders
+  WHERE o_orderdate IS NOT NULL
 ),
 item AS (
   SELECT p_partkey AS i_item_sk, p_brand AS i_brand, p_type AS i_category,
@@ -5432,8 +5440,10 @@ def tpcds_q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     the channel axis, the am/pm windows come straight from the
     reference, and money follows the FLOOR(x*100+0.5) cent discipline.
     One conditional scan, one (type, hour) aggregate — no join.
-    100 TB: the hour predicate is scan-local; the aggregate is
-    48-group tiny."""
+    100 TB: hour(ts) is not a parquet-convertible predicate (it prunes
+    nothing at the scan on any engine), and the events table's
+    nanos-timestamp guard blocks the inferred isnotnull from pushing —
+    the lint allowance documents this computed-predicate class."""
     ev = load_table(spark, sf_dir, "events")
     h = F.hour("ts")
     out = (

@@ -152,8 +152,12 @@ _AUDIT_ALLOW = {
     # predicate allowances above)
     "tpcds_q22": {"cartesian-product", "no-pushed-filters"},
     "tpcds_q37": {"cartesian-product", "no-pushed-filters"},
-    "tpcds_q82": {"cartesian-product"},
-    "tpcds_q72": {"cartesian-product"},
+    "tpcds_q82": {"cartesian-product", "no-pushed-filters"},
+    "tpcds_q72": {"cartesian-product", "no-pushed-filters"},
+    # hour(ts) is computed (never parquet-convertible) and the events
+    # table's nanos-timestamp guard blocks the inferred isnotnull from
+    # pushing — the q49/q76 computed-predicate class
+    "tpcds_q71": {"no-pushed-filters"},
 }
 
 
