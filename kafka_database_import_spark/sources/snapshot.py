@@ -2575,6 +2575,33 @@ class SnapshotTable:
             )
         return m2
 
+    def _check_epoch_unclaimed(
+        self, base_m: dict, head_m: dict, epoch_id: int | None
+    ) -> None:
+        """Post-rebase fencing for EPOCH-STAMPED commits (exactly-once
+        writers: MV refreshes, streaming CDC sinks): an insert-only
+        commit (affected file set empty) passes the disjoint-file
+        rebase check, so two racing writers carrying the same epoch
+        would double-apply. Walk the winner chain from ``head_m`` back
+        to ``base_m`` — if any concurrent commit already stamped an
+        epoch >= this writer's, the work this epoch records was applied
+        by another writer (or a newer one superseded it): raise instead
+        of re-publishing."""
+        if epoch_id is None:
+            return
+        v = head_m["version"]
+        while v is not None and v > base_m["version"]:
+            cm = head_m if v == head_m["version"] else self.manifest(v)
+            e = cm.get("epoch_id")
+            if e is not None and e >= epoch_id:
+                raise ConcurrentCommitError(
+                    f"concurrent commit v{v} already stamped epoch {e} "
+                    f">= this commit's epoch {epoch_id} — the work this "
+                    f"epoch records was applied by another writer; "
+                    f"recompute from the new head"
+                )
+            v = cm.get("base")
+
     def _files_of(self, spark: SparkSession, df: "DataFrame") -> list[str]:
         """Root-relative file paths present in ``df`` (which must carry
         ``_sg_file`` = ``input_file_name()``). The collect is bounded by
@@ -3610,30 +3637,11 @@ class SnapshotTable:
                 break
             except ConcurrentCommitError:
                 m2 = self._rebase_dml(m, sorted(affected))
-                if epoch_id is not None:
-                    # an epoch-stamped replace is an exactly-once
-                    # refresh, and an insert-only one (affected empty —
-                    # e.g. an MV delta that only adds new groups) would
-                    # otherwise pass the disjoint-file check and
-                    # re-publish: two racing refreshes of the same base
-                    # range would double-insert those rows. Walk the
-                    # winner chain — if any concurrent commit already
-                    # stamped an epoch >= this one, the refresh this
-                    # commit records was applied by another writer.
-                    v = m2["version"]
-                    while v is not None and v > m["version"]:
-                        cm = m2 if v == m2["version"] else self.manifest(v)
-                        e = cm.get("epoch_id")
-                        if e is not None and e >= epoch_id:
-                            replacement.unpersist()
-                            raise ConcurrentCommitError(
-                                f"concurrent commit v{v} already stamped "
-                                f"epoch {e} >= this replace's epoch "
-                                f"{epoch_id} — the refresh this epoch "
-                                f"records was applied by another writer; "
-                                f"recompute from the new head"
-                            )
-                        v = cm.get("base")
+                try:
+                    self._check_epoch_unclaimed(m, m2, epoch_id)
+                except ConcurrentCommitError:
+                    replacement.unpersist()
+                    raise
                 version = m2["version"] + 1
                 kept = [f for f in m2["files"] if f not in affected]
                 man = self._cow_manifest(
@@ -4064,8 +4072,14 @@ class SnapshotTable:
                     # disjoint-writer rebase (two CDC streams on
                     # disjoint partitions, or apply vs append): safe
                     # iff the affected files are untouched and the DV
-                    # base didn't shift under the matched-row scan.
+                    # base didn't shift under the matched-row scan —
+                    # AND, for epoch-stamped applies (streaming sinks),
+                    # no concurrent commit already claimed this epoch
+                    # (a zombie writer racing its failover replacement
+                    # would otherwise double-apply an insert-only
+                    # batch, whose affected set is empty).
                     m2 = self._rebase_dml(m, sorted(affected))
+                    self._check_epoch_unclaimed(m, m2, epoch_id)
                     version = m2["version"] + 1
                     base_head, base_m2 = m2["version"], m2
                     base_files = list(m2["files"])
@@ -4114,8 +4128,12 @@ class SnapshotTable:
                 self._publish(version, man)
                 break
             except ConcurrentCommitError:
-                # see the MOR branch's rebase note
+                # see the MOR branch's rebase note; the epoch fence
+                # applies here too (an insert-only COW apply has an
+                # empty affected set — without the fence two racers
+                # with the same epoch would both land)
                 m2 = self._rebase_dml(m, sorted(affected))
+                self._check_epoch_unclaimed(m, m2, epoch_id)
                 version = m2["version"] + 1
                 base_head, base_m2 = m2["version"], m2
                 base_ts = m2.get("tombstone_files", [])

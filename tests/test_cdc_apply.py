@@ -373,3 +373,52 @@ def test_merge_sink_mid_stream_schema_evolution(spark, tmp_path):
         ["k"], seq_col="seq",
     )
     assert (2, "b9", 90, 50) in _rows(tbl.read(spark).select("k", "v", "w", "seq"))
+
+
+def test_racing_epoch_stamped_applies_dont_double_apply(
+    spark, tmp_path, monkeypatch
+):
+    """Round 12 (same fencing as replace_where_keys): an epoch-stamped
+    INSERT-ONLY apply_changes batch (affected file set empty) that
+    loses the commit race must not rebase-and-republish when the
+    winner already claimed the same epoch — the zombie-writer /
+    failover race a streaming sink's replay check alone cannot see.
+    The loser raises; the rows land exactly once."""
+    from kafka_database_import_spark.sources.snapshot import (
+        ConcurrentCommitError,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(
+        spark.createDataFrame(
+            [(1, "a", 10)], "k long, v string, seq long"
+        )
+    )
+    batch = _ch(spark, [(5, "new", 20, "upsert")])
+
+    orig_publish = SnapshotTable._publish
+    state = {"raced": False}
+
+    def racy_publish(self, version, man):
+        if not state["raced"] and man.get("mode") == "merge":
+            state["raced"] = True
+            winner = SnapshotTable(self.root)
+            winner.apply_changes(
+                spark, batch, ["k"], seq_col="seq", epoch_id=7
+            )
+        return orig_publish(self, version, man)
+
+    monkeypatch.setattr(SnapshotTable, "_publish", racy_publish)
+    with pytest.raises(ConcurrentCommitError, match="epoch"):
+        tbl.apply_changes(spark, batch, ["k"], seq_col="seq", epoch_id=7)
+    monkeypatch.undo()
+    assert _rows(tbl.read(spark)) == [(1, "a", 10), (5, "new", 20)]
+    # a genuinely newer epoch still rebases and lands
+    res = tbl.apply_changes(
+        spark,
+        _ch(spark, [(6, "later", 30, "upsert")]),
+        ["k"],
+        seq_col="seq",
+        epoch_id=8,
+    )
+    assert res["upserted_rows"] == 1
