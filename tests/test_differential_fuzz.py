@@ -1396,6 +1396,9 @@ def test_random_mutations_mv_refresh_converges(spark, tmp_path, seed):
             .collect()
         )
 
+    window_pure_append = True  # round 12: no delete-capable op since
+    # the last refresh -> the MIN/MAX view must take (or beat) the
+    # delta_insert_only upgrade, never pay a recompute
     for i, op in enumerate(_mv_script(seed)):
         if op[0] == "append":
             base.commit(
@@ -1403,10 +1406,12 @@ def test_random_mutations_mv_refresh_converges(spark, tmp_path, seed):
             )
             dedup_keys.update(k for _, k, _ in op[1])
         elif op[0] == "delete":
+            window_pure_append = False
             base.delete_where(
                 spark, (F.col("k") % 5) == op[1], mode=op[2]
             )
         elif op[0] == "merge":
+            window_pure_append = False
             # merge source needs unique keys per batch
             uniq = {k: (g, k, x) for g, k, x in op[1]}
             base.merge_rows(
@@ -1419,7 +1424,15 @@ def test_random_mutations_mv_refresh_converges(spark, tmp_path, seed):
         elif op[0] == "compact":
             base.compact(spark, target_files=2)
         else:
-            mv.refresh(spark)
+            res = mv.refresh(spark)
+            if window_pure_append:
+                # one-directional: a window that MIGHT net deletes
+                # (merge can be insert-only in practice) may still
+                # upgrade, but a provably append-only window must
+                assert res["noop"] or res["strategy"] == (
+                    "delta_insert_only"
+                ), (seed, i, res)
+            window_pure_append = True
             got = _nsort(tuple(r) for r in mv.read(spark).collect())
             assert got == _recompute(), (seed, i)
             via_ds = _nsort(
