@@ -401,7 +401,9 @@ class MaterializedView:
             )
         strategy_used = "recompute"
         if use_delta:
-            post = self._delta_post_image(spark, delta, keys)
+            post = self._delta_post_image(
+                spark, delta, keys, n_groups=n_groups
+            )
             strategy_used = "delta"
         elif (
             strategy != "recompute"
@@ -418,7 +420,9 @@ class MaterializedView:
             # (updates surface as delete+insert) fall back to the
             # pruned recompute below, which remains the correctness
             # anchor for non-self-maintainable aggregates.
-            post = self._insert_only_post_image(spark, delta, keys)
+            post = self._insert_only_post_image(
+                spark, delta, keys, n_groups=n_groups
+            )
             strategy_used = "delta_insert_only"
         else:
             post = self._recompute_post_image(
@@ -452,8 +456,54 @@ class MaterializedView:
             "strategy": strategy_used,
         }
 
+    def _touched_view_rows(
+        self, spark: SparkSession, keys: DataFrame, n_groups: int | None
+    ) -> DataFrame:
+        """The VIEW's current rows scoped to the touched groups — the
+        same pruning ladder the recompute path applies to the BASE,
+        here applied to the view side of the arithmetic join (reading
+        the whole view per refresh would be O(view), breaking the
+        delta paths' O(change rows + touched groups) bound the moment
+        the view itself is large). Small key sets inline into
+        :meth:`SnapshotTable.read_partition` (manifest/partition/bloom
+        pruning when the view is partitioned; a pushdown-friendly IN
+        otherwise; composite keys yield a cross-product SUPERSET —
+        harmless, the caller's left join from the delta side drops
+        unmatched rows); large sets semi-join, broadcast-hinted only
+        under :attr:`_BROADCAST_KEY_CAP`."""
+        group_cols = self.spec["group_cols"]
+        if n_groups is not None and n_groups <= self._INLINE_KEY_CAP:
+            key_rows = keys.collect()
+            where = {
+                c: sorted(
+                    {r[c] for r in key_rows if r[c] is not None}, key=str
+                )
+                + ([None] if any(r[c] is None for r in key_rows) else [])
+                for c in group_cols
+            }
+            return self.table.read_partition(spark, where)
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__mv.{c}").eqNullSafe(F.col(f"__mk.{c}"))
+                for c in group_cols
+            ],
+        )
+        side = keys.alias("__mk")
+        if n_groups is None or n_groups <= self._BROADCAST_KEY_CAP:
+            side = F.broadcast(side)
+        return (
+            self.table.read(spark)
+            .alias("__mv")
+            .join(side, cond, "left_semi")
+        )
+
     def _insert_only_post_image(
-        self, spark: SparkSession, delta: DataFrame, keys: DataFrame
+        self,
+        spark: SparkSession,
+        delta: DataFrame,
+        keys: DataFrame,
+        n_groups: int | None = None,
     ) -> DataFrame:
         """Post-image for an INSERT-ONLY change window over a
         COUNT/SUM/MIN/MAX view: each aggregate merges its old value
@@ -478,7 +528,7 @@ class MaterializedView:
                 _, build = _AGG_FNS[a["fn"]]
                 d_exprs.append(build(a["col"]).alias(f"__d_{al}"))
         d = delta.groupBy(*group_cols).agg(*d_exprs).alias("__d")
-        cur = self.table.read(spark).alias("__m")
+        cur = self._touched_view_rows(spark, keys, n_groups).alias("__m")
         cond = reduce(
             lambda a, b: a & b,
             [
@@ -676,7 +726,11 @@ class MaterializedView:
         return w.start()
 
     def _delta_post_image(
-        self, spark: SparkSession, delta: DataFrame, keys: DataFrame
+        self,
+        spark: SparkSession,
+        delta: DataFrame,
+        keys: DataFrame,
+        n_groups: int | None = None,
     ) -> DataFrame:
         """Post-image of the touched groups by ARITHMETIC — COUNT/SUM/AVG
         views never re-read the base: each change row contributes
@@ -710,7 +764,7 @@ class MaterializedView:
                     )
                 )
         d = delta.groupBy(*group_cols).agg(*d_exprs).alias("__d")
-        cur = self.table.read(spark).alias("__m")
+        cur = self._touched_view_rows(spark, keys, n_groups).alias("__m")
         cond = reduce(
             lambda a, b: a & b,
             [
