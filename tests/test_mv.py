@@ -856,3 +856,43 @@ def test_insert_only_window_upgrades_minmax_to_delta(spark, tmp_path):
     res4 = mv.refresh(spark, strategy="recompute")
     assert res4["strategy"] == "recompute"
     assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+
+
+def test_partitioned_view_refresh_prunes_view_scans(spark, tmp_path):
+    """Round 12: partition_cols on create partitions the VIEW table,
+    so the arithmetic paths' touched-group view reads plan only the
+    affected partitions' files — observable via last_partition_counts
+    — and refresh stays exact across both strategies."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(
+        _base_rows(
+            spark,
+            [(g, i * 10 + j, i * 7 + j)
+             for i, g in enumerate("abcdefgh") for j in range(3)],
+        )
+    )
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"], AGGS,
+        partition_cols=["g"],
+    )
+    assert mv.table.partition_spec()  # spec live on the view table
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+    # append-only window touching ONE group: the insert-only path's
+    # view read must plan a strict subset of the view's files
+    base.commit(_base_rows(spark, [("c", 100, 99)]))
+    res = mv.refresh(spark)
+    assert res["strategy"] == "delta_insert_only"
+    planned, total = mv.table.last_partition_counts
+    assert total > 1 and planned < total, (planned, total)
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+    # a delete window (recompute) also stays exact on the
+    # partitioned view
+    base.delete_where(spark, F.col("g") == "h")
+    mv.refresh(spark)
+    assert _rows(mv.read(spark)) == _rows(_expected(spark, base))
+    # rejected: partitioning on an aggregate output
+    with pytest.raises(ValueError, match="subset of group_cols"):
+        MaterializedView.create(
+            spark, base, str(tmp_path / "mv2"), ["g"], AGGS,
+            partition_cols=["sx"],
+        )
