@@ -54,22 +54,25 @@ def _norm(a) -> "F.Column":
 EXACT_QUERY_CAP = 100_000
 
 
+def _raise_query_cap(max_queries: int) -> None:
+    raise ValueError(
+        f"exact cosine top-k materializes the query side on every "
+        f"executor (broadcast/collect) and the query set exceeds "
+        f"max_queries={max_queries} — use lsh_ann_topk or ivf_topk "
+        f"for large query sets (bucket-local candidates, no "
+        f"broadcast), or raise max_queries explicitly if the "
+        f"driver/executors can hold it"
+    )
+
+
 def _guard_query_count(queries: DataFrame, max_queries: int | None) -> None:
     """Refuse loudly when the query side exceeds the exact-path cap —
     a limit-probe count (bounded at cap+1, never a full count of an
     unbounded frame)."""
     if max_queries is None:
         return
-    n = queries.limit(max_queries + 1).count()
-    if n > max_queries:
-        raise ValueError(
-            f"exact cosine top-k materializes the query side on every "
-            f"executor (broadcast/collect) and the query set exceeds "
-            f"max_queries={max_queries} — use lsh_ann_topk or ivf_topk "
-            f"for large query sets (bucket-local candidates, no "
-            f"broadcast), or raise max_queries explicitly if the "
-            f"driver/executors can hold it"
-        )
+    if queries.limit(max_queries + 1).count() > max_queries:
+        _raise_query_cap(max_queries)
 
 
 def cosine_topk(
@@ -146,9 +149,18 @@ def cosine_topk_blocked(
     rounding, interchangeable."""
     import numpy as np
 
-    _guard_query_count(queries, max_queries)
     schema = "query_id long, rank int, cand_id long, cosine_sim double"
-    q_rows = queries.select(id_col, vec_col).collect()
+    # the cap check rides the collect this path needs anyway (one
+    # evaluation of the query-side plan, not a guard job + a collect):
+    # collect is bounded at cap+1 rows, so an over-cap frame never
+    # materializes fully on the driver before the refusal
+    sel = queries.select(id_col, vec_col)
+    if max_queries is not None:
+        q_rows = sel.limit(max_queries + 1).collect()
+        if len(q_rows) > max_queries:
+            _raise_query_cap(max_queries)
+    else:
+        q_rows = sel.collect()
     if not q_rows:
         return corpus.sparkSession.createDataFrame([], schema)
     q_ids = [r[0] for r in q_rows]

@@ -2713,6 +2713,21 @@ def q99zzzd_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFra
     # removes the cross-process race.
     h.update(str(_os.getpid()).encode())
     tag = h.hexdigest()[:12]
+    # per-process dirs accumulate without a janitor (3 fixture-sized
+    # copies per process) — sweep ones old enough that no live writer
+    # can still be mid-read (concurrent runs are minutes-fresh; stale
+    # means a long-exited process's leftovers)
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    cutoff = _time.time() - 6 * 3600
+    for d in _glob.glob(_os.path.join(_tf.gettempdir(), "kdis_bktq_*")):
+        try:
+            if _os.path.getmtime(d) < cutoff:
+                _shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass  # racing another janitor is fine
     names = {
         "orders": f"kdis_bkt_orders_{tag}",
         "lineitem": f"kdis_bkt_lines_{tag}",

@@ -203,6 +203,18 @@ class MaterializedView:
                 f"aggregate aliases must be unique and disjoint from "
                 f"group columns: {aliases!r} vs {group_cols!r}"
             )
+        bad = [
+            c
+            for c in aliases + list(group_cols)
+            if c.startswith(_HIDDEN_PREFIXES)
+        ]
+        if bad:
+            raise ValueError(
+                f"aliases/group columns must not start with the hidden "
+                f"counter prefixes {_HIDDEN_PREFIXES}: {bad!r} — read() "
+                f"strips those names and the maintenance arithmetic "
+                f"could collide with them"
+            )
         if partition_cols and not set(partition_cols) <= set(group_cols):
             raise ValueError(
                 f"partition_cols must be a subset of group_cols: "
@@ -419,10 +431,30 @@ class MaterializedView:
                 if a["fn"] == "avg"
             )
         )
+        if use_delta:
+            # column PRESENCE is not enough: a view created BEFORE its
+            # aggregates became delta-eligible (e.g. a pre-round-12 AVG
+            # view) gets schema-WIDENED by its first recompute refresh —
+            # touched groups gain counters, untouched rows read NULL.
+            # Running the arithmetic path against NULL counters would
+            # coalesce them to 0 (wrong averages, live groups wrongly
+            # dropped). Probe the TOUCHED rows only (pruned scan): any
+            # NULL counter → recompute this window, which rewrites
+            # those groups WITH counters — the view self-heals toward
+            # the delta path group by group.
+            touched = self._touched_view_rows(spark, keys, n_groups)
+            if (
+                touched.filter(F.col(_NN + "rows").isNull())
+                .limit(1)
+                .count()
+                > 0
+            ):
+                use_delta = False
         if strategy == "delta" and not use_delta:
             raise ValueError(
                 "strategy='delta' needs an all-COUNT/SUM/AVG view "
-                "created by this module (hidden counters present)"
+                "created by this module (hidden counters present on "
+                "every touched row)"
             )
         strategy_used = "recompute"
         if use_delta:

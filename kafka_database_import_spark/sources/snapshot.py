@@ -2586,7 +2586,17 @@ class SnapshotTable:
         to ``base_m`` — if any concurrent commit already stamped an
         epoch >= this writer's, the work this epoch records was applied
         by another writer (or a newer one superseded it): raise instead
-        of re-publishing."""
+        of re-publishing.
+
+        Contract: ONE epoch-stamped writer per table. The manifest has
+        a single ``epoch_id`` field, so two independent stamped
+        sequences (e.g. two streaming queries on disjoint partitions)
+        were never sound here — each would trip the other's replay
+        detection long before this fence; run multiple UNstamped
+        writers (plain disjoint-file rebase applies) or one stamped
+        coordinator instead. Within the one-writer contract, ``>=`` is
+        exact: an equal epoch is the zombie/failover double-apply, a
+        newer one means this batch is a stale replay."""
         if epoch_id is None:
             return
         v = head_m["version"]

@@ -896,3 +896,95 @@ def test_partitioned_view_refresh_prunes_view_scans(spark, tmp_path):
             spark, base, str(tmp_path / "mv2"), ["g"], AGGS,
             partition_cols=["sx"],
         )
+
+
+def test_pre_upgrade_view_heals_before_taking_delta_path(spark, tmp_path):
+    """Round-12 review finding: a view created BEFORE its aggregates
+    became delta-eligible (hand-built here: full aggregate with NO
+    hidden counters + mv.json) gets schema-WIDENED by its first
+    recompute — touched groups gain counters, untouched rows read
+    NULL. Column presence alone would then route later refreshes onto
+    the arithmetic path, coalescing NULL counters to 0 (wrong
+    averages, live groups dropped). The NULL-counter probe must force
+    recompute for any window touching an unhealed group, and the view
+    converges to the delta path as groups heal."""
+    import json as _json
+    import os as _os
+
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(
+        _base_rows(
+            spark,
+            [("a", 1, 10), ("a", 2, 20), ("b", 3, 6), ("b", 4, 2),
+             ("c", 5, 9)],
+        )
+    )
+    # hand-build the OLD on-disk state: visible columns only
+    mv_root = str(tmp_path / "mv")
+    old_full = base.read(spark).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.when(
+            F.count("x") > 0, F.sum("x").cast("double") / F.count("x")
+        ).alias("ax"),
+    )
+    tbl = SnapshotTable(mv_root)
+    tbl.commit(old_full, epoch_id=base.latest_version())
+    with open(_os.path.join(mv_root, "mv.json"), "w") as fh:
+        _json.dump(
+            {
+                "base_root": _os.path.abspath(base.root),
+                "group_cols": ["g"],
+                "aggs": [
+                    {"fn": "count", "alias": "n"},
+                    {"fn": "avg", "col": "x", "alias": "ax"},
+                ],
+            },
+            fh,
+        )
+    mv = MaterializedView(mv_root)
+
+    def expected():
+        return _rows(
+            base.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.when(
+                    F.count("x") > 0,
+                    F.sum("x").cast("double") / F.count("x"),
+                ).alias("ax"),
+            )
+        )
+
+    # window 1 touches only 'a': no counters anywhere -> recompute;
+    # the swap widens the schema and heals 'a'
+    base.commit(_base_rows(spark, [("a", 6, 30)]))
+    res1 = mv.refresh(spark)
+    assert res1["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == expected()
+    # window 2 touches UNHEALED 'b' with a delete — arithmetic against
+    # NULL counters would drop the still-live group / corrupt ax
+    base.delete_where(spark, F.col("k") == 3)
+    res2 = mv.refresh(spark)
+    assert res2["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == expected()
+    [brow] = mv.read(spark).filter(F.col("g") == "b").collect()
+    assert (brow["n"], brow["ax"]) == (1, 2.0)  # alive, exact
+    # window 3 touches only HEALED groups -> the delta path engages
+    base.commit(_base_rows(spark, [("a", 7, None), ("b", 8, 4)]))
+    res3 = mv.refresh(spark)
+    assert res3["strategy"] == "delta"
+    assert _rows(mv.read(spark)) == expected()
+
+
+def test_create_rejects_hidden_prefix_aliases(spark, tmp_path):
+    """Aliases (or group cols) named like the hidden counters would be
+    silently stripped by read() or collide with maintenance columns —
+    refused at create."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(_base_rows(spark, [("a", 1, 1)]))
+    with pytest.raises(ValueError, match="hidden"):
+        MaterializedView.create(
+            spark, base, str(tmp_path / "mv"), ["g"],
+            [{"fn": "sum", "col": "x", "alias": "__sum__x"}],
+        )
