@@ -65,14 +65,29 @@ def _raise_query_cap(max_queries: int) -> None:
     )
 
 
-def _guard_query_count(queries: DataFrame, max_queries: int | None) -> None:
-    """Refuse loudly when the query side exceeds the exact-path cap —
-    a limit-probe count (bounded at cap+1, never a full count of an
-    unbounded frame)."""
+def _localize_queries(
+    queries: DataFrame, id_col: str, vec_col: str, max_queries: int | None
+):
+    """Pin the query side to a LOCAL relation, folding the cap check
+    into the one evaluation the exact path needs anyway (ADVICE r12: a
+    separate ``limit(cap+1).count()`` guard job re-ran an arbitrary
+    query-side plan twice — the blocked variant never did, because its
+    cap rides the collect it needs regardless). Collect is bounded at
+    cap+1 rows, so an over-cap frame never materializes fully on the
+    driver before the refusal; the returned frame is a LocalTableScan,
+    evaluated zero further times no matter how often the result is
+    acted on. ``max_queries=None`` opts out (caller sized the cluster
+    for it) and keeps the lazy frame."""
+    sel = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
     if max_queries is None:
-        return
-    if queries.limit(max_queries + 1).count() > max_queries:
+        return sel
+    rows = sel.limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
         _raise_query_cap(max_queries)
+    return queries.sparkSession.createDataFrame(rows, sel.schema)
 
 
 def cosine_topk(
@@ -94,10 +109,9 @@ def cosine_topk(
     (default :data:`EXACT_QUERY_CAP`) enforces that contract with a
     loud refusal naming ``lsh_ann_topk`` as the large-|Q| path; pass
     ``None`` to opt out when the cluster is sized for it."""
-    _guard_query_count(queries, max_queries)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", _norm(F.col("qv")))
+    q = _localize_queries(queries, id_col, vec_col, max_queries).withColumn(
+        "qn", _norm(F.col("qv"))
+    )
     c = corpus.select(
         F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", _norm(F.col("cv")))

@@ -2724,19 +2724,46 @@ def q99zzzd_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFra
     cutoff = _time.time() - 6 * 3600
     for d in _glob.glob(_os.path.join(_tf.gettempdir(), "kdis_bktq_*")):
         try:
+            # liveness before mtime (ADVICE r12): dir mtime is set at
+            # WRITE time and reads never refresh it, so age alone would
+            # let the sweep delete a >6h-old dir whose owning process is
+            # still alive and still has the table registered (its next
+            # read then FAILED_READ_FILEs — the very race the PID tag
+            # exists to prevent). Each dir carries its writer's PID in a
+            # dot-file (parquet listing ignores dot-names); skip dirs
+            # whose writer still runs — ours included.
+            pid_file = _os.path.join(d, ".kdis_owner_pid")
+            if _os.path.exists(pid_file):
+                with open(pid_file) as fh:
+                    owner = int(fh.read().strip() or "0")
+                if owner:
+                    try:
+                        _os.kill(owner, 0)
+                        continue  # writer alive — never sweep
+                    except ProcessLookupError:
+                        pass  # exited: eligible below
+                    except OSError:
+                        continue  # exists, not ours to signal
             if _os.path.getmtime(d) < cutoff:
                 _shutil.rmtree(d, ignore_errors=True)
-        except OSError:
-            pass  # racing another janitor is fine
+        except (OSError, ValueError):
+            pass  # racing another janitor / torn pid file is fine
     names = {
         "orders": f"kdis_bkt_orders_{tag}",
         "lineitem": f"kdis_bkt_lines_{tag}",
     }
     keys = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
     for t, name in names.items():
-        if spark.catalog.tableExists(name):
-            continue
         path = _os.path.join(_tf.gettempdir(), f"kdis_bktq_{tag}_{t}")
+        if spark.catalog.tableExists(name):
+            try:
+                # freshness on READ, not just write: a reuse hit keeps
+                # the dir young so even a pid-file-less dir (older
+                # layout) survives while actively read
+                _os.utime(path)
+            except OSError:
+                pass
+            continue
         (
             load_table(spark, sf_dir, t)
             .repartition(8, F.col(keys[t]))  # one file per bucket
@@ -2747,6 +2774,8 @@ def q99zzzd_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFra
             .format("parquet")
             .saveAsTable(name)
         )
+        with open(_os.path.join(path, ".kdis_owner_pid"), "w") as fh:
+            fh.write(str(_os.getpid()))
     o = spark.table(names["orders"]).filter(F.col("o_totalprice") > 100000)
     li = spark.table(names["lineitem"]).select(
         "l_orderkey", F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty")
@@ -3031,3 +3060,113 @@ def q99zzzh_mv_stream_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert q.awaitTermination(180), "stream drain timed out"
     assert mv.applied_base_version() == base.latest_version()
     return ordered(mv.read(spark), "priority", "n", "cents")
+
+
+@query(
+    "q99zzzi_mv_star_join",
+    oracle="""
+    SELECT CASE WHEN c.c_custkey % 10 = 0 THEN 'REMAPPED'
+                ELSE c.c_mktsegment END AS segment,
+           o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 7 <> 0 OR o.o_orderkey % 3 = 1
+    GROUP BY 1, 2
+    ORDER BY segment, priority
+    """,
+)
+def q99zzzi_mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-JOIN materialized view (VERDICT r12 item 1), COLD every
+    run: the view is a grouped aggregate of fact (orders) ⋈ a
+    broadcast dimension (customer), maintained through THREE kinds of
+    windows — a fact append (arithmetic delta path: the CHANGE ROWS
+    join through the pinned dim, the base is never re-read), a fact
+    COW-delete (still delta for a COUNT/SUM view), and a DIMENSION
+    mutation (customers re-segmented), which refresh detects by pin
+    comparison and answers with one atomic full rebuild at the new
+    pins (``strategy='rebuild_dims'``) — followed by a fact-only
+    append that must land back on the delta path, proving the new
+    pins took. Dimension pins ride the SAME manifests as the
+    applied-base marker (``dim_pins``), so the bookkeeping can never
+    tear. The oracle recomputes the FINAL fact ⋈ dim state from
+    scratch in one independent join+filter+aggregate — a wrong pin, a
+    stale dim attribute, a double-applied delta, or a dropped group
+    all hash-mismatch. 100 TB shape: fact windows cost O(change rows)
+    joined through a broadcast dim (the fact never shuffles — R4's
+    dimension-filtered scan, kafka-database-import.go:148-170, run
+    over the diff); only the dimension change pays O(base), which is
+    the correct price for invalidating every group's attribution."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.mv import MaterializedView
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_mvstarq_{tag}")
+    _sh.rmtree(root, ignore_errors=True)
+    fact_rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ckey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    dim_rows = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    fact = SnapshotTable(_os.path.join(root, "fact"))
+    dim = SnapshotTable(_os.path.join(root, "dim"))
+    dim.commit(dim_rows)
+    fact.commit(fact_rows.filter(F.col("o_orderkey") % 3 != 2))
+    mv = MaterializedView.create(
+        spark,
+        fact,
+        _os.path.join(root, "mv"),
+        ["segment", "priority"],
+        [
+            {"fn": "count", "alias": "n"},
+            {"fn": "sum", "col": "cents", "alias": "cents"},
+        ],
+        join_spec=[
+            {
+                "dim_root": dim.root,
+                "fact_keys": ["ckey"],
+                "dim_keys": ["ckey"],
+                "cols": ["segment"],
+                "how": "inner",
+            }
+        ],
+    )
+    # window 1: fact append -> arithmetic delta through the pinned dim
+    fact.commit(fact_rows.filter(F.col("o_orderkey") % 3 == 2))
+    assert mv.refresh(spark)["strategy"] == "delta"
+    # window 2: fact COW-delete -> still delta (COUNT/SUM view)
+    fact.delete_where(spark, F.col("o_orderkey") % 7 == 0)
+    assert mv.refresh(spark)["strategy"] == "delta"
+    # window 3: the DIMENSION mutates -> one atomic rebuild at new pins
+    dim.merge_rows(
+        spark,
+        dim_rows.filter(F.col("ckey") % 10 == 0).withColumn(
+            "segment", F.lit("REMAPPED")
+        ),
+        key_cols=["ckey"],
+    )
+    res = mv.refresh(spark)
+    assert res["strategy"] == "rebuild_dims", res
+    assert mv.applied_dim_pins() == {dim.root: dim.latest_version()}
+    # window 4: fact-only append AFTER the rebuild — must land back on
+    # the delta path, proving the rebuilt view's pins + counters took
+    # (re-admits the deleted keys' %3==1 slice)
+    fact.commit(
+        fact_rows.filter(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 3 == 1)
+        )
+    )
+    res4 = mv.refresh(spark)
+    assert res4["strategy"] == "delta", res4
+    return ordered(mv.read(spark), "segment", "priority", "n", "cents")

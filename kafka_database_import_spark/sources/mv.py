@@ -1,7 +1,9 @@
 """Incrementally-maintained materialized views over snapshot tables.
 
-A materialized view here is a grouped aggregate of ONE base snapshot
-table, itself stored as a snapshot table — so an MV composes with
+A materialized view here is a grouped aggregate of ONE base (fact)
+snapshot table — optionally JOINED through broadcast dimension
+snapshot tables (``join_spec``, the star-schema shape of VERDICT r12
+item 1) — itself stored as a snapshot table, so an MV composes with
 everything tables already do (time travel, tags, compaction, the
 declarative DataSource, metadata tables). What this module adds is the
 MAINTENANCE loop:
@@ -43,11 +45,31 @@ Both paths keep the applied-version bookkeeping atomic WITH the data
 version-pinned, so a concurrent base commit cannot leak newer rows
 into a post-image stamped with an older head.
 
+Star joins (``join_spec``): the view may be defined over fact ⋈
+dimension tables — each dimension a snapshot table PINNED at a
+version, joined (inner/left, broadcast-hinted under a byte cap) before
+grouping. The pins live in the SAME manifests as the applied-base
+marker (``dim_pins`` via ``manifest_extra``), so dim bookkeeping is
+atomic with the data — never a torn side file. Maintenance composes
+cleanly because pinned dims make the join a PURE function of fact
+rows: the delta path joins the fact's CHANGE ROWS through the pinned
+dims (O(change rows) — R4's dimension-filtered fact scan,
+kafka-database-import.go:148-170, run over the diff instead of the
+table), then applies arithmetically exactly as single-table views do;
+the recompute path prunes the fact scan by fact-side group values AND
+by fact keys derived from the touched dimension attributes
+(dimension-driven pruning), re-joins, re-aggregates. A LOGICAL
+dimension change (anything beyond rewrite-only compaction) invalidates
+every existing group's contribution, so refresh detects it by version
+walk and rebuilds the view at the new pins in one atomic overwrite
+(``strategy='rebuild_dims'``) — correct-by-construction, and the only
+O(base) maintenance event besides ``create``.
+
 Scale shape at 100 TB: the diff is O(rows in files the change range
 touched); the delta path then costs O(change rows + touched view
 groups), the recompute path O(affected partitions' files); the swap
 rewrites O(affected groups) of the view. Nothing is ever O(base table)
-except the initial ``create``.
+except the initial ``create`` (and a dimension-change rebuild).
 
 Reference framing: the reference pipeline materializes nothing — every
 query re-reads the source (kafka-database-import.go:148-158 re-scans
@@ -156,6 +178,120 @@ def _agg_exprs(aggs: list[dict], with_nn: bool = False):
     return out
 
 
+#: dimension sides broadcast-hint only under this many bytes of data
+#: files (summed from the manifest — a metadata-only probe, no scan);
+#: a genuinely large dimension joins plain and AQE decides at runtime,
+#: the same driver-OOM guard _BROADCAST_KEY_CAP gives the key paths
+_DIM_BROADCAST_BYTES_CAP = 256 * 1024 * 1024
+
+
+def _pin_key(root: str) -> str:
+    return os.path.abspath(root)
+
+
+def _check_join_spec(join_spec: list[dict], base_cols: list[str]) -> list[dict]:
+    """Validate and normalize a star ``join_spec``: every entry is
+    ``{"dim_root": <snapshot table root>, "fact_keys": [...],
+    "dim_keys": [...], "cols": [...dim columns projected into the
+    joined frame...], "how": "inner"|"left"}``. Projected names must
+    be unambiguous in the joined frame (disjoint from fact columns and
+    from every other dimension's projection)."""
+    seen: set[str] = set(base_cols)
+    out = []
+    for e in join_spec:
+        if not e.get("dim_root"):
+            raise ValueError("join_spec entry needs a 'dim_root'")
+        fk, dk = list(e.get("fact_keys") or []), list(e.get("dim_keys") or [])
+        if not fk or len(fk) != len(dk):
+            raise ValueError(
+                f"join_spec {e['dim_root']}: fact_keys and dim_keys must "
+                f"be non-empty and the same length: {fk!r} vs {dk!r}"
+            )
+        how = e.get("how", "inner")
+        if how not in ("inner", "left"):
+            raise ValueError(
+                f"join_spec {e['dim_root']}: how={how!r} — inner/left only "
+                f"(right/outer would make the FACT side nullable, which "
+                f"the change-row arithmetic cannot attribute)"
+            )
+        cols = list(e.get("cols") or [])
+        if len(set(cols)) != len(cols):
+            raise ValueError(
+                f"join_spec {e['dim_root']}: duplicate cols {cols!r}"
+            )
+        clash = set(cols) & seen
+        if clash:
+            raise ValueError(
+                f"join_spec {e['dim_root']}: projected cols shadow fact "
+                f"or earlier-dimension columns: {sorted(clash)!r} — "
+                f"ambiguous references downstream; rename in the dim"
+            )
+        seen |= set(cols)
+        out.append(
+            {
+                "dim_root": _pin_key(e["dim_root"]),
+                "fact_keys": fk,
+                "dim_keys": dk,
+                "cols": cols,
+                "how": how,
+            }
+        )
+    return out
+
+
+def _dim_bytes(dt: SnapshotTable, version: int) -> int:
+    """Total data-file bytes of a dimension at a pinned version —
+    manifest file list + os.stat, never a scan. Unknown (a missing
+    file mid-probe) reads as 'too big': the join stays plain and AQE
+    decides, which is always safe."""
+    total = 0
+    for f in dt.manifest(version)["files"]:
+        try:
+            total += os.path.getsize(os.path.join(dt.root, f))
+        except OSError:
+            return _DIM_BROADCAST_BYTES_CAP + 1
+    return total
+
+
+def _join_dims(
+    spark: SparkSession,
+    df: DataFrame,
+    join_spec: list[dict],
+    pins: dict,
+) -> DataFrame:
+    """Join a fact-shaped frame (the full base, a pruned scan, or the
+    change-row diff — the join is agnostic) through every dimension at
+    its PINNED version. Dim keys project under private aliases so join
+    columns never collide with fact columns; each dim side broadcast-
+    hints under :data:`_DIM_BROADCAST_BYTES_CAP` (the 100-TB plan: the
+    fact never shuffles for a dimension lookup). Plain SQL equality on
+    the keys — NULL fact keys never match, exactly the semantics the
+    DuckDB oracle's JOIN computes."""
+    out = df
+    for i, e in enumerate(join_spec):
+        dt = SnapshotTable(e["dim_root"])
+        pin = pins[_pin_key(e["dim_root"])]
+        priv = [f"__kdis_dk{i}_{j}" for j in range(len(e["dim_keys"]))]
+        proj = dt.read(spark, version=pin).select(
+            *[
+                F.col(k).alias(p)
+                for k, p in zip(e["dim_keys"], priv)
+            ],
+            *[F.col(c) for c in e["cols"]],
+        )
+        if _dim_bytes(dt, pin) <= _DIM_BROADCAST_BYTES_CAP:
+            proj = F.broadcast(proj)
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(fk) == F.col(p)
+                for fk, p in zip(e["fact_keys"], priv)
+            ],
+        )
+        out = out.join(proj, cond, e["how"]).drop(*priv)
+    return out
+
+
 class MaterializedView:
     """Handle on a materialized view created by :meth:`create`.
 
@@ -183,11 +319,21 @@ class MaterializedView:
         group_cols: list[str],
         aggs: list[dict],
         partition_cols: list[str] | None = None,
+        join_spec: list[dict] | None = None,
     ) -> "MaterializedView":
         """Full first materialization at the base head. ``aggs`` is a
         list of ``{"fn": "count|sum|min|max|avg|countd", "col":
         <base column or None for count>, "alias": <output column>}``.
         Aliases must be unique and disjoint from ``group_cols``.
+
+        ``join_spec`` (optional) declares STAR dimensions: a list of
+        ``{"dim_root", "fact_keys", "dim_keys", "cols", "how"}``
+        entries (see :func:`_check_join_spec`); ``group_cols`` and agg
+        ``col``s may then reference the projected dimension columns.
+        Each dimension is PINNED at its current head — the pins ride
+        the data commit's manifest (atomic with the rows they
+        produced) and every later refresh re-verifies them, rebuilding
+        the view when a dimension logically changed.
 
         ``partition_cols`` (subset of ``group_cols``) partitions the
         VIEW table itself: the refresh machinery's touched-group scans
@@ -224,6 +370,18 @@ class MaterializedView:
         base_head = base.latest_version()
         if base_head is None:
             raise ValueError(f"base table {base.root} is empty")
+        pins: dict = {}
+        if join_spec:
+            join_spec = _check_join_spec(
+                join_spec, base.read(spark).columns
+            )
+            for e in join_spec:
+                dv = SnapshotTable(e["dim_root"]).latest_version()
+                if dv is None:
+                    raise ValueError(
+                        f"dimension table {e['dim_root']} is empty"
+                    )
+                pins[_pin_key(e["dim_root"])] = dv
         os.makedirs(mv_root, exist_ok=True)
         spec_path = os.path.join(mv_root, _SPEC_FILE)
         if os.path.exists(spec_path):
@@ -238,13 +396,19 @@ class MaterializedView:
                 f"spec (a prior create crashed between commit and spec "
                 f"write?) — remove the directory and re-create"
             )
-        full = (
-            base.read(spark)
-            .groupBy(*group_cols)
-            .agg(*_agg_exprs(aggs, with_nn=_delta_eligible(aggs)))
+        src = base.read(spark)
+        if join_spec:
+            src = _join_dims(spark, src, join_spec, pins)
+        full = src.groupBy(*group_cols).agg(
+            *_agg_exprs(aggs, with_nn=_delta_eligible(aggs))
         )
         tbl = SnapshotTable(mv_root)
-        tbl.commit(full, mode="append", epoch_id=base_head)
+        tbl.commit(
+            full,
+            mode="append",
+            epoch_id=base_head,
+            manifest_extra={"dim_pins": pins} if join_spec else None,
+        )
         if partition_cols:
             # spec evolution is metadata-only (applies to future
             # files); the compact rewrite lands the initial aggregate
@@ -259,6 +423,8 @@ class MaterializedView:
             "group_cols": list(group_cols),
             "aggs": list(aggs),
         }
+        if join_spec:
+            spec["join_spec"] = join_spec
         tmp = spec_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(spec, fh, indent=2)
@@ -311,6 +477,49 @@ class MaterializedView:
         (atomic with the data) and not in a side file."""
         return self.table.manifest(self.marker_version())["epoch_id"]
 
+    def applied_dim_pins(self) -> dict:
+        """The dimension versions the view's rows currently reflect —
+        stamped (``dim_pins``) into the same marker manifest as the
+        applied-base ``epoch_id``, so fact bookkeeping and dim
+        bookkeeping can never tear apart."""
+        return self.table.manifest(self.marker_version()).get(
+            "dim_pins", {}
+        )
+
+    def _dim_state(self) -> tuple[dict, bool]:
+        """(effective pins, needs_rebuild): compare each dimension's
+        head against the applied pin, walking the in-between commits —
+        rewrite-only commits (compaction/optimize on the dim) are
+        LOGICALLY neutral, so the pin silently advances to the new
+        head (same rows, and the old version's files may be vacuumed
+        out from under a stale pin); any data-carrying commit means
+        existing view rows reflect outdated dimension attributes and
+        only a full rebuild is sound."""
+        pins = self.applied_dim_pins()
+        eff: dict = {}
+        rebuild = False
+        for e in self.spec.get("join_spec") or []:
+            k = _pin_key(e["dim_root"])
+            dt = SnapshotTable(e["dim_root"])
+            dv = dt.latest_version()
+            if dv is None:
+                raise ValueError(
+                    f"dimension table {e['dim_root']} is empty/lost — "
+                    f"rebuild the view against a restored dimension"
+                )
+            pv = pins.get(k)
+            if pv is None or dv < pv:
+                # foreign/pre-star view or a dim that lost history:
+                # only a rebuild re-establishes a sound pin
+                rebuild = True
+            elif dv > pv and not all(
+                dt.manifest(v).get("rewrite_only")
+                for v in range(pv + 1, dv + 1)
+            ):
+                rebuild = True
+            eff[k] = dv
+        return eff, rebuild
+
     def expire(self, older_than_ms: int) -> dict:
         """Retention for the VIEW's own history, marker-safe: delegate
         to :func:`expire_snapshots` with ``min_retained_version``
@@ -360,7 +569,19 @@ class MaterializedView:
         base = self.base()
         head = base.latest_version()
         last = self.applied_base_version()
-        group_cols = self.spec["group_cols"]
+        join_spec = self.spec.get("join_spec") or []
+        pins: dict = {}
+        if join_spec:
+            pins, needs_rebuild = self._dim_state()
+            if needs_rebuild:
+                if strategy == "delta":
+                    raise ValueError(
+                        "strategy='delta' but a dimension logically "
+                        "changed since the applied pins — existing view "
+                        "rows reflect outdated dimension attributes; "
+                        "only a rebuild is sound"
+                    )
+                return self._rebuild_for_dims(spark, base, head, pins, last)
         if head == last:
             return {
                 "noop": True,
@@ -377,16 +598,59 @@ class MaterializedView:
             )
         # the diff replays for every downstream action (group count,
         # post-image, swap bookkeeping) — pin it once; it is O(changed
-        # rows), the one size refresh is allowed to hold
-        delta = row_changes(
-            base, spark, from_version=last, to_version=head
-        ).persist()
+        # rows), the one size refresh is allowed to hold. Star views
+        # join the CHANGE ROWS through the pinned dims up front: every
+        # downstream path (arithmetic delta, insert-only merge, touched-
+        # group discovery) then sees the same joined shape create saw.
+        delta = row_changes(base, spark, from_version=last, to_version=head)
+        if join_spec:
+            delta = _join_dims(spark, delta, join_spec, pins)
+        delta = delta.persist()
         try:
             return self._refresh_from_delta(
-                spark, base, delta, head, last, strategy
+                spark, base, delta, head, last, strategy, dim_pins=pins
             )
         finally:
             delta.unpersist()
+
+    def _rebuild_for_dims(
+        self,
+        spark: SparkSession,
+        base: SnapshotTable,
+        head: int,
+        new_pins: dict,
+        last: int,
+    ) -> dict:
+        """Full rebuild at (fact head, new dimension pins) as ONE
+        atomic overwrite commit carrying both markers — the response
+        to a logical dimension change, which invalidates every
+        existing group's contribution (a delta cannot express "this
+        customer moved segments" against already-folded aggregates).
+        O(base) by necessity; the new pins make every subsequent
+        fact-only window incremental again."""
+        join_spec = self.spec["join_spec"]
+        full = _join_dims(
+            spark, base.read(spark, version=head), join_spec, new_pins
+        ).groupBy(*self.spec["group_cols"]).agg(
+            *_agg_exprs(
+                self.spec["aggs"],
+                with_nn=_delta_eligible(self.spec["aggs"]),
+            )
+        )
+        v = self.table.commit(
+            full,
+            mode="overwrite",
+            epoch_id=head,
+            manifest_extra={"dim_pins": new_pins},
+        )
+        return {
+            "noop": False,
+            "base_version": head,
+            "applied_from": last,
+            "mv_version": v,
+            "groups_touched": self.table.read(spark).count(),
+            "strategy": "rebuild_dims",
+        }
 
     def _refresh_from_delta(
         self,
@@ -396,8 +660,10 @@ class MaterializedView:
         head: int,
         last: int,
         strategy: str,
+        dim_pins: dict | None = None,
     ) -> dict:
         group_cols = self.spec["group_cols"]
+        extra = {"dim_pins": dim_pins} if dim_pins else None
         keys = delta.select(*group_cols).distinct()
         n_groups = keys.count()
         if n_groups == 0:
@@ -409,7 +675,7 @@ class MaterializedView:
                 "noop": True,
                 "base_version": head,
                 "applied_from": last,
-                "mv_version": self._publish_marker(head),
+                "mv_version": self._publish_marker(head, dim_pins=dim_pins),
                 "groups_touched": 0,
             }
         aggs = self.spec["aggs"]
@@ -465,6 +731,15 @@ class MaterializedView:
         elif (
             strategy != "recompute"
             and all(a["fn"] in ("count", "sum", "min", "max") for a in aggs)
+            # views CARRYING hidden counters never take this branch
+            # (ADVICE r12): its post-image emits no __nn__* columns, so
+            # the swap's schema alignment would NULL-fill healthy
+            # counters on every touched group — un-healing exactly the
+            # rows the NULL-counter probe above sent here to be healed.
+            # A counter-bearing COUNT/SUM view with NULL counters must
+            # take the recompute below, whose _agg_exprs(with_nn=True)
+            # rewrites the touched groups WITH counters.
+            and _NN + "rows" not in mv_cols
             and delta.filter(F.col("_change_type") == "delete")
             .limit(1)
             .count()
@@ -483,7 +758,8 @@ class MaterializedView:
             strategy_used = "delta_insert_only"
         else:
             post = self._recompute_post_image(
-                spark, base, keys, head, n_groups=n_groups
+                spark, base, keys, head, n_groups=n_groups,
+                dim_pins=dim_pins,
             )
         v_before = self.table.latest_version()
         res = self.table.replace_where_keys(
@@ -493,6 +769,7 @@ class MaterializedView:
             key_cols=group_cols,
             epoch_id=head,
             validate=False,  # post keys ⊆ touched keys by construction
+            manifest_extra=extra,
         )
         mv_version = res["version"]
         if mv_version == v_before:
@@ -503,7 +780,7 @@ class MaterializedView:
             # matching view rows). The data is right, but the
             # applied-version marker must still advance or every later
             # refresh re-diffs this same range forever.
-            mv_version = self._publish_marker(head)
+            mv_version = self._publish_marker(head, dim_pins=dim_pins)
         return {
             "noop": False,
             "base_version": head,
@@ -618,19 +895,24 @@ class MaterializedView:
                 out_cols.append(F.greatest(old, dlt).alias(al))
         return j.select(*out_cols)
 
-    def _publish_marker(self, head: int) -> int:
+    def _publish_marker(
+        self, head: int, dim_pins: dict | None = None
+    ) -> int:
         """Publish a files-unchanged marker commit: same file list,
         flagged ``rewrite_only`` so lineage walkers pass through,
-        stamped with the caught-up base epoch. Parent-commit markers
-        are EXCLUDED from the copy (the round-6 metadata-commit
-        lesson: inheriting them corrupts semantics)."""
+        stamped with the caught-up base epoch (and, for star views,
+        the dimension pins — stamped EXPLICITLY, never inherited: the
+        head this copies from may be a compaction commit that carries
+        no pins at all). Parent-commit markers are EXCLUDED from the
+        copy (the round-6 metadata-commit lesson: inheriting them
+        corrupts semantics)."""
         m = self.table.manifest()
         marker = {
             k: v
             for k, v in m.items()
             if k
             not in ("version", "base", "epoch_id", "committed_at_ms",
-                    "rewrite_only")
+                    "rewrite_only", "dim_pins")
         }
         marker.update(
             version=m["version"] + 1,
@@ -639,6 +921,8 @@ class MaterializedView:
             epoch_id=head,
             rewrite_only=True,
         )
+        if dim_pins:
+            marker["dim_pins"] = dim_pins
         self.table._publish(marker["version"], marker)
         return marker["version"]
 
@@ -661,8 +945,10 @@ class MaterializedView:
         keys: DataFrame,
         head: int,
         n_groups: int | None = None,
+        dim_pins: dict | None = None,
     ) -> DataFrame:
         """Exact post-image of the touched groups from the base head.
+        Star views route to :meth:`_recompute_post_image_star`.
 
         Two scan strategies, same semantics: when the touched-key set
         is small, the per-column key values inline into
@@ -684,6 +970,10 @@ class MaterializedView:
         a semi-join on the same pinned read — broadcast-hinted only
         up to :attr:`_BROADCAST_KEY_CAP` touched keys, plain (AQE
         decides) beyond it."""
+        if self.spec.get("join_spec"):
+            return self._recompute_post_image_star(
+                spark, base, keys, head, dim_pins or {}, n_groups
+            )
         group_cols = self.spec["group_cols"]
         aggs = self.spec["aggs"]
         agg_exprs = _agg_exprs(aggs, with_nn=_delta_eligible(aggs))
@@ -729,6 +1019,117 @@ class MaterializedView:
         return (
             base.read(spark, version=head)
             .alias("__b")
+            .join(side, cond, "left_semi")
+            .groupBy(*group_cols)
+            .agg(*agg_exprs)
+        )
+
+    def _recompute_post_image_star(
+        self,
+        spark: SparkSession,
+        base: SnapshotTable,
+        keys: DataFrame,
+        head: int,
+        pins: dict,
+        n_groups: int | None,
+    ) -> DataFrame:
+        """Exact post-image of the touched groups for a STAR view:
+        fact@head ⋈ pinned dims, semi-joined on the touched group
+        tuples, re-aggregated.
+
+        The pruning ladder extends the single-table one with
+        DIMENSION-DRIVEN fact pruning: a touched group keyed by a
+        dimension attribute (say c_mktsegment) cannot prune the fact
+        at the manifest directly — but the dims are small, so filter
+        the DIM to the touched attribute values, collect its join
+        keys (bounded at _INLINE_KEY_CAP), and THOSE inline into
+        :meth:`read_partition` on the fact's join column, where
+        partition/bloom/file pruning applies. Fact-side group columns
+        inline as before. Every scope is a SUPERSET of the touched
+        tuples (per-column INs, per-dim key unions), so an exact
+        null-safe semi-join on the tuples always rides on top —
+        pruning can only drop non-contributors, never change the
+        aggregate. Dims joined 'left' contribute no fact scope (a
+        touched NULL-attribute group's contributors are exactly the
+        UNMATCHED fact rows)."""
+        join_spec = self.spec["join_spec"]
+        group_cols = self.spec["group_cols"]
+        aggs = self.spec["aggs"]
+        agg_exprs = _agg_exprs(aggs, with_nn=_delta_eligible(aggs))
+        fact_cols = set(base.read(spark, version=head).columns)
+        fact_side = [c for c in group_cols if c in fact_cols]
+
+        key_rows = None
+        if n_groups is None or n_groups <= self._INLINE_KEY_CAP:
+            key_rows = keys.limit(self._INLINE_KEY_CAP + 1).collect()
+            if len(key_rows) > self._INLINE_KEY_CAP:
+                key_rows = None
+        where: dict = {}
+        if key_rows is not None:
+            for c in fact_side:
+                vals = {r[c] for r in key_rows}
+                where[c] = sorted(
+                    (v for v in vals if v is not None), key=str
+                ) + ([None] if None in vals else [])
+            for e in join_spec:
+                dcols = [c for c in group_cols if c in e["cols"]]
+                if (
+                    not dcols
+                    or len(e["fact_keys"]) != 1
+                    or e["how"] != "inner"
+                ):
+                    continue
+                dt = SnapshotTable(e["dim_root"])
+                dscan = dt.read(spark, version=pins[_pin_key(e["dim_root"])])
+                for c in dcols:
+                    vals = {r[c] for r in key_rows}
+                    non_null = [v for v in vals if v is not None]
+                    cond_c = (
+                        F.col(c).isin(non_null)
+                        if non_null
+                        else F.lit(False)
+                    )
+                    if None in vals:
+                        cond_c = cond_c | F.col(c).isNull()
+                    dscan = dscan.filter(cond_c)
+                fk_rows = (
+                    dscan.select(e["dim_keys"][0])
+                    .distinct()
+                    .limit(self._INLINE_KEY_CAP + 1)
+                    .collect()
+                )
+                if len(fk_rows) > self._INLINE_KEY_CAP:
+                    continue  # too many keys: this dim adds no scope
+                fvals = sorted(
+                    {r[0] for r in fk_rows if r[0] is not None}, key=str
+                )
+                # NULL dim keys never inner-join: the scope stays
+                # NULL-free, and NULL fact keys (also never matching)
+                # are rightly excluded by the IN
+                fk = e["fact_keys"][0]
+                if fk in where:
+                    # intersect with an existing scope on the same col
+                    where[fk] = [v for v in where[fk] if v in set(fvals)]
+                else:
+                    where[fk] = fvals
+        scan = (
+            base.read_partition(spark, where, version=head)
+            if where
+            else base.read(spark, version=head)
+        )
+        joined = _join_dims(spark, scan, join_spec, pins)
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__b.{c}").eqNullSafe(F.col(f"__k.{c}"))
+                for c in group_cols
+            ],
+        )
+        side = keys.alias("__k")
+        if n_groups is None or n_groups <= self._BROADCAST_KEY_CAP:
+            side = F.broadcast(side)
+        return (
+            joined.alias("__b")
             .join(side, cond, "left_semi")
             .groupBy(*group_cols)
             .agg(*agg_exprs)

@@ -127,6 +127,34 @@ def _next_field_id(prev_m: dict, live: dict[str, int]) -> int:
     return max([*live.values(), *prev_m.get("dropped_ids", []), 0]) + 1
 
 
+#: manifest keys the commit protocol itself owns — caller-supplied
+#: ``manifest_extra`` entries may not shadow them (a shadowed
+#: ``epoch_id`` would silently corrupt replay detection)
+_RESERVED_MANIFEST_KEYS = frozenset(
+    {
+        "version", "base", "mode", "schema", "files", "epoch_id",
+        "rewrite_only", "partition_spec", "file_partitions", "dv_files",
+        "committed_at_ms", "dropped_ids", "stats", "tombstones",
+        "staged_from", "add_files",
+    }
+)
+
+
+def _check_manifest_extra(extra: dict | None) -> dict:
+    """Validate caller-supplied manifest metadata: JSON-serializable,
+    never shadowing a protocol-owned key. Returns a defensive copy."""
+    if not extra:
+        return {}
+    clash = set(extra) & _RESERVED_MANIFEST_KEYS
+    if clash:
+        raise ValueError(
+            f"manifest_extra may not shadow protocol-owned manifest "
+            f"keys: {sorted(clash)!r}"
+        )
+    json.dumps(extra)  # fail fast, not at publish time
+    return dict(extra)
+
+
 def _schema_extras(prev_m: dict) -> dict:
     """Manifest keys every commit must carry forward: field-id
     tombstones (dropped_ids) and CDC delete tombstones
@@ -883,11 +911,17 @@ class SnapshotTable:
         mode: str = "append",
         epoch_id: int | None = None,
         rewrite_only: bool = False,
+        manifest_extra: dict | None = None,
     ) -> int:
         """Write ``df``'s rows as immutable files and publish the next
         version atomically. ``mode='append'`` keeps the previous file
         list; ``'overwrite'`` replaces it. ``epoch_id`` (streaming
         writers) is recorded in the manifest for replay detection.
+        ``manifest_extra`` (JSON-serializable, non-protocol keys only)
+        rides the SAME manifest — application bookkeeping that must be
+        atomic with the data (e.g. a star-join view's applied dimension
+        versions) gets the commit protocol's atomicity for free instead
+        of a torn side file.
         ``rewrite_only`` marks the commit as LOGICALLY NEUTRAL (same
         rows, new layout — compaction/optimize): lineage walkers
         (``changes``, the streaming source) pass through it instead of
@@ -910,6 +944,7 @@ class SnapshotTable:
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode: {mode!r}")
+        extra_keys = _check_manifest_extra(manifest_extra)
         head = self.latest_version()
         version = (head or 0) + 1 if head is not None else 1
         dv_files: list[str] = []
@@ -953,6 +988,7 @@ class SnapshotTable:
                 manifest["epoch_id"] = epoch_id
             if rewrite_only:
                 manifest["rewrite_only"] = True
+            manifest.update(extra_keys)
             try:
                 self._publish(version, manifest)
                 return version
@@ -3477,6 +3513,7 @@ class SnapshotTable:
         key_cols: list[str],
         epoch_id: int | None = None,
         validate: bool = True,
+        manifest_extra: dict | None = None,
     ) -> dict:
         """Atomic key-scoped overwrite: delete every target row whose
         key tuple appears in ``keys``, append ``replacement``'s rows —
@@ -3513,6 +3550,7 @@ class SnapshotTable:
 
         from pyspark.sql import functions as F
 
+        extra_keys = _check_manifest_extra(manifest_extra)
         keys = keys.select(*key_cols).distinct()
 
         def _key_cond(left_alias: str, right_alias: str):
@@ -3550,7 +3588,12 @@ class SnapshotTable:
                     "replaced_rows": 0,
                     "inserted_rows": 0,
                 }
-            v = self.commit(replacement, mode="append", epoch_id=epoch_id)
+            v = self.commit(
+                replacement,
+                mode="append",
+                epoch_id=epoch_id,
+                manifest_extra=extra_keys,
+            )
             return {
                 "version": v,
                 "rewritten_files": 0,
@@ -3641,6 +3684,7 @@ class SnapshotTable:
             man["dv_files"] = prev_dv
         if epoch_id is not None:
             man["epoch_id"] = epoch_id
+        man.update(extra_keys)
         for _attempt in range(_MAX_COMMIT_REBASE):
             try:
                 self._publish(version, man)
@@ -3662,6 +3706,7 @@ class SnapshotTable:
                     man["dv_files"] = prev_dv
                 if epoch_id is not None:
                     man["epoch_id"] = epoch_id
+                man.update(extra_keys)
         else:
             replacement.unpersist()
             raise ConcurrentCommitError(
@@ -4410,9 +4455,11 @@ class StatsSnapshotTable(SnapshotTable):
         mode: str = "append",
         epoch_id: int | None = None,
         rewrite_only: bool = False,
+        manifest_extra: dict | None = None,
     ) -> int:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode: {mode!r}")
+        extra_keys = _check_manifest_extra(manifest_extra)
         head = self.latest_version()
         version = (head + 1) if head is not None else 1
         extras: dict = {}
@@ -4459,6 +4506,7 @@ class StatsSnapshotTable(SnapshotTable):
                 manifest["epoch_id"] = epoch_id
             if rewrite_only:
                 manifest["rewrite_only"] = True
+            manifest.update(extra_keys)
             try:
                 self._publish(version, manifest)
                 return version

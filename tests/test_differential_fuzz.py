@@ -1611,3 +1611,152 @@ def test_random_scoped_replaces_match_model(spark, tmp_path, seed):
         if res["replaced_rows"] or res["inserted_rows"]:
             # a publishing replace stamps its epoch atomically
             assert tbl.manifest()["epoch_id"] == epoch
+
+
+# -------------------------------------------- round-13: star-join MV fuzz
+
+
+@pytest.mark.parametrize("seed", _seeds(5))
+def test_random_mutations_star_mv_converges(spark, tmp_path, seed):
+    """Random mutation scripts on FACT and DIM of a star view
+    (VERDICT r12 item 1's fuzz family): after every refresh the view
+    must equal a from-scratch fact ⋈ dim aggregate, a window carrying
+    a LOGICAL dim change must take 'rebuild_dims', and dim compaction
+    alone must NOT trigger a rebuild. Half the seeds run a
+    delta-eligible COUNT/SUM view, half a MIN/MAX (recompute) view,
+    so both maintenance paths fuzz against both mutation sides."""
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.sources.mv import MaterializedView
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    rng = random.Random(1_913_000 + seed)
+    fact = SnapshotTable(str(tmp_path / "fact"))
+    dim = SnapshotTable(str(tmp_path / "dim"))
+    attrs = ["w", "x", "y", "z"]
+    dim.commit(
+        spark.createDataFrame(
+            [(i, rng.choice(attrs)) for i in range(8)],
+            "d_id long, attr string",
+        )
+    )
+    next_k = 60
+    fact.commit(
+        spark.createDataFrame(
+            # d_id 0..9: ids 8,9 have NO dim row (inner-join drops)
+            [
+                (rng.randrange(10), k, rng.randrange(-50, 100))
+                for k in range(next_k)
+            ],
+            "f_did long, k long, x long",
+        )
+    )
+    aggs = (
+        [
+            {"fn": "count", "alias": "n"},
+            {"fn": "sum", "col": "x", "alias": "sx"},
+        ]
+        if seed % 2 == 0
+        else [
+            {"fn": "min", "col": "x", "alias": "mn"},
+            {"fn": "max", "col": "x", "alias": "mx"},
+        ]
+    )
+    mv = MaterializedView.create(
+        spark,
+        fact,
+        str(tmp_path / "mv"),
+        ["attr"],
+        aggs,
+        join_spec=[
+            {
+                "dim_root": dim.root,
+                "fact_keys": ["f_did"],
+                "dim_keys": ["d_id"],
+                "cols": ["attr"],
+                "how": "inner",
+            }
+        ],
+    )
+
+    def _recompute():
+        j = fact.read(spark).join(
+            dim.read(spark), F.col("f_did") == F.col("d_id")
+        )
+        exprs = [
+            {
+                "n": F.count(F.lit(1)).cast("long").alias("n"),
+                "sx": F.sum("x").alias("sx"),
+                "mn": F.min("x").alias("mn"),
+                "mx": F.max("x").alias("mx"),
+            }[a["alias"]]
+            for a in aggs
+        ]
+        return _nsort(
+            tuple(r)
+            for r in j.groupBy("attr").agg(*exprs).collect()
+        )
+
+    dim_changed = False
+    for step in range(12):
+        r = rng.random()
+        if r < 0.30:
+            rows = [
+                (rng.randrange(10), next_k + i, rng.randrange(-50, 100))
+                for i in range(rng.randint(1, 6))
+            ]
+            next_k += len(rows)
+            fact.commit(
+                spark.createDataFrame(rows, "f_did long, k long, x long")
+            )
+        elif r < 0.45:
+            fact.delete_where(
+                spark,
+                (F.col("k") % 5) == rng.randrange(5),
+                mode=rng.choice(["cow", "mor"]),
+            )
+        elif r < 0.55:
+            uniq = {
+                k: (rng.randrange(10), k, rng.randrange(-50, 100))
+                for k in rng.sample(range(next_k), 3)
+            }
+            fact.merge_rows(
+                spark,
+                spark.createDataFrame(
+                    list(uniq.values()), "f_did long, k long, x long"
+                ),
+                key_cols=["k"],
+            )
+        elif r < 0.65:
+            fact.compact(spark, target_files=2)
+        elif r < 0.75:
+            dim.merge_rows(
+                spark,
+                spark.createDataFrame(
+                    [(rng.randrange(8), rng.choice(attrs))],
+                    "d_id long, attr string",
+                ),
+                key_cols=["d_id"],
+            )
+            dim_changed = True
+        elif r < 0.82:
+            dim.compact(spark)
+        else:
+            res = mv.refresh(spark)
+            if dim_changed:
+                assert res["strategy"] == "rebuild_dims", (seed, step, res)
+            else:
+                assert res.get("strategy") != "rebuild_dims", (
+                    seed, step, res,
+                )
+            dim_changed = False
+            assert (
+                _nsort(tuple(r) for r in mv.read(spark).collect())
+                == _recompute()
+            ), (seed, step)
+    res = mv.refresh(spark)
+    if dim_changed:
+        assert res["strategy"] == "rebuild_dims", (seed, res)
+    assert (
+        _nsort(tuple(r) for r in mv.read(spark).collect()) == _recompute()
+    ), seed

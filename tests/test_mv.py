@@ -977,6 +977,77 @@ def test_pre_upgrade_view_heals_before_taking_delta_path(spark, tmp_path):
     assert _rows(mv.read(spark)) == expected()
 
 
+def test_insert_only_window_never_wipes_hidden_counters(spark, tmp_path):
+    """ADVICE r12: on a counter-BEARING COUNT/SUM view, an insert-only
+    window touching an unhealed group must take the recompute that
+    actually heals — the delta_insert_only post-image carries no
+    __nn__* columns, so letting it intercept would NULL-fill healthy
+    counters on every touched group (un-healing group 'a' below) and
+    keep the view off the delta path indefinitely under append-only
+    traffic. Pinned: window 2 recomputes; window 3 (all groups healed)
+    takes the plain delta path, proving the counters survived."""
+    import json as _json
+    import os as _os
+
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(
+        _base_rows(spark, [("a", 1, 10), ("b", 2, 6), ("b", 3, 2)])
+    )
+    # hand-build the pre-upgrade on-disk state: visible columns only
+    mv_root = str(tmp_path / "mv")
+    old_full = base.read(spark).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+    )
+    tbl = SnapshotTable(mv_root)
+    tbl.commit(old_full, epoch_id=base.latest_version())
+    with open(_os.path.join(mv_root, "mv.json"), "w") as fh:
+        _json.dump(
+            {
+                "base_root": _os.path.abspath(base.root),
+                "group_cols": ["g"],
+                "aggs": [
+                    {"fn": "count", "alias": "n"},
+                    {"fn": "sum", "col": "x", "alias": "sx"},
+                ],
+            },
+            fh,
+        )
+    mv = MaterializedView(mv_root)
+
+    def expected():
+        return _rows(
+            base.read(spark).groupBy("g").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").alias("sx"),
+            )
+        )
+
+    # window 1: a DELETE forces recompute, which widens the schema and
+    # heals 'a' (a counter-less view under pure appends legitimately
+    # stays on the insert-only merge — correct, just never healing;
+    # only a recompute introduces the counters at all)
+    base.delete_where(spark, F.col("k") == 1)
+    assert mv.refresh(spark)["strategy"] == "recompute"
+    # window 2: INSERT-ONLY, touches healed 'a' AND unhealed 'b' — the
+    # arithmetic upgrade would wipe 'a''s counters; must recompute
+    base.commit(_base_rows(spark, [("a", 5, 1), ("b", 6, None)]))
+    res2 = mv.refresh(spark)
+    assert res2["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == expected()
+    # window 3: both groups now healed -> full delta path engages,
+    # which only works if window 2 left the counters intact
+    base.commit(_base_rows(spark, [("a", 7, 2), ("b", 8, 3)]))
+    res3 = mv.refresh(spark)
+    assert res3["strategy"] == "delta"
+    assert _rows(mv.read(spark)) == expected()
+    # and a delete keeps SQL NULL/liveness semantics via the counters
+    base.delete_where(spark, F.col("k").isin(2, 3, 6, 8))
+    mv.refresh(spark)
+    assert mv.read(spark).filter(F.col("g") == "b").count() == 0
+    assert _rows(mv.read(spark)) == expected()
+
+
 def test_create_rejects_hidden_prefix_aliases(spark, tmp_path):
     """Aliases (or group cols) named like the hidden counters would be
     silently stripped by read() or collide with maintenance columns —
@@ -988,3 +1059,318 @@ def test_create_rejects_hidden_prefix_aliases(spark, tmp_path):
             spark, base, str(tmp_path / "mv"), ["g"],
             [{"fn": "sum", "col": "x", "alias": "__sum__x"}],
         )
+
+
+# ---------------------------------------------- round-13: star-join views
+
+
+def _star_fixture(spark, tmp_path, how="inner"):
+    """fact(f_did, k, x) ⋈ dim(d_id, color, region): d_id 9 has no dim
+    row (inner drops it, left NULL-extends it); dim rows carry two
+    attributes so group cols can mix fact- and dim-side."""
+    fact = SnapshotTable(str(tmp_path / "fact"))
+    dim = SnapshotTable(str(tmp_path / "dim"))
+    dim.commit(
+        spark.createDataFrame(
+            [(1, "red", "east"), (2, "blue", "west"), (3, "red", "west")],
+            "d_id long, color string, region string",
+        )
+    )
+    fact.commit(
+        spark.createDataFrame(
+            [(1, 1, 10), (1, 2, 20), (2, 3, 5), (3, 4, None), (9, 5, 99)],
+            "f_did long, k long, x long",
+        )
+    )
+    js = [
+        {
+            "dim_root": dim.root,
+            "fact_keys": ["f_did"],
+            "dim_keys": ["d_id"],
+            "cols": ["color", "region"],
+            "how": how,
+        }
+    ]
+    return fact, dim, js
+
+
+def _star_expected(spark, fact, dim, group_cols, how="inner"):
+    j = fact.read(spark).join(
+        dim.read(spark), F.col("f_did") == F.col("d_id"), how
+    )
+    return _rows(
+        j.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+        )
+    )
+
+
+_STAR_AGGS = [
+    {"fn": "count", "alias": "n"},
+    {"fn": "sum", "col": "x", "alias": "sx"},
+]
+
+
+def test_star_view_full_lifecycle(spark, tmp_path):
+    """Create ⋈ dim, fact append (delta), fact delete (delta), dim
+    compaction (no rebuild), dim mutation (rebuild_dims at new pins),
+    post-rebuild fact append (delta again) — the view equals a from-
+    scratch join+aggregate after every window."""
+    fact, dim, js = _star_fixture(spark, tmp_path)
+    mv = MaterializedView.create(
+        spark, fact, str(tmp_path / "mv"), ["color"], _STAR_AGGS,
+        join_spec=js,
+    )
+
+    def check():
+        assert _rows(mv.read(spark)) == _star_expected(
+            spark, fact, dim, ["color"]
+        )
+
+    check()
+    assert mv.applied_dim_pins() == {dim.root: 1}
+    fact.commit(
+        spark.createDataFrame(
+            [(2, 6, 100), (1, 7, None)], "f_did long, k long, x long"
+        )
+    )
+    assert mv.refresh(spark)["strategy"] == "delta"
+    check()
+    fact.delete_where(spark, F.col("x") == 10)
+    assert mv.refresh(spark)["strategy"] == "delta"
+    check()
+    # compaction is rewrite-only: the pin advances silently, no rebuild
+    dim.compact(spark)
+    res = mv.refresh(spark)
+    assert res["noop"] and res.get("strategy") != "rebuild_dims"
+    check()
+    # a LOGICAL dim change invalidates existing attributions
+    dim.merge_rows(
+        spark,
+        spark.createDataFrame(
+            [(1, "green", "east")], "d_id long, color string, region string"
+        ),
+        key_cols=["d_id"],
+    )
+    res = mv.refresh(spark)
+    assert res["strategy"] == "rebuild_dims"
+    assert mv.applied_dim_pins() == {dim.root: dim.latest_version()}
+    check()
+    # strategy='delta' must refuse while a dim change is pending
+    dim.merge_rows(
+        spark,
+        spark.createDataFrame(
+            [(2, "red", "east")], "d_id long, color string, region string"
+        ),
+        key_cols=["d_id"],
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        mv.refresh(spark, strategy="delta")
+    mv.refresh(spark)
+    check()
+    # fact-only window after the rebuild lands back on the delta path
+    fact.commit(
+        spark.createDataFrame([(3, 8, 7)], "f_did long, k long, x long")
+    )
+    assert mv.refresh(spark)["strategy"] == "delta"
+    check()
+
+
+def test_star_left_join_null_attribute_groups(spark, tmp_path):
+    """how='left': unmatched fact rows form the NULL-attribute group
+    and must survive every maintenance path (the delta arithmetic
+    groups NULL-safely; recompute skips dimension-driven pruning for
+    left dims because the NULL group's contributors are exactly the
+    unmatched rows)."""
+    fact, dim, js = _star_fixture(spark, tmp_path, how="left")
+    mv = MaterializedView.create(
+        spark, fact, str(tmp_path / "mv"), ["color"],
+        _STAR_AGGS + [{"fn": "max", "col": "x", "alias": "mx"}],
+        join_spec=js,
+    )
+
+    def expected():
+        j = fact.read(spark).join(
+            dim.read(spark), F.col("f_did") == F.col("d_id"), "left"
+        )
+        return _rows(
+            j.groupBy("color").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").alias("sx"),
+                F.max("x").alias("mx"),
+            )
+        )
+
+    assert _rows(mv.read(spark)) == expected()
+    assert mv.read(spark).filter(F.col("color").isNull()).count() == 1
+    # append another unmatched row (insert-only window, MIN/MAX view)
+    fact.commit(
+        spark.createDataFrame([(42, 9, 3)], "f_did long, k long, x long")
+    )
+    res = mv.refresh(spark)
+    assert res["strategy"] == "delta_insert_only"
+    assert _rows(mv.read(spark)) == expected()
+    # delete from the NULL group -> recompute (MAX shrink), still exact
+    fact.delete_where(spark, F.col("x") == 99)
+    assert mv.refresh(spark)["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == expected()
+
+
+def test_star_join_spec_validation(spark, tmp_path):
+    fact, dim, _ = _star_fixture(spark, tmp_path)
+    mk = lambda js, n: MaterializedView.create(  # noqa: E731
+        spark, fact, str(tmp_path / n), ["color"], _STAR_AGGS,
+        join_spec=js,
+    )
+    with pytest.raises(ValueError, match="dim_root"):
+        mk([{"fact_keys": ["f_did"], "dim_keys": ["d_id"]}], "m1")
+    with pytest.raises(ValueError, match="same length"):
+        mk(
+            [{"dim_root": dim.root, "fact_keys": ["f_did"],
+              "dim_keys": ["d_id", "color"], "cols": ["color"]}],
+            "m2",
+        )
+    with pytest.raises(ValueError, match="inner/left"):
+        mk(
+            [{"dim_root": dim.root, "fact_keys": ["f_did"],
+              "dim_keys": ["d_id"], "cols": ["color"], "how": "full"}],
+            "m3",
+        )
+    with pytest.raises(ValueError, match="shadow"):
+        mk(
+            [{"dim_root": dim.root, "fact_keys": ["f_did"],
+              "dim_keys": ["d_id"], "cols": ["k"]}],  # clashes with fact
+            "m4",
+        )
+    with pytest.raises(ValueError, match="empty"):
+        mk(
+            [{"dim_root": str(tmp_path / "nope"), "fact_keys": ["f_did"],
+              "dim_keys": ["d_id"], "cols": []}],
+            "m5",
+        )
+
+
+def test_star_delta_path_broadcasts_dim(spark, tmp_path):
+    """VERDICT r12 'done' criterion: plan pin showing the dim side
+    BROADCASTS in the delta path — the fact (and its change rows)
+    never shuffle for a dimension lookup. _join_dims is the one join
+    constructor every maintenance path routes through."""
+    from kafka_database_import_spark.sources.mv import _join_dims
+
+    fact, dim, js = _star_fixture(spark, tmp_path)
+    mv = MaterializedView.create(
+        spark, fact, str(tmp_path / "mv"), ["color"], _STAR_AGGS,
+        join_spec=js,
+    )
+    joined = _join_dims(
+        spark, fact.read(spark), mv.spec["join_spec"], mv.applied_dim_pins()
+    )
+    joined.count()  # let AQE finalize
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_star_recompute_prunes_fact_by_dim_keys(spark, tmp_path):
+    """Dimension-driven fact pruning: a recompute touching groups
+    keyed by a DIM attribute must plan only the fact partitions whose
+    join keys the touched dim rows map to — observable through
+    last_partition_counts on a fact partitioned by its join key."""
+    fact = SnapshotTable(str(tmp_path / "fact"))
+    dim = SnapshotTable(str(tmp_path / "dim"))
+    dim.commit(
+        spark.createDataFrame(
+            [(i, f"c{i % 4}") for i in range(8)], "d_id long, color string"
+        )
+    )
+    fact.commit(
+        spark.createDataFrame(
+            [(i % 8, i, i * 3) for i in range(64)],
+            "f_did long, k long, x long",
+        )
+    )
+    fact.set_partition_spec(["f_did"])
+    fact.compact(spark)
+    js = [{"dim_root": dim.root, "fact_keys": ["f_did"],
+           "dim_keys": ["d_id"], "cols": ["color"], "how": "inner"}]
+    mv = MaterializedView.create(
+        spark, fact, str(tmp_path / "mv"), ["color"],
+        [{"fn": "max", "col": "x", "alias": "mx"}], join_spec=js,
+    )
+    # touch ONE color (= two d_ids = two fact partitions of eight)
+    fact.delete_where(spark, (F.col("f_did") == 1) & (F.col("k") == 57))
+    res = mv.refresh(spark)
+    assert res["strategy"] == "recompute"
+    # refresh used its own handle; re-derive the pruning observation by
+    # calling the recompute builder directly with OUR handle
+    keys = spark.createDataFrame([("c1",)], "color string")
+    post = mv._recompute_post_image_star(
+        spark, fact, keys, fact.latest_version(),
+        mv.applied_dim_pins(), n_groups=1,
+    )
+    rows = {tuple(r) for r in post.collect()}
+    planned, total = fact.last_partition_counts
+    assert total >= 8 and planned < total, (planned, total)
+    expect = {
+        tuple(r)
+        for r in fact.read(spark)
+        .join(dim.read(spark), F.col("f_did") == F.col("d_id"))
+        .filter(F.col("color") == "c1")
+        .groupBy("color")
+        .agg(F.max("x").alias("mx"))
+        .collect()
+    }
+    assert rows == expect, (rows, expect)
+    assert _rows(mv.read(spark)) == _rows(
+        fact.read(spark)
+        .join(dim.read(spark), F.col("f_did") == F.col("d_id"))
+        .groupBy("color")
+        .agg(F.max("x").alias("mx"))
+    )
+
+
+def test_star_avg_view_delta_and_rebuild(spark, tmp_path):
+    """AVG star view: the hidden SUM+COUNT decomposition must survive
+    the join path and the dimension rebuild re-emits counters (the
+    rebuild writes with _agg_exprs(with_nn=True))."""
+    fact, dim, js = _star_fixture(spark, tmp_path)
+    mv = MaterializedView.create(
+        spark, fact, str(tmp_path / "mv"), ["region"],
+        [{"fn": "avg", "col": "x", "alias": "ax"}], join_spec=js,
+    )
+
+    def expected():
+        j = fact.read(spark).join(
+            dim.read(spark), F.col("f_did") == F.col("d_id")
+        )
+        return _rows(
+            j.groupBy("region").agg(
+                F.when(
+                    F.count("x") > 0,
+                    F.sum("x").cast("double") / F.count("x"),
+                ).alias("ax")
+            )
+        )
+
+    assert _rows(mv.read(spark)) == expected()
+    fact.commit(
+        spark.createDataFrame(
+            [(3, 10, 8), (3, 11, None)], "f_did long, k long, x long"
+        )
+    )
+    assert mv.refresh(spark)["strategy"] == "delta"
+    assert _rows(mv.read(spark)) == expected()
+    dim.merge_rows(
+        spark,
+        spark.createDataFrame(
+            [(3, "red", "east")], "d_id long, color string, region string"
+        ),
+        key_cols=["d_id"],
+    )
+    assert mv.refresh(spark)["strategy"] == "rebuild_dims"
+    assert _rows(mv.read(spark)) == expected()
+    # counters re-emitted by the rebuild: next fact window is delta
+    fact.delete_where(spark, F.col("k") == 10)
+    assert mv.refresh(spark)["strategy"] == "delta"
+    assert _rows(mv.read(spark)) == expected()

@@ -1450,3 +1450,33 @@ def test_metadata_commits_get_fresh_timestamps(spark, tmp_path):
     tbl.rename_column("v", "val")
     assert tbl.manifest(2)["committed_at_ms"] > tbl.manifest(1)["committed_at_ms"]
     assert tbl.version_as_of(t_mid) == 1
+
+
+def test_manifest_extra_rides_commits_atomically(spark, tmp_path):
+    """Round 13: caller bookkeeping (e.g. a star view's dim pins)
+    rides the data commit's own manifest — atomic by construction —
+    and the protocol's reserved keys are defended."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    v1 = tbl.commit(df, manifest_extra={"dim_pins": {"/d": 3}})
+    assert tbl.manifest(v1)["dim_pins"] == {"/d": 3}
+    # replace_where_keys carries it on the swap commit too
+    keys = spark.createDataFrame([(1,)], "k long")
+    res = tbl.replace_where_keys(
+        spark,
+        keys,
+        spark.createDataFrame([(1, "b")], "k long, v string"),
+        ["k"],
+        epoch_id=9,
+        manifest_extra={"dim_pins": {"/d": 4}},
+    )
+    m = tbl.manifest(res["version"])
+    assert m["dim_pins"] == {"/d": 4} and m["epoch_id"] == 9
+    # a later plain commit does NOT inherit the extra
+    v3 = tbl.commit(spark.createDataFrame([(2, "c")], "k long, v string"))
+    assert "dim_pins" not in tbl.manifest(v3)
+    # reserved keys are refused loudly, and non-JSON values fail fast
+    with pytest.raises(ValueError, match="protocol-owned"):
+        tbl.commit(df, manifest_extra={"files": []})
+    with pytest.raises(TypeError):
+        tbl.commit(df, manifest_extra={"x": object()})
