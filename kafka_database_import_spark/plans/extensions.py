@@ -3170,3 +3170,85 @@ def q99zzzi_mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     res4 = mv.refresh(spark)
     assert res4["strategy"] == "delta", res4
     return ordered(mv.read(spark), "segment", "priority", "n", "cents")
+
+
+@query(
+    "q99zzzj_mv_countd_bitmap",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderkey % 5 <> 0 OR o_orderkey % 3 = 1
+       OR o_orderkey % 15 = 0
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def q99zzzj_mv_countd_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-backed COUNT-DISTINCT view maintenance (VERDICT r12 item
+    2), COLD every run: the view persists one hidden
+    ``map<bucket, 4KB bitmap>`` column per countd aggregate — the
+    q99zg exact mergeable distinct state (plans/sketches.py) promoted
+    to VIEW STATE — so INSERT-ONLY windows self-maintain by OR-merging
+    the inserts' bitmap partials into the stored maps
+    (``bitmap_or_agg``), never re-reading the base; only windows
+    carrying deletes pay the touched-group recompute (bitmaps cannot
+    subtract), which rewrites the state so the next append window is
+    incremental again. The build ASSERTS the strategy sequence
+    (delta_insert_only → delta_insert_only → recompute →
+    delta_insert_only); the oracle recomputes the final state's
+    COUNT(DISTINCT) from scratch, so an OR-merge that double-counts, a
+    stale bitmap surviving a delete, or a dropped bucket all
+    hash-mismatch. 100 TB shape: an append window costs O(change rows
+    + touched groups × 4 KB buckets) — count-distinct dashboards over
+    append-mostly facts stop paying O(partition) recomputes per
+    refresh."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_database_import_spark.sources.mv import MaterializedView
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_mvbmq_{tag}")
+    _sh.rmtree(root, ignore_errors=True)
+    base_rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ckey"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    base = SnapshotTable(_os.path.join(root, "base"))
+    base.commit(base_rows.filter(F.col("o_orderkey") % 3 == 0))
+    mv = MaterializedView.create(
+        spark,
+        base,
+        _os.path.join(root, "mv"),
+        ["priority"],
+        [
+            {"fn": "countd", "col": "ckey", "alias": "nd"},
+            {"fn": "count", "alias": "n"},
+        ],
+    )
+    # two insert-only windows: both must ride the bitmap OR-merge
+    # (duplicate customers across windows must not double-count)
+    base.commit(base_rows.filter(F.col("o_orderkey") % 3 == 1))
+    assert mv.refresh(spark)["strategy"] == "delta_insert_only"
+    base.commit(base_rows.filter(F.col("o_orderkey") % 3 == 2))
+    assert mv.refresh(spark)["strategy"] == "delta_insert_only"
+    # a delete window: bitmaps cannot subtract -> touched-group
+    # recompute, which re-emits fresh state
+    base.delete_where(
+        spark,
+        (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 3 != 1),
+    )
+    assert mv.refresh(spark)["strategy"] == "recompute"
+    # post-delete append window re-admitting part of the deleted slice:
+    # must land back on the bitmap path (state was rewritten fresh)
+    base.commit(base_rows.filter(F.col("o_orderkey") % 15 == 0))
+    res = mv.refresh(spark)
+    assert res["strategy"] == "delta_insert_only", res
+    assert mv.applied_base_version() == base.latest_version()
+    return ordered(mv.read(spark), "priority", "nd", "n")

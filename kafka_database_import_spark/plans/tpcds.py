@@ -495,31 +495,18 @@ def tpcds_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH "
     + _DS_SQL
     + """,
-    ss AS (
-      SELECT item_sk, SUM(ext_cents) AS total_cents FROM store_sales
-      JOIN item ON item_sk = i_item_sk
-      JOIN date_dim ON sold_date = d_date
-      WHERE i_category = 'ECONOMY' AND d_year = 1999 AND d_moy = 9
-      GROUP BY item_sk
-    ),
-    cs AS (
-      SELECT item_sk, SUM(ext_cents) AS total_cents FROM catalog_sales
-      JOIN item ON item_sk = i_item_sk
-      JOIN date_dim ON sold_date = d_date
-      WHERE i_category = 'ECONOMY' AND d_year = 1999 AND d_moy = 9
-      GROUP BY item_sk
-    ),
-    ws AS (
-      SELECT item_sk, SUM(ext_cents) AS total_cents FROM web_sales
-      JOIN item ON item_sk = i_item_sk
-      JOIN date_dim ON sold_date = d_date
-      WHERE i_category = 'ECONOMY' AND d_year = 1999 AND d_moy = 9
-      GROUP BY item_sk
-    )
-    SELECT item_sk AS item, SUM(total_cents) AS total_cents
-    FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL
-          SELECT * FROM ws)
-    GROUP BY item_sk
+    x AS (SELECT 1)
+    -- INDEPENDENT FORM (round 13): the Spark side unions three
+    -- per-channel aggregates; the channels partition the fact, so the
+    -- union of per-item channel sums re-aggregated per item IS one
+    -- per-item sum over the whole fact — computed here in a single
+    -- pass with NO channel views, NO date_dim view (direct
+    -- YEAR/MONTH), and NO item view (p_type straight off part)
+    SELECT s.item_sk AS item, SUM(s.ext_cents) AS total_cents
+    FROM sales s JOIN part ON s.item_sk = p_partkey
+    WHERE p_type = 'ECONOMY'
+      AND YEAR(s.sold_date) = 1999 AND MONTH(s.sold_date) = 9
+    GROUP BY s.item_sk
     ORDER BY item NULLS LAST, total_cents NULLS LAST
     """,
 )
@@ -630,14 +617,18 @@ def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sales WHERE YEAR(sold_date) = 2000
       GROUP BY chan
     )
+    -- INDEPENDENT FORM (round 13): the Spark side GROUP BY ROLLUP +
+    -- GROUPING(); this side spells the two grouping levels out as an
+    -- explicit UNION ALL (detail rows + grand total) — a shared
+    -- misreading of rollup/grouping semantics cannot hash-match
     SELECT CASE chan WHEN 0 THEN 'store' WHEN 1 THEN 'store'
                      WHEN 2 THEN 'catalog' WHEN 3 THEN 'web' END AS channel,
-           GROUPING(chan) AS g,
-           SUM(sales_cents) AS sales_cents,
-           SUM(returns_cents) AS returns_cents,
-           SUM(profit_cp_sum) AS profit_cp_sum
+           0 AS g, sales_cents, returns_cents, profit_cp_sum
     FROM per
-    GROUP BY ROLLUP (chan)
+    UNION ALL
+    SELECT NULL, 1, SUM(sales_cents), SUM(returns_cents),
+           SUM(profit_cp_sum)
+    FROM per
     ORDER BY channel NULLS LAST, g NULLS LAST, sales_cents NULLS LAST,
              returns_cents NULLS LAST, profit_cp_sum NULLS LAST
     """,
@@ -1651,24 +1642,27 @@ def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _DS_SQL
     + """,
     freq_items AS (
-      SELECT item_sk FROM store_sales
-      JOIN date_dim ON sold_date = d_date
-      WHERE d_year = 1995
+      -- INDEPENDENT FORM (round 13): no date_dim view (direct YEAR on
+      -- the sold date), no channel views (chan predicates on the
+      -- unified fact), gates as key-distinct INNER joins instead of
+      -- IN-subqueries, and the best-customer max via a window instead
+      -- of a scalar subquery
+      SELECT item_sk FROM sales
+      WHERE chan <= 1 AND YEAR(sold_date) = 1995
       GROUP BY item_sk HAVING COUNT(*) > 4
     ),
-    cust_tot AS (
-      SELECT cust_sk, SUM(net_cp) AS tot FROM store_sales GROUP BY cust_sk
-    ),
     best_cust AS (
-      SELECT cust_sk FROM cust_tot
-      WHERE 2 * tot > (SELECT MAX(tot) FROM cust_tot)
+      SELECT cust_sk
+      FROM (SELECT cust_sk, SUM(net_cp) AS tot,
+                   MAX(SUM(net_cp)) OVER () AS mx
+            FROM sales WHERE chan <= 1 GROUP BY cust_sk)
+      WHERE 2 * tot > mx
     )
     SELECT SUM(net_cp) AS sales_cp
-    FROM (SELECT * FROM catalog_sales UNION ALL SELECT * FROM web_sales) cw
-    JOIN date_dim ON sold_date = d_date
-    WHERE d_year = 1995 AND d_moy = 5
-      AND item_sk IN (SELECT item_sk FROM freq_items)
-      AND cust_sk IN (SELECT cust_sk FROM best_cust)
+    FROM sales
+    JOIN freq_items USING (item_sk)
+    JOIN best_cust USING (cust_sk)
+    WHERE chan >= 2 AND YEAR(sold_date) = 1995 AND MONTH(sold_date) = 5
     """,
 )
 def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2585,27 +2579,23 @@ def tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH "
     + _DS_SQL
     + """,
-    ss AS (
-      SELECT cust_sk, item_sk, SUM(qty) AS s_qty, SUM(net_cp) AS s_net
-      FROM store_sales WHERE YEAR(sold_date) = 1996
-      GROUP BY cust_sk, item_sk
-    ),
-    ws AS (
-      SELECT cust_sk, item_sk, SUM(qty) AS w_qty
-      FROM web_sales WHERE YEAR(sold_date) = 1996
-      GROUP BY cust_sk, item_sk
-    ),
-    cs AS (
-      SELECT cust_sk, item_sk, SUM(qty) AS c_qty
-      FROM catalog_sales WHERE YEAR(sold_date) = 1996
+    g AS (
+      -- INDEPENDENT FORM (round 13): the Spark side LEFT-joins three
+      -- per-channel aggregates with COALESCE padding; this side is
+      -- ONE conditional-FILTER pass over the unified fact at the same
+      -- (cust, item) grain — store presence (the inner base) becomes
+      -- s_cnt > 0, the two outer pads become one chan>=2 sum
+      SELECT cust_sk, item_sk,
+             CAST(COUNT(*) FILTER (WHERE chan <= 1) AS BIGINT) AS s_cnt,
+             SUM(qty) FILTER (WHERE chan <= 1) AS s_qty,
+             SUM(net_cp) FILTER (WHERE chan <= 1) AS s_net,
+             COALESCE(SUM(qty) FILTER (WHERE chan >= 2), 0) AS other_qty
+      FROM sales WHERE YEAR(sold_date) = 1996
       GROUP BY cust_sk, item_sk
     )
-    SELECT ss.cust_sk AS cust, ss.item_sk AS item, s_qty, s_net,
-           COALESCE(w_qty, 0) + COALESCE(c_qty, 0) AS other_qty
-    FROM ss
-    LEFT JOIN ws ON ss.cust_sk = ws.cust_sk AND ss.item_sk = ws.item_sk
-    LEFT JOIN cs ON ss.cust_sk = cs.cust_sk AND ss.item_sk = cs.item_sk
-    WHERE COALESCE(w_qty, 0) + COALESCE(c_qty, 0) > 0
+    SELECT cust_sk AS cust, item_sk AS item, s_qty, s_net, other_qty
+    FROM g
+    WHERE s_cnt > 0 AND other_qty > 0
     ORDER BY cust NULLS LAST, item NULLS LAST, s_qty NULLS LAST,
              s_net NULLS LAST, other_qty NULLS LAST
     """,
@@ -3103,28 +3093,38 @@ def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _DS_SQL
     + """,
     yt AS (
+      -- INDEPENDENT FORM (round 13): the Spark side pivots all six
+      -- (channel, year) totals in one conditional pass; this side is
+      -- the REFERENCE's own year_total SELF-JOIN algebra — one
+      -- (cust, channel-group, year) aggregate joined six ways (inner
+      -- for the >0-gated first-year legs, left+COALESCE for the
+      -- second-year legs the pivot zero-fills). ext_cents > 0 always,
+      -- so first-year presence ≡ tot > 0, matching the pivot's gate.
       SELECT cust_sk,
-             SUM(CASE WHEN chan <= 1 AND YEAR(sold_date) = 1995
-                      THEN ext_cents ELSE 0 END) AS s1,
-             SUM(CASE WHEN chan <= 1 AND YEAR(sold_date) = 1996
-                      THEN ext_cents ELSE 0 END) AS s2,
-             SUM(CASE WHEN chan = 2 AND YEAR(sold_date) = 1995
-                      THEN ext_cents ELSE 0 END) AS c1,
-             SUM(CASE WHEN chan = 2 AND YEAR(sold_date) = 1996
-                      THEN ext_cents ELSE 0 END) AS c2,
-             SUM(CASE WHEN chan = 3 AND YEAR(sold_date) = 1995
-                      THEN ext_cents ELSE 0 END) AS w1,
-             SUM(CASE WHEN chan = 3 AND YEAR(sold_date) = 1996
-                      THEN ext_cents ELSE 0 END) AS w2
+             CASE WHEN chan <= 1 THEN 's' WHEN chan = 2 THEN 'c'
+                  ELSE 'w' END AS cg,
+             YEAR(sold_date) AS y, SUM(ext_cents) AS tot
       FROM sales
       WHERE YEAR(sold_date) IN (1995, 1996)
-      GROUP BY cust_sk
+      GROUP BY 1, 2, 3
     )
-    SELECT cust_sk AS cust
-    FROM yt
-    WHERE s1 > 0 AND c1 > 0 AND w1 > 0
-      AND CAST(c2 AS HUGEINT) * s1 > CAST(s2 AS HUGEINT) * c1
-      AND CAST(w2 AS HUGEINT) * s1 > CAST(s2 AS HUGEINT) * w1
+    SELECT a.cust_sk AS cust
+    FROM      (SELECT cust_sk, tot AS s1 FROM yt
+               WHERE cg = 's' AND y = 1995) a
+    JOIN      (SELECT cust_sk, tot AS c1 FROM yt
+               WHERE cg = 'c' AND y = 1995) b ON a.cust_sk = b.cust_sk
+    JOIN      (SELECT cust_sk, tot AS w1 FROM yt
+               WHERE cg = 'w' AND y = 1995) c ON a.cust_sk = c.cust_sk
+    LEFT JOIN (SELECT cust_sk, tot AS s2 FROM yt
+               WHERE cg = 's' AND y = 1996) d ON a.cust_sk = d.cust_sk
+    LEFT JOIN (SELECT cust_sk, tot AS c2 FROM yt
+               WHERE cg = 'c' AND y = 1996) e ON a.cust_sk = e.cust_sk
+    LEFT JOIN (SELECT cust_sk, tot AS w2 FROM yt
+               WHERE cg = 'w' AND y = 1996) f ON a.cust_sk = f.cust_sk
+    WHERE CAST(COALESCE(c2, 0) AS HUGEINT) * s1
+            > CAST(COALESCE(s2, 0) AS HUGEINT) * c1
+      AND CAST(COALESCE(w2, 0) AS HUGEINT) * s1
+            > CAST(COALESCE(s2, 0) AS HUGEINT) * w1
     ORDER BY cust NULLS LAST
     """,
 )
@@ -3177,12 +3177,17 @@ def tpcds_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH "
     + _DS_SQL
     + """,
-    st AS (SELECT DISTINCT cust_sk FROM store_sales
-           WHERE YEAR(sold_date) = 1996),
-    other AS (
-      SELECT DISTINCT cust_sk FROM web_sales WHERE YEAR(sold_date) = 1996
-      UNION
-      SELECT DISTINCT cust_sk FROM catalog_sales WHERE YEAR(sold_date) = 1996
+    gate AS (
+      -- INDEPENDENT FORM (round 13): the Spark side gates with two
+      -- semi-joins (store buyers ∩ web∪catalog buyers); this side is
+      -- ONE grouped census over the unified fact with boolean-flag
+      -- HAVING — intersection-of-sets re-derived as per-customer
+      -- channel flags, no channel views, no IN-subqueries
+      SELECT cust_sk FROM sales
+      WHERE YEAR(sold_date) = 1996
+      GROUP BY cust_sk
+      HAVING MAX(CASE WHEN chan <= 1 THEN 1 ELSE 0 END) = 1
+         AND MAX(CASE WHEN chan >= 2 THEN 1 ELSE 0 END) = 1
     )
     SELECT c_mktsegment AS segment, c_nationkey AS nation,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -3190,8 +3195,7 @@ def tpcds_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_min,
            MAX(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_max
     FROM customer
-    WHERE c_custkey IN (SELECT cust_sk FROM st)
-      AND c_custkey IN (SELECT cust_sk FROM other)
+    JOIN gate ON c_custkey = cust_sk
     GROUP BY c_mktsegment, c_nationkey
     ORDER BY segment NULLS LAST, nation NULLS LAST, n NULLS LAST,
              bal_cents NULLS LAST, bal_min NULLS LAST, bal_max NULLS LAST
@@ -3990,18 +3994,24 @@ def tpcds_q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _DS_SQL
     + """,
     cross_items AS (
-      SELECT item_sk FROM store_sales WHERE YEAR(sold_date) = 1996
-      INTERSECT
-      SELECT item_sk FROM catalog_sales WHERE YEAR(sold_date) = 1996
-      INTERSECT
-      SELECT item_sk FROM web_sales WHERE YEAR(sold_date) = 1996
+      -- INDEPENDENT FORM (round 13): the Spark side INTERSECTs three
+      -- per-channel key sets; this side runs ONE grouped census over
+      -- the unified fact and keeps items whose distinct channel-group
+      -- count reaches 3 — set intersection re-derived as a HAVING on
+      -- a distinct count, so a shared misreading of the channel
+      -- slicing cannot hash-match
+      SELECT item_sk FROM sales
+      WHERE YEAR(sold_date) = 1996
+      GROUP BY item_sk
+      HAVING COUNT(DISTINCT CASE WHEN chan <= 1 THEN 1
+                                 WHEN chan = 2 THEN 2 ELSE 3 END) = 3
     )
     SELECT i_category AS category, CAST(COUNT(*) AS BIGINT) AS n,
            SUM(ext_cents) AS sales_cents
     FROM store_sales
+    JOIN cross_items USING (item_sk)
     JOIN item ON item_sk = i_item_sk
     WHERE YEAR(sold_date) = 1997
-      AND item_sk IN (SELECT item_sk FROM cross_items)
     GROUP BY i_category
     ORDER BY category NULLS LAST, n NULLS LAST, sales_cents NULLS LAST
     """,
@@ -4759,21 +4769,31 @@ def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH "
     + _DS_SQL
     + """,
+    cls96 AS (
+      -- INDEPENDENT FORM (round 13): the Spark side gates with a
+      -- LEFT SEMI join (the oracle previously used the same-shaped
+      -- EXISTS); this side materializes the distinct (customer,
+      -- class) pairs and INNER-joins them — set-join algebra instead
+      -- of correlated existence, same rows because the pair set is
+      -- distinct (no fan-out)
+      SELECT DISTINCT cust_sk, item_sk % 100 AS cls
+      FROM catalog_sales WHERE YEAR(sold_date) = 1996
+    ),
     paid AS (
       SELECT sr.cust_sk, i_brand AS brand, SUM(sr.net_cp) AS paid_cp
       FROM store_sales sr
+      JOIN cls96 ON cls96.cust_sk = sr.cust_sk
+                AND cls96.cls = sr.item_sk % 100
       JOIN item ON sr.item_sk = i_item_sk
       WHERE sr.returned AND YEAR(sr.sold_date) = 1996
-        AND EXISTS (SELECT 1 FROM catalog_sales cs
-                    WHERE cs.cust_sk = sr.cust_sk
-                      AND cs.item_sk % 100 = sr.item_sk % 100
-                      AND YEAR(cs.sold_date) = 1996)
       GROUP BY sr.cust_sk, i_brand
-    ),
-    tot AS (SELECT SUM(paid_cp) AS g_sum, CAST(COUNT(*) AS BIGINT) AS g_n
-            FROM paid)
+    )
+    -- global-total gate via window functions, not a 1-row cross join
     SELECT cust_sk AS cust, brand, paid_cp
-    FROM paid, tot
+    FROM (SELECT cust_sk, brand, paid_cp,
+                 SUM(paid_cp) OVER () AS g_sum,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS g_n
+          FROM paid)
     WHERE 20 * paid_cp * g_n > g_sum
     ORDER BY cust NULLS LAST, brand NULLS LAST, paid_cp NULLS LAST
     """,
@@ -5309,22 +5329,29 @@ def tpcds_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH "
     + _DS_SQL
     + """,
-    s AS (
-      SELECT item_sk % 100 AS cls, YEAR(sold_date) AS y,
-             CAST(COUNT(*) AS BIGINT) AS cnt, SUM(net_cp) AS net
+    yrs AS (
+      -- INDEPENDENT FORM (round 13): the Spark side self-joins two
+      -- year slices of one grouped aggregate; this side pivots both
+      -- years in ONE conditional-FILTER pass and expresses the
+      -- "present in both years" the inner join implied as cnt>0 —
+      -- a shared misreading of the self-join shape cannot hash-match
+      SELECT item_sk % 100 AS cls,
+             CAST(COUNT(*) FILTER (WHERE YEAR(sold_date) = 1995)
+                  AS BIGINT) AS cnt1,
+             CAST(COUNT(*) FILTER (WHERE YEAR(sold_date) = 1996)
+                  AS BIGINT) AS cnt2,
+             SUM(net_cp) FILTER (WHERE YEAR(sold_date) = 1995) AS net1,
+             SUM(net_cp) FILTER (WHERE YEAR(sold_date) = 1996) AS net2
       FROM store_sales
       WHERE NOT returned AND YEAR(sold_date) IN (1995, 1996)
-      GROUP BY item_sk % 100, YEAR(sold_date)
-    ),
-    rep AS (
-      SELECT DISTINCT item_sk % 100 AS cls FROM catalog_sales
-      WHERE YEAR(sold_date) = 1996 AND returned
+      GROUP BY item_sk % 100
     )
-    SELECT s1.cls AS cls, s1.cnt AS cnt1, s2.cnt AS cnt2,
-           s1.net AS net1, s2.net AS net2
-    FROM s s1
-    JOIN s s2 ON s1.cls = s2.cls AND s1.y = 1995 AND s2.y = 1996
-    WHERE s2.cnt >= s1.cnt AND s1.cls IN (SELECT cls FROM rep)
+    SELECT cls, cnt1, cnt2, net1, net2
+    FROM yrs y
+    WHERE cnt1 > 0 AND cnt2 > 0 AND cnt2 >= cnt1
+      AND EXISTS (SELECT 1 FROM catalog_sales cs
+                  WHERE cs.returned AND YEAR(cs.sold_date) = 1996
+                    AND cs.item_sk % 100 = y.cls)
     ORDER BY cls NULLS LAST, cnt1 NULLS LAST, cnt2 NULLS LAST,
              net1 NULLS LAST, net2 NULLS LAST
     """,
@@ -5489,14 +5516,32 @@ def tpcds_q71(spark: SparkSession, sf_dir: str) -> DataFrame:
              i_category, returned, ext_cents, profit_cp
       FROM sales JOIN item ON item_sk = i_item_sk
       WHERE YEAR(sold_date) = 1997
+    ),
+    detail AS (
+      SELECT channel, i_category,
+             SUM(CASE WHEN returned THEN 0 ELSE ext_cents END)
+               AS sales_cents,
+             SUM(CASE WHEN returned THEN ext_cents ELSE 0 END)
+               AS ret_cents,
+             SUM(profit_cp) AS profit_cp
+      FROM labeled GROUP BY channel, i_category
     )
-    SELECT channel, i_category,
-           GROUPING(channel) + 2 * GROUPING(i_category) AS gid,
-           SUM(CASE WHEN returned THEN 0 ELSE ext_cents END) AS sales_cents,
-           SUM(CASE WHEN returned THEN ext_cents ELSE 0 END) AS ret_cents,
-           SUM(profit_cp) AS profit_cp
-    FROM labeled
-    GROUP BY ROLLUP(channel, i_category)
+    -- INDEPENDENT FORM (round 13): the Spark side GROUP BY
+    -- ROLLUP(channel, i_category) + GROUPING() ids; this side spells
+    -- the three grouping levels out as explicit UNION ALL
+    -- re-aggregations of the detail grain, with the gid literals the
+    -- GROUPING arithmetic would produce (0, 2, 3)
+    SELECT channel, i_category, 0 AS gid,
+           sales_cents, ret_cents, profit_cp
+    FROM detail
+    UNION ALL
+    SELECT channel, NULL, 2, SUM(sales_cents), SUM(ret_cents),
+           SUM(profit_cp)
+    FROM detail GROUP BY channel
+    UNION ALL
+    SELECT NULL, NULL, 3, SUM(sales_cents), SUM(ret_cents),
+           SUM(profit_cp)
+    FROM detail
     ORDER BY channel NULLS LAST, i_category NULLS LAST, gid NULLS LAST,
              sales_cents NULLS LAST, ret_cents NULLS LAST,
              profit_cp NULLS LAST

@@ -116,7 +116,20 @@ _NN = "__nn__"
 #: visible average is re-derived as sum/count at every maintenance
 _SUM = "__sum__"
 
-_HIDDEN_PREFIXES = (_NN, _SUM)
+#: hidden mergeable-bitmap state prefix for COUNT-DISTINCT aggregates
+#: (VERDICT r12 item 2): one ``map<bucket, 4KB bitmap>`` column per
+#: countd alias — the q99zg exact-distinct state (plans/sketches.py)
+#: persisted as view state, so INSERT-ONLY windows self-maintain by
+#: OR-merging the inserts' bitmap partials into the stored maps
+#: (``bitmap_or_agg``), no base re-read. Deletes still recompute
+#: (bitmaps cannot subtract). Only integral-typed countd columns get
+#: state (the bitmap functions index by long); others stay
+#: recompute-always. A NULL map is VALID state meaning "no non-null
+#: values yet" — the healing probe distinguishes it from the
+#: schema-widened-unhealed case by requiring visible countd == 0.
+_BM = "__bm__"
+
+_HIDDEN_PREFIXES = (_NN, _SUM, _BM)
 
 
 def _delta_eligible(aggs: list[dict]) -> bool:
@@ -176,6 +189,74 @@ def _agg_exprs(aggs: list[dict], with_nn: bool = False):
                     .alias(_NN + a["alias"])
                 )
     return out
+
+
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _bitmap_eligible(aggs: list[dict], src: DataFrame) -> list[dict]:
+    """The countd aggregates whose column is integral-typed in the
+    (joined) source frame — the ones that get persisted bitmap state.
+    Non-integral countd columns (strings, doubles) keep today's
+    recompute-always behavior: hashing them into the bitmap domain
+    would trade exactness for maintainability, the wrong default."""
+    types = dict(src.dtypes)
+    return [
+        a
+        for a in aggs
+        if a["fn"] == "countd" and types.get(a["col"]) in _INTEGRAL_TYPES
+    ]
+
+
+def _bitmap_state(
+    df: DataFrame, group_cols: list[str], col: str, alias: str
+) -> DataFrame:
+    """EXACT mergeable distinct state per group: ``(group_cols…,
+    __bm__<alias>: map<bucket, bitmap>)``. Spark's bitmap family packs
+    the column's long values into 4 KB segments keyed by
+    ``bitmap_bucket_number`` (32 768 ids each); the per-(group, bucket)
+    ``bitmap_construct_agg`` is map-side combinable, and the map
+    collapses the buckets into one view-row-shaped column. NULL values
+    are skipped (SQL COUNT DISTINCT semantics); a group with only NULL
+    values simply has no state row — read back as an empty map."""
+    v = F.col(col).cast("long")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(
+            *group_cols, F.bitmap_bucket_number(v).alias("__bkt")
+        )
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(v)).alias("__bmp")
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__bkt"), F.col("__bmp")))
+            ).alias(_BM + alias)
+        )
+    )
+
+
+def _attach_state(
+    post: DataFrame, states: list[DataFrame], group_cols: list[str]
+) -> DataFrame:
+    """Left-join per-agg hidden-state frames onto a post-image,
+    null-safe on the group key (NULL is a legitimate GROUP BY value)."""
+    for st in states:
+        renamed = st
+        for c in group_cols:
+            renamed = renamed.withColumnRenamed(c, "__bs_" + c)
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(c).eqNullSafe(F.col("__bs_" + c))
+                for c in group_cols
+            ],
+        )
+        post = post.join(renamed, cond, "left").drop(
+            *["__bs_" + c for c in group_cols]
+        )
+    return post
 
 
 #: dimension sides broadcast-hint only under this many bytes of data
@@ -401,6 +482,14 @@ class MaterializedView:
             src = _join_dims(spark, src, join_spec, pins)
         full = src.groupBy(*group_cols).agg(
             *_agg_exprs(aggs, with_nn=_delta_eligible(aggs))
+        )
+        full = _attach_state(
+            full,
+            [
+                _bitmap_state(src, list(group_cols), a["col"], a["alias"])
+                for a in _bitmap_eligible(aggs, src)
+            ],
+            list(group_cols),
         )
         tbl = SnapshotTable(mv_root)
         tbl.commit(
@@ -629,13 +718,23 @@ class MaterializedView:
         O(base) by necessity; the new pins make every subsequent
         fact-only window incremental again."""
         join_spec = self.spec["join_spec"]
-        full = _join_dims(
+        group_cols = self.spec["group_cols"]
+        src = _join_dims(
             spark, base.read(spark, version=head), join_spec, new_pins
-        ).groupBy(*self.spec["group_cols"]).agg(
+        )
+        full = src.groupBy(*group_cols).agg(
             *_agg_exprs(
                 self.spec["aggs"],
                 with_nn=_delta_eligible(self.spec["aggs"]),
             )
+        )
+        full = _attach_state(
+            full,
+            [
+                _bitmap_state(src, group_cols, a["col"], a["alias"])
+                for a in _bitmap_eligible(self.spec["aggs"], src)
+            ],
+            group_cols,
         )
         v = self.table.commit(
             full,
@@ -722,6 +821,48 @@ class MaterializedView:
                 "created by this module (hidden counters present on "
                 "every touched row)"
             )
+        # insert-only eligibility: MIN/MAX (and hidden-counter-less
+        # foreign COUNT/SUM views) ARE self-maintainable when no row
+        # was deleted; COUNT-DISTINCT joins them when its persisted
+        # bitmap state is present (OR-merge of the inserts' partials).
+        # Views CARRYING __nn__ counters never take this branch
+        # (ADVICE r12): its post-image emits no counter columns, so
+        # the swap's schema alignment would NULL-fill healthy counters
+        # on every touched group — un-healing exactly the rows the
+        # NULL-counter probe above sent here to be healed; those
+        # recompute, whose _agg_exprs(with_nn=True) rewrites the
+        # touched groups WITH counters.
+        insert_only_ok = (
+            not use_delta
+            and strategy != "recompute"
+            and all(
+                a["fn"] in ("count", "sum", "min", "max", "countd")
+                for a in aggs
+            )
+            and _NN + "rows" not in mv_cols
+            and all(
+                _BM + a["alias"] in mv_cols
+                for a in aggs
+                if a["fn"] == "countd"
+            )
+        )
+        countd_aliases = [a["alias"] for a in aggs if a["fn"] == "countd"]
+        if insert_only_ok and countd_aliases:
+            # bitmap analog of the __nn__ NULL probe: a NULL map is
+            # valid state ONLY for a zero-count group; NULL map beside
+            # a live count is the schema-widened-unhealed artifact (a
+            # pre-bitmap view recompute-widened) — merging inserts
+            # into it would undercount. Recompute heals it with state.
+            touched = self._touched_view_rows(spark, keys, n_groups)
+            unhealed = reduce(
+                lambda a, b: a | b,
+                [
+                    F.col(_BM + al).isNull() & (F.col(al) > 0)
+                    for al in countd_aliases
+                ],
+            )
+            if touched.filter(unhealed).limit(1).count() > 0:
+                insert_only_ok = False
         strategy_used = "recompute"
         if use_delta:
             post = self._delta_post_image(
@@ -729,29 +870,18 @@ class MaterializedView:
             )
             strategy_used = "delta"
         elif (
-            strategy != "recompute"
-            and all(a["fn"] in ("count", "sum", "min", "max") for a in aggs)
-            # views CARRYING hidden counters never take this branch
-            # (ADVICE r12): its post-image emits no __nn__* columns, so
-            # the swap's schema alignment would NULL-fill healthy
-            # counters on every touched group — un-healing exactly the
-            # rows the NULL-counter probe above sent here to be healed.
-            # A counter-bearing COUNT/SUM view with NULL counters must
-            # take the recompute below, whose _agg_exprs(with_nn=True)
-            # rewrites the touched groups WITH counters.
-            and _NN + "rows" not in mv_cols
+            insert_only_ok
             and delta.filter(F.col("_change_type") == "delete")
             .limit(1)
             .count()
             == 0
         ):
-            # insert-only window: MIN/MAX (and hidden-counter-less
-            # foreign COUNT/SUM views) ARE self-maintainable when no
-            # row was deleted — merge the inserts arithmetically, skip
-            # the base re-read entirely. Deletes/updates in the window
-            # (updates surface as delete+insert) fall back to the
-            # pruned recompute below, which remains the correctness
-            # anchor for non-self-maintainable aggregates.
+            # insert-only window: merge the inserts arithmetically /
+            # bitmap-OR, skip the base re-read entirely. Deletes and
+            # updates in the window (updates surface as delete+insert)
+            # fall back to the pruned recompute below, which remains
+            # the correctness anchor for non-self-maintainable
+            # aggregates.
             post = self._insert_only_post_image(
                 spark, delta, keys, n_groups=n_groups
             )
@@ -851,9 +981,12 @@ class MaterializedView:
         view groups) — the base is not re-read."""
         group_cols = self.spec["group_cols"]
         aggs = self.spec["aggs"]
+        countd_aggs = [a for a in aggs if a["fn"] == "countd"]
         d_exprs = []
         for a in aggs:
             al = a["alias"]
+            if a["fn"] == "countd":
+                continue  # merged below through the bitmap state
             if a["fn"] == "count":
                 d_exprs.append(
                     F.count(F.lit(1)).cast("long").alias(f"__d_{al}")
@@ -861,8 +994,15 @@ class MaterializedView:
             else:  # sum / min / max: partial aggregate of the inserts
                 _, build = _AGG_FNS[a["fn"]]
                 d_exprs.append(build(a["col"]).alias(f"__d_{al}"))
-        d = delta.groupBy(*group_cols).agg(*d_exprs).alias("__d")
-        cur = self._touched_view_rows(spark, keys, n_groups).alias("__m")
+        d = (
+            delta.groupBy(*group_cols).agg(*d_exprs)
+            if d_exprs
+            # all-countd view: no arithmetic partials, just the
+            # touched group tuples (the bitmap merges carry the data)
+            else delta.select(*group_cols).distinct()
+        ).alias("__d")
+        cur = self._touched_view_rows(spark, keys, n_groups)
+        curA = cur.alias("__m")
         cond = reduce(
             lambda a, b: a & b,
             [
@@ -870,10 +1010,12 @@ class MaterializedView:
                 for c in group_cols
             ],
         )
-        j = d.join(cur, cond, "left")
+        j = d.join(curA, cond, "left")
         out_cols = [F.col(f"__d.{c}").alias(c) for c in group_cols]
         for a in aggs:
             al = a["alias"]
+            if a["fn"] == "countd":
+                continue
             old, dlt = F.col(f"__m.{al}"), F.col(f"__d.__d_{al}")
             if a["fn"] == "count":
                 out_cols.append(
@@ -893,7 +1035,50 @@ class MaterializedView:
                 out_cols.append(F.least(old, dlt).alias(al))
             else:  # max
                 out_cols.append(F.greatest(old, dlt).alias(al))
-        return j.select(*out_cols)
+        post = j.select(*out_cols)
+        # COUNT-DISTINCT merges through the persisted bitmap state
+        # (VERDICT r12 item 2): OR the inserts' bitmap partials into
+        # the touched groups' stored maps, re-count — exact, no base
+        # re-read, O(touched groups × buckets + change rows). Only
+        # reached when every countd alias HAS state and no touched row
+        # carries the NULL-map-with-live-count widening artifact (the
+        # caller's probes) — a NULL map here genuinely means "no
+        # non-null values yet".
+        for a in countd_aggs:
+            al, col = a["alias"], a["col"]
+            v = F.col(col).cast("long")
+            old_st = cur.select(
+                *group_cols,
+                F.explode_outer(F.col(_BM + al)).alias("__bkt", "__bmp"),
+            ).filter(F.col("__bmp").isNotNull())
+            new_st = (
+                delta.filter(F.col(col).isNotNull())
+                .groupBy(
+                    *group_cols, F.bitmap_bucket_number(v).alias("__bkt")
+                )
+                .agg(
+                    F.bitmap_construct_agg(
+                        F.bitmap_bit_position(v)
+                    ).alias("__bmp")
+                )
+            )
+            merged = (
+                old_st.unionByName(new_st)
+                .groupBy(*group_cols, "__bkt")
+                .agg(F.bitmap_or_agg("__bmp").alias("__bmp"))
+                .groupBy(*group_cols)
+                .agg(
+                    F.sum(F.bitmap_count("__bmp")).alias(al),
+                    F.map_from_entries(
+                        F.collect_list(F.struct("__bkt", "__bmp"))
+                    ).alias(_BM + al),
+                )
+            )
+            post = _attach_state(post, [merged], group_cols)
+            # a touched group with zero non-null values has no merged
+            # row: COUNT DISTINCT of nothing is 0, never NULL
+            post = post.withColumn(al, F.coalesce(F.col(al), F.lit(0)))
+        return post
 
     def _publish_marker(
         self, head: int, dim_pins: dict | None = None
@@ -1000,28 +1185,58 @@ class MaterializedView:
             scan = base.read_partition(spark, where, version=head)
             if len(group_cols) == 1:
                 # single column: the scope IS the exact key set
-                return scan.groupBy(*group_cols).agg(*agg_exprs)
+                return self._post_from_scoped(
+                    scan, group_cols, aggs, agg_exprs
+                )
             # composite keys: the per-column scope is a CROSS-PRODUCT
             # superset of the touched tuples — pruning is sound, the
             # aggregate is not (it would emit post-rows for untouched
             # groups, which the swap would then insert as duplicates).
             # An exact null-safe semi-join on the touched tuples rides
             # the pruned scan.
-            return (
-                scan.alias("__b")
-                .join(F.broadcast(keys.alias("__k")), cond, "left_semi")
-                .groupBy(*group_cols)
-                .agg(*agg_exprs)
+            return self._post_from_scoped(
+                scan.alias("__b").join(
+                    F.broadcast(keys.alias("__k")), cond, "left_semi"
+                ),
+                group_cols,
+                aggs,
+                agg_exprs,
             )
         side = keys.alias("__k")
         if n_groups is None or n_groups <= self._BROADCAST_KEY_CAP:
             side = F.broadcast(side)
-        return (
+        return self._post_from_scoped(
             base.read(spark, version=head)
             .alias("__b")
-            .join(side, cond, "left_semi")
-            .groupBy(*group_cols)
-            .agg(*agg_exprs)
+            .join(side, cond, "left_semi"),
+            group_cols,
+            aggs,
+            agg_exprs,
+        )
+
+    def _post_from_scoped(
+        self,
+        scoped: DataFrame,
+        group_cols: list[str],
+        aggs: list[dict],
+        agg_exprs: list,
+    ) -> DataFrame:
+        """Aggregate a scoped (pruned + semi-joined) scan into the
+        touched groups' post-image, attaching hidden bitmap state for
+        every integral-typed countd aggregate — ALWAYS emitted, so a
+        pre-bitmap view heals toward the insert-only path group by
+        group exactly the way __nn__ counters heal (the recompute that
+        touches a group rewrites it WITH state). The scoped scan is
+        consumed once per countd agg plus once for the main aggregate —
+        all passes over the already-pruned files, never the table."""
+        post = scoped.groupBy(*group_cols).agg(*agg_exprs)
+        return _attach_state(
+            post,
+            [
+                _bitmap_state(scoped, group_cols, a["col"], a["alias"])
+                for a in _bitmap_eligible(aggs, scoped)
+            ],
+            group_cols,
         )
 
     def _recompute_post_image_star(
@@ -1128,11 +1343,11 @@ class MaterializedView:
         side = keys.alias("__k")
         if n_groups is None or n_groups <= self._BROADCAST_KEY_CAP:
             side = F.broadcast(side)
-        return (
-            joined.alias("__b")
-            .join(side, cond, "left_semi")
-            .groupBy(*group_cols)
-            .agg(*agg_exprs)
+        return self._post_from_scoped(
+            joined.alias("__b").join(side, cond, "left_semi"),
+            group_cols,
+            aggs,
+            agg_exprs,
         )
 
     # --------------------------------------------------- streaming drive

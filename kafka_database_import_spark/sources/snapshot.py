@@ -140,6 +140,28 @@ _RESERVED_MANIFEST_KEYS = frozenset(
 )
 
 
+def _align_to(df: DataFrame, merged_schema: "T.StructType") -> DataFrame:
+    """Project ``df`` onto the merged commit schema: missing columns
+    NULL-fill, present columns cast ONLY on a real type difference —
+    Spark has no cast for some complex types even to themselves (e.g.
+    map<long,binary> → map<long,binary> raises
+    CAST_WITHOUT_SUGGESTION), and nullability-only differences need
+    none. Shared by every DML post-image writer (merge / replace /
+    apply_changes)."""
+    from pyspark.sql import functions as F
+
+    have = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in merged_schema.fields:
+        if f.name not in have:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif have[f.name].simpleString() == f.dataType.simpleString():
+            cols.append(F.col(f.name))
+        else:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
 def _check_manifest_extra(extra: dict | None) -> dict:
     """Validate caller-supplied manifest metadata: JSON-serializable,
     never shadowing a protocol-owned key. Returns a defensive copy."""
@@ -3066,14 +3088,7 @@ class SnapshotTable:
         merged_schema = T.StructType.fromJson(json.loads(schema_json))
 
         def _align(d: DataFrame) -> DataFrame:
-            return d.select(
-                *[
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in d.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in merged_schema.fields
-                ]
-            )
+            return _align_to(d, merged_schema)
 
         inserted_rows = df.count()
         out = _align(df)
@@ -3396,13 +3411,7 @@ class SnapshotTable:
         )
 
         def _align(df: DataFrame) -> DataFrame:
-            cols = [
-                F.col(f.name).cast(f.dataType)
-                if f.name in df.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in merged_schema.fields
-            ]
-            return df.select(*cols)
+            return _align_to(df, merged_schema)
 
         if affected:
             aff_df = self._scan_with_meta(spark, sorted(affected), schema, prev_dv)
@@ -3635,13 +3644,7 @@ class SnapshotTable:
                 )
 
         def _align(df: DataFrame) -> DataFrame:
-            cols = [
-                F.col(f.name).cast(f.dataType)
-                if f.name in df.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in merged_schema.fields
-            ]
-            return df.select(*cols)
+            return _align_to(df, merged_schema)
 
         # the replacement is consumed twice (count + file write) and is
         # often an expensive derived frame (an MV post-image chained
@@ -4083,14 +4086,7 @@ class SnapshotTable:
             }
 
         def _align(df: DataFrame) -> DataFrame:
-            return df.select(
-                *[
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in df.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in merged_schema.fields
-                ]
-            )
+            return _align_to(df, merged_schema)
 
         version = head + 1
         if mode == "mor":

@@ -1378,6 +1378,11 @@ def test_random_mutations_mv_refresh_converges(spark, tmp_path, seed):
             {"fn": "sum", "col": "x", "alias": "sx"},
             {"fn": "min", "col": "x", "alias": "mn"},
             {"fn": "max", "col": "x", "alias": "mx"},
+            # round 13: bitmap-backed countd joins the insert-only
+            # upgrade — pure-append windows below must STILL take
+            # delta_insert_only with it in the mix (the OR-merge), and
+            # every delete window's recompute must rewrite its state
+            {"fn": "countd", "col": "x", "alias": "ndx"},
         ],
     )
     dedup_keys = set(range(100))
@@ -1392,6 +1397,7 @@ def test_random_mutations_mv_refresh_converges(spark, tmp_path, seed):
                 F.sum("x").alias("sx"),
                 F.min("x").alias("mn"),
                 F.max("x").alias("mx"),
+                F.count_distinct("x").alias("ndx"),
             )
             .collect()
         )
@@ -1435,13 +1441,16 @@ def test_random_mutations_mv_refresh_converges(spark, tmp_path, seed):
             window_pure_append = True
             got = _nsort(tuple(r) for r in mv.read(spark).collect())
             assert got == _recompute(), (seed, i)
-            via_ds = _nsort(
-                tuple(r)
-                for r in spark.read.format("kdis_snapshot")
+            raw = (
+                spark.read.format("kdis_snapshot")
                 .option("path", mv.root)
                 .load()
-                .collect()
             )
+            # the declarative source exposes the STORED table — since
+            # round 13 that includes the countd bitmap state; a public
+            # consumer sees the visible columns
+            vis = [c for c in raw.columns if not c.startswith("__")]
+            via_ds = _nsort(tuple(r) for r in raw.select(*vis).collect())
             assert via_ds == got, (seed, i, "datasource read diverged")
     assert mv.applied_base_version() == base.latest_version()
 

@@ -1374,3 +1374,190 @@ def test_star_avg_view_delta_and_rebuild(spark, tmp_path):
     fact.delete_where(spark, F.col("k") == 10)
     assert mv.refresh(spark)["strategy"] == "delta"
     assert _rows(mv.read(spark)) == expected()
+
+
+# ------------------------------------- round-13: bitmap-backed countd
+
+
+def test_countd_bitmap_insert_only_and_recompute(spark, tmp_path):
+    """COUNT-DISTINCT views persist mergeable bitmap state: insert-only
+    windows OR-merge (strategy delta_insert_only, duplicate values
+    never double-count, negatives/NULLs exact), delete windows
+    recompute and REWRITE the state so the next append window is
+    incremental again."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(
+        spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 10), ("a", 3, None), ("b", 4, 7),
+             (None, 5, -3)],
+            "g string, k long, u long",
+        )
+    )
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"],
+        [
+            {"fn": "countd", "col": "u", "alias": "nd"},
+            {"fn": "count", "alias": "n"},
+        ],
+    )
+
+    def expected():
+        return _rows(
+            base.read(spark).groupBy("g").agg(
+                F.count_distinct("u").alias("nd"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+
+    assert _rows(mv.read(spark)) == expected()
+    # hidden state exists but is stripped from the public read
+    assert "__bm__nd" in mv.table.read(spark).columns
+    assert "__bm__nd" not in mv.read(spark).columns
+    # insert-only: dups (10), new values, NULL, negative, new groups
+    base.commit(
+        spark.createDataFrame(
+            [("a", 6, 10), ("a", 7, 99), ("b", 8, None), ("c", 9, 1),
+             (None, 10, -3)],
+            "g string, k long, u long",
+        )
+    )
+    assert mv.refresh(spark)["strategy"] == "delta_insert_only"
+    assert _rows(mv.read(spark)) == expected()
+    base.commit(
+        spark.createDataFrame(
+            [("a", 11, 99), ("c", 12, 1), ("c", 13, 2)],
+            "g string, k long, u long",
+        )
+    )
+    assert mv.refresh(spark)["strategy"] == "delta_insert_only"
+    assert _rows(mv.read(spark)) == expected()
+    # delete -> recompute (bitmaps cannot subtract), state rewritten
+    base.delete_where(spark, F.col("k").isin(2, 7, 9))
+    assert mv.refresh(spark)["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == expected()
+    # post-delete append -> bitmap path again
+    base.commit(
+        spark.createDataFrame(
+            [("a", 14, 55), ("b", 15, 7)], "g string, k long, u long"
+        )
+    )
+    assert mv.refresh(spark)["strategy"] == "delta_insert_only"
+    assert _rows(mv.read(spark)) == expected()
+
+
+def test_countd_non_integral_stays_recompute(spark, tmp_path):
+    """A countd over a non-integral column gets NO bitmap state (the
+    bitmap functions index by long; hashing strings would lose
+    exactness) — every window recomputes, results stay exact."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(_base_rows(spark, [("a", 1, 1), ("a", 2, 2)]))
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["g"],
+        [{"fn": "countd", "col": "g", "alias": "ndg"}],
+    )
+    assert not any(
+        c.startswith("__bm__") for c in mv.table.read(spark).columns
+    )
+    base.commit(_base_rows(spark, [("a", 3, 3), ("b", 4, 1)]))
+    res = mv.refresh(spark)
+    assert res["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == _rows(
+        base.read(spark).groupBy("g").agg(
+            F.count_distinct("g").alias("ndg")
+        )
+    )
+
+
+def test_countd_pre_bitmap_view_heals_group_by_group(spark, tmp_path):
+    """A hand-built pre-bitmap countd view (visible column only) gets
+    schema-widened by its first recompute; an insert-only window
+    touching an UNHEALED group (NULL map beside a live count) must
+    recompute — OR-merging into missing state would undercount — and
+    the view converges to the bitmap path as groups heal."""
+    import json as _json
+    import os as _os
+
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(_base_rows(spark, [("a", 1, 10), ("b", 2, 7)]))
+    mv_root = str(tmp_path / "mv")
+    old_full = base.read(spark).groupBy("g").agg(
+        F.count_distinct("x").alias("nd")
+    )
+    tbl = SnapshotTable(mv_root)
+    tbl.commit(old_full, epoch_id=base.latest_version())
+    with open(_os.path.join(mv_root, "mv.json"), "w") as fh:
+        _json.dump(
+            {
+                "base_root": _os.path.abspath(base.root),
+                "group_cols": ["g"],
+                "aggs": [{"fn": "countd", "col": "x", "alias": "nd"}],
+            },
+            fh,
+        )
+    mv = MaterializedView(mv_root)
+
+    def expected():
+        return _rows(
+            base.read(spark).groupBy("g").agg(
+                F.count_distinct("x").alias("nd")
+            )
+        )
+
+    # insert-only window, NO state anywhere -> recompute widens+heals
+    base.commit(_base_rows(spark, [("a", 3, 11)]))
+    assert mv.refresh(spark)["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == expected()
+    # healed 'a' alone -> bitmap path engages
+    base.commit(_base_rows(spark, [("a", 4, 12)]))
+    assert mv.refresh(spark)["strategy"] == "delta_insert_only"
+    assert _rows(mv.read(spark)) == expected()
+    # unhealed 'b' in an insert-only window -> recompute (heals b)
+    base.commit(_base_rows(spark, [("a", 5, 13), ("b", 6, 8)]))
+    assert mv.refresh(spark)["strategy"] == "recompute"
+    assert _rows(mv.read(spark)) == expected()
+    # now everything is healed -> bitmap path for all groups
+    base.commit(_base_rows(spark, [("a", 7, 10), ("b", 8, 9)]))
+    assert mv.refresh(spark)["strategy"] == "delta_insert_only"
+    assert _rows(mv.read(spark)) == expected()
+
+
+def test_countd_star_view_with_bitmaps(spark, tmp_path):
+    """countd composes with star joins: state rides the joined frame,
+    dim changes rebuild state along with everything else."""
+    fact, dim, js = _star_fixture(spark, tmp_path)
+    mv = MaterializedView.create(
+        spark, fact, str(tmp_path / "mv"), ["region"],
+        [{"fn": "countd", "col": "x", "alias": "nd"}],
+        join_spec=js,
+    )
+
+    def expected():
+        j = fact.read(spark).join(
+            dim.read(spark), F.col("f_did") == F.col("d_id")
+        )
+        return _rows(
+            j.groupBy("region").agg(F.count_distinct("x").alias("nd"))
+        )
+
+    assert _rows(mv.read(spark)) == expected()
+    fact.commit(
+        spark.createDataFrame(
+            [(1, 10, 10), (2, 11, 5)], "f_did long, k long, x long"
+        )
+    )
+    assert mv.refresh(spark)["strategy"] == "delta_insert_only"
+    assert _rows(mv.read(spark)) == expected()
+    dim.merge_rows(
+        spark,
+        spark.createDataFrame(
+            [(2, "blue", "east")], "d_id long, color string, region string"
+        ),
+        key_cols=["d_id"],
+    )
+    assert mv.refresh(spark)["strategy"] == "rebuild_dims"
+    assert _rows(mv.read(spark)) == expected()
+    fact.commit(
+        spark.createDataFrame([(3, 12, 42)], "f_did long, k long, x long")
+    )
+    assert mv.refresh(spark)["strategy"] == "delta_insert_only"
+    assert _rows(mv.read(spark)) == expected()
