@@ -1769,3 +1769,107 @@ def test_random_mutations_star_mv_converges(spark, tmp_path, seed):
     assert (
         _nsort(tuple(r) for r in mv.read(spark).collect()) == _recompute()
     ), seed
+
+
+# ---------------------------------------------------------------------
+# family 21 (round 13, VERDICT r12 item 6): retention under CONCURRENT
+# pinned readers. A reader that planned a version-pinned scan BEFORE
+# vacuum/expire ran must either (a) return exactly that version's rows
+# (its files may survive by reference from retained versions) or (b)
+# fail with the documented loud error — NEVER silently wrong/partial
+# rows. Re-pinning a dropped version afterwards must raise the
+# retention-window FileNotFoundError.
+
+
+@pytest.mark.parametrize("seed", _seeds(4))
+def test_random_vacuum_under_pinned_readers_never_wrong(
+    spark, tmp_path, seed
+):
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotTable,
+        expire_snapshots,
+        vacuum,
+    )
+
+    rng = random.Random(1_913_500 + seed)
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    next_k = 0
+
+    def _rows(n):
+        nonlocal next_k
+        out = [
+            (next_k + i, rng.choice("abc"), rng.randrange(100))
+            for i in range(n)
+        ]
+        next_k += n
+        return out
+
+    def _snap():
+        return _nsort(tuple(r) for r in tbl.read(spark).collect())
+
+    tbl.commit(
+        spark.createDataFrame(_rows(8), "k long, g string, x long")
+    )
+    # history NEVER forgets: the per-version ground truth a surviving
+    # pinned read must still reproduce even after retention dropped
+    # the version from the table's own window
+    history = {tbl.latest_version(): _snap()}
+    pinned = []  # (version, lazy DF planned BEFORE any later retention)
+    for step in range(14):
+        r = rng.random()
+        if r < 0.35:
+            tbl.commit(
+                spark.createDataFrame(
+                    _rows(rng.randint(1, 5)), "k long, g string, x long"
+                )
+            )
+        elif r < 0.50:
+            tbl.delete_where(
+                spark, (F.col("k") % 4) == rng.randrange(4),
+                mode=rng.choice(["cow", "mor"]),
+            )
+        elif r < 0.62:
+            tbl.compact(spark, target_files=2)
+        elif r < 0.80:
+            # pin a reader at a random LIVE version (plan now, act later)
+            v = rng.choice(tbl.versions())
+            pinned.append((v, tbl.read(spark, version=v)))
+        else:
+            live = tbl.versions()
+            if rng.random() < 0.5:
+                vacuum(tbl, retain_last=rng.randint(1, max(1, len(live))))
+            else:
+                import time as _time
+
+                expire_snapshots(tbl, int(_time.time() * 1000) + 1000)
+            # every pre-planned pinned reader: right rows or loud error
+            survivors = []
+            for v, df in pinned:
+                try:
+                    got = _nsort(tuple(r) for r in df.collect())
+                except Exception as e:
+                    msg = f"{type(e).__name__}: {e}"
+                    assert (
+                        "expired/vacuumed" in msg
+                        or "FileNotFound" in msg
+                        or "FAILED_READ_FILE" in msg
+                        or "PATH_NOT_FOUND" in msg
+                    ), (seed, step, v, msg[:400])
+                    continue  # loud documented failure — acceptable
+                assert got == history[v], (
+                    seed, step, v, "pinned read returned WRONG rows",
+                )
+                survivors.append((v, df))
+            pinned = survivors
+        v_now = tbl.latest_version()
+        if v_now not in history:
+            history[v_now] = _snap()
+        assert _snap() == history[v_now], (seed, step)
+    # re-pinning any dropped version raises the retention-window error
+    retained = set(tbl.versions())
+    for v in range(1, max(retained) + 1):
+        if v not in retained:
+            with pytest.raises(FileNotFoundError, match="retention"):
+                tbl.read(spark, version=v)

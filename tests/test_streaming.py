@@ -835,3 +835,136 @@ def test_neardup_matcher_refuses_self_matches(spark):
     sig = minhash_signatures(df, "doc_id", "text")
     out = neardup_matches_against(sig, sig, "doc_id", 0.5).collect()
     assert all(r.id_new != r.id_base for r in out)
+
+
+def test_flagship_crash_restart_replays_exactly_once(spark, tmp_path):
+    """Round 13 (VERDICT r12 item 5): the one-DAG flagship topology
+    (wire parse → broadcast dim join → foreachBatch into upsert sink +
+    snapshot commit + MV refresh) CRASHES mid-drain AFTER its sinks
+    applied a batch but BEFORE Spark committed the checkpoint — the
+    worst replay — then restarts from the same checkpoint. The
+    replayed epoch must dedupe through the parquet ledger AND the
+    snapshot manifest epochs AND the MV's applied-version marker:
+    final state equals a single clean run, no duplicate keys, MV ==
+    recompute."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from kafka_database_import_spark.sinks.jdbc import ParquetUpsertSink
+    from kafka_database_import_spark.sources.mv import MaterializedView
+    from kafka_database_import_spark.sources.snapshot import (
+        SnapshotCommitSink,
+        SnapshotTable,
+    )
+
+    # 4 wire files -> 4 micro-batches (maxFilesPerTrigger=1); the
+    # corrupt row and an unmatched-user row exercise both routes
+    rows = [
+        (i, i % 5 + 1, f"t{i % 3}", i * 10)  # (event_id, user, type, cents)
+        for i in range(40)
+    ]
+    wire_dir = str(tmp_path / "wire")
+    payload = F.to_json(F.struct("event_id", "user_id", "event_type", "val_cents"))
+    value = F.concat(F.lit('{"data":'), payload, F.lit(',"source":"database"}'))
+    (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, val_cents long"
+        )
+        .select(
+            F.col("event_id").alias("offset"),
+            F.when(F.col("event_id") % 13 == 0,
+                   F.concat(F.lit("CORRUPT<"), value)).otherwise(value)
+            .alias("value"),
+        )
+        .repartition(4)
+        .write.parquet(wire_dir)
+    )
+    env_schema = T.StructType([
+        T.StructField("data", T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("val_cents", T.LongType()),
+        ])),
+        T.StructField("source", T.StringType()),
+    ])
+    dim = spark.createDataFrame([(u,) for u in (1, 2, 3)], "c_custkey long")
+    stream = (
+        spark.readStream.schema("offset long, value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(wire_dir)
+        .withColumn("env", F.from_json("value", env_schema))
+        .join(F.broadcast(dim),
+              F.col("env.data.user_id") == F.col("c_custkey"), "left")
+    )
+    imported = SnapshotTable(str(tmp_path / "imported"))
+    imported.commit(
+        spark.createDataFrame([], "event_id long, event_type string, val_cents long")
+    )
+    mv = MaterializedView.create(
+        spark, imported, str(tmp_path / "mv"), ["event_type"],
+        [{"fn": "count", "alias": "n"},
+         {"fn": "sum", "col": "val_cents", "alias": "cents"}],
+    )
+    main_sink = ParquetUpsertSink(str(tmp_path / "sink"), ["event_id"])
+    dlq_sink = ParquetUpsertSink(str(tmp_path / "dlq"), ["offset"])
+    snap_sink = SnapshotCommitSink(imported)
+    crash_flag = str(tmp_path / "crash_once")
+    open(crash_flag, "w").close()
+
+    def _import(batch_df, epoch):
+        bad = batch_df.filter(F.col("env.data").isNull()).select("offset", "value")
+        good = batch_df.filter(
+            F.col("env.data").isNotNull() & F.col("c_custkey").isNotNull()
+        ).select(
+            F.col("env.data.event_id").alias("event_id"),
+            F.col("env.data.event_type").alias("event_type"),
+            F.col("env.data.val_cents").alias("val_cents"),
+        )
+        dlq_sink(bad, epoch)
+        main_sink(good, epoch)
+        snap_sink(good, epoch)
+        mv.refresh(spark)
+        if epoch == 1 and os.path.exists(crash_flag):
+            os.unlink(crash_flag)
+            # sinks applied, checkpoint NOT committed -> epoch 1 replays
+            raise RuntimeError("simulated crash after apply")
+
+    def _drain():
+        q = (
+            stream.writeStream.foreachBatch(_import)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    import pytest as _pytest
+
+    with _pytest.raises(StreamingQueryException, match="simulated crash"):
+        _drain()
+    assert imported.latest_version() >= 2  # batch 0 and 1 landed
+    _drain()  # restart: replays epoch 1, then drains the rest
+    got = imported.read(spark)
+    expected = [
+        (eid, et, c) for eid, u, et, c in rows
+        if eid % 13 != 0 and u in (1, 2, 3)
+    ]
+    assert got.count() == len(expected)
+    assert got.select("event_id").distinct().count() == len(expected)
+    assert main_sink.read_back(spark).count() == len(expected)
+    assert dlq_sink.read_back(spark).count() == sum(
+        1 for eid, *_ in rows if eid % 13 == 0
+    )
+    mv.refresh(spark)
+    want = sorted(
+        (tuple(r) for r in got.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("val_cents").alias("cents"),
+        ).collect()),
+        key=str,
+    )
+    assert sorted((tuple(r) for r in mv.read(spark).collect()), key=str) == want
