@@ -61,6 +61,9 @@ HEADLINE = [
     "tpcds_q72",               # inventory-on-hand date-spine probe join (round 12)
     "q99zzzf_partitioned_datasource_write",  # COLD partitioned declarative write (round 11)
     "q99zzzg_incremental_mv",    # COLD MV create+mutate+incremental refresh (round 11)
+    "q99zzzi_mv_star_join",      # COLD star-join MV lifecycle incl. dim rebuild (round 13)
+    "q99zzzj_mv_countd_bitmap",  # COLD bitmap COUNT-DISTINCT maintenance (round 13)
+    "q99zzzk_streaming_flagship",  # COLD one-DAG stream: parse+join+3 sinks+MV (round 13)
 ]
 
 

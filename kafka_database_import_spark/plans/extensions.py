@@ -3085,10 +3085,13 @@ def q99zzzi_mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join through the pinned dim, the base is never re-read), a fact
     COW-delete (still delta for a COUNT/SUM view), and a DIMENSION
     mutation (customers re-segmented), which refresh detects by pin
-    comparison and answers with one atomic full rebuild at the new
-    pins (``strategy='rebuild_dims'``) — followed by a fact-only
-    append that must land back on the delta path, proving the new
-    pins took. Dimension pins ride the SAME manifests as the
+    comparison and answers with the SCD DELTA: remove the changed
+    customers' old-segment contributions, add their new-segment ones —
+    O(changed keys' fact rows), the dimension-driven fact pruning
+    ladder underneath, pins advanced atomically in the same swap
+    (full ``rebuild_dims`` remains only for unprovable/multi-dim
+    windows) — followed by a fact-only append that must land back on
+    the plain delta path, proving the new pins took. Dimension pins ride the SAME manifests as the
     applied-base marker (``dim_pins``), so the bookkeeping can never
     tear. The oracle recomputes the FINAL fact ⋈ dim state from
     scratch in one independent join+filter+aggregate — a wrong pin, a
@@ -3157,7 +3160,11 @@ def q99zzzi_mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["ckey"],
     )
     res = mv.refresh(spark)
-    assert res["strategy"] == "rebuild_dims", res
+    # round 13: a single changed dimension maintains as an SCD DELTA —
+    # arithmetic for this counter-backed COUNT/SUM view, O(changed
+    # customers' orders), never the O(base) rebuild (which remains the
+    # answer for unprovable/multi-dim windows only)
+    assert res["strategy"] == "delta" and res.get("dim_delta"), res
     assert mv.applied_dim_pins() == {dim.root: dim.latest_version()}
     # window 4: fact-only append AFTER the rebuild — must land back on
     # the delta path, proving the rebuilt view's pins + counters took

@@ -59,11 +59,17 @@ table), then applies arithmetically exactly as single-table views do;
 the recompute path prunes the fact scan by fact-side group values AND
 by fact keys derived from the touched dimension attributes
 (dimension-driven pruning), re-joins, re-aggregates. A LOGICAL
-dimension change (anything beyond rewrite-only compaction) invalidates
-every existing group's contribution, so refresh detects it by version
-walk and rebuilds the view at the new pins in one atomic overwrite
-(``strategy='rebuild_dims'``) — correct-by-construction, and the only
-O(base) maintenance event besides ``create``.
+dimension change (anything beyond rewrite-only compaction) is detected
+by version walk; a SINGLE changed dimension maintains INCREMENTALLY —
+the SCD delta (:meth:`MaterializedView._dim_delta_rows`): remove the
+changed keys' fact rows joined through the OLD pinned dim, add them
+joined through the new one, union with the fact window's own diff, and
+feed the standard machinery (arithmetic for counter-backed views,
+touched-group recompute otherwise) — O(changed keys' fact rows), pins
+advanced atomically in the same swap. Only an UNPROVABLE window
+(vacuumed dim history, foreign pins) or several dims changing at once
+pays the full rebuild (``strategy='rebuild_dims'``), the only O(base)
+maintenance event besides ``create``.
 
 Scale shape at 100 TB: the diff is O(rows in files the change range
 touched); the delta path then costs O(change rows + touched view
@@ -575,18 +581,22 @@ class MaterializedView:
             "dim_pins", {}
         )
 
-    def _dim_state(self) -> tuple[dict, bool]:
-        """(effective pins, needs_rebuild): compare each dimension's
-        head against the applied pin, walking the in-between commits —
-        rewrite-only commits (compaction/optimize on the dim) are
-        LOGICALLY neutral, so the pin silently advances to the new
-        head (same rows, and the old version's files may be vacuumed
-        out from under a stale pin); any data-carrying commit means
-        existing view rows reflect outdated dimension attributes and
-        only a full rebuild is sound."""
+    def _dim_state(self) -> tuple[dict, list[str], bool]:
+        """(effective pins, logically-changed dim roots, unprovable):
+        compare each dimension's head against the applied pin, walking
+        the in-between commits — rewrite-only commits (compaction/
+        optimize on the dim) are LOGICALLY neutral, so the pin silently
+        advances to the new head (same rows, and the old version's
+        files may be vacuumed out from under a stale pin); a
+        data-carrying commit lands the dim on the CHANGED list (a
+        single changed dim may still maintain incrementally — see
+        :meth:`_dim_delta_rows`); ``unprovable`` (vacuumed walk range,
+        foreign/pre-star pins, lost history) forces the full rebuild,
+        the always-sound answer."""
         pins = self.applied_dim_pins()
         eff: dict = {}
-        rebuild = False
+        changed: list[str] = []
+        unprovable = False
         for e in self.spec.get("join_spec") or []:
             k = _pin_key(e["dim_root"])
             dt = SnapshotTable(e["dim_root"])
@@ -600,14 +610,22 @@ class MaterializedView:
             if pv is None or dv < pv:
                 # foreign/pre-star view or a dim that lost history:
                 # only a rebuild re-establishes a sound pin
-                rebuild = True
-            elif dv > pv and not all(
-                dt.manifest(v).get("rewrite_only")
-                for v in range(pv + 1, dv + 1)
-            ):
-                rebuild = True
+                unprovable = True
+            elif dv > pv:
+                try:
+                    if not all(
+                        dt.manifest(v).get("rewrite_only")
+                        for v in range(pv + 1, dv + 1)
+                    ):
+                        changed.append(k)
+                except FileNotFoundError:
+                    # the walk range was vacuumed/expired: neutrality is
+                    # unprovable, and the pinned version itself may be
+                    # gone — a rebuild at the head is the sound answer,
+                    # not an error (retention on dims is legitimate)
+                    unprovable = True
             eff[k] = dv
-        return eff, rebuild
+        return eff, changed, unprovable
 
     def expire(self, older_than_ms: int) -> dict:
         """Retention for the VIEW's own history, marker-safe: delegate
@@ -658,19 +676,49 @@ class MaterializedView:
         base = self.base()
         head = base.latest_version()
         last = self.applied_base_version()
+        if head < last:
+            raise ValueError(
+                f"base head {head} is older than the applied version "
+                f"{last} — the base table lost history (manifests "
+                f"removed?); rebuild the view"
+            )
         join_spec = self.spec.get("join_spec") or []
         pins: dict = {}
         if join_spec:
-            pins, needs_rebuild = self._dim_state()
-            if needs_rebuild:
+            pins, dims_changed, unprovable = self._dim_state()
+            if unprovable or len(dims_changed) > 1:
+                # multi-dim windows could chain single-dim swaps, but
+                # each costs a commit — simultaneous multi-dim change
+                # is rare enough that one rebuild is the better trade
                 if strategy == "delta":
                     raise ValueError(
-                        "strategy='delta' but a dimension logically "
-                        "changed since the applied pins — existing view "
-                        "rows reflect outdated dimension attributes; "
-                        "only a rebuild is sound"
+                        "strategy='delta' but dimension history is "
+                        "unprovable or several dimensions changed since "
+                        "the applied pins — only a rebuild is sound"
                     )
                 return self._rebuild_for_dims(spark, base, head, pins, last)
+            if dims_changed:
+                synthetic = self._dim_delta_rows(
+                    spark, base, head, last, pins, dims_changed[0]
+                )
+                if synthetic is None:  # old pin vacuumed mid-build
+                    if strategy == "delta":
+                        raise ValueError(
+                            "strategy='delta' but the changed "
+                            "dimension's pinned history is gone — only "
+                            "a rebuild is sound"
+                        )
+                    return self._rebuild_for_dims(
+                        spark, base, head, pins, last
+                    )
+                synthetic = synthetic.persist()
+                try:
+                    return self._refresh_from_delta(
+                        spark, base, synthetic, head, last, strategy,
+                        dim_pins=pins, dim_delta=True,
+                    )
+                finally:
+                    synthetic.unpersist()
         if head == last:
             return {
                 "noop": True,
@@ -679,12 +727,6 @@ class MaterializedView:
                 "mv_version": self.table.latest_version(),
                 "groups_touched": 0,
             }
-        if head < last:
-            raise ValueError(
-                f"base head {head} is older than the applied version "
-                f"{last} — the base table lost history (manifests "
-                f"removed?); rebuild the view"
-            )
         # the diff replays for every downstream action (group count,
         # post-image, swap bookkeeping) — pin it once; it is O(changed
         # rows), the one size refresh is allowed to hold. Star views
@@ -701,6 +743,111 @@ class MaterializedView:
             )
         finally:
             delta.unpersist()
+
+    def _dim_delta_rows(
+        self,
+        spark: SparkSession,
+        base: SnapshotTable,
+        head: int,
+        last: int,
+        new_pins: dict,
+        changed_root: str,
+    ) -> DataFrame | None:
+        """Synthetic change-row frame for a window where ONE dimension
+        logically changed — the SCD answer that replaces an O(base)
+        rebuild with O(fact rows of the changed dimension keys):
+
+        view ≡ Agg(fact@last ⋈ dims@old).  Target: Agg(fact@head ⋈
+        dims@new).  Decomposition (dims agree outside the changed
+        keys K, so the difference is confined to K's fact rows)::
+
+            A        = Δfact(last→head) ⋈ dims@OLD     (native signs)
+            B_remove = fact@head|key∈K ⋈ dims@OLD      (all 'delete')
+            B_add    = fact@head|key∈K ⋈ dims@NEW      (all 'insert')
+
+        The union feeds the STANDARD refresh machinery: arithmetic
+        delta for counter-backed COUNT/SUM/AVG views, touched-group
+        recompute at the new pins for everything else (B carries
+        deletes, so the insert-only branch stays correctly off unless
+        the dim window was pure key-insert) — either way ONE atomic
+        swap stamped with the fact head and the NEW dim pins.
+        ``fact@head|K`` prunes through :meth:`SnapshotTable.
+        read_partition` on the fact's join column when K is small
+        (partition/bloom/stats skipping — the dimension-driven fact
+        scope again). Returns None when the changed dim's pinned
+        history is unreadable (vacuumed) — the caller rebuilds."""
+        join_spec = self.spec["join_spec"]
+        e = next(
+            x for x in join_spec if _pin_key(x["dim_root"]) == changed_root
+        )
+        dt = SnapshotTable(changed_root)
+        old_pins = self.applied_dim_pins()
+        pins_old = dict(new_pins)
+        pins_old[changed_root] = old_pins[changed_root]
+        try:
+            ddiff = row_changes(
+                dt,
+                spark,
+                from_version=old_pins[changed_root],
+                to_version=new_pins[changed_root],
+            )
+            # NULL dim keys never join — they cannot affect any group
+            kdf = ddiff.select(*e["dim_keys"]).na.drop().distinct()
+            fact_k = self._fact_rows_for_dim_keys(spark, base, head, e, kdf)
+            if head > last:
+                a = _join_dims(
+                    spark,
+                    row_changes(
+                        base, spark, from_version=last, to_version=head
+                    ),
+                    join_spec,
+                    pins_old,
+                )
+            else:  # dims changed under an unchanged fact: B-only window
+                a = None
+            b_remove = _join_dims(spark, fact_k, join_spec, pins_old).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            b_add = _join_dims(spark, fact_k, join_spec, new_pins).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        except FileNotFoundError:
+            return None
+        out = b_remove.unionByName(b_add)
+        return a.unionByName(out) if a is not None else out
+
+    def _fact_rows_for_dim_keys(
+        self,
+        spark: SparkSession,
+        base: SnapshotTable,
+        head: int,
+        e: dict,
+        kdf: DataFrame,
+    ) -> DataFrame:
+        """fact@head restricted to rows whose join key matches one of
+        the changed dimension keys (``kdf``: distinct non-NULL key
+        tuples). Small single-column key sets inline into
+        read_partition (manifest/partition/bloom pruning, exact for
+        equality INs); composite or large sets take an exact
+        plain-equality semi-join against the key frame (NULL keys were
+        already excluded — they never join), broadcast-hinted only
+        under the probe bound."""
+        fks, dks = e["fact_keys"], e["dim_keys"]
+        krows = kdf.limit(self._INLINE_KEY_CAP + 1).collect()
+        if len(fks) == 1 and len(krows) <= self._INLINE_KEY_CAP:
+            vals = sorted({r[0] for r in krows}, key=str)
+            return base.read_partition(spark, {fks[0]: vals}, version=head)
+        side = kdf.toDF(*[f"__ck_{i}" for i in range(len(dks))])
+        if len(krows) <= self._INLINE_KEY_CAP:
+            side = F.broadcast(side)  # known-small; else AQE decides
+        cond = reduce(
+            lambda x, y: x & y,
+            [
+                F.col(fk) == F.col(f"__ck_{i}")
+                for i, fk in enumerate(fks)
+            ],
+        )
+        return base.read(spark, version=head).join(side, cond, "left_semi")
 
     def _rebuild_for_dims(
         self,
@@ -747,7 +894,9 @@ class MaterializedView:
             "base_version": head,
             "applied_from": last,
             "mv_version": v,
-            "groups_touched": self.table.read(spark).count(),
+            # every group is touched by definition; counting them would
+            # cost one extra full-view pass for a number nobody gates on
+            "groups_touched": -1,
             "strategy": "rebuild_dims",
         }
 
@@ -760,6 +909,7 @@ class MaterializedView:
         last: int,
         strategy: str,
         dim_pins: dict | None = None,
+        dim_delta: bool = False,
     ) -> dict:
         group_cols = self.spec["group_cols"]
         extra = {"dim_pins": dim_pins} if dim_pins else None
@@ -770,13 +920,16 @@ class MaterializedView:
             # zero rows): the view's DATA is already right, but the
             # applied-version marker must still advance or every future
             # refresh re-diffs this same range forever.
-            return {
+            out = {
                 "noop": True,
                 "base_version": head,
                 "applied_from": last,
                 "mv_version": self._publish_marker(head, dim_pins=dim_pins),
                 "groups_touched": 0,
             }
+            if dim_delta:
+                out["dim_delta"] = True  # pins advanced with the marker
+            return out
         aggs = self.spec["aggs"]
         mv_cols = set(self.table.read(spark).columns)
         use_delta = (
@@ -911,7 +1064,7 @@ class MaterializedView:
             # applied-version marker must still advance or every later
             # refresh re-diffs this same range forever.
             mv_version = self._publish_marker(head, dim_pins=dim_pins)
-        return {
+        out = {
             "noop": False,
             "base_version": head,
             "applied_from": last,
@@ -919,6 +1072,12 @@ class MaterializedView:
             "groups_touched": n_groups,
             "strategy": strategy_used,
         }
+        if dim_delta:
+            # the window carried a LOGICAL dimension change handled
+            # incrementally (SCD delta) — callers distinguishing a
+            # plain fact window from an attribute migration read this
+            out["dim_delta"] = True
+        return out
 
     def _touched_view_rows(
         self, spark: SparkSession, keys: DataFrame, n_groups: int | None
@@ -1367,7 +1526,11 @@ class MaterializedView:
         idempotently; the view never double-applies. APPEND-ONLY bases
         only (the changes stream's documented contract — a delete/merge
         commit fails the stream; mutating bases refresh batch-side on
-        whatever cadence the maintainer chooses). Returns the
+        whatever cadence the maintainer chooses). Star views: only the
+        FACT's commits trigger a batch; a dimension change is detected
+        and answered (rebuild) by whichever refresh runs next, so a
+        dim-mutating deployment should follow with one batch-side
+        refresh rather than waiting on fact traffic. Returns the
         StreamingQuery; availableNow=True drains the backlog and stops
         (the ingest-then-report pattern); pass
         ``processing_time='30 seconds'`` instead for a long-running

@@ -1145,7 +1145,10 @@ def test_star_view_full_lifecycle(spark, tmp_path):
     res = mv.refresh(spark)
     assert res["noop"] and res.get("strategy") != "rebuild_dims"
     check()
-    # a LOGICAL dim change invalidates existing attributions
+    # a LOGICAL dim change: round 13 handles a SINGLE changed dim as an
+    # SCD DELTA (remove old-attr contributions, add new-attr ones for
+    # just the changed keys' fact rows) — arithmetic path for this
+    # counter-backed COUNT/SUM view, pins advanced atomically
     dim.merge_rows(
         spark,
         spark.createDataFrame(
@@ -1154,10 +1157,10 @@ def test_star_view_full_lifecycle(spark, tmp_path):
         key_cols=["d_id"],
     )
     res = mv.refresh(spark)
-    assert res["strategy"] == "rebuild_dims"
+    assert res["strategy"] == "delta" and res.get("dim_delta")
     assert mv.applied_dim_pins() == {dim.root: dim.latest_version()}
     check()
-    # strategy='delta' must refuse while a dim change is pending
+    # strict strategy='delta' SUCCEEDS across a dim change on this view
     dim.merge_rows(
         spark,
         spark.createDataFrame(
@@ -1165,15 +1168,15 @@ def test_star_view_full_lifecycle(spark, tmp_path):
         ),
         key_cols=["d_id"],
     )
-    with pytest.raises(ValueError, match="dimension"):
-        mv.refresh(spark, strategy="delta")
-    mv.refresh(spark)
+    res = mv.refresh(spark, strategy="delta")
+    assert res["strategy"] == "delta" and res.get("dim_delta")
     check()
-    # fact-only window after the rebuild lands back on the delta path
+    # fact-only window afterwards is a plain (non-dim) delta
     fact.commit(
         spark.createDataFrame([(3, 8, 7)], "f_did long, k long, x long")
     )
-    assert mv.refresh(spark)["strategy"] == "delta"
+    res = mv.refresh(spark)
+    assert res["strategy"] == "delta" and not res.get("dim_delta")
     check()
 
 
@@ -1215,6 +1218,24 @@ def test_star_left_join_null_attribute_groups(spark, tmp_path):
     fact.delete_where(spark, F.col("x") == 99)
     assert mv.refresh(spark)["strategy"] == "recompute"
     assert _rows(mv.read(spark)) == expected()
+    # SCD dim delta under a LEFT join: inserting dim key 42 migrates
+    # its fact rows OUT of the NULL-attribute group into 'white' — the
+    # synthetic remove side must debit the NULL group (unmatched-at-old
+    # rows join to NULL attrs), the add side credits the new one
+    dim.merge_rows(
+        spark,
+        spark.createDataFrame(
+            [(42, "white", "north")],
+            "d_id long, color string, region string",
+        ),
+        key_cols=["d_id"],
+    )
+    res = mv.refresh(spark)
+    assert res.get("dim_delta"), res
+    assert _rows(mv.read(spark)) == expected()
+    assert (
+        mv.read(spark).filter(F.col("color") == "white").count() == 1
+    )
 
 
 def test_star_join_spec_validation(spark, tmp_path):
@@ -1368,9 +1389,10 @@ def test_star_avg_view_delta_and_rebuild(spark, tmp_path):
         ),
         key_cols=["d_id"],
     )
-    assert mv.refresh(spark)["strategy"] == "rebuild_dims"
+    res = mv.refresh(spark)
+    assert res["strategy"] == "delta" and res.get("dim_delta")
     assert _rows(mv.read(spark)) == expected()
-    # counters re-emitted by the rebuild: next fact window is delta
+    # counters maintained through the dim delta: next fact window delta
     fact.delete_where(spark, F.col("k") == 10)
     assert mv.refresh(spark)["strategy"] == "delta"
     assert _rows(mv.read(spark)) == expected()
@@ -1554,10 +1576,54 @@ def test_countd_star_view_with_bitmaps(spark, tmp_path):
         ),
         key_cols=["d_id"],
     )
-    assert mv.refresh(spark)["strategy"] == "rebuild_dims"
+    # countd view: the synthetic dim delta carries deletes, so it lands
+    # on the touched-group recompute (bitmaps cannot subtract) — still
+    # O(changed keys' fact rows + touched groups), never O(base)
+    res = mv.refresh(spark)
+    assert res["strategy"] == "recompute" and res.get("dim_delta")
     assert _rows(mv.read(spark)) == expected()
     fact.commit(
         spark.createDataFrame([(3, 12, 42)], "f_did long, k long, x long")
     )
     assert mv.refresh(spark)["strategy"] == "delta_insert_only"
     assert _rows(mv.read(spark)) == expected()
+
+
+def test_star_dim_vacuumed_history_rebuilds_not_crashes(spark, tmp_path):
+    """Round-13 review finding: retention on a DIMENSION can remove the
+    manifests between the applied pin and the head — the rewrite-only
+    neutrality walk then cannot run. Refresh must answer with a sound
+    rebuild at the new pins, never an unhandled FileNotFoundError."""
+    from kafka_database_import_spark.sources.snapshot import vacuum
+
+    fact, dim, js = _star_fixture(spark, tmp_path)
+    mv = MaterializedView.create(
+        spark, fact, str(tmp_path / "mv"), ["color"], _STAR_AGGS,
+        join_spec=js,
+    )
+    # dim advances twice (one real change), then loses its history
+    dim.merge_rows(
+        spark,
+        spark.createDataFrame(
+            [(1, "green", "east")], "d_id long, color string, region string"
+        ),
+        key_cols=["d_id"],
+    )
+    dim.compact(spark)
+    vacuum(dim, retain_last=1)
+    fact.commit(
+        spark.createDataFrame([(2, 9, 4)], "f_did long, k long, x long")
+    )
+    res = mv.refresh(spark)
+    assert res["strategy"] == "rebuild_dims"
+    assert _rows(mv.read(spark)) == _star_expected(
+        spark, fact, dim, ["color"]
+    )
+    # pins re-established at the surviving head -> delta path resumes
+    fact.commit(
+        spark.createDataFrame([(3, 10, 1)], "f_did long, k long, x long")
+    )
+    assert mv.refresh(spark)["strategy"] == "delta"
+    assert _rows(mv.read(spark)) == _star_expected(
+        spark, fact, dim, ["color"]
+    )
