@@ -547,22 +547,26 @@ def tpcds_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _DS_SQL
     + """,
     yt AS (
+      -- INDEPENDENT FORM (round 13): the Spark side is one 4-sum
+      -- conditional pivot; this side is the REFERENCE's own
+      -- year_total 4-way SELF-JOIN (all legs inner: every total is
+      -- >0-gated, and ext_cents > 0 makes presence ≡ tot > 0)
       SELECT cust_sk,
-             SUM(CASE WHEN chan <= 1 AND YEAR(sold_date) = 1996
-                      THEN ext_cents ELSE 0 END) AS s96,
-             SUM(CASE WHEN chan <= 1 AND YEAR(sold_date) = 1997
-                      THEN ext_cents ELSE 0 END) AS s97,
-             SUM(CASE WHEN chan = 3 AND YEAR(sold_date) = 1996
-                      THEN ext_cents ELSE 0 END) AS w96,
-             SUM(CASE WHEN chan = 3 AND YEAR(sold_date) = 1997
-                      THEN ext_cents ELSE 0 END) AS w97
-      FROM sales WHERE YEAR(sold_date) IN (1996, 1997)
-      GROUP BY cust_sk
+             CASE WHEN chan <= 1 THEN 's' ELSE 'w' END AS cg,
+             YEAR(sold_date) AS y, SUM(ext_cents) AS tot
+      FROM sales
+      WHERE YEAR(sold_date) IN (1996, 1997) AND (chan <= 1 OR chan = 3)
+      GROUP BY 1, 2, 3
     )
-    SELECT cust_sk AS customer
-    FROM yt
-    WHERE s96 > 0 AND s97 > 0 AND w96 > 0 AND w97 > 0
-      AND w97 * s96 > w96 * s97
+    SELECT a.cust_sk AS customer
+    FROM (SELECT cust_sk, tot AS s96 FROM yt WHERE cg='s' AND y=1996) a
+    JOIN (SELECT cust_sk, tot AS s97 FROM yt WHERE cg='s' AND y=1997) b
+      ON a.cust_sk = b.cust_sk
+    JOIN (SELECT cust_sk, tot AS w96 FROM yt WHERE cg='w' AND y=1996) c
+      ON a.cust_sk = c.cust_sk
+    JOIN (SELECT cust_sk, tot AS w97 FROM yt WHERE cg='w' AND y=1997) d
+      ON a.cust_sk = d.cust_sk
+    WHERE w97 * s96 > w96 * s97
     ORDER BY customer NULLS LAST
     """,
 )
@@ -5051,24 +5055,21 @@ def _three_channel_sum(
 
 
 def _three_channel_sum_sql(
-    item_where: str, year: int, moy: int, group_expr: str, group_alias: str
+    part_where: str, year: int, moy: int, group_expr: str, group_alias: str
 ) -> str:
-    branches = "\n      UNION ALL\n".join(
-        f"""      SELECT {group_expr} AS {group_alias},
-             SUM(ext_cents) AS total_cents
-      FROM {t}
-      JOIN item ON item_sk = i_item_sk
-      JOIN date_dim ON sold_date = d_date
-      WHERE {item_where} AND d_year = {year} AND d_moy = {moy}
-      GROUP BY {group_expr}"""
-        for t in ("store_sales", "catalog_sales", "web_sales")
-    )
+    """INDEPENDENT FORM (round 13): the Spark side unions three
+    per-channel aggregates through the item/date_dim views; the
+    channels PARTITION the fact, so the union re-aggregated equals ONE
+    pass over the unified ``sales`` — computed here with item
+    attributes derived from raw ``part`` and dates via direct
+    YEAR/MONTH, bypassing the shared channel/item/date_dim prelude
+    views entirely."""
     return f"""
-    SELECT {group_alias}, SUM(total_cents) AS total_cents
-    FROM (
-{branches}
-    )
-    GROUP BY {group_alias}
+    SELECT {group_expr} AS {group_alias}, SUM(s.ext_cents) AS total_cents
+    FROM sales s JOIN part ON s.item_sk = p_partkey
+    WHERE {part_where}
+      AND YEAR(s.sold_date) = {year} AND MONTH(s.sold_date) = {moy}
+    GROUP BY {group_expr}
     ORDER BY {group_alias} NULLS LAST, total_cents NULLS LAST
     """
 
@@ -5077,7 +5078,7 @@ def _three_channel_sum_sql(
     "tpcds_q33",
     oracle="WITH " + _DS_SQL
     + _three_channel_sum_sql(
-        "i_category = 'PROMO'", 1998, 3, "i_manufact_id", "manufact"
+        "p_type = 'PROMO'", 1998, 3, "p_partkey % 1000", "manufact"
     ),
 )
 def tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5094,7 +5095,8 @@ def tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q56",
     oracle="WITH " + _DS_SQL
     + _three_channel_sum_sql(
-        "i_class IN ('c1', 'c3', 'c5')", 1997, 6, "item_sk", "item"
+        "('c' || CAST(p_partkey % 8 AS VARCHAR)) IN ('c1', 'c3', 'c5')",
+        1997, 6, "s.item_sk", "item",
     ),
 )
 def tpcds_q56(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1627,3 +1627,59 @@ def test_star_dim_vacuumed_history_rebuilds_not_crashes(spark, tmp_path):
     assert _rows(mv.read(spark)) == _star_expected(
         spark, fact, dim, ["color"]
     )
+
+
+def test_dim_delta_fact_scan_prunes_by_join_key(spark, tmp_path):
+    """The SCD delta's 100-TB bound is observable: with the fact
+    partitioned on its join key, the changed-dim-keys fact scan must
+    plan only the affected partitions' files (read_partition inline
+    path — manifest pruning, exact for the equality IN)."""
+    fact = SnapshotTable(str(tmp_path / "fact"))
+    dim = SnapshotTable(str(tmp_path / "dim"))
+    dim.commit(
+        spark.createDataFrame(
+            [(i, f"a{i % 3}") for i in range(8)], "d_id long, attr string"
+        )
+    )
+    fact.commit(
+        spark.createDataFrame(
+            [(i % 8, i, i * 2) for i in range(64)],
+            "f_did long, k long, x long",
+        )
+    )
+    fact.set_partition_spec(["f_did"])
+    fact.compact(spark)
+    js = [{"dim_root": dim.root, "fact_keys": ["f_did"],
+           "dim_keys": ["d_id"], "cols": ["attr"], "how": "inner"}]
+    mv = MaterializedView.create(
+        spark, fact, str(tmp_path / "mv"), ["attr"], _STAR_AGGS,
+        join_spec=js,
+    )
+    # change TWO of eight dim keys, then refresh (SCD delta)
+    dim.merge_rows(
+        spark,
+        spark.createDataFrame(
+            [(1, "moved"), (5, "moved")], "d_id long, attr string"
+        ),
+        key_cols=["d_id"],
+    )
+    res = mv.refresh(spark)
+    assert res.get("dim_delta") and res["strategy"] == "delta", res
+    assert _rows(mv.read(spark)) == _rows(
+        fact.read(spark)
+        .join(dim.read(spark), F.col("f_did") == F.col("d_id"))
+        .groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+        )
+    )
+    # observable pruning: re-derive the changed-keys fact scan with OUR
+    # handle (refresh used its own) and pin the planned-file subset
+    kdf = spark.createDataFrame([(1,), (5,)], "d_id long")
+    e = mv.spec["join_spec"][0]
+    mv._fact_rows_for_dim_keys(
+        spark, fact, fact.latest_version(), e, kdf
+    ).count()
+    planned, total = fact.last_partition_counts
+    assert total >= 8 and planned < total, (planned, total)
