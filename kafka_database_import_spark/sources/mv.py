@@ -66,9 +66,10 @@ changed keys' fact rows joined through the OLD pinned dim, add them
 joined through the new one, union with the fact window's own diff, and
 feed the standard machinery (arithmetic for counter-backed views,
 touched-group recompute otherwise) — O(changed keys' fact rows), pins
-advanced atomically in the same swap. Only an UNPROVABLE window
-(vacuumed dim history, foreign pins) or several dims changing at once
-pays the full rebuild (``strategy='rebuild_dims'``), the only O(base)
+advanced atomically in the same swap; several dims changing at once
+chain one SCD pass per dim (each pass its own consistent swap). Only
+an UNPROVABLE window (vacuumed dim history, foreign pins) pays the
+full rebuild (``strategy='rebuild_dims'``), the only O(base)
 maintenance event besides ``create``.
 
 Scale shape at 100 TB: the diff is O(rows in files the change range
@@ -686,39 +687,54 @@ class MaterializedView:
         pins: dict = {}
         if join_spec:
             pins, dims_changed, unprovable = self._dim_state()
-            if unprovable or len(dims_changed) > 1:
-                # multi-dim windows could chain single-dim swaps, but
-                # each costs a commit — simultaneous multi-dim change
-                # is rare enough that one rebuild is the better trade
+            if unprovable:
                 if strategy == "delta":
                     raise ValueError(
                         "strategy='delta' but dimension history is "
-                        "unprovable or several dimensions changed since "
-                        "the applied pins — only a rebuild is sound"
+                        "unprovable (vacuumed walk range / foreign "
+                        "pins) — only a rebuild is sound"
                     )
                 return self._rebuild_for_dims(spark, base, head, pins, last)
             if dims_changed:
-                synthetic = self._dim_delta_rows(
-                    spark, base, head, last, pins, dims_changed[0]
-                )
-                if synthetic is None:  # old pin vacuumed mid-build
-                    if strategy == "delta":
-                        raise ValueError(
-                            "strategy='delta' but the changed "
-                            "dimension's pinned history is gone — only "
-                            "a rebuild is sound"
+                # one SCD pass per changed dim, each its own atomic
+                # swap advancing exactly that dim's pin — readers
+                # between passes see a CONSISTENT aggregate of a mixed
+                # but well-defined dim-version vector; the fact diff is
+                # consumed by the first pass (later passes see
+                # applied_base == head and contribute B-rows only)
+                applied = self.applied_dim_pins()
+                done: set[str] = set()
+                result: dict | None = None
+                for k in dims_changed:
+                    step_pins = dict(pins)
+                    for other in dims_changed:
+                        if other != k and other not in done:
+                            step_pins[other] = applied[other]
+                    last_now = self.applied_base_version()
+                    synthetic = self._dim_delta_rows(
+                        spark, base, head, last_now, step_pins, k
+                    )
+                    if synthetic is None:  # old pin vacuumed mid-build
+                        if strategy == "delta":
+                            raise ValueError(
+                                "strategy='delta' but the changed "
+                                "dimension's pinned history is gone — "
+                                "only a rebuild is sound"
+                            )
+                        return self._rebuild_for_dims(
+                            spark, base, head, pins, last
                         )
-                    return self._rebuild_for_dims(
-                        spark, base, head, pins, last
-                    )
-                synthetic = synthetic.persist()
-                try:
-                    return self._refresh_from_delta(
-                        spark, base, synthetic, head, last, strategy,
-                        dim_pins=pins, dim_delta=True,
-                    )
-                finally:
-                    synthetic.unpersist()
+                    synthetic = synthetic.persist()
+                    try:
+                        result = self._refresh_from_delta(
+                            spark, base, synthetic, head, last_now,
+                            strategy, dim_pins=step_pins, dim_delta=True,
+                        )
+                    finally:
+                        synthetic.unpersist()
+                    done.add(k)
+                result["applied_from"] = last
+                return result
         if head == last:
             return {
                 "noop": True,

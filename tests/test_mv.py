@@ -1683,3 +1683,87 @@ def test_dim_delta_fact_scan_prunes_by_join_key(spark, tmp_path):
     ).count()
     planned, total = fact.last_partition_counts
     assert total >= 8 and planned < total, (planned, total)
+
+
+def test_star_two_dims_change_sequential_scd(spark, tmp_path):
+    """TWO dimensions changing in one window: refresh chains one SCD
+    pass per dim (each an atomic swap advancing exactly that dim's
+    pin) instead of rebuilding — the final state equals a from-scratch
+    join at both heads, and a fresh-handle replay is a noop."""
+    fact = SnapshotTable(str(tmp_path / "fact"))
+    d1 = SnapshotTable(str(tmp_path / "d1"))
+    d2 = SnapshotTable(str(tmp_path / "d2"))
+    d1.commit(
+        spark.createDataFrame(
+            [(1, "red"), (2, "blue")], "a_id long, color string"
+        )
+    )
+    d2.commit(
+        spark.createDataFrame(
+            [(10, "east"), (20, "west")], "b_id long, region string"
+        )
+    )
+    fact.commit(
+        spark.createDataFrame(
+            [(1, 10, 1, 5), (1, 20, 2, 7), (2, 10, 3, 11), (2, 20, 4, 2)],
+            "fa long, fb long, k long, x long",
+        )
+    )
+    js = [
+        {"dim_root": d1.root, "fact_keys": ["fa"], "dim_keys": ["a_id"],
+         "cols": ["color"], "how": "inner"},
+        {"dim_root": d2.root, "fact_keys": ["fb"], "dim_keys": ["b_id"],
+         "cols": ["region"], "how": "inner"},
+    ]
+    mv = MaterializedView.create(
+        spark, fact, str(tmp_path / "mv"), ["color", "region"],
+        _STAR_AGGS, join_spec=js,
+    )
+
+    def expected():
+        j = (
+            fact.read(spark)
+            .join(d1.read(spark), F.col("fa") == F.col("a_id"))
+            .join(d2.read(spark), F.col("fb") == F.col("b_id"))
+        )
+        return _rows(
+            j.groupBy("color", "region").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").alias("sx"),
+            )
+        )
+
+    assert _rows(mv.read(spark)) == expected()
+    # both dims mutate, plus a fact append, all in one window
+    d1.merge_rows(
+        spark,
+        spark.createDataFrame([(1, "green")], "a_id long, color string"),
+        key_cols=["a_id"],
+    )
+    d2.merge_rows(
+        spark,
+        spark.createDataFrame([(20, "north")], "b_id long, region string"),
+        key_cols=["b_id"],
+    )
+    fact.commit(
+        spark.createDataFrame(
+            [(2, 20, 5, 100)], "fa long, fb long, k long, x long"
+        )
+    )
+    res = mv.refresh(spark)
+    assert res.get("dim_delta") and res["strategy"] == "delta", res
+    assert _rows(mv.read(spark)) == expected()
+    assert mv.applied_dim_pins() == {
+        d1.root: d1.latest_version(), d2.root: d2.latest_version(),
+    }
+    # fresh handle: nothing left to apply
+    assert MaterializedView(mv.root).refresh(spark)["noop"]
+    # and a later fact-only window is a plain delta
+    fact.commit(
+        spark.createDataFrame(
+            [(1, 10, 6, 3)], "fa long, fb long, k long, x long"
+        )
+    )
+    res = mv.refresh(spark)
+    assert res["strategy"] == "delta" and not res.get("dim_delta")
+    assert _rows(mv.read(spark)) == expected()
