@@ -670,8 +670,14 @@ class MaterializedView:
           ``delta_insert_only`` merge (no base re-read) — deletes and
           updates in the window fall back here.
 
+        Star views add the DIMENSION handling described in the module
+        docstring: logically-changed dims maintain via the SCD delta
+        (one chained pass per dim; the result then carries
+        ``dim_delta: True``), unprovable windows rebuild
+        (``strategy='rebuild_dims'``).
+
         Returns ``{"noop", "base_version", "applied_from",
-        "mv_version", "groups_touched", "strategy"}``."""
+        "mv_version", "groups_touched", "strategy"[, "dim_delta"]}``."""
         if strategy not in ("auto", "delta", "recompute"):
             raise ValueError(f"strategy: {strategy!r}")
         base = self.base()
