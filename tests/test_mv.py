@@ -1114,9 +1114,9 @@ _STAR_AGGS = [
 
 def test_star_view_full_lifecycle(spark, tmp_path):
     """Create ⋈ dim, fact append (delta), fact delete (delta), dim
-    compaction (no rebuild), dim mutation (rebuild_dims at new pins),
-    post-rebuild fact append (delta again) — the view equals a from-
-    scratch join+aggregate after every window."""
+    compaction (no rebuild), dim mutation (SCD delta at new pins),
+    post-change fact append (plain delta again) — the view equals a
+    from-scratch join+aggregate after every window."""
     fact, dim, js = _star_fixture(spark, tmp_path)
     mv = MaterializedView.create(
         spark, fact, str(tmp_path / "mv"), ["color"], _STAR_AGGS,
