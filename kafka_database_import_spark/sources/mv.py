@@ -461,7 +461,7 @@ class MaterializedView:
         pins: dict = {}
         if join_spec:
             join_spec = _check_join_spec(
-                join_spec, base.read(spark).columns
+                join_spec, base.read(spark, version=base_head).columns
             )
             for e in join_spec:
                 dv = SnapshotTable(e["dim_root"]).latest_version()
@@ -484,7 +484,12 @@ class MaterializedView:
                 f"spec (a prior create crashed between commit and spec "
                 f"write?) — remove the directory and re-create"
             )
-        src = base.read(spark)
+        # PINNED at the recorded head (round-13 review): the epoch
+        # stamp and the aggregated rows must describe the same base
+        # state — an unpinned read racing a concurrent append would
+        # fold newer rows in, and the next refresh would re-apply that
+        # same diff on top (double count)
+        src = base.read(spark, version=base_head)
         if join_spec:
             src = _join_dims(spark, src, join_spec, pins)
         full = src.groupBy(*group_cols).agg(

@@ -1767,3 +1767,35 @@ def test_star_two_dims_change_sequential_scd(spark, tmp_path):
     res = mv.refresh(spark)
     assert res["strategy"] == "delta" and not res.get("dim_delta")
     assert _rows(mv.read(spark)) == expected()
+
+
+def test_create_never_reads_base_unpinned(spark, tmp_path, monkeypatch):
+    """Round-13 review: create() stamps epoch_id = the head it
+    captured, so every read it plans must be PINNED to that head — an
+    unpinned read racing a concurrent append would fold newer rows
+    into the aggregate and the next refresh would re-apply the same
+    diff (double count). Pinned-only is asserted by interception."""
+    base = SnapshotTable(str(tmp_path / "base"))
+    base.commit(_base_rows(spark, [("a", 1, 10), ("b", 2, 5)]))
+    dim = SnapshotTable(str(tmp_path / "dim"))
+    dim.commit(
+        spark.createDataFrame([("a", "x"), ("b", "y")], "g string, attr string")
+    )
+    unpinned = []
+    real_read = SnapshotTable.read
+
+    def spy(self, spark_, version=None, **kw):
+        if version is None:
+            unpinned.append(self.root)
+        return real_read(self, spark_, version=version, **kw)
+
+    monkeypatch.setattr(SnapshotTable, "read", spy)
+    mv = MaterializedView.create(
+        spark, base, str(tmp_path / "mv"), ["attr"],
+        [{"fn": "count", "alias": "n"}],
+        join_spec=[{"dim_root": dim.root, "fact_keys": ["g"],
+                    "dim_keys": ["g"], "cols": ["attr"]}],
+    )
+    assert not unpinned, unpinned
+    monkeypatch.undo()
+    assert _rows(mv.read(spark)) == [("x", 1), ("y", 1)]
