@@ -64,6 +64,7 @@ HEADLINE = [
     "q99zzzi_mv_star_join",      # COLD star-join MV lifecycle incl. dim rebuild (round 13)
     "q99zzzj_mv_countd_bitmap",  # COLD bitmap COUNT-DISTINCT maintenance (round 13)
     "q99zzzk_streaming_flagship",  # COLD one-DAG stream: parse+join+3 sinks+MV (round 13)
+    "q99zzzl_mv_transparent_rewrite",  # COLD transparent MV rewrite: route, rollup, plan-pin (round 14)
 ]
 
 

@@ -414,7 +414,7 @@ def incremental_neardup_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     est_threshold: float = 0.5,
-    banded_layout_k: int | None = None,
+    banded_layout_k: int | None = 256,
 ):
     """``foreachBatch`` function for STREAMING near-duplicate detection
     against a growing historical corpus — the online variant of q44
@@ -433,13 +433,27 @@ def incremental_neardup_sink(
     ~136 B) — 10¹¹ docs ≈ 14 TB of signatures vs petabytes of text;
     matching is bucketed (band join) and estimate-based (resolution
     1/16), with exact verification deferred to an offline pass that
-    still has the text. The honest cost: each batch re-SCANS the whole
-    signature store (O(corpus) per batch, O(n²) cumulative over a long
-    stream). At real scale the store must be laid out for pruning —
-    banded rows partitioned by ``pmod(band_hash, K)`` so the batch's
-    band keys prune partitions at the scan (×4 storage for ×K less
-    read), plus periodic epoch compaction; the epoch-snapshot commit
-    protocol here is unchanged by that layout."""
+    still has the text.
+
+    Store layout (round 14 — the banded layout is now the DEFAULT for
+    long streams): with ``banded_layout_k=K`` the store holds BAND
+    rows hive-partitioned by ``pb = pmod(band_hash, K)``, so each
+    batch's distinct pb set prunes the store read at planning time —
+    the naive O(store)-per-batch scan becomes
+    O(store × coverage(batch)/K). Sizing law (measured at 10×,
+    SCALE.md): a batch carrying ``B`` band rows (4 per doc) touches
+    ``K·(1 − e^(−B/K))`` partitions, so pruning bites when ``K ≳
+    10·B`` (trickle streams against a large historical store — the
+    regime long streams live in); for bulk batches whose bands cover
+    every partition the layout costs only the ×4 band-row storage and
+    a partitioned write, and reads degrade gracefully to the full
+    scan. ``banded_layout_k=None`` keeps the plain signature store
+    (smallest store, right for short-lived streams). Pair long
+    streams with periodic :func:`compact_neardup_store` — it
+    preserves the pb partitioning, keeps the per-batch read at
+    O(files-in-one-snapshot), and the replay guard survives
+    compaction via the ``_compacted_epochs.json`` manifest. The
+    epoch-snapshot commit protocol is unchanged by the layout."""
     import os
     import shutil
 

@@ -3066,6 +3066,7 @@ def q99zzzh_mv_stream_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q99zzzi_mv_star_join",
     oracle="""
     SELECT CASE WHEN c.c_custkey % 10 = 0 THEN 'REMAPPED'
+                WHEN c.c_custkey % 10 = 5 THEN 'REMAP2'
                 ELSE c.c_mktsegment END AS segment,
            o.o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -3151,7 +3152,9 @@ def q99zzzi_mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window 2: fact COW-delete -> still delta (COUNT/SUM view)
     fact.delete_where(spark, F.col("o_orderkey") % 7 == 0)
     assert mv.refresh(spark)["strategy"] == "delta"
-    # window 3: the DIMENSION mutates -> one atomic rebuild at new pins
+    # window 3: the DIMENSION mutates -> the SCD DELTA, forced via
+    # strategy='delta' (round 14's cost-based auto would legitimately
+    # pick the rebuild at this fixture size — window 5 shows that)
     dim.merge_rows(
         spark,
         dim_rows.filter(F.col("ckey") % 10 == 0).withColumn(
@@ -3159,15 +3162,15 @@ def q99zzzi_mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         key_cols=["ckey"],
     )
-    res = mv.refresh(spark)
+    res = mv.refresh(spark, strategy="delta")
     # round 13: a single changed dimension maintains as an SCD DELTA —
     # arithmetic for this counter-backed COUNT/SUM view, O(changed
     # customers' orders), never the O(base) rebuild (which remains the
     # answer for unprovable/multi-dim windows only)
     assert res["strategy"] == "delta" and res.get("dim_delta"), res
     assert mv.applied_dim_pins() == {dim.root: dim.latest_version()}
-    # window 4: fact-only append AFTER the rebuild — must land back on
-    # the delta path, proving the rebuilt view's pins + counters took
+    # window 4: fact-only append AFTER the SCD pass — must land back on
+    # the delta path, proving the advanced pins + counters took
     # (re-admits the deleted keys' %3==1 slice)
     fact.commit(
         fact_rows.filter(
@@ -3176,6 +3179,31 @@ def q99zzzi_mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res4 = mv.refresh(spark)
     assert res4["strategy"] == "delta", res4
+    # window 5 (round 14, VERDICT r13 item 2): a second dim mutation
+    # under strategy='auto' — manifest stats say this fixture-sized
+    # fact is under REBUILD_BYTES_CAP, so the COST-BASED choice fires
+    # the one-shot rebuild (SCALE.md's measured 10×-cheaper path at
+    # small scale) instead of the SCD delta; at 10×+ the same call
+    # takes the structural delta (tests/test_mv.py pins both sides)
+    dim.merge_rows(
+        spark,
+        dim_rows.filter(F.col("ckey") % 10 == 5).withColumn(
+            "segment", F.lit("REMAP2")
+        ),
+        key_cols=["ckey"],
+    )
+    fact_bytes = sum(
+        _os.path.getsize(_os.path.join(fact.root, f))
+        for f in fact.manifest()["files"]
+    )
+    res5 = mv.refresh(spark)
+    if fact_bytes <= MaterializedView.REBUILD_BYTES_CAP:
+        # the driver's sf0.01/sf0.1 runs land here
+        assert res5["strategy"] == "rebuild_dims", res5
+        assert res5.get("rebuild_reason") == "cost", res5
+    else:  # a 10×+ run: the structural SCD delta is the right choice
+        assert res5["strategy"] == "delta" and res5.get("dim_delta"), res5
+    assert mv.applied_dim_pins() == {dim.root: dim.latest_version()}
     return ordered(mv.read(spark), "segment", "priority", "n", "cents")
 
 
@@ -3259,3 +3287,150 @@ def q99zzzj_mv_countd_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert res["strategy"] == "delta_insert_only", res
     assert mv.applied_base_version() == base.latest_version()
     return ordered(mv.read(spark), "priority", "nd", "n")
+
+
+@query(
+    "q99zzzl_mv_transparent_rewrite",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sumc,
+           ROUND(AVG(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)),
+                 2) AS avgc,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd
+    FROM orders
+    WHERE EXTRACT(month FROM o_orderdate) BETWEEN 2 AND 11
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def q99zzzl_mv_transparent_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRANSPARENT MV query rewrite (round 14, VERDICT r13 item 1),
+    COLD every run: aggregate queries are declared against the BASE
+    table and the ViewCatalog routes them to maintained views — the
+    piece that turns paid-for maintenance into what users feel. The
+    build: two views over an orders-derived base (a delta-eligible
+    COUNT/SUM/AVG view and a bitmap COUNT-DISTINCT view, both grouped
+    by (priority, month)), then a post-create append window so both
+    views are STALE when the queries arrive. Each answer() call
+    auto-refreshes first (the O(change rows) maintenance loop), then
+    answers a month-filtered, priority-grouped query by ROLLUP of view
+    state: COUNT/SUM as sums of partials, AVG from the hidden exact
+    __sum__/__nn__ decomposition, COUNT DISTINCT by OR-merging the
+    hidden 4 KB bitmap buckets across month groups — exact across
+    group boundaries, which summing visible per-month counts is not.
+    The plan is PINNED view-only: every input file of both answered
+    frames lies under a view root (the base parquet is never
+    rescanned), asserted in-build; the DuckDB oracle recomputes the
+    whole answer from the raw fixture, so a stale view, a wrong
+    rollup, or a dropped group hash-mismatches. Two NEGATIVE probes
+    assert the planner's soundness boundary: a finer-grouped query and
+    a filter on a non-group column both fall through to the base.
+    Reference: the pipeline re-reads its source per run
+    (kafka-database-import.go:148-158) — this engine answers repeated
+    aggregates from O(groups) state instead. 100 TB shape: answered
+    cost is O(filtered view rows), fallback stays O(partition scan),
+    and the catalog picks the smallest derivable view by manifest
+    bytes."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_database_import_spark.operators.mv_rewrite import (
+        AggregateQuery,
+        ViewCatalog,
+    )
+    from kafka_database_import_spark.sources.mv import MaterializedView
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tag = _hl.sha256(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(_tf.gettempdir(), f"kdis_mvrwq_{tag}")
+    _sh.rmtree(root, ignore_errors=True)
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.col("o_custkey").alias("ckey"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    base = SnapshotTable(_os.path.join(root, "base"))
+    base.commit(rows.filter(F.col("o_orderkey") % 4 != 3))
+    mv_sums = MaterializedView.create(
+        spark, base, _os.path.join(root, "mv_sums"), ["priority", "mon"],
+        [
+            {"fn": "count", "alias": "n_"},
+            {"fn": "sum", "col": "cents", "alias": "sumc_"},
+            {"fn": "avg", "col": "cents", "alias": "avgc_"},
+        ],
+    )
+    mv_nd = MaterializedView.create(
+        spark, base, _os.path.join(root, "mv_nd"), ["priority", "mon"],
+        [{"fn": "countd", "col": "ckey", "alias": "nd_"}],
+    )
+    # the views go STALE: a fact window lands after create
+    base.commit(rows.filter(F.col("o_orderkey") % 4 == 3))
+    cat = ViewCatalog().register(mv_sums).register(mv_nd)
+    filt = [{"col": "mon", "op": "between", "low": 2, "high": 11}]
+    qa = AggregateQuery(
+        base.root, ["priority"],
+        [
+            {"fn": "count", "alias": "n"},
+            {"fn": "sum", "col": "cents", "alias": "sumc"},
+            {"fn": "avg", "col": "cents", "alias": "avgc"},
+        ],
+        filters=filt,
+    )
+    qb = AggregateQuery(
+        base.root, ["priority"],
+        [{"fn": "countd", "col": "ckey", "alias": "nd"}],
+        filters=filt,
+    )
+    dfa, ia = cat.answer(spark, qa)
+    dfb, ib = cat.answer(spark, qb)
+    # routing + freshness: each query hit its view, refresh applied
+    # the post-create window first
+    assert ia["source"] == "view" and ia["view_root"] == mv_sums.root, ia
+    assert ib["source"] == "view" and ib["view_root"] == mv_nd.root, ib
+    assert ia["refresh"] and not ia["refresh"]["noop"], ia
+
+    def _view_only(df, mv_root):
+        files = [
+            _os.path.abspath(f[7:] if f.startswith("file://") else f)
+            for f in df.inputFiles()
+        ]
+        assert files, "expected a file-backed plan"
+        stray = [f for f in files if not f.startswith(_os.path.abspath(mv_root))]
+        assert not stray, f"rewrite leaked base files into the plan: {stray}"
+
+    _view_only(dfa, mv_sums.root)
+    _view_only(dfb, mv_nd.root)
+    # negative probes: finer grouping / non-group filter fall through
+    neg1 = cat.answer(
+        spark,
+        AggregateQuery(
+            base.root, ["priority", "ckey"],
+            [{"fn": "count", "alias": "n"}],
+        ),
+        refresh="stale_ok",
+    )[1]
+    assert neg1["source"] == "base", neg1
+    neg2 = cat.answer(
+        spark,
+        AggregateQuery(
+            base.root, ["priority"],
+            [{"fn": "count", "alias": "n"}],
+            filters=[{"col": "cents", "op": ">", "value": 0}],
+        ),
+        refresh="stale_ok",
+    )[1]
+    assert neg2["source"] == "base", neg2
+    out = (
+        dfa.withColumn("avgc", F.round(F.col("avgc"), 2))
+        .join(dfb, ["priority"])
+        .select("priority", "n", "sumc", "avgc", "nd")
+    )
+    return ordered(out, "priority")

@@ -1214,7 +1214,12 @@ def q99zw_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     existence, no ledger rows. Returns all flagged pairs; the estimate
     rule (≥ 8/16 equal minhashes ≈ J ≥ 0.5) matches the batch q44
     threshold, and the store holds signatures only (136 B/doc — the
-    100 TB contract: history never re-reads text)."""
+    100 TB contract: history never re-reads text). Round 14: the sink
+    runs its DEFAULT store layout, which is now the banded
+    ``pmod(band_hash, K)`` hive-partitioned one — each batch's band
+    keys prune the store read instead of re-scanning the whole corpus
+    (flat-slope measurement in SCALE.md; identical match set pinned by
+    tests/test_streaming.py)."""
     import glob
     import hashlib
     import os

@@ -307,6 +307,23 @@ def _check_join_spec(join_spec: list[dict], base_cols: list[str]) -> list[dict]:
             raise ValueError(
                 f"join_spec {e['dim_root']}: duplicate cols {cols!r}"
             )
+        reserved = [
+            c
+            for c in cols
+            if c == "_change_type" or c.startswith(_HIDDEN_PREFIXES)
+        ]
+        if reserved:
+            # ADVICE r13: these names are maintenance-internal — a dim
+            # projecting `_change_type` (the change-row sign column) or
+            # a hidden-prefix name would pass create() but produce a
+            # duplicate/ambiguous column in the joined change-row
+            # frame, failing at refresh time. Fail at create instead.
+            raise ValueError(
+                f"join_spec {e['dim_root']}: projected cols collide "
+                f"with maintenance-internal names: {reserved!r} — "
+                f"'_change_type' and the {_HIDDEN_PREFIXES} prefixes "
+                f"are reserved; rename in the dim"
+            )
         clash = set(cols) & seen
         if clash:
             raise ValueError(
@@ -390,12 +407,46 @@ class MaterializedView:
     a CONSISTENT image of some base version (never a partial refresh,
     because the swap is one commit)."""
 
+    #: cost-based ``auto`` refresh (round 14, VERDICT r13 item 2): a
+    #: dimension-change window picks a FULL REBUILD over the SCD delta
+    #: when the base fact's total data bytes at head (manifest file
+    #: list + os.stat — metadata-only, never a scan) fall under this
+    #: cap. SCALE.md's round-13 measurement is the motivation: at
+    #: fixture scale the SCD delta's fixed multi-pass overhead (dim
+    #: diff, key-scoped fact scans, three-way union) costs ~10× a
+    #: one-shot scan+aggregate+overwrite; the structural O(changed
+    #: keys' fact rows) bound only wins once the base dwarfs the
+    #: change. The cap errs low — past it the STRUCTURAL delta is the
+    #: sound default at 100 TB; set to 0 (per-instance) to force the
+    #: delta path always (the fuzz families do, so the hardest
+    #: maintenance code keeps fuzzing regardless of fixture size).
+    REBUILD_BYTES_CAP = 8 * 1024 * 1024
+
     def __init__(self, mv_root: str):
         self.root = mv_root
         spec_path = os.path.join(mv_root, _SPEC_FILE)
         with open(spec_path) as fh:
             self.spec = json.load(fh)
         self.table = SnapshotTable(mv_root)
+
+    def _rebuild_cheaper(self, base: SnapshotTable, head: int) -> bool:
+        """Manifest-stat cost probe for a dimension-change window: is
+        the base small enough that one full scan+agg+overwrite beats
+        the SCD delta's fixed multi-pass overhead? Unknown sizes (a
+        file missing mid-probe) read as 'too big' — the structural
+        delta is always the sound fallback."""
+        cap = self.REBUILD_BYTES_CAP
+        if cap <= 0:
+            return False
+        total = 0
+        try:
+            for f in base.manifest(head)["files"]:
+                total += os.path.getsize(os.path.join(base.root, f))
+                if total > cap:
+                    return False
+        except (OSError, KeyError):
+            return False
+        return True
 
     # ------------------------------------------------------------ create
     @classmethod
@@ -633,6 +684,59 @@ class MaterializedView:
             eff[k] = dv
         return eff, changed, unprovable
 
+    def _check_spec_columns(
+        self, spark: SparkSession, base: SnapshotTable, head: int
+    ) -> None:
+        """Schema-evolution guard (round 14, VERDICT r13 item 6): the
+        view definition references base (and dim-projected) columns by
+        NAME — additive evolution (new columns) and safe widening are
+        transparent to the aggregates, but a DROP or RENAME of a
+        referenced column must fail refresh LOUDLY with the view's own
+        vocabulary, up front, not as a mid-plan AnalysisException (or,
+        worse, a silently NULL-filled aggregate on a re-added column of
+        different meaning). Plan-only: reads schemas, never data."""
+        avail = set(base.read(spark, version=head).columns)
+        join_spec = self.spec.get("join_spec") or []
+        for e in join_spec:
+            dt = SnapshotTable(e["dim_root"])
+            dcols = set(dt.read(spark).columns)
+            missing_d = sorted(
+                c
+                for c in list(e["dim_keys"]) + list(e["cols"])
+                if c not in dcols
+            )
+            if missing_d:
+                raise ValueError(
+                    f"dimension {e['dim_root']} no longer has columns "
+                    f"{missing_d} referenced by the view's join_spec — "
+                    f"the dim schema evolved incompatibly (drop/"
+                    f"rename); re-create the view against the new "
+                    f"schema"
+                )
+            missing_fk = sorted(
+                c for c in e["fact_keys"] if c not in avail
+            )
+            if missing_fk:
+                raise ValueError(
+                    f"base {base.root} no longer has fact join keys "
+                    f"{missing_fk} referenced by the view's join_spec "
+                    f"— incompatible schema evolution; re-create the "
+                    f"view"
+                )
+            avail |= set(e["cols"])
+        need = set(self.spec["group_cols"]) | {
+            a["col"] for a in self.spec["aggs"] if a.get("col")
+        }
+        missing = sorted(c for c in need if c not in avail)
+        if missing:
+            raise ValueError(
+                f"base {base.root} (⋈ dims) no longer provides columns "
+                f"{missing} referenced by the view definition "
+                f"(group_cols/aggs) — a referenced column was dropped "
+                f"or renamed; refresh would silently misaggregate, so "
+                f"it refuses. Re-create the view for the new schema"
+            )
+
     def expire(self, older_than_ms: int) -> dict:
         """Retention for the VIEW's own history, marker-safe: delegate
         to :func:`expire_snapshots` with ``min_retained_version``
@@ -695,6 +799,7 @@ class MaterializedView:
                 f"removed?); rebuild the view"
             )
         join_spec = self.spec.get("join_spec") or []
+        self._check_spec_columns(spark, base, head)
         pins: dict = {}
         if join_spec:
             pins, dims_changed, unprovable = self._dim_state()
@@ -707,6 +812,20 @@ class MaterializedView:
                     )
                 return self._rebuild_for_dims(spark, base, head, pins, last)
             if dims_changed:
+                if strategy == "auto" and self._rebuild_cheaper(
+                    base, head
+                ):
+                    # cost-based choice (round 14): manifest stats say
+                    # the base is small enough that one rebuild beats
+                    # the SCD delta's fixed overhead — measured 10× at
+                    # fixture scale (SCALE.md). strategy='delta' still
+                    # forces the structural path; 'recompute' keeps
+                    # its touched-group semantics through the SCD rows.
+                    res = self._rebuild_for_dims(
+                        spark, base, head, pins, last
+                    )
+                    res["rebuild_reason"] = "cost"
+                    return res
                 # one SCD pass per changed dim, each its own atomic
                 # swap advancing exactly that dim's pin — readers
                 # between passes see a CONSISTENT aggregate of a mixed
@@ -747,11 +866,20 @@ class MaterializedView:
                 result["applied_from"] = last
                 return result
         if head == last:
+            mv_version = self.table.latest_version()
+            if join_spec and pins != self.applied_dim_pins():
+                # ADVICE r13: the pins silently advanced past
+                # rewrite-only dim commits (compaction) — persist them,
+                # or an idle view re-walks the same dim manifest range
+                # on every refresh and, once dim retention expires that
+                # range, pays an O(base) rebuild despite no logical
+                # change. Same files, one marker commit.
+                mv_version = self._publish_marker(head, dim_pins=pins)
             return {
                 "noop": True,
                 "base_version": head,
                 "applied_from": last,
-                "mv_version": self.table.latest_version(),
+                "mv_version": mv_version,
                 "groups_touched": 0,
             }
         # the diff replays for every downstream action (group count,

@@ -1629,11 +1629,17 @@ def test_random_scoped_replaces_match_model(spark, tmp_path, seed):
 def test_random_mutations_star_mv_converges(spark, tmp_path, seed):
     """Random mutation scripts on FACT and DIM of a star view
     (VERDICT r12 item 1's fuzz family): after every refresh the view
-    must equal a from-scratch fact ⋈ dim aggregate, a window carrying
-    a LOGICAL dim change must take 'rebuild_dims', and dim compaction
-    alone must NOT trigger a rebuild. Half the seeds run a
+    must equal a from-scratch fact ⋈ dim aggregate. Round-13 SCD-delta
+    contract (ADVICE r13 docstring fix): a window carrying a LOGICAL
+    dim change maintains INCREMENTALLY — the refresh result carries
+    ``dim_delta`` (or is a noop when the change touched no fact row
+    and no group) and ``rebuild_dims`` never fires; dim compaction
+    alone must NOT register as a logical change. Half the seeds run a
     delta-eligible COUNT/SUM view, half a MIN/MAX (recompute) view,
-    so both maintenance paths fuzz against both mutation sides."""
+    so both maintenance paths fuzz against both mutation sides. The
+    view's rebuild-cost cap is pinned to 0 so the cost-based `auto`
+    (round 14) keeps taking the structural SCD path under fuzz — the
+    cost-based choice has its own deterministic tests."""
     from pyspark.sql import functions as F
 
     from kafka_database_import_spark.sources.mv import MaterializedView
@@ -1687,6 +1693,9 @@ def test_random_mutations_star_mv_converges(spark, tmp_path, seed):
             }
         ],
     )
+    # keep cost-based auto (round 14) from short-circuiting the SCD
+    # delta on this tiny fixture — the structural path is what fuzzes
+    mv.REBUILD_BYTES_CAP = 0
 
     def _recompute():
         j = fact.read(spark).join(
@@ -1879,3 +1888,160 @@ def test_random_vacuum_under_pinned_readers_never_wrong(
         if v not in retained:
             with pytest.raises(FileNotFoundError, match="retention"):
                 tbl.read(spark, version=v)
+
+
+# ---------------------------------------------------------- round 14:
+# multi-dim star MV fuzz (VERDICT r13 item 3): 2–3 dimensions with
+# RANDOM SIMULTANEOUS dim mutations + fact churn inside one refresh
+# window — the chained one-SCD-pass-per-dim path is the round-13
+# engine's most complex code, previously covered by a deterministic
+# two-dim test only. Even seeds pin REBUILD_BYTES_CAP=0 (every window
+# must converge through chained SCD passes; rebuild_dims must never
+# fire); odd seeds keep the round-14 cost-based default (tiny fixture →
+# auto may rebuild), so BOTH auto policies fuzz against the same
+# scripts. After every refresh the view must equal a from-scratch
+# fact ⋈ dims aggregate and the pins must sit at the dim heads.
+
+
+@pytest.mark.parametrize("seed", _seeds(5))
+def test_random_multi_dim_star_mv_converges(spark, tmp_path, seed):
+    from pyspark.sql import functions as F
+
+    from kafka_database_import_spark.sources.mv import MaterializedView
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    rng = random.Random(1_914_000 + seed)
+    n_dims = 2 + (seed % 2)  # alternate 2- and 3-dim stars
+    fact = SnapshotTable(str(tmp_path / "fact"))
+    dims = [SnapshotTable(str(tmp_path / f"d{i}")) for i in range(n_dims)]
+    attrs = ["w", "x", "y", "z"]
+    for i, d in enumerate(dims):
+        d.commit(
+            spark.createDataFrame(
+                [(k, rng.choice(attrs)) for k in range(6)],
+                f"d{i}_id long, a{i} string",
+            )
+        )
+    next_k = 50
+    fact_schema = (
+        ", ".join(f"f{i} long" for i in range(n_dims))
+        + ", k long, x long"
+    )
+
+    def fact_rows(n):
+        nonlocal next_k
+        rows = [
+            tuple(rng.randrange(7) for _ in range(n_dims))  # id 6 unmatched
+            + (next_k + i, rng.randrange(-50, 100))
+            for i in range(n)
+        ]
+        next_k += n
+        return spark.createDataFrame(rows, fact_schema)
+
+    fact.commit(fact_rows(next_k))
+    aggs = (
+        [
+            {"fn": "count", "alias": "n"},
+            {"fn": "sum", "col": "x", "alias": "sx"},
+        ]
+        if seed % 4 < 2
+        else [
+            {"fn": "min", "col": "x", "alias": "mn"},
+            {"fn": "max", "col": "x", "alias": "mx"},
+        ]
+    )
+    group_cols = [f"a{i}" for i in range(n_dims)]
+    mv = MaterializedView.create(
+        spark,
+        fact,
+        str(tmp_path / "mv"),
+        group_cols,
+        aggs,
+        join_spec=[
+            {
+                "dim_root": d.root,
+                "fact_keys": [f"f{i}"],
+                "dim_keys": [f"d{i}_id"],
+                "cols": [f"a{i}"],
+                "how": "inner",
+            }
+            for i, d in enumerate(dims)
+        ],
+    )
+    structural = seed % 2 == 0
+    if structural:
+        mv.REBUILD_BYTES_CAP = 0
+
+    def _expected():
+        j = fact.read(spark)
+        for i, d in enumerate(dims):
+            j = j.join(
+                d.read(spark), F.col(f"f{i}") == F.col(f"d{i}_id")
+            )
+        exprs = [
+            {
+                "n": F.count(F.lit(1)).cast("long").alias("n"),
+                "sx": F.sum("x").alias("sx"),
+                "mn": F.min("x").alias("mn"),
+                "mx": F.max("x").alias("mx"),
+            }[a["alias"]]
+            for a in aggs
+        ]
+        return _nsort(
+            tuple(r) for r in j.groupBy(*group_cols).agg(*exprs).collect()
+        )
+
+    for step in range(10):
+        # one WINDOW: a random composite of simultaneous mutations —
+        # each dim independently mutates with p=0.5 (so multi-dim
+        # windows are common), fact churns with p=0.7
+        for i, d in enumerate(dims):
+            if rng.random() < 0.5:
+                mut = {
+                    k: (k, rng.choice(attrs))
+                    for k in rng.sample(range(6), rng.randint(1, 3))
+                }
+                d.merge_rows(
+                    spark,
+                    spark.createDataFrame(
+                        list(mut.values()), f"d{i}_id long, a{i} string"
+                    ),
+                    key_cols=[f"d{i}_id"],
+                )
+            elif rng.random() < 0.2:
+                d.compact(spark)  # rewrite-only: logically neutral
+        r = rng.random()
+        if r < 0.4:
+            fact.commit(fact_rows(rng.randint(1, 5)))
+        elif r < 0.6:
+            fact.delete_where(
+                spark,
+                (F.col("k") % 5) == rng.randrange(5),
+                mode=rng.choice(["cow", "mor"]),
+            )
+        elif r < 0.7:
+            uniq = {
+                k: tuple(rng.randrange(7) for _ in range(n_dims))
+                + (k, rng.randrange(-50, 100))
+                for k in rng.sample(range(next_k), 2)
+            }
+            fact.merge_rows(
+                spark,
+                spark.createDataFrame(list(uniq.values()), fact_schema),
+                key_cols=["k"],
+            )
+        res = mv.refresh(spark)
+        if structural:
+            assert res.get("strategy") != "rebuild_dims", (seed, step, res)
+        assert _nsort(
+            tuple(r) for r in mv.read(spark).collect()
+        ) == _expected(), (seed, step, res)
+        assert mv.applied_dim_pins() == {
+            d.root: d.latest_version() for d in dims
+        }, (seed, step)
+        assert mv.applied_base_version() == fact.latest_version()
+    # terminal replay from a fresh handle is a noop
+    fresh = MaterializedView(mv.root)
+    if structural:
+        fresh.REBUILD_BYTES_CAP = 0
+    assert fresh.refresh(spark)["noop"]

@@ -580,7 +580,12 @@ def test_incremental_neardup_stream_flags_history_and_batch(spark, tmp_path):
     before = sorted(glob.glob(os.path.join(store, "*", "epoch=*")))
     sink(spark.createDataFrame(b2, "doc_id long, text string"), 1)
     assert sorted(glob.glob(os.path.join(store, "*", "epoch=*"))) == before
-    assert spark.read.parquet(os.path.join(store, "signatures", "epoch=*")).count() == 5
+    # the default store layout is banded (round 14): band rows, one per
+    # (doc, band) — layout-agnostic invariant is the distinct doc set
+    sig = spark.read.option("basePath", os.path.join(store, "signatures")).parquet(
+        *sig_epochs
+    )
+    assert sig.select("doc_id").distinct().count() == 5
 
 
 def test_incremental_neardup_banded_layout_same_matches(spark, tmp_path):
@@ -611,7 +616,10 @@ def test_incremental_neardup_banded_layout_same_matches(spark, tmp_path):
         os.utime(path, (mtime, mtime))
 
     results = {}
-    for mode, kwargs in (("plain", {}), ("banded", {"banded_layout_k": 16})):
+    for mode, kwargs in (
+        ("plain", {"banded_layout_k": None}),
+        ("banded", {"banded_layout_k": 16}),
+    ):
         src = str(tmp_path / f"src_{mode}"); os.makedirs(src)
         store = str(tmp_path / f"store_{mode}")
         write_docs(src, os.path.join(src, "b1.parquet"), b1, 1_000)
