@@ -344,6 +344,18 @@ def _check_join_spec(join_spec: list[dict], base_cols: list[str]) -> list[dict]:
     return out
 
 
+def _schema_names(tbl: SnapshotTable, version: int | None) -> list[str]:
+    """Column names of a table version straight off the manifest's
+    schema JSON — a pure-Python probe for schema checks that would
+    otherwise build (and analyze) a throwaway read() DataFrame."""
+    import json as _json
+
+    return [
+        f["name"]
+        for f in _json.loads(tbl.manifest(version)["schema"])["fields"]
+    ]
+
+
 def _dim_bytes(dt: SnapshotTable, version: int) -> int:
     """Total data-file bytes of a dimension at a pinned version —
     manifest file list + os.stat, never a scan. Unknown (a missing
@@ -512,7 +524,7 @@ class MaterializedView:
         pins: dict = {}
         if join_spec:
             join_spec = _check_join_spec(
-                join_spec, base.read(spark, version=base_head).columns
+                join_spec, _schema_names(base, base_head)
             )
             for e in join_spec:
                 dv = SnapshotTable(e["dim_root"]).latest_version()
@@ -694,12 +706,15 @@ class MaterializedView:
         referenced column must fail refresh LOUDLY with the view's own
         vocabulary, up front, not as a mid-plan AnalysisException (or,
         worse, a silently NULL-filled aggregate on a re-added column of
-        different meaning). Plan-only: reads schemas, never data."""
-        avail = set(base.read(spark, version=head).columns)
+        different meaning). Manifest-only: the committed schema JSON
+        already names every column, so this probe costs zero Spark
+        calls (building a read() DataFrame per refresh just for
+        ``.columns`` forced a full analyzer pass each time)."""
+        avail = set(_schema_names(base, head))
         join_spec = self.spec.get("join_spec") or []
         for e in join_spec:
             dt = SnapshotTable(e["dim_root"])
-            dcols = set(dt.read(spark).columns)
+            dcols = set(_schema_names(dt, dt.latest_version()))
             missing_d = sorted(
                 c
                 for c in list(e["dim_keys"]) + list(e["cols"])
@@ -1069,7 +1084,40 @@ class MaterializedView:
         group_cols = self.spec["group_cols"]
         extra = {"dim_pins": dim_pins} if dim_pins else None
         keys = delta.select(*group_cols).distinct()
-        n_groups = keys.count()
+        # One bounded collect serves every downstream consumer of the
+        # touched-key set (the exact count, the inline pruning lists,
+        # the NULL-counter probes) AND answers "does this window carry
+        # a delete" for the insert-only branch: the old shape ran
+        # count() here, re-collected the same tiny frame inside each
+        # helper, and probed the delta separately for deletes — three
+        # extra Spark jobs per refresh window.
+        key_rows = (
+            delta.groupBy(*group_cols)
+            .agg(
+                F.max(
+                    (F.col("_change_type") == "delete").cast("int")
+                ).alias("__has_del")
+            )
+            .limit(self._INLINE_KEY_CAP + 1)
+            .collect()
+        )
+        has_delete: bool | None = None
+        if len(key_rows) <= self._INLINE_KEY_CAP:
+            n_groups = len(key_rows)
+            has_delete = any(r["__has_del"] for r in key_rows)
+            # swap the lineage-heavy keys frame (scan-diff → distinct)
+            # for a LocalRelation of the collected tuples: every
+            # downstream consumer (the swap's affected-file semi-join,
+            # the recompute's exact tuple join) then broadcasts a
+            # driver-local frame instead of re-running the delta plan
+            # per job
+            keys = spark.createDataFrame(
+                [tuple(r[c] for c in group_cols) for r in key_rows],
+                keys.schema,
+            )
+        else:  # genuinely large key set: exact count, no inlining
+            key_rows = None
+            n_groups = keys.count()
         if n_groups == 0:
             # a pure rewrite range (compaction / a delta that nets to
             # zero rows): the view's DATA is already right, but the
@@ -1086,7 +1134,7 @@ class MaterializedView:
                 out["dim_delta"] = True  # pins advanced with the marker
             return out
         aggs = self.spec["aggs"]
-        mv_cols = set(self.table.read(spark).columns)
+        mv_cols = set(_schema_names(self.table, None))
         use_delta = (
             _delta_eligible(aggs)
             and strategy != "recompute"
@@ -1115,7 +1163,9 @@ class MaterializedView:
             # NULL counter → recompute this window, which rewrites
             # those groups WITH counters — the view self-heals toward
             # the delta path group by group.
-            touched = self._touched_view_rows(spark, keys, n_groups)
+            touched = self._touched_view_rows(
+                spark, keys, n_groups, key_rows=key_rows
+            )
             if (
                 touched.filter(F.col(_NN + "rows").isNull())
                 .limit(1)
@@ -1161,7 +1211,9 @@ class MaterializedView:
             # a live count is the schema-widened-unhealed artifact (a
             # pre-bitmap view recompute-widened) — merging inserts
             # into it would undercount. Recompute heals it with state.
-            touched = self._touched_view_rows(spark, keys, n_groups)
+            touched = self._touched_view_rows(
+                spark, keys, n_groups, key_rows=key_rows
+            )
             unhealed = reduce(
                 lambda a, b: a | b,
                 [
@@ -1174,15 +1226,16 @@ class MaterializedView:
         strategy_used = "recompute"
         if use_delta:
             post = self._delta_post_image(
-                spark, delta, keys, n_groups=n_groups
+                spark, delta, keys, n_groups=n_groups, key_rows=key_rows
             )
             strategy_used = "delta"
-        elif (
-            insert_only_ok
-            and delta.filter(F.col("_change_type") == "delete")
+        elif insert_only_ok and not (
+            has_delete
+            if has_delete is not None
+            else delta.filter(F.col("_change_type") == "delete")
             .limit(1)
             .count()
-            == 0
+            > 0
         ):
             # insert-only window: merge the inserts arithmetically /
             # bitmap-OR, skip the base re-read entirely. Deletes and
@@ -1191,13 +1244,13 @@ class MaterializedView:
             # the correctness anchor for non-self-maintainable
             # aggregates.
             post = self._insert_only_post_image(
-                spark, delta, keys, n_groups=n_groups
+                spark, delta, keys, n_groups=n_groups, key_rows=key_rows
             )
             strategy_used = "delta_insert_only"
         else:
             post = self._recompute_post_image(
                 spark, base, keys, head, n_groups=n_groups,
-                dim_pins=dim_pins,
+                dim_pins=dim_pins, key_rows=key_rows,
             )
         v_before = self.table.latest_version()
         res = self.table.replace_where_keys(
@@ -1235,7 +1288,11 @@ class MaterializedView:
         return out
 
     def _touched_view_rows(
-        self, spark: SparkSession, keys: DataFrame, n_groups: int | None
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        n_groups: int | None,
+        key_rows: "list | None" = None,
     ) -> DataFrame:
         """The VIEW's current rows scoped to the touched groups — the
         same pruning ladder the recompute path applies to the BASE,
@@ -1251,7 +1308,8 @@ class MaterializedView:
         under :attr:`_BROADCAST_KEY_CAP`."""
         group_cols = self.spec["group_cols"]
         if n_groups is not None and n_groups <= self._INLINE_KEY_CAP:
-            key_rows = keys.collect()
+            if key_rows is None:  # caller didn't pre-collect
+                key_rows = keys.collect()
             where = {
                 c: sorted(
                     {r[c] for r in key_rows if r[c] is not None}, key=str
@@ -1282,6 +1340,7 @@ class MaterializedView:
         delta: DataFrame,
         keys: DataFrame,
         n_groups: int | None = None,
+        key_rows: "list | None" = None,
     ) -> DataFrame:
         """Post-image for an INSERT-ONLY change window over a
         COUNT/SUM/MIN/MAX view: each aggregate merges its old value
@@ -1315,7 +1374,9 @@ class MaterializedView:
             # touched group tuples (the bitmap merges carry the data)
             else delta.select(*group_cols).distinct()
         ).alias("__d")
-        cur = self._touched_view_rows(spark, keys, n_groups)
+        cur = self._touched_view_rows(
+            spark, keys, n_groups, key_rows=key_rows
+        )
         curA = cur.alias("__m")
         cond = reduce(
             lambda a, b: a & b,
@@ -1445,6 +1506,7 @@ class MaterializedView:
         head: int,
         n_groups: int | None = None,
         dim_pins: dict | None = None,
+        key_rows: "list | None" = None,
     ) -> DataFrame:
         """Exact post-image of the touched groups from the base head.
         Star views route to :meth:`_recompute_post_image_star`.
@@ -1471,7 +1533,8 @@ class MaterializedView:
         decides) beyond it."""
         if self.spec.get("join_spec"):
             return self._recompute_post_image_star(
-                spark, base, keys, head, dim_pins or {}, n_groups
+                spark, base, keys, head, dim_pins or {}, n_groups,
+                key_rows=key_rows,
             )
         group_cols = self.spec["group_cols"]
         aggs = self.spec["aggs"]
@@ -1483,10 +1546,11 @@ class MaterializedView:
                 for c in group_cols
             ],
         )
-        if n_groups is not None and n_groups > self._INLINE_KEY_CAP:
-            key_rows = None  # known-large: skip the probe collect
-        else:
-            key_rows = keys.limit(self._INLINE_KEY_CAP + 1).collect()
+        if key_rows is None:
+            if n_groups is not None and n_groups > self._INLINE_KEY_CAP:
+                pass  # known-large: skip the probe collect
+            else:
+                key_rows = keys.limit(self._INLINE_KEY_CAP + 1).collect()
         if key_rows is not None and len(key_rows) <= self._INLINE_KEY_CAP:
             where = {
                 c: sorted(
@@ -1561,6 +1625,7 @@ class MaterializedView:
         head: int,
         pins: dict,
         n_groups: int | None,
+        key_rows: "list | None" = None,
     ) -> DataFrame:
         """Exact post-image of the touched groups for a STAR view:
         fact@head ⋈ pinned dims, semi-joined on the touched group
@@ -1585,14 +1650,15 @@ class MaterializedView:
         group_cols = self.spec["group_cols"]
         aggs = self.spec["aggs"]
         agg_exprs = _agg_exprs(aggs, with_nn=_delta_eligible(aggs))
-        fact_cols = set(base.read(spark, version=head).columns)
+        fact_cols = set(_schema_names(base, head))
         fact_side = [c for c in group_cols if c in fact_cols]
 
-        key_rows = None
-        if n_groups is None or n_groups <= self._INLINE_KEY_CAP:
+        if key_rows is None and (
+            n_groups is None or n_groups <= self._INLINE_KEY_CAP
+        ):
             key_rows = keys.limit(self._INLINE_KEY_CAP + 1).collect()
-            if len(key_rows) > self._INLINE_KEY_CAP:
-                key_rows = None
+        if key_rows is not None and len(key_rows) > self._INLINE_KEY_CAP:
+            key_rows = None
         where: dict = {}
         if key_rows is not None:
             for c in fact_side:
@@ -1722,6 +1788,7 @@ class MaterializedView:
         delta: DataFrame,
         keys: DataFrame,
         n_groups: int | None = None,
+        key_rows: "list | None" = None,
     ) -> DataFrame:
         """Post-image of the touched groups by ARITHMETIC — COUNT/SUM/AVG
         views never re-read the base: each change row contributes
@@ -1755,7 +1822,9 @@ class MaterializedView:
                     )
                 )
         d = delta.groupBy(*group_cols).agg(*d_exprs).alias("__d")
-        cur = self._touched_view_rows(spark, keys, n_groups).alias("__m")
+        cur = self._touched_view_rows(
+            spark, keys, n_groups, key_rows=key_rows
+        ).alias("__m")
         cond = reduce(
             lambda a, b: a & b,
             [

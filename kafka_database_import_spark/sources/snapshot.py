@@ -695,19 +695,21 @@ def _with_field_ids(df: DataFrame, schema_json: str) -> DataFrame:
     )
 
 
-def _strip_field_ids(df: DataFrame) -> DataFrame:
+def _strip_field_ids(df: DataFrame, schema: "T.StructType | None" = None) -> DataFrame:
     """Remove the internal ``parquet.field.id`` metadata from a user-
     facing DataFrame (one metadata-only Project; the id-resolved scan
     underneath is untouched) — field ids are a storage detail, not part
-    of the table's logical schema."""
+    of the table's logical schema. Callers that already hold the scan's
+    StructType (every manifest-driven read does) pass it so the probe
+    and the alias list come from Python-side metadata instead of
+    ``df.schema``, which forces an eager analyzer pass per read."""
     from pyspark.sql import functions as F
 
-    if not any(
-        f.metadata and FIELD_ID_KEY in f.metadata for f in df.schema.fields
-    ):
+    fields = (schema if schema is not None else df.schema).fields
+    if not any(f.metadata and FIELD_ID_KEY in f.metadata for f in fields):
         return df
     return df.select(
-        *[F.col(f.name).alias(f.name, metadata={}) for f in df.schema.fields]
+        *[F.col(f.name).alias(f.name, metadata={}) for f in fields]
     )
 
 
@@ -1413,9 +1415,10 @@ class SnapshotTable:
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not m["files"]:
-            return _strip_field_ids(spark.createDataFrame([], schema))
+            return _strip_field_ids(spark.createDataFrame([], schema), schema)
         return _strip_field_ids(
-            self._read_files(spark, m["files"], schema, m.get("dv_files"))
+            self._read_files(spark, m["files"], schema, m.get("dv_files")),
+            schema,
         )
 
     def _prune_partition_files(
@@ -1519,10 +1522,11 @@ class SnapshotTable:
 
         if not keep:
             return _strip_field_ids(
-                spark.createDataFrame([], schema)
+                spark.createDataFrame([], schema), schema
             ).filter(_cond())
         return _strip_field_ids(
-            self._read_files(spark, keep, schema, m.get("dv_files"))
+            self._read_files(spark, keep, schema, m.get("dv_files")),
+            schema,
         ).filter(_cond())
 
     def read_keys(
@@ -1610,10 +1614,11 @@ class SnapshotTable:
             cond = cond & leg
         if not files:
             return _strip_field_ids(
-                spark.createDataFrame([], schema)
+                spark.createDataFrame([], schema), schema
             ).filter(cond)
         return _strip_field_ids(
-            self._read_files(spark, files, schema, m.get("dv_files"))
+            self._read_files(spark, files, schema, m.get("dv_files")),
+            schema,
         ).filter(cond)
 
     def set_partition_spec(self, partition_by: list[str] | None) -> int:
@@ -1927,9 +1932,10 @@ class SnapshotTable:
         m = self._read_staged_manifest(name)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not m["files"]:
-            return _strip_field_ids(spark.createDataFrame([], schema))
+            return _strip_field_ids(spark.createDataFrame([], schema), schema)
         return _strip_field_ids(
-            self._read_files(spark, m["files"], schema, m.get("dv_files"))
+            self._read_files(spark, m["files"], schema, m.get("dv_files")),
+            schema,
         )
 
     def publish_staged(self, name: str) -> int:
@@ -2670,18 +2676,22 @@ class SnapshotTable:
                 )
             v = cm.get("base")
 
-    def _files_of(self, spark: SparkSession, df: "DataFrame") -> list[str]:
-        """Root-relative file paths present in ``df`` (which must carry
-        ``_sg_file`` = ``input_file_name()``). The collect is bounded by
-        the manifest's FILE count, never the row count."""
-        out = []
-        for r in df.select("_sg_file").distinct().collect():
-            p = r[0]
+    def _files_of(self, rows) -> list[str]:
+        """Root-relative file paths from already-collected rows carrying
+        ``_sg_file`` (= ``input_file_name()``). Pure driver-side string
+        work: every caller has just collected the per-file hit counts,
+        so normalizing the paths here costs zero Spark jobs (the old
+        shape round-tripped the collected rows through createDataFrame →
+        distinct → collect — one full job per DML call for strings the
+        driver already held)."""
+        out = set()
+        for r in rows:
+            p = r["_sg_file"]
             if p.startswith("file:"):
                 p = p[len("file:"):]
                 while p.startswith("//"):
                     p = p[1:]
-            out.append(os.path.relpath(p, self.root))
+            out.add(os.path.relpath(p, self.root))
         return sorted(out)
 
     def _scan_with_meta(
@@ -2952,11 +2962,7 @@ class SnapshotTable:
         if not hit:
             return noop
         deleted_rows = sum(r["count"] for r in hit)
-        affected = set(
-            self._files_of(
-                spark, spark.createDataFrame(hit, "`_sg_file` string, `count` long")
-            )
-        )
+        affected = set(self._files_of(hit))
         survivors = self._scan_with_meta(
             spark, sorted(affected), schema, prev_dv
         ).filter(
@@ -3077,14 +3083,7 @@ class SnapshotTable:
             hit = cand.filter(cond).groupBy("_sg_file").count().collect()
             if hit:
                 deleted_rows = sum(r["count"] for r in hit)
-                affected = set(
-                    self._files_of(
-                        spark,
-                        spark.createDataFrame(
-                            hit, "`_sg_file` string, `count` long"
-                        ),
-                    )
-                )
+                affected = set(self._files_of(hit))
         merged_schema = T.StructType.fromJson(json.loads(schema_json))
 
         def _align(d: DataFrame) -> DataFrame:
@@ -3200,12 +3199,7 @@ class SnapshotTable:
         if not hit:
             return noop
         updated_rows = sum(r["count"] for r in hit)
-        affected = set(
-            self._files_of(
-                spark,
-                spark.createDataFrame(hit, "`_sg_file` string, `count` long"),
-            )
-        )
+        affected = set(self._files_of(hit))
         matched = cond.eqNullSafe(F.lit(True))
 
         def _apply_assignments(df: DataFrame, always: bool) -> DataFrame:
@@ -3399,16 +3393,7 @@ class SnapshotTable:
             .collect()
         )
         matched_rows = sum(r["count"] for r in hit)
-        affected = (
-            set(
-                self._files_of(
-                    spark,
-                    spark.createDataFrame(hit, "`_sg_file` string, `count` long"),
-                )
-            )
-            if hit
-            else set()
-        )
+        affected = set(self._files_of(hit)) if hit else set()
 
         def _align(df: DataFrame) -> DataFrame:
             return _align_to(df, merged_schema)
@@ -3634,14 +3619,7 @@ class SnapshotTable:
             )
             replaced_rows = sum(r["count"] for r in hit)
             if hit:
-                affected = set(
-                    self._files_of(
-                        spark,
-                        spark.createDataFrame(
-                            hit, "`_sg_file` string, `count` long"
-                        ),
-                    )
-                )
+                affected = set(self._files_of(hit))
 
         def _align(df: DataFrame) -> DataFrame:
             return _align_to(df, merged_schema)
@@ -4041,16 +4019,7 @@ class SnapshotTable:
             .count()
             .collect()
         )
-        affected = (
-            set(
-                self._files_of(
-                    spark,
-                    spark.createDataFrame(hit, "`_sg_file` string, `count` long"),
-                )
-            )
-            if hit
-            else set()
-        )
+        affected = set(self._files_of(hit)) if hit else set()
         ups = changes.filter(F.col(op_col) != "delete").drop(op_col)
         upserted_rows = ups.count()
         dels = (
@@ -4588,13 +4557,14 @@ class StatsSnapshotTable(SnapshotTable):
                 keep.append(os.path.join(self.root, f))
         self.last_pruned_counts = (len(keep), len(m["files"]))
         if not keep:
-            empty = _strip_field_ids(spark.createDataFrame([], schema))
+            empty = _strip_field_ids(spark.createDataFrame([], schema), schema)
             return empty.filter(F.col(col).between(lo, hi))
         _ensure_fieldid_read(spark, schema)
         return _strip_field_ids(
             spark.read.schema(schema)
             .parquet(*keep)
-            .filter(F.col(col).between(lo, hi))
+            .filter(F.col(col).between(lo, hi)),
+            schema,
         )
 
     def row_count(self, version: int | None = None) -> "int | None":
@@ -4657,7 +4627,8 @@ def changes(
     return _strip_field_ids(
         spark.read.schema(schema).parquet(
             *[os.path.join(tbl.root, f) for f in new_files]
-        )
+        ),
+        schema,
     )
 
 
@@ -4734,13 +4705,43 @@ def row_changes(
 
     cur_side = _load(added + touched_common, cur_dv)
     base_side = _load(dropped + touched_common, base_dv)
-    inserts = cur_side.exceptAll(base_side).withColumn(
-        "_change_type", F.lit("insert")
+    # Signed multiset difference in ONE shuffle: tag each side, group on
+    # every data column, keep rows whose net count is non-zero, re-expand
+    # to |net| copies. Row-for-row identical to the previous
+    # cur.exceptAll(base) ∪ base.exceptAll(cur) shape (both resolve
+    # NULL/NaN equality through the same SQL grouping semantics), but
+    # each side is scanned ONCE and the plan carries ONE Exchange where
+    # the two exceptAll's cost four scans and two full-width shuffles —
+    # this function sits under every refresh/CDC window, so the fixed
+    # cost is paid per maintenance commit.
+    cols = [f.name for f in schema.fields]
+    if {"__rc_sign", "__rc_net", "__rc_dup"} & set(cols):
+        # a (pathological) schema claims the synthetic names: take the
+        # equivalent two-exceptAll shape rather than mis-group
+        inserts = cur_side.exceptAll(base_side).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = base_side.exceptAll(cur_side).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
+    signed = cur_side.withColumn("__rc_sign", F.lit(1)).unionByName(
+        base_side.withColumn("__rc_sign", F.lit(-1))
     )
-    deletes = base_side.exceptAll(cur_side).withColumn(
-        "_change_type", F.lit("delete")
+    net = (
+        signed.groupBy(*cols)
+        .agg(F.sum("__rc_sign").alias("__rc_net"))
+        .filter(F.col("__rc_net") != 0)
     )
-    return inserts.unionByName(deletes)
+    return net.select(
+        *cols,
+        F.when(F.col("__rc_net") > 0, F.lit("insert"))
+        .otherwise(F.lit("delete"))
+        .alias("_change_type"),
+        F.explode(
+            F.sequence(F.lit(1), F.abs(F.col("__rc_net")))
+        ).alias("__rc_dup"),
+    ).drop("__rc_dup")
 
 
 class SnapshotCommitSink:
