@@ -85,6 +85,7 @@ from kafka_database_import_spark.sources.mv import (
     _agg_exprs,
     _join_dims,
     _pin_key,
+    _schema_names,
     MaterializedView,
 )
 from kafka_database_import_spark.sources.snapshot import SnapshotTable
@@ -340,7 +341,10 @@ class ViewCatalog:
         full = _apply_filters(mv.table.read(spark), q.filters)
         gq = list(q.group_cols)
         exact = set(gq) == set(spec["group_cols"])
-        cols = set(full.columns)
+        # column PRESENCE from the committed manifest schema (zero
+        # Spark calls) — forcing full.columns here costs an analyzer
+        # pass per answered query
+        cols = set(_schema_names(mv.table, None))
 
         # soundness probes over the rows the rewrite would consume:
         # healing (sources/mv.py) widens schemas lazily, so NULL hidden
@@ -348,8 +352,13 @@ class ViewCatalog:
         # those rows' weight silently vanishes. State-column presence
         # first (a view created before its state family existed simply
         # lacks the column), then one LIMIT-1 probe per aggregate,
-        # against the already-filtered frame.
+        # against the already-filtered frame. Views whose spec carries
+        # ``state_from_birth`` (created by this module's create(), which
+        # writes the full state family atomically with the first commit
+        # and whose every maintenance path preserves it) skip the probe
+        # JOBS — the presence checks stay, they are free.
         if not exact:
+            probed = not spec.get("state_from_birth")
             for a in q.aggs:
                 fn, col = a["fn"], a.get("col")
                 if fn == "avg":
@@ -361,7 +370,7 @@ class ViewCatalog:
                         F.col(_NN + v["alias"]).isNull()
                         & F.col(v["alias"]).isNotNull()
                     )
-                    if full.filter(probe).limit(1).count() > 0:
+                    if probed and full.filter(probe).limit(1).count() > 0:
                         return None
                 elif fn == "countd":
                     v = _find_view_agg(spec["aggs"], "countd", col)
@@ -371,7 +380,7 @@ class ViewCatalog:
                         F.col(_BM + v["alias"]).isNull()
                         & (F.col(v["alias"]) > 0)
                     )
-                    if full.filter(probe).limit(1).count() > 0:
+                    if probed and full.filter(probe).limit(1).count() > 0:
                         return None
 
         if exact:

@@ -586,6 +586,18 @@ class MaterializedView:
             "base_root": os.path.abspath(base.root),
             "group_cols": list(group_cols),
             "aggs": list(aggs),
+            # Every row of this view has carried its full hidden-state
+            # family (__nn__/__sum__ counters, __bm__ bitmaps) since
+            # creation: create() writes them atomically with the first
+            # data commit, and every maintenance path preserves them
+            # (delta/recompute emit them; insert-only is statically off
+            # for counter views). Refresh and the transparent rewriter
+            # therefore SKIP the per-window NULL-state probe jobs that
+            # exist for views schema-widened by healing (guide §1.2:
+            # one fewer Spark job per refresh and per answered rollup).
+            # Views without the flag (pre-round-14 / foreign) keep the
+            # probes.
+            "state_from_birth": True,
         }
         if join_spec:
             spec["join_spec"] = join_spec
@@ -1152,7 +1164,7 @@ class MaterializedView:
                 if a["fn"] == "avg"
             )
         )
-        if use_delta:
+        if use_delta and not self.spec.get("state_from_birth"):
             # column PRESENCE is not enough: a view created BEFORE its
             # aggregates became delta-eligible (e.g. a pre-round-12 AVG
             # view) gets schema-WIDENED by its first recompute refresh —
@@ -1162,7 +1174,10 @@ class MaterializedView:
             # dropped). Probe the TOUCHED rows only (pruned scan): any
             # NULL counter → recompute this window, which rewrites
             # those groups WITH counters — the view self-heals toward
-            # the delta path group by group.
+            # the delta path group by group. Views whose spec carries
+            # ``state_from_birth`` skip the probe: NULL counters beside
+            # live values are impossible by construction (create wrote
+            # counters for every group and every path preserves them).
             touched = self._touched_view_rows(
                 spark, keys, n_groups, key_rows=key_rows
             )
@@ -1205,12 +1220,17 @@ class MaterializedView:
             )
         )
         countd_aliases = [a["alias"] for a in aggs if a["fn"] == "countd"]
-        if insert_only_ok and countd_aliases:
+        if (
+            insert_only_ok
+            and countd_aliases
+            and not self.spec.get("state_from_birth")
+        ):
             # bitmap analog of the __nn__ NULL probe: a NULL map is
             # valid state ONLY for a zero-count group; NULL map beside
             # a live count is the schema-widened-unhealed artifact (a
             # pre-bitmap view recompute-widened) — merging inserts
             # into it would undercount. Recompute heals it with state.
+            # (``state_from_birth`` views skip the probe — see above.)
             touched = self._touched_view_rows(
                 spark, keys, n_groups, key_rows=key_rows
             )

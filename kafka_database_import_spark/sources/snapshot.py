@@ -56,6 +56,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import tempfile
 import zlib
 
@@ -138,6 +139,21 @@ _RESERVED_MANIFEST_KEYS = frozenset(
         "staged_from", "add_files",
     }
 )
+
+
+def _obs_metric(obs, name: str, fallback):
+    """Read one metric off a batch :class:`Observation`, tolerating the
+    optimizer having REMOVED the CollectMetrics node: when the observed
+    subtree is provably empty (PropagateEmptyRelation — e.g. a pruned
+    scan of a fully-deleted partition) the metrics row comes back
+    schema-less/empty and PySpark's conversion raises. ``fallback`` is
+    then consulted — on that path the underlying plan is an empty
+    relation, so the extra job is instant; on any other miss it simply
+    recomputes the exact value."""
+    try:
+        return obs.get[name]
+    except Exception:
+        return fallback()
 
 
 def _align_to(df: DataFrame, merged_schema: "T.StructType") -> DataFrame:
@@ -1124,6 +1140,9 @@ class SnapshotTable:
         while rel_dir is None or os.path.exists(os.path.join(self.root, rel_dir)):
             suffix = os.path.basename(tempfile.mktemp(prefix=""))
             rel_dir = os.path.join("data", f"c{version}-{suffix}")
+        # recorded so a caller that decides NOT to publish (e.g. a
+        # replace that matched and inserted nothing) can drop the dir
+        self._last_write_reldir = rel_dir
         out_dir = os.path.join(self.root, rel_dir)
         if spec:
             writer = df.write
@@ -3328,21 +3347,32 @@ class SnapshotTable:
             raise ValueError(f"when_not_matched: {when_not_matched!r}")
         if mode not in ("cow", "mor"):
             raise ValueError(f"merge mode: {mode!r}")
-        dup = (
-            source.groupBy(*key_cols)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
+
+        def _raise_dup():
+            dup = (
+                source.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
             raise ValueError(
                 f"source has duplicate merge keys, e.g. "
                 f"{tuple(dup[0][k] for k in key_cols)!r} — a target row "
                 f"matched twice is nondeterministic"
             )
+
         head = self.latest_version()
         if head is None:
+            ndup = (
+                source.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if ndup:
+                _raise_dup()
             if when_not_matched == "insert":
                 v = self.commit(source, mode="append")
                 n = source.count()
@@ -3364,6 +3394,36 @@ class SnapshotTable:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         schema_json = _merge_schema(m, source.schema)
         merged_schema = T.StructType.fromJson(json.loads(schema_json))
+        # the source feeds three jobs (affected-file discovery, the
+        # dup/insert stats pass, the rewrite) and is often a derived
+        # CDC batch — pin it for the op, O(batch) by definition
+        source = source.persist()
+        try:
+            return self._merge_rows_body(
+                spark, source, key_cols, when_matched, when_not_matched,
+                mode, m, head, schema, schema_json, merged_schema,
+                _raise_dup,
+            )
+        finally:
+            source.unpersist()
+
+    def _merge_rows_body(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched: str,
+        when_not_matched: str,
+        mode: str,
+        m: dict,
+        head: int,
+        schema,
+        schema_json: str,
+        merged_schema,
+        _raise_dup,
+    ) -> dict:
+        from pyspark.sql import functions as F
+
         keys = source.select(*key_cols).distinct()
         prev_dv = m.get("dv_files", [])
         candidates = list(m["files"])
@@ -3404,22 +3464,66 @@ class SnapshotTable:
         else:
             aff_df = None
             aff_keys = None
+        # ONE stats pass serves both the duplicate-key guard and the
+        # inserted-row count (guide §1.2): per-key source counts,
+        # left-joined against the affected files' key set — a key with
+        # no match is an insert (aff_keys covers every key the source
+        # could match: any target row sharing a source key lives in an
+        # affected file by construction), and a per-key count > 1 is
+        # the nondeterministic-merge error. The old shape ran a
+        # dedicated dup-check job up front and a dedicated anti-join
+        # count()—two extra passes over the source. Counting inserts as
+        # source.count() - matched_rows would be wrong: matched_rows
+        # counts matched TARGET rows, so a target holding duplicate
+        # keys would undercount (or go negative). A synthetic-name
+        # collision with the key columns falls back to the two-job
+        # shape (same answers, one extra pass).
+        if "__mg_n" in key_cols or "__mg_m" in key_cols:
+            dup = (
+                source.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                _raise_dup()
+            ins_would = (
+                source.join(aff_keys, on=key_cols, how="left_anti")
+                if aff_keys is not None
+                else source
+            ).count()
+        else:
+            counted = source.groupBy(*key_cols).agg(
+                F.count(F.lit(1)).alias("__mg_n")
+            )
+            if aff_keys is not None:
+                counted = counted.join(
+                    aff_keys.withColumn("__mg_m", F.lit(1)),
+                    on=key_cols,
+                    how="left",
+                )
+            else:
+                counted = counted.withColumn(
+                    "__mg_m", F.lit(None).cast("int")
+                )
+            st = counted.agg(
+                F.max("__mg_n").alias("__mx"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__mg_m").isNull(), F.col("__mg_n"))
+                    ),
+                    F.lit(0),
+                ).alias("__ins"),
+            ).collect()[0]
+            if (st["__mx"] or 0) > 1:
+                _raise_dup()
+            ins_would = int(st["__ins"])
         src_parts: list[DataFrame] = []
         inserted_rows = 0
         if when_matched == "update" and when_not_matched == "insert":
             src_parts.append(_align(source))  # updates ∪ inserts = all of source
-            # Count inserts by anti-joining source against the affected
-            # files' key set (same as the insert-only branch below) — NOT
-            # as source.count() - matched_rows: matched_rows counts
-            # matched TARGET rows, so a target holding duplicate keys
-            # would undercount (or go negative). aff_keys covers every
-            # key the source could match, because any target row sharing
-            # a source key lives in an affected file by construction.
-            inserted_rows = (
-                source.join(aff_keys, on=key_cols, how="left_anti").count()
-                if aff_keys is not None
-                else source.count()
-            )
+            inserted_rows = ins_would
         else:
             if when_matched == "update" and aff_keys is not None:
                 src_parts.append(
@@ -3431,7 +3535,7 @@ class SnapshotTable:
                     if aff_keys is not None
                     else source
                 )
-                inserted_rows = ins.count()
+                inserted_rows = ins_would
                 src_parts.append(_align(ins))
         if not affected and not inserted_rows and when_not_matched != "insert":
             return {
@@ -3559,6 +3663,10 @@ class SnapshotTable:
             )
 
         if validate:
+            # the replacement is consumed twice on this path (stray
+            # probe + file write) and is often an expensive derived
+            # frame — pin it for the op's duration
+            replacement = replacement.persist()
             stray = (
                 replacement.alias("__rr")
                 .join(keys.alias("__rk"), _key_cond("__rr", "__rk"), "left_anti")
@@ -3566,6 +3674,7 @@ class SnapshotTable:
                 .collect()
             )
             if stray:
+                replacement.unpersist()
                 raise ValueError(
                     f"replacement row outside the keys scope, e.g. "
                     f"{tuple(stray[0][c] for c in key_cols)!r} — it would "
@@ -3574,6 +3683,8 @@ class SnapshotTable:
                 )
         if self.latest_version() is None:  # fresh table: pure insert
             n = replacement.count()
+            if validate:
+                replacement.unpersist()
             if n == 0:
                 return {
                     "version": None,
@@ -3624,21 +3735,18 @@ class SnapshotTable:
         def _align(df: DataFrame) -> DataFrame:
             return _align_to(df, merged_schema)
 
-        # the replacement is consumed twice (count + file write) and is
-        # often an expensive derived frame (an MV post-image chained
-        # onto a CDC diff) — pin it for the op's duration
-        replacement = replacement.persist()
-        inserted_rows = replacement.count()
-        if not affected and inserted_rows == 0:
-            replacement.unpersist()
-            return {
-                "version": head,
-                "rewritten_files": 0,
-                "kept_files": len(m["files"]),
-                "replaced_rows": 0,
-                "inserted_rows": 0,
-            }
-        parts = [_align(replacement)]
+        # inserted_rows rides the WRITE job as an observed metric
+        # instead of a dedicated count() action (guide §1.2: one Spark
+        # job fewer per call; the old shape also had to persist the
+        # replacement to bridge the two consumers — with a single
+        # consumer the persist goes too on the validate=False path)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = replacement.observe(
+            obs, F.count(F.lit(1)).alias("__rwk_n")
+        )
+        parts = [_align(observed)]
         if affected:
             aff_df = self._scan_with_meta(
                 spark, sorted(affected), schema, prev_dv
@@ -3654,6 +3762,35 @@ class SnapshotTable:
             out = out.unionByName(p)
         version = head + 1
         new_files = self._write_data(out, version, schema_json)
+        try:
+            inserted_rows = int(obs.get["__rwk_n"])
+        except Exception:
+            # the optimizer removes CollectMetrics when it can prove
+            # the observed subtree empty (PropagateEmptyRelation — e.g.
+            # a recompute post-image over a fully-deleted partition's
+            # now-empty pruned scan), and getRow() then yields a
+            # schema-less empty row toPyRow refuses. Count directly:
+            # on that path the plan is an empty relation, so the job is
+            # instant; any other metrics miss recomputes the real count.
+            inserted_rows = replacement.count()
+        if not affected and inserted_rows == 0:
+            # nothing matched, nothing inserted: publish NO version.
+            # The (empty) write already happened — drop its never-
+            # referenced directory; crash-leftover garbage of the same
+            # shape is already vacuum's business, so best-effort.
+            if validate:
+                replacement.unpersist()
+            shutil.rmtree(
+                os.path.join(self.root, self._last_write_reldir),
+                ignore_errors=True,
+            )
+            return {
+                "version": head,
+                "rewritten_files": 0,
+                "kept_files": len(m["files"]),
+                "replaced_rows": 0,
+                "inserted_rows": 0,
+            }
         kept = [f for f in m["files"] if f not in affected]
         man = self._cow_manifest(
             version, head, "replace", schema_json, kept, new_files, m
@@ -3675,7 +3812,8 @@ class SnapshotTable:
                 try:
                     self._check_epoch_unclaimed(m, m2, epoch_id)
                 except ConcurrentCommitError:
-                    replacement.unpersist()
+                    if validate:
+                        replacement.unpersist()
                     raise
                 version = m2["version"] + 1
                 kept = [f for f in m2["files"] if f not in affected]
@@ -3689,12 +3827,14 @@ class SnapshotTable:
                     man["epoch_id"] = epoch_id
                 man.update(extra_keys)
         else:
-            replacement.unpersist()
+            if validate:
+                replacement.unpersist()
             raise ConcurrentCommitError(
                 f"replace lost the version race {_MAX_COMMIT_REBASE} "
                 f"times — sustained contention"
             )
-        replacement.unpersist()
+        if validate:
+            replacement.unpersist()
         return {
             "version": version,
             "rewritten_files": len(affected),
@@ -3758,16 +3898,40 @@ class SnapshotTable:
             raise ValueError(f"apply_changes mode: {mode!r}")
         if op_col not in source.columns:
             raise ValueError(f"op column {op_col!r} not in source")
-        bad = (
-            source.filter(~F.col(op_col).isin("upsert", "delete"))
-            .limit(1)
-            .collect()
+        # the bad-op-value guard rides the batch's FIRST job as an
+        # observed metric instead of a dedicated full-scan collect
+        # (guide §1.2); it is checked before anything publishes, and
+        # _obs_metric falls back to the direct query if the optimizer
+        # collapsed the observed subtree (statically-empty source)
+        from pyspark.sql import Observation
+
+        bad_cond = ~F.col(op_col).isin("upsert", "delete")
+        obs_src = Observation()
+        source = source.observe(
+            obs_src,
+            F.count(F.when(bad_cond, True)).alias("__ac_bad"),
+            F.max(F.when(bad_cond, F.col(op_col))).alias("__ac_badex"),
         )
-        if bad:
-            raise ValueError(
-                f"unknown {op_col} value {bad[0][op_col]!r}: expected "
-                f"'upsert' or 'delete'"
+
+        def _check_bad_ops():
+            n_bad = _obs_metric(
+                obs_src,
+                "__ac_bad",
+                lambda: source.filter(bad_cond).limit(1).count(),
             )
+            if n_bad:
+                ex = _obs_metric(
+                    obs_src,
+                    "__ac_badex",
+                    lambda: source.filter(bad_cond)
+                    .limit(1)
+                    .collect()[0][op_col],
+                )
+                raise ValueError(
+                    f"unknown {op_col} value {ex!r}: expected "
+                    f"'upsert' or 'delete'"
+                )
+
         changes = source
         if seq_col is not None:
             if seq_col not in source.columns:
@@ -3798,6 +3962,7 @@ class SnapshotTable:
                 .limit(1)
                 .collect()
             )
+            _check_bad_ops()
             if dup:
                 raise ValueError(
                     f"changelog batch has multiple changes for key "
@@ -3808,6 +3973,7 @@ class SnapshotTable:
         if head is None:
             ups = changes.filter(F.col(op_col) != "delete").drop(op_col)
             n = ups.count()
+            _check_bad_ops()
             dels = (
                 changes.filter(F.col(op_col) == "delete")
                 .select(*key_cols, seq_col)
@@ -3934,8 +4100,15 @@ class SnapshotTable:
             target = self._scan_with_meta(
                 spark, candidate_files, schema, prev_dv
             )
+            target_seq_src = target
         else:
-            target = spark.createDataFrame([], schema).select(
+            # no candidate can match: hand _apply_resolved no target at
+            # all (an empty-LocalRelation target would let the optimizer
+            # collapse the combined stats join, taking the observed
+            # metrics with it); the stale-skip scan below still needs an
+            # empty typed frame for its union shape
+            target = None
+            target_seq_src = spark.createDataFrame([], schema).select(
                 "*",
                 F.lit(None).cast("string").alias("_sg_file"),
                 F.lit(None).cast("string").alias("_sg_k3"),
@@ -3952,7 +4125,7 @@ class SnapshotTable:
             # then drop changes it supersedes.
             seq_srcs = []
             if seq_col in {f.name for f in schema.fields}:
-                seq_srcs.append(target.select(*key_cols, seq_col))
+                seq_srcs.append(target_seq_src.select(*key_cols, seq_col))
             if prev_ts:
                 seq_srcs.append(
                     spark.read.parquet(
@@ -3971,31 +4144,46 @@ class SnapshotTable:
                 .groupBy(*key_cols)
                 .agg(F.max(seq_col).alias("_sg_tseq"))
             )
-            with_t = changes.join(tgt_seq, on=key_cols, how="left")
-            fresh = with_t.filter(
-                F.col("_sg_tseq").isNull()
-                | (F.col(seq_col) > F.col("_sg_tseq"))
-            ).drop("_sg_tseq")
-            n_before = changes.count()
-            changes = fresh
+            fresh_cond = F.col("_sg_tseq").isNull() | (
+                F.col(seq_col) > F.col("_sg_tseq")
+            )
+            obs_stale = Observation()
+            with_t = changes.join(tgt_seq, on=key_cols, how="left").observe(
+                obs_stale,
+                F.count(F.when(~fresh_cond, True)).alias("__ac_stale"),
+            )
+            stale_src = with_t
+            changes = with_t.filter(fresh_cond).drop("_sg_tseq")
+
+            def _skipped_stale():
+                # read after the first downstream job fired the metric;
+                # the fallback recount only runs if the optimizer
+                # collapsed the observed subtree (statically empty)
+                return int(
+                    _obs_metric(
+                        obs_stale,
+                        "__ac_stale",
+                        lambda: stale_src.filter(~fresh_cond).count(),
+                    )
+                )
+
         else:
-            n_before = None
-        # The resolved change set feeds ~6 downstream jobs (counts, key
-        # discovery, classification splits, the write); persist it once
-        # so the window-dedup + stale-skip joins don't recompute per
-        # job — at big-batch scale that recomputation is the memory
-        # and wall-clock hot spot.
+            def _skipped_stale():
+                return 0
+        # The resolved change set feeds the downstream jobs (combined
+        # discovery/stats pass, classification splits, the write);
+        # persist it once so the window-dedup + stale-skip joins don't
+        # recompute per job — at big-batch scale that recomputation is
+        # the memory and wall-clock hot spot. The first downstream job
+        # materializes it (no dedicated count).
         from pyspark import StorageLevel
 
         changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            skipped_stale = (
-                n_before - changes.count() if n_before is not None else 0
-            )
             return self._apply_resolved(
                 spark, changes, key_cols, op_col, seq_col, mode, epoch_id,
                 m, head, schema, schema_json, merged_schema, target,
-                prev_dv, prev_ts, skipped_stale,
+                prev_dv, prev_ts, _skipped_stale, _check_bad_ops,
             )
         finally:
             changes.unpersist()
@@ -4003,47 +4191,92 @@ class SnapshotTable:
     def _apply_resolved(
         self, spark, changes, key_cols, op_col, seq_col, mode, epoch_id,
         m, head, schema, schema_json, merged_schema, target, prev_dv,
-        prev_ts, skipped_stale,
+        prev_ts, _skipped_stale, _check_bad_ops,
     ) -> dict:
         """The post-resolution half of :meth:`apply_changes`:
         ``changes`` is the deduped, stale-filtered (and persisted)
         effective change set; everything here is classification,
-        writes, and the manifest."""
+        writes, and the manifest.
+
+        ONE combined discovery/stats pass (guide §1.2, §2.4): the
+        per-key change stats (has-a-delete flag, upsert/delete row
+        counts) aggregate once, join the target's candidate scan
+        INNER (keys are distinct, so target rows never multiply), and
+        a single collect yields the affected files, the matched-row
+        count AND the deleted-row count, while the batch totals ride
+        the same job as observed metrics. The old shape ran five jobs
+        (hit semi-join, ups.count, dels.count, deleted_rows semi-join,
+        plus the pre-persist materializing count)."""
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
-        keys = changes.select(*key_cols).distinct()
-        hit = (
-            target.select(*key_cols, "_sg_file")
-            .join(keys, on=key_cols, how="left_semi")
-            .groupBy("_sg_file")
-            .count()
-            .collect()
+        kstats = changes.groupBy(*key_cols).agg(
+            F.max((F.col(op_col) == "delete").cast("int")).alias(
+                "__ac_hasdel"
+            ),
+            F.sum((F.col(op_col) != "delete").cast("long")).alias(
+                "__ac_nup"
+            ),
+            F.sum((F.col(op_col) == "delete").cast("long")).alias(
+                "__ac_ndel"
+            ),
         )
+        obs_k = Observation()
+        kstats = kstats.observe(
+            obs_k,
+            F.sum("__ac_nup").alias("__ac_tup"),
+            F.sum("__ac_ndel").alias("__ac_tdel"),
+        )
+
+        def _tot(col_name, metric):
+            return int(
+                _obs_metric(
+                    obs_k,
+                    metric,
+                    lambda: changes.filter(
+                        (F.col(op_col) == "delete")
+                        == (col_name == "__ac_ndel")
+                    ).count(),
+                )
+                or 0
+            )
+
+        if target is not None:
+            hit = (
+                target.select(*key_cols, "_sg_file")
+                .join(kstats, on=key_cols, how="inner")
+                .groupBy("_sg_file")
+                .agg(
+                    F.count(F.lit(1)).alias("count"),
+                    F.sum("__ac_hasdel").alias("__ac_delhits"),
+                )
+                .collect()
+            )
+            deleted_rows = int(
+                sum(r["__ac_delhits"] or 0 for r in hit)
+            )
+        else:  # every candidate bloom/partition-rejected: no matches
+            kstats.agg(F.count(F.lit(1))).collect()  # fire the metrics
+            hit = []
+            deleted_rows = 0
         affected = set(self._files_of(hit)) if hit else set()
+        upserted_rows = _tot("__ac_nup", "__ac_tup")
+        n_dels = _tot("__ac_ndel", "__ac_tdel") if seq_col is not None else 0
+        _check_bad_ops()
+        skipped_stale = _skipped_stale()
+        keys = changes.select(*key_cols).distinct()
         ups = changes.filter(F.col(op_col) != "delete").drop(op_col)
-        upserted_rows = ups.count()
         dels = (
             changes.filter(F.col(op_col) == "delete")
             .select(*key_cols, seq_col)
             if seq_col is not None
             else None
         )
-        n_dels = dels.count() if dels is not None else 0
-        deleted_rows = 0
         aff_df = (
             self._scan_with_meta(spark, sorted(affected), schema, prev_dv)
             if affected
             else None
         )
-        if aff_df is not None:
-            del_keys = (
-                changes.filter(F.col(op_col) == "delete")
-                .select(*key_cols)
-                .distinct()
-            )
-            deleted_rows = (
-                aff_df.join(del_keys, on=key_cols, how="left_semi").count()
-            )
         if not affected and upserted_rows == 0 and n_dels == 0:
             return {  # nothing to publish: everything missed / stale
                 "version": head,
