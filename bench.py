@@ -88,6 +88,13 @@ def _calibrate(spark) -> float:
     return round(min(run(), run()), 3)
 
 
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kafka_database_import_spark.plans.registry import all_queries
@@ -114,8 +121,21 @@ def main() -> None:
     # Two timed runs, report the min: steady-state measurement (first
     # run can absorb stragglers of JIT/codegen or page-cache warmup the
     # sf0.001 pass missed; min-of-2 is the standard noise floor).
+    #
+    # Calibration is INTERLEAVED (VERDICT r14 issue 3): a single
+    # end-of-run calib sample misses intra-run load swings, and the
+    # pure-codegen microbench degrades more under core contention than
+    # the real queries do, so one badly-timed sample over-corrects
+    # every normalized number. Three samples — start, midpoint, end —
+    # with the MEDIAN published as calib_s (all samples kept in
+    # calib_samples) bound that failure mode. Additions-only: calib_s
+    # keeps its meaning (host-speed work unit), prior-round comparisons
+    # stay valid.
+    calib_samples: list[float] = [_calibrate(spark)]
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i == len(HEADLINE) // 2:
+            calib_samples.append(_calibrate(spark))
         q = catalog.get(name)
         if q is None:
             continue
@@ -131,7 +151,8 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    calib = _calibrate(spark)
+    calib_samples.append(_calibrate(spark))
+    calib = round(_median(calib_samples), 3)
 
     # Publication hygiene (VERDICT r11 item 5): a transient host-load
     # spike during one query's two timed runs publishes a phantom
@@ -166,6 +187,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "calib_s": calib,
+        "calib_samples": calib_samples,
+        # Parallelism proof (VERDICT r14 issue 2): the bench honors
+        # $SPARK_GRAFT_CPUS through get_spark → master(local[N]) but
+        # never SHOWED it, so a flat 8-vs-32-core ratio table looked
+        # like an ignored contract. Echo the requested core count and
+        # the live context's actual defaultParallelism so every BENCH
+        # file proves what it ran on. Additions-only.
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
     }
     # Load indicator (VERDICT r11 item 5): calib_s is a point sample
     # and missed r11's intra-round load swings; the 1/5/15-min load

@@ -389,7 +389,7 @@ def _join_dims(
         dt = SnapshotTable(e["dim_root"])
         pin = pins[_pin_key(e["dim_root"])]
         priv = [f"__kdis_dk{i}_{j}" for j in range(len(e["dim_keys"]))]
-        proj = dt.read(spark, version=pin).select(
+        proj = dt.read(spark, version=pin, strip=False).select(
             *[
                 F.col(k).alias(p)
                 for k, p in zip(e["dim_keys"], priv)
@@ -552,7 +552,7 @@ class MaterializedView:
         # state — an unpinned read racing a concurrent append would
         # fold newer rows in, and the next refresh would re-apply that
         # same diff on top (double count)
-        src = base.read(spark, version=base_head)
+        src = base.read(spark, version=base_head, strip=False)
         if join_spec:
             src = _join_dims(spark, src, join_spec, pins)
         full = src.groupBy(*group_cols).agg(
@@ -1018,7 +1018,9 @@ class MaterializedView:
         krows = kdf.limit(self._INLINE_KEY_CAP + 1).collect()
         if len(fks) == 1 and len(krows) <= self._INLINE_KEY_CAP:
             vals = sorted({r[0] for r in krows}, key=str)
-            return base.read_partition(spark, {fks[0]: vals}, version=head)
+            return base.read_partition(
+                spark, {fks[0]: vals}, version=head, strip=False
+            )
         side = kdf.toDF(*[f"__ck_{i}" for i in range(len(dks))])
         if len(krows) <= self._INLINE_KEY_CAP:
             side = F.broadcast(side)  # known-small; else AQE decides
@@ -1029,7 +1031,9 @@ class MaterializedView:
                 for i, fk in enumerate(fks)
             ],
         )
-        return base.read(spark, version=head).join(side, cond, "left_semi")
+        return base.read(spark, version=head, strip=False).join(
+            side, cond, "left_semi"
+        )
 
     def _rebuild_for_dims(
         self,
@@ -1049,7 +1053,8 @@ class MaterializedView:
         join_spec = self.spec["join_spec"]
         group_cols = self.spec["group_cols"]
         src = _join_dims(
-            spark, base.read(spark, version=head), join_spec, new_pins
+            spark, base.read(spark, version=head, strip=False), join_spec,
+            new_pins,
         )
         full = src.groupBy(*group_cols).agg(
             *_agg_exprs(
@@ -1102,17 +1107,25 @@ class MaterializedView:
         # a delete" for the insert-only branch: the old shape ran
         # count() here, re-collected the same tiny frame inside each
         # helper, and probed the delta separately for deletes — three
-        # extra Spark jobs per refresh window.
-        key_rows = (
-            delta.groupBy(*group_cols)
-            .agg(
-                F.max(
-                    (F.col("_change_type") == "delete").cast("int")
-                ).alias("__has_del")
-            )
-            .limit(self._INLINE_KEY_CAP + 1)
-            .collect()
+        # extra Spark jobs per refresh window. Round 15 folds a THIRD
+        # consumer onto the same job: the view table's affected-file
+        # discovery (the semi-join ``replace_where_keys`` would run as
+        # its own action) unions in under a tag column via
+        # ``_keys_and_hits``, so a delta window pays two actions total
+        # (this collect + the swap's write) instead of three.
+        kagg = delta.groupBy(*group_cols).agg(
+            F.max(
+                (F.col("_change_type") == "delete").cast("int")
+            ).alias("__has_del")
         )
+        pre_hits = None
+        fused = self.table._keys_and_hits(
+            spark, kagg, group_cols, self._INLINE_KEY_CAP
+        )
+        if fused is not None:
+            key_rows, pre_hits = fused
+        else:
+            key_rows = kagg.limit(self._INLINE_KEY_CAP + 1).collect()
         has_delete: bool | None = None
         if len(key_rows) <= self._INLINE_KEY_CAP:
             n_groups = len(key_rows)
@@ -1129,6 +1142,7 @@ class MaterializedView:
             )
         else:  # genuinely large key set: exact count, no inlining
             key_rows = None
+            pre_hits = None  # fused pass caps at _INLINE_KEY_CAP
             n_groups = keys.count()
         if n_groups == 0:
             # a pure rewrite range (compaction / a delta that nets to
@@ -1281,6 +1295,7 @@ class MaterializedView:
             epoch_id=head,
             validate=False,  # post keys ⊆ touched keys by construction
             manifest_extra=extra,
+            _precomputed=pre_hits,
         )
         mv_version = res["version"]
         if mv_version == v_before:
@@ -1337,7 +1352,7 @@ class MaterializedView:
                 + ([None] if any(r[c] is None for r in key_rows) else [])
                 for c in group_cols
             }
-            return self.table.read_partition(spark, where)
+            return self.table.read_partition(spark, where, strip=False)
         cond = reduce(
             lambda a, b: a & b,
             [
@@ -1349,7 +1364,7 @@ class MaterializedView:
         if n_groups is None or n_groups <= self._BROADCAST_KEY_CAP:
             side = F.broadcast(side)
         return (
-            self.table.read(spark)
+            self.table.read(spark, strip=False)
             .alias("__mv")
             .join(side, cond, "left_semi")
         )
@@ -1580,7 +1595,9 @@ class MaterializedView:
                 + ([None] if any(r[c] is None for r in key_rows) else [])
                 for c in group_cols
             }
-            scan = base.read_partition(spark, where, version=head)
+            scan = base.read_partition(
+                spark, where, version=head, strip=False
+            )
             if len(group_cols) == 1:
                 # single column: the scope IS the exact key set
                 return self._post_from_scoped(
@@ -1604,7 +1621,7 @@ class MaterializedView:
         if n_groups is None or n_groups <= self._BROADCAST_KEY_CAP:
             side = F.broadcast(side)
         return self._post_from_scoped(
-            base.read(spark, version=head)
+            base.read(spark, version=head, strip=False)
             .alias("__b")
             .join(side, cond, "left_semi"),
             group_cols,
@@ -1695,7 +1712,9 @@ class MaterializedView:
                 ):
                     continue
                 dt = SnapshotTable(e["dim_root"])
-                dscan = dt.read(spark, version=pins[_pin_key(e["dim_root"])])
+                dscan = dt.read(
+                    spark, version=pins[_pin_key(e["dim_root"])], strip=False
+                )
                 for c in dcols:
                     vals = {r[c] for r in key_rows}
                     non_null = [v for v in vals if v is not None]
@@ -1728,9 +1747,9 @@ class MaterializedView:
                 else:
                     where[fk] = fvals
         scan = (
-            base.read_partition(spark, where, version=head)
+            base.read_partition(spark, where, version=head, strip=False)
             if where
-            else base.read(spark, version=head)
+            else base.read(spark, version=head, strip=False)
         )
         joined = _join_dims(spark, scan, join_spec, pins)
         cond = reduce(

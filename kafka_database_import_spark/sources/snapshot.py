@@ -1418,6 +1418,7 @@ class SnapshotTable:
         spark: SparkSession,
         version: int | None = None,
         ref: str | None = None,
+        strip: bool = True,
     ) -> DataFrame:
         """Plan a scan of exactly one snapshot's file list. The manifest
         is the unit of isolation: this DataFrame keeps returning the
@@ -1426,7 +1427,16 @@ class SnapshotTable:
         (``delete_where(mode='mor')``), the scan anti-joins them on
         (file-key, row position) — the read-time half of the MOR
         tradeoff. ``ref`` reads a named tag (:meth:`create_tag`)
-        instead of a version number."""
+        instead of a version number.
+
+        ``strip=False`` (internal maintenance paths only) skips the
+        field-id-stripping Project: the metadata is harmless inside a
+        diff/arithmetic/recompute pipeline — every write re-stamps ids
+        from the manifest being committed, and fresh/merged schema
+        derivations overwrite them — and the per-column alias list is
+        measurable py4j/analyzer overhead when a refresh plans a dozen
+        reads. User-facing reads always strip (field ids are a storage
+        detail, not part of the logical schema)."""
         if ref is not None:
             if version is not None:
                 raise ValueError("read: pass version OR ref, not both")
@@ -1434,11 +1444,10 @@ class SnapshotTable:
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not m["files"]:
-            return _strip_field_ids(spark.createDataFrame([], schema), schema)
-        return _strip_field_ids(
-            self._read_files(spark, m["files"], schema, m.get("dv_files")),
-            schema,
-        )
+            df = spark.createDataFrame([], schema)
+        else:
+            df = self._read_files(spark, m["files"], schema, m.get("dv_files"))
+        return _strip_field_ids(df, schema) if strip else df
 
     def _prune_partition_files(
         self, m: dict, files: list[str], where: dict
@@ -1505,6 +1514,7 @@ class SnapshotTable:
         spark: SparkSession,
         where: dict,
         version: int | None = None,
+        strip: bool = True,
     ) -> DataFrame:
         """Partition-pruned scan: plan ONLY the files whose manifest
         partition tuple matches ``where`` (``{col: value | [values]}``),
@@ -1512,7 +1522,8 @@ class SnapshotTable:
         were conservatively kept, and makes the result identical to
         ``read().filter(...)`` by construction). Sets
         ``self.last_partition_counts = (planned, total)`` for
-        observability/tests."""
+        observability/tests. ``strip`` as in :meth:`read` (internal
+        maintenance callers skip the field-id-strip Project)."""
         from pyspark.sql import functions as F
 
         m = self.manifest(version)
@@ -1540,13 +1551,12 @@ class SnapshotTable:
             return cond
 
         if not keep:
-            return _strip_field_ids(
-                spark.createDataFrame([], schema), schema
-            ).filter(_cond())
-        return _strip_field_ids(
-            self._read_files(spark, keep, schema, m.get("dv_files")),
-            schema,
-        ).filter(_cond())
+            df = spark.createDataFrame([], schema)
+        else:
+            df = self._read_files(spark, keep, schema, m.get("dv_files"))
+        if strip:
+            df = _strip_field_ids(df, schema)
+        return df.filter(_cond())
 
     def read_keys(
         self,
@@ -3047,6 +3057,15 @@ class SnapshotTable:
         guard that keeps a backfill from silently writing outside its
         declared slice).
 
+        Trade-off (round 14): the stray-row guard is validated from
+        metrics observed DURING the data-file write, so a violating
+        backfill pays one full (unpublished) write before it errors,
+        and a crash between that write and the cleanup ``rmtree``
+        leaves an orphan data dir for ``vacuum`` — the happy path
+        saves a dedicated validation pass per call, the error path is
+        not the case to optimize for. Nothing ever publishes before
+        the guard passes.
+
         Returns ``{"version", "rewritten_files", "kept_files",
         "deleted_rows", "inserted_rows"}``."""
         from pyspark.sql import functions as F
@@ -3380,14 +3399,17 @@ class SnapshotTable:
         if mode not in ("cow", "mor"):
             raise ValueError(f"merge mode: {mode!r}")
 
-        def _raise_dup():
-            dup = (
-                source.groupBy(*key_cols)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .collect()
-            )
+        def _raise_dup(dup=None):
+            # error path only; callers that already hold an offending
+            # row pass it so the probe query never runs twice
+            if dup is None:
+                dup = (
+                    source.groupBy(*key_cols)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .collect()
+                )
             raise ValueError(
                 f"source has duplicate merge keys, e.g. "
                 f"{tuple(dup[0][k] for k in key_cols)!r} — a target row "
@@ -3404,7 +3426,7 @@ class SnapshotTable:
                 .collect()
             )
             if ndup:
-                _raise_dup()
+                _raise_dup(ndup)
             if when_not_matched == "insert":
                 v = self.commit(source, mode="append")
                 n = source.count()
@@ -3635,6 +3657,93 @@ class SnapshotTable:
             "inserted_rows": inserted_rows,
         }
 
+    def _keys_and_hits(
+        self,
+        spark: SparkSession,
+        kagg: DataFrame,
+        key_cols: list[str],
+        cap: int,
+    ):
+        """ONE collect serving a maintenance window's two bookkeeping
+        consumers (guide §1.2 — same fold as ``apply_changes``'s
+        combined discovery/stats pass): the caller's per-key aggregate
+        ``kagg`` (key columns first, any extra stat columns after) and
+        THIS table's affected-file discovery for those keys — the
+        semi-join ``replace_where_keys`` would otherwise run as its own
+        job. The two subtrees union under a tag column and collect
+        once.
+
+        Returns ``(key_rows, (m, affected, replaced_rows))`` where
+        ``key_rows`` are the tag-0 rows (the caller's aggregate,
+        ≤ ``cap`` of them) and the second element is the precomputed
+        discovery ``replace_where_keys`` accepts — both computed
+        against the SAME manifest ``m``, so the swap that follows
+        operates on exactly the state the discovery saw (concurrent
+        commits still surface at publish through the normal rebase
+        path). Returns ``None`` — callers fall back to the two-job
+        shape — when the fused pass doesn't apply: fresh table,
+        bloom-indexed keys (the sidecar probe needs driver-side key
+        values before the scan), a synthetic-name collision, or more
+        than ``cap`` keys (the caller's inline paths don't apply
+        either, and the exact count path re-runs from lineage)."""
+        from functools import reduce as _reduce
+
+        from pyspark.sql import functions as F
+
+        if self.latest_version() is None or self._bloom_cols:
+            return None
+        reserved = {"__kh_tag", "__kh_cnt", "_sg_file", "_sg_k3", "_sg_pos"}
+        kagg_cols = [f.name for f in kagg.schema.fields]
+        if reserved & set(kagg_cols):
+            return None
+        m = self.manifest()
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        ktypes = {f.name: f.dataType for f in kagg.schema.fields}
+        tagged_keys = kagg.limit(cap + 1).select(
+            F.lit(0).alias("__kh_tag"),
+            *[F.col(c) for c in kagg_cols],
+            F.lit(None).cast("string").alias("_sg_file"),
+            F.lit(None).cast("long").alias("__kh_cnt"),
+        )
+        candidates = list(m["files"])
+        if candidates:
+            target = self._scan_with_meta(
+                spark, candidates, schema, m.get("dv_files")
+            )
+            cond = _reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__kt.{c}").eqNullSafe(F.col(f"__kk.{c}"))
+                    for c in key_cols
+                ],
+            )
+            hits = (
+                target.alias("__kt")
+                .join(kagg.select(*key_cols).alias("__kk"), cond, "left_semi")
+                .groupBy("_sg_file")
+                .agg(F.count(F.lit(1)).alias("__kh_cnt"))
+                .select(
+                    F.lit(1).alias("__kh_tag"),
+                    *[
+                        F.lit(None).cast(ktypes[c]).alias(c)
+                        for c in kagg_cols
+                    ],
+                    F.col("_sg_file"),
+                    F.col("__kh_cnt"),
+                )
+            )
+            combined = tagged_keys.unionByName(hits)
+        else:
+            combined = tagged_keys
+        rows = combined.collect()
+        key_rows = [r for r in rows if r["__kh_tag"] == 0]
+        if len(key_rows) > cap:
+            return None
+        hit = [r for r in rows if r["__kh_tag"] == 1]
+        replaced_rows = sum(r["__kh_cnt"] for r in hit)
+        affected = set(self._files_of(hit)) if hit else set()
+        return key_rows, (m, affected, replaced_rows)
+
     def replace_where_keys(
         self,
         spark: SparkSession,
@@ -3644,6 +3753,7 @@ class SnapshotTable:
         epoch_id: int | None = None,
         validate: bool = True,
         manifest_extra: dict | None = None,
+        _precomputed: "tuple | None" = None,
     ) -> dict:
         """Atomic key-scoped overwrite: delete every target row whose
         key tuple appears in ``keys``, append ``replacement``'s rows —
@@ -3675,7 +3785,15 @@ class SnapshotTable:
         and ``replacement`` lands as fresh files — O(affected + new),
         never O(table). Returns ``{"version", "rewritten_files",
         "kept_files", "replaced_rows", "inserted_rows"}``; a call that
-        matches nothing and inserts nothing publishes NO new version."""
+        matches nothing and inserts nothing publishes NO new version.
+
+        ``_precomputed`` (maintenance fast path, see
+        :meth:`_keys_and_hits`): the ``(manifest, affected_files,
+        replaced_rows)`` triple of a discovery the caller already rode
+        on one of its own jobs — this call then skips its discovery
+        job and swaps against exactly that manifest (a concurrent
+        commit still surfaces at publish via the rebase path, same as
+        always)."""
         from functools import reduce
 
         from pyspark.sql import functions as F
@@ -3738,31 +3856,46 @@ class SnapshotTable:
                 "replaced_rows": 0,
                 "inserted_rows": n,
             }
-        m = self.manifest()
-        head = m["version"]
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
-        schema_json = _merge_schema(m, replacement.schema)
-        merged_schema = T.StructType.fromJson(json.loads(schema_json))
-        prev_dv = m.get("dv_files", [])
-        candidates = list(m["files"])
-        if self._bloom_cols and candidates:
-            candidates = self._bloom_prune_files(
-                candidates, self._bloom_batch_canons(keys)
-            )
-        affected: set = set()
-        replaced_rows = 0
-        if candidates:
-            target = self._scan_with_meta(spark, candidates, schema, prev_dv)
-            hit = (
-                target.alias("__rt")
-                .join(keys.alias("__rk"), _key_cond("__rt", "__rk"), "left_semi")
-                .groupBy("_sg_file")
-                .count()
-                .collect()
-            )
-            replaced_rows = sum(r["count"] for r in hit)
-            if hit:
-                affected = set(self._files_of(hit))
+        if _precomputed is not None:
+            m, affected, replaced_rows = _precomputed
+            affected = set(affected)
+            head = m["version"]
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            schema_json = _merge_schema(m, replacement.schema)
+            merged_schema = T.StructType.fromJson(json.loads(schema_json))
+            prev_dv = m.get("dv_files", [])
+        else:
+            m = self.manifest()
+            head = m["version"]
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            schema_json = _merge_schema(m, replacement.schema)
+            merged_schema = T.StructType.fromJson(json.loads(schema_json))
+            prev_dv = m.get("dv_files", [])
+            candidates = list(m["files"])
+            if self._bloom_cols and candidates:
+                candidates = self._bloom_prune_files(
+                    candidates, self._bloom_batch_canons(keys)
+                )
+            affected = set()
+            replaced_rows = 0
+            if candidates:
+                target = self._scan_with_meta(
+                    spark, candidates, schema, prev_dv
+                )
+                hit = (
+                    target.alias("__rt")
+                    .join(
+                        keys.alias("__rk"),
+                        _key_cond("__rt", "__rk"),
+                        "left_semi",
+                    )
+                    .groupBy("_sg_file")
+                    .count()
+                    .collect()
+                )
+                replaced_rows = sum(r["count"] for r in hit)
+                if hit:
+                    affected = set(self._files_of(hit))
 
         def _align(df: DataFrame) -> DataFrame:
             return _align_to(df, merged_schema)
