@@ -447,9 +447,21 @@ def q99zzzk_streaming_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("env.data.event_type").alias("event_type"),
                 F.col("env.data.val_cents").alias("val_cents"),
             )
-            dlq_sink(bad, epoch)
-            main_sink(good, epoch)
-            snap_sink(good, epoch)
+            # the three sinks write DISJOINT targets from the same
+            # persisted batch — overlap them (guide §2.6: actions are
+            # only sequential because the driver calls them
+            # sequentially); block-level cache locking keeps the
+            # batch's first materialization single-computed. The MV
+            # refresh stays after the snapshot commit it consumes.
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [
+                    pool.submit(dlq_sink, bad, epoch),
+                    pool.submit(main_sink, good, epoch),
+                    pool.submit(snap_sink, good, epoch),
+                ]
+                for f in futs:
+                    f.result()  # re-raise any sink failure
             mv.refresh(spark)
         finally:
             batch_df.unpersist()

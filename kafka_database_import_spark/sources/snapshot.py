@@ -3499,14 +3499,81 @@ class SnapshotTable:
                 F.lit(None).cast("string").alias("_sg_k3"),
                 F.lit(None).cast("long").alias("_sg_pos"),
             )
-        hit = (
-            target.select(*key_cols, "_sg_file")
-            .join(keys, on=key_cols, how="left_semi")
-            .groupBy("_sg_file")
-            .count()
-            .collect()
-        )
-        matched_rows = sum(r["count"] for r in hit)
+        # ONE combined discovery/stats pass (guide §1.2, the
+        # apply_changes fold applied to MERGE): the per-file hit counts
+        # (affected-file discovery) and the per-key source stats (the
+        # duplicate-key guard's max count plus the inserted-row count)
+        # union under a tag column and collect together — round 14 had
+        # already folded the dup guard and insert count into one stats
+        # job; this removes the remaining dedicated discovery job. The
+        # matched flag joins the source's per-key counts against the
+        # DISTINCT MATCHED target keys, equivalent to the old
+        # affected-files key set: any target row sharing a source key
+        # lives in an affected file by construction. Counting inserts
+        # as source.count() - matched_rows would be wrong:
+        # matched_rows counts matched TARGET rows, so a target holding
+        # duplicate keys would undercount (or go negative). A
+        # synthetic-name collision with the key columns falls back to
+        # the two-job shape (same answers, one extra pass).
+        reserved = {"__mg_n", "__mg_m", "__mg_tag", "__mg_mx", "__mg_ins"}
+        if reserved & set(key_cols) or "_sg_file" in key_cols:
+            hit = (
+                target.select(*key_cols, "_sg_file")
+                .join(keys, on=key_cols, how="left_semi")
+                .groupBy("_sg_file")
+                .count()
+                .collect()
+            )
+            matched_rows = sum(r["count"] for r in hit)
+        else:
+            hits_branch = (
+                target.select(*key_cols, "_sg_file")
+                .join(keys, on=key_cols, how="left_semi")
+                .groupBy("_sg_file")
+                .agg(F.count(F.lit(1)).alias("count"))
+                .select(
+                    F.lit(1).alias("__mg_tag"),
+                    "_sg_file",
+                    "count",
+                    F.lit(None).cast("long").alias("__mg_mx"),
+                    F.lit(None).cast("long").alias("__mg_ins"),
+                )
+            )
+            matched_keys = (
+                target.select(*key_cols)
+                .join(keys, on=key_cols, how="left_semi")
+                .distinct()
+                .withColumn("__mg_m", F.lit(1))
+            )
+            stats_branch = (
+                source.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("__mg_n"))
+                .join(matched_keys, on=key_cols, how="left")
+                .agg(
+                    F.max("__mg_n").alias("__mg_mx"),
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.col("__mg_m").isNull(), F.col("__mg_n")
+                            )
+                        ),
+                        F.lit(0),
+                    ).alias("__mg_ins"),
+                )
+                .select(
+                    F.lit(0).alias("__mg_tag"),
+                    F.lit(None).cast("string").alias("_sg_file"),
+                    F.lit(None).cast("long").alias("count"),
+                    "__mg_mx",
+                    "__mg_ins",
+                )
+            )
+            rows = hits_branch.unionByName(stats_branch).collect()
+            hit = [r for r in rows if r["__mg_tag"] == 1]
+            matched_rows = sum(r["count"] for r in hit)
+            st = next(r for r in rows if r["__mg_tag"] == 0)
+            if (st["__mg_mx"] or 0) > 1:
+                _raise_dup()
         affected = set(self._files_of(hit)) if hit else set()
 
         def _align(df: DataFrame) -> DataFrame:
@@ -3518,21 +3585,7 @@ class SnapshotTable:
         else:
             aff_df = None
             aff_keys = None
-        # ONE stats pass serves both the duplicate-key guard and the
-        # inserted-row count (guide §1.2): per-key source counts,
-        # left-joined against the affected files' key set — a key with
-        # no match is an insert (aff_keys covers every key the source
-        # could match: any target row sharing a source key lives in an
-        # affected file by construction), and a per-key count > 1 is
-        # the nondeterministic-merge error. The old shape ran a
-        # dedicated dup-check job up front and a dedicated anti-join
-        # count()—two extra passes over the source. Counting inserts as
-        # source.count() - matched_rows would be wrong: matched_rows
-        # counts matched TARGET rows, so a target holding duplicate
-        # keys would undercount (or go negative). A synthetic-name
-        # collision with the key columns falls back to the two-job
-        # shape (same answers, one extra pass).
-        if "__mg_n" in key_cols or "__mg_m" in key_cols:
+        if reserved & set(key_cols) or "_sg_file" in key_cols:
             dup = (
                 source.groupBy(*key_cols)
                 .count()
@@ -3548,31 +3601,7 @@ class SnapshotTable:
                 else source
             ).count()
         else:
-            counted = source.groupBy(*key_cols).agg(
-                F.count(F.lit(1)).alias("__mg_n")
-            )
-            if aff_keys is not None:
-                counted = counted.join(
-                    aff_keys.withColumn("__mg_m", F.lit(1)),
-                    on=key_cols,
-                    how="left",
-                )
-            else:
-                counted = counted.withColumn(
-                    "__mg_m", F.lit(None).cast("int")
-                )
-            st = counted.agg(
-                F.max("__mg_n").alias("__mx"),
-                F.coalesce(
-                    F.sum(
-                        F.when(F.col("__mg_m").isNull(), F.col("__mg_n"))
-                    ),
-                    F.lit(0),
-                ).alias("__ins"),
-            ).collect()[0]
-            if (st["__mx"] or 0) > 1:
-                _raise_dup()
-            ins_would = int(st["__ins"])
+            ins_would = int(st["__mg_ins"])
         src_parts: list[DataFrame] = []
         inserted_rows = 0
         if when_matched == "update" and when_not_matched == "insert":
@@ -4661,6 +4690,50 @@ def _bloom_impl():
         h2 = mix((vals + np.uint64(0x9E3779B97F4A7C15)) & m) | np.uint64(1)
         return h1, h2
 
+    def fnv1a64_buf(data, offsets):
+        """Vectorized FNV-1a 64 over a CONTIGUOUS byte buffer sliced
+        by ``offsets`` (int64, len n+1) — one hash per slice. The
+        per-key sha1 loop for STRING bloom columns was the last
+        row-at-a-time Python on the write path (guide §4.2); FNV's
+        byte-serial dependency vectorizes ACROSS keys instead: one
+        masked fancy-indexed pass per byte position, so a column of
+        n keys with max length L costs L vector ops over n lanes, not
+        n Python hash calls. The 64-bit FNV output then feeds the SAME
+        splitmix64 double-hash machinery as integer keys, so fill and
+        probe share one code path. Build and probe both route through
+        THIS function; the sidecar marks such columns ``fnv1a64`` so
+        old (sha1) sidecars keep probing exactly as written."""
+        import numpy as np
+
+        m = np.uint64(0xFFFFFFFFFFFFFFFF)
+        prime = np.uint64(0x100000001B3)
+        lens = offsets[1:] - offsets[:-1]
+        n = len(lens)
+        h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+        if n == 0:
+            return h
+        starts = offsets[:-1]
+        for j in range(int(lens.max())):
+            live = lens > j
+            if not live.any():
+                break
+            idx = (starts[live] + j).astype(np.int64)
+            b = data[idx].astype(np.uint64)
+            h[live] = ((h[live] ^ b) * prime) & m
+        return h
+
+    def fnv1a64_strs(strs):
+        """Probe-side adapter: the same FNV-1a 64 over a list of canon
+        strings (utf-8 bytes), byte-identical to the build side's
+        buffer form."""
+        import numpy as np
+
+        bs = [s.encode("utf-8") for s in strs]
+        offsets = np.zeros(len(bs) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in bs], out=offsets[1:])
+        data = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        return fnv1a64_buf(data, offsets)
+
     def sm64_fill(arr_u8, vals, bits: int, k: int = k_default):
         """Set the k bloom bits of every value in ``vals`` (uint64
         numpy array) into ``arr_u8`` (uint8 numpy array of bits/8),
@@ -4747,6 +4820,43 @@ def _bloom_impl():
                     ).decode("ascii")
                     hashes[c] = "sm64"
                     continue
+                if _pa.types.is_string(col.type) or _pa.types.is_large_string(
+                    col.type
+                ):
+                    # vectorized build for STRING keys (the other common
+                    # bloom shape): FNV-1a 64 straight over the Arrow
+                    # data buffer + offsets (no per-row Python), then the
+                    # shared splitmix64 double-hash fill. Pathologically
+                    # long keys (> 256 bytes max) keep the sha1 loop —
+                    # the vectorized form costs max-length passes, and a
+                    # kilobyte join key is a modeling smell anyway.
+                    import numpy as _np
+
+                    a = (
+                        col.combine_chunks()
+                        if isinstance(col, _pa.ChunkedArray)
+                        else col
+                    )
+                    a = a.drop_null().cast(_pa.large_string())
+                    offsets = _np.frombuffer(
+                        a.buffers()[1], dtype=_np.int64
+                    )[a.offset : a.offset + len(a) + 1]
+                    lens = offsets[1:] - offsets[:-1]
+                    if len(a) == 0 or int(lens.max(initial=0)) <= 256:
+                        data = (
+                            _np.frombuffer(a.buffers()[2], dtype=_np.uint8)
+                            if a.buffers()[2] is not None
+                            else _np.zeros(0, dtype=_np.uint8)
+                        )
+                        vals = fnv1a64_buf(data, offsets)
+                        arr_u8 = _np.zeros(bits // 8, dtype=_np.uint8)
+                        if len(vals):
+                            sm64_fill(arr_u8, vals, bits)
+                        blooms[c] = base64.b64encode(
+                            _zlib.compress(arr_u8.tobytes())
+                        ).decode("ascii")
+                        hashes[c] = "fnv1a64"
+                        continue
                 arr = bytearray(bits // 8)
                 for v in col.to_pylist():
                     canon_s = canon(v)
@@ -4780,7 +4890,7 @@ def _bloom_impl():
             raise
         return len(blooms)
 
-    return canon, positions, build_sidecar, sm64_may_contain_any
+    return canon, positions, build_sidecar, sm64_may_contain_any, fnv1a64_strs
 
 
 (
@@ -4788,6 +4898,7 @@ def _bloom_impl():
     _bloom_positions,
     _build_bloom_sidecar,
     _sm64_may_contain_any,
+    _fnv1a64_strs,
 ) = _bloom_impl()
 
 
@@ -4842,6 +4953,13 @@ def _bloom_may_contain_any(
         except (ValueError, TypeError):
             return True
         return _sm64_may_contain_any(data, vals, bits, k)
+    if kind == "fnv1a64":
+        # string-vectorized sidecar: hash the canon strings' utf-8
+        # bytes exactly like the build side hashed the Arrow buffer
+        # (canon of a string IS the string, so the bytes agree)
+        return _sm64_may_contain_any(
+            data, _fnv1a64_strs(canons), bits, k
+        )
     if kind is not None and kind != "sha1":
         return True  # future format: conservatively keep
     for canon in canons:

@@ -274,15 +274,96 @@ def _make():
                     c: zlib.decompress(base64.b64decode(b))
                     for c, b in raw.get("blooms", {}).items()
                 },
+                # per-column hash kind (round 14/15 vectorized builds);
+                # absent = sha1, the v1 layout
+                "hashes": dict(raw.get("hashes", {})),
             }
         except (OSError, ValueError, KeyError, json.JSONDecodeError):
             return None
+
+    def _sm64_pair(vals):
+        """splitmix64 double-hash pair — byte-compatible twin of
+        snapshot._bloom_impl's ``sm64_h1h2`` (pinned by test)."""
+        import numpy as np
+
+        m = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+        def mix(x):
+            x = x.copy()
+            x ^= x >> np.uint64(30)
+            x = (x * np.uint64(0xBF58476D1CE4E5B9)) & m
+            x ^= x >> np.uint64(27)
+            x = (x * np.uint64(0x94D049BB133111EB)) & m
+            x ^= x >> np.uint64(31)
+            return x
+
+        h1 = mix(vals)
+        h2 = mix((vals + np.uint64(0x9E3779B97F4A7C15)) & m) | np.uint64(1)
+        return h1, h2
+
+    def _sm64_keeps(data, vals, bits: int, k: int) -> bool:
+        import numpy as np
+
+        arr = np.frombuffer(data, dtype=np.uint8)
+        h1, h2 = _sm64_pair(vals)
+        alive = np.ones(len(vals), dtype=bool)
+        for i in range(k):
+            h = (h1 + np.uint64(i) * h2) % np.uint64(bits)
+            bit = (
+                arr[(h >> np.uint64(3)).astype(np.int64)]
+                >> (h & np.uint64(7)).astype(np.uint8)
+            ) & 1
+            alive &= bit.astype(bool)
+            if not alive.any():
+                return False
+        return True
+
+    def _fnv1a64(strs):
+        """FNV-1a 64 over canon strings — byte-compatible twin of
+        snapshot._bloom_impl's ``fnv1a64_strs`` (pinned by test)."""
+        import numpy as np
+
+        m = np.uint64(0xFFFFFFFFFFFFFFFF)
+        prime = np.uint64(0x100000001B3)
+        bs = [s.encode("utf-8") for s in strs]
+        offsets = np.zeros(len(bs) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in bs], out=offsets[1:])
+        data = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        lens = offsets[1:] - offsets[:-1]
+        h = np.full(len(bs), 0xCBF29CE484222325, dtype=np.uint64)
+        if len(bs) == 0:
+            return h
+        starts = offsets[:-1]
+        for j in range(int(lens.max())):
+            live = lens > j
+            if not live.any():
+                break
+            idx = (starts[live] + j).astype(np.int64)
+            b = data[idx].astype(np.uint64)
+            h[live] = ((h[live] ^ b) * prime) & m
+        return h
 
     def _bloom_keeps(sidecar, col, canons) -> bool:
         data = sidecar["blooms"].get(col)
         if data is None:
             return True
         bits, k = sidecar["bits"], sidecar["k"]
+        kind = sidecar.get("hashes", {}).get(col)
+        if kind == "sm64":
+            import numpy as np
+
+            try:
+                vals = np.array(
+                    [int(c0) & 0xFFFFFFFFFFFFFFFF for c0 in canons],
+                    dtype=np.uint64,
+                )
+            except (ValueError, TypeError):
+                return True  # cross-type probe: cannot disprove
+            return _sm64_keeps(data, vals, bits, k)
+        if kind == "fnv1a64":
+            return _sm64_keeps(data, _fnv1a64(canons), bits, k)
+        if kind is not None and kind != "sha1":
+            return True  # unknown future kind: conservatively keep
         for canon_s in canons:
             if all(
                 (data[h >> 3] >> (h & 7)) & 1

@@ -429,34 +429,102 @@ def test_int_sidecar_uses_sm64_and_prunes_exactly(spark, tmp_path):
     assert dict(_rows(tbl.read(spark)))[5050] == "UP"
 
 
-def test_sha1_sidecars_still_probe_and_strings_stay_sha1(spark, tmp_path):
-    """Backward + forward compatibility: a sidecar WITHOUT the hashes
-    key (pre-round-14 layout, simulated by stripping it) probes via
-    sha1 exactly as written; STRING bloom columns keep the sha1 format
-    natively; an unknown future hash kind is conservatively kept."""
+def test_string_sidecar_uses_fnv1a64_and_prunes_exactly(spark, tmp_path):
+    """Round 15: string bloom columns build through the vectorized
+    FNV-1a-64-over-Arrow-buffer path — the sidecar marks the column
+    "fnv1a64", present keys always probe True (no false negatives,
+    including empty and non-ASCII strings), disjoint keys prune, and
+    the DML discovery prunes end-to-end through the new kind."""
+    tbl = SnapshotTable(str(tmp_path / "t"), bloom_cols=["v"])
+    rows = [(j, f"v{j}") for j in range(100)] + [
+        (100, ""),
+        (101, "é-ünïcode-ключ"),
+    ]
+    tbl.commit(_df(spark, rows).coalesce(1))
+    f = tbl.manifest()["files"][0]
+    sc = _load_bloom_sidecar(tbl.root, f)
+    assert sc["hashes"] == {"v": "fnv1a64"}
+    # zero false negatives over every stored key, incl. "" and unicode
+    for _k, v in rows:
+        assert _bloom_may_contain_any(sc, "v", [_bloom_canon(v)])
+    misses = sum(
+        _bloom_may_contain_any(sc, "v", [_bloom_canon(f"absent{k}")])
+        for k in range(200)
+    )
+    assert misses < 5
+    # end-to-end: the DML discovery prunes through the fnv1a64 sidecar
+    tbl.commit(
+        _df(spark, [(j, f"w{j}") for j in range(5000, 5100)]).coalesce(1)
+    )
+    batch = spark.createDataFrame(
+        [(9, "w5050", "upsert")], "k long, v string, _op string"
+    )
+    res = tbl.apply_changes(spark, batch, ["v"])
+    assert tbl.last_bloom_pruned == (1, 2)
+    assert res["rewritten_files"] == 1
+
+
+def test_long_string_keys_keep_sha1(spark, tmp_path):
+    """A string column whose longest value exceeds the 256-byte
+    vectorization guard keeps the per-row sha1 format (no ``hashes``
+    marker for it) and probes exactly."""
+    tbl = SnapshotTable(str(tmp_path / "t"), bloom_cols=["v"])
+    long_key = "L" * 300
+    tbl.commit(
+        _df(spark, [(1, "short"), (2, long_key)]).coalesce(1)
+    )
+    f = tbl.manifest()["files"][0]
+    sc = _load_bloom_sidecar(tbl.root, f)
+    assert "v" not in sc["hashes"]  # sha1 fallback, no marker
+    assert _bloom_may_contain_any(sc, "v", [_bloom_canon(long_key)])
+    assert _bloom_may_contain_any(sc, "v", [_bloom_canon("short")])
+    assert not _bloom_may_contain_any(sc, "v", [_bloom_canon("absent")])
+
+
+def test_sha1_sidecars_still_probe_and_unknown_kinds_keep(spark, tmp_path):
+    """Backward + forward compatibility: a pre-round-14 sidecar (no
+    ``hashes`` key, bits built via sha1) probes via sha1 exactly as
+    written; an unknown future hash kind is conservatively kept."""
+    import base64 as _b64
     import json as _json
+    import zlib as _zlib
 
     tbl = SnapshotTable(str(tmp_path / "t"), bloom_cols=["k", "v"])
     tbl.commit(_df(spark, [(j, f"v{j}") for j in range(50)]).coalesce(1))
     f = tbl.manifest()["files"][0]
     p = _bloom_sidecar_path(tbl.root, f)
     raw = _json.load(open(p))
-    assert raw["hashes"] == {"k": "sm64"}  # v stays sha1 (string col)
+    assert raw["hashes"] == {"k": "sm64", "v": "fnv1a64"}
     sc = _load_bloom_sidecar(tbl.root, f)
     assert _bloom_may_contain_any(sc, "v", [_bloom_canon("v7")])
     assert not _bloom_may_contain_any(sc, "v", [_bloom_canon("absent")])
-    # strip the marker: the int column's bits were built with sm64, so
-    # a v1-style sidecar must NOT be interpreted via sha1 — simulate a
-    # genuine v1 sidecar instead by rebuilding the bloom through the
-    # sha1 path (string column semantics) and checking probes agree
-    raw_nohash = dict(raw)
-    raw_nohash.pop("hashes")
-    _json.dump(raw_nohash, open(p, "w"))
+    # simulate a GENUINE v1 (pre-round-14) sidecar: rebuild both
+    # columns' bits through the sha1 positions math, drop the marker
+    bits = raw["bits"]
+    v1_blooms = {}
+    for col, vals in (
+        ("k", [_bloom_canon(j) for j in range(50)]),
+        ("v", [_bloom_canon(f"v{j}") for j in range(50)]),
+    ):
+        arr = bytearray(bits // 8)
+        for canon_s in vals:
+            for h in _bloom_positions(canon_s, bits):
+                arr[h >> 3] |= 1 << (h & 7)
+        v1_blooms[col] = _b64.b64encode(
+            _zlib.compress(bytes(arr))
+        ).decode("ascii")
+    _json.dump(
+        {"bits": bits, "k": raw["k"], "codec": "zlib", "blooms": v1_blooms},
+        open(p, "w"),
+    )
     sc1 = _load_bloom_sidecar(tbl.root, f)
     assert sc1["hashes"] == {}
-    # the string column is unaffected by the marker removal
-    assert _bloom_may_contain_any(sc1, "v", [_bloom_canon("v7")])
-    assert not _bloom_may_contain_any(sc1, "v", [_bloom_canon("absent")])
+    for col, present, absent in (
+        ("k", _bloom_canon(7), _bloom_canon(999_999)),
+        ("v", _bloom_canon("v7"), _bloom_canon("absent")),
+    ):
+        assert _bloom_may_contain_any(sc1, col, [present])
+        assert not _bloom_may_contain_any(sc1, col, [absent])
     # unknown future kind: conservatively kept
     raw_future = dict(raw)
     raw_future["hashes"] = {"k": "xxh128", "v": "xxh128"}

@@ -358,3 +358,41 @@ def test_probe_canon_stays_byte_compatible_with_build():
         % 64
         for i in range(6)
     ]
+
+
+def test_probe_vector_hashes_stay_byte_compatible_with_build(
+    spark, tmp_path
+):
+    """Rounds 14/15 added vectorized sidecar kinds (sm64 for ints,
+    fnv1a64 for strings); the DataSource's self-contained probe twins
+    must track them bit-for-bit. End-to-end pin: a SnapshotTable-
+    written table (marked sidecars) scanned through the DataSource
+    must prune to the same plan AND return the same rows as the
+    programmatic probe — for BOTH key types. Round 15 regression
+    anchor: the r14 sm64 change shipped without this twin, and the
+    DataSource false-rejected every file of an int-bloomed table."""
+    from kafka_database_import_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(
+        str(tmp_path / "t"), bloom_cols=["k", "v"]
+    )
+    for i in range(3):
+        tbl.commit(
+            spark.createDataFrame(
+                [(j, f"v{j}") for j in range(i * 100, (i + 1) * 100)],
+                "k long, v string",
+            ).coalesce(1)
+        )
+    rpt = str(tmp_path / "plan.json")
+    df = _scan(spark, tbl.root, report=rpt).filter(F.col("k").isin(5, 7))
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == [
+        (5, "v5"), (7, "v7"),
+    ]
+    assert json.load(open(rpt))["planned"] == 1
+    df2 = _scan(spark, tbl.root, report=rpt).filter(
+        F.col("v").isin("v205", "v7")
+    )
+    assert sorted((r["k"], r["v"]) for r in df2.collect()) == [
+        (7, "v7"), (205, "v205"),
+    ]
+    assert json.load(open(rpt))["planned"] == 2
