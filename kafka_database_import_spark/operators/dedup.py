@@ -78,8 +78,14 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sh_rows = _fan_out(df).select(
         F.col(id_col), F.explode(word_shingles(tokens(F.col(text_col)))).alias("shingle")
     )
+    # parsed-string form of min(xxhash64(concat(shingle, '#i'))) —
+    # resolves to the identical analyzed expression as the F.min/
+    # F.xxhash64/F.concat chain (pinned by tests/test_plan_shapes) but
+    # costs ONE py4j round trip per aggregate instead of ~6; the 16-
+    # expression build was ~0.2 s of driver plan-construction per run
+    # (guide §7.3: plan-build time is driver wall time).
     aggs = [
-        F.min(F.xxhash64(F.concat("shingle", F.lit(f"#{i}")))).alias(f"h{i}")
+        F.expr(f"min(xxhash64(concat(shingle, '#{i}')))").alias(f"h{i}")
         for i in range(N_HASHES)
     ]
     return sh_rows.groupBy(id_col).agg(*aggs)
@@ -120,22 +126,23 @@ def minhash_candidate_pairs(
     which is why it is not the default here."""
     sig = minhash_signatures(df, id_col, text_col)
     hcols = [f"h{i}" for i in range(N_HASHES)] if signature_prefilter is not None else []
+    # parsed-string band array: struct(.. AS ..) resolves to the same
+    # CreateNamedStruct the aliased F.struct built (pinned by
+    # tests/test_plan_shapes — the explain text is byte-identical), one
+    # round trip for the whole explode tree instead of ~10 per band
+    band_structs = ", ".join(
+        "struct({b} AS band_id, xxhash64({hs}) AS band_hash)".format(
+            b=b,
+            hs=", ".join(
+                f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
     bands = sig.select(
         F.col(id_col),
         *hcols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(BANDS)
-                ]
-            )
-        ).alias("band"),
+        F.expr(f"explode(array({band_structs}))").alias("band"),
     ).select(id_col, *hcols, "band.band_id", "band.band_hash")
 
     # Hot-bucket cap (skew guard; see module docstring): a window count
@@ -172,14 +179,17 @@ def minhash_candidate_pairs(
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
     )
     if signature_prefilter is not None:
-        est = (
-            sum(
-                F.when(F.col(f"l.h{i}") == F.col(f"r.h{i}"), 1).otherwise(0)
-                for i in range(N_HASHES)
-            )
-            / N_HASHES
+        # parsed-string estimate: Python's sum() built 0 + w0 + ... +
+        # w15 (the leading 0 constant-folds away), this builds the same
+        # CASE chain in one round trip; physical plan pinned identical
+        est_sql = " + ".join(
+            f"(CASE WHEN l.h{i} = r.h{i} THEN 1 ELSE 0 END)"
+            for i in range(N_HASHES)
         )
-        cand = cand.filter(est >= F.lit(signature_prefilter))
+        cand = cand.filter(
+            F.expr(f"(0 + {est_sql}) / {N_HASHES}")
+            >= F.lit(signature_prefilter)
+        )
     cand = cand.select(
         F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
     ).distinct()

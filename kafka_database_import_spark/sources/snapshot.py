@@ -691,7 +691,13 @@ def _with_field_ids(df: DataFrame, schema_json: str) -> DataFrame:
     """Stamp the manifest's field ids onto ``df``'s columns (metadata
     alias) so the parquet writer records them in the footer. A no-op on
     legacy (id-less) schemas. Extra bookkeeping columns not in the
-    schema pass through unstamped."""
+    schema pass through unstamped.
+
+    (Round 15 note: ``DataFrame.to(struct)`` looked like a one-call
+    replacement for this loop — its RESULT SCHEMA even shows the
+    metadata — but the parquet writer then records NO field ids in the
+    footers: the reconciliation drops the metadata from the physical
+    attributes. Verified empirically; keep the alias loop.)"""
     from pyspark.sql import functions as F
 
     struct = T.StructType.fromJson(json.loads(schema_json))

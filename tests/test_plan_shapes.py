@@ -830,3 +830,29 @@ def test_tpcds_q94_decorrelates_to_one_aggregate(spark, sf_dir):
     # aggregate together (expand for count-distinct is fine — it is
     # aggregate-side, not a rescan)
     assert plan.count("FileScan parquet") <= 4  # lineitem + orders ×2 legs
+
+
+def test_q44_minhash_signature_plan_shape_pinned(spark, sf_dir):
+    """Round 15 rebuilt q44's three expression lists as parsed SQL
+    strings to cut driver plan-build py4j chatter; the physical plan
+    must stay the explode→min-agg shape (the in-code comment documents
+    a 170× regression from the transform-collapse alternative) with
+    the signature subtree evaluated once per side, never inlined per
+    minhash. Pin the load-bearing facts: the shingle explode appears a
+    BOUNDED number of times (once per band-side scan, not 16× per
+    signature), the band explode carries the 4-band struct array, and
+    the per-doc aggregation computes all 16 min(xxhash64(...)) in one
+    HashAggregate (partial + final => map-side combine survives)."""
+    plan = _plan(spark, sf_dir, "q44_minhash_lsh")
+    # the regression shape computed signatures as 16 array_min(
+    # transform(...)) projections whose shingle subtree Catalyst
+    # inlined per reference — it must never reappear
+    assert "array_min(transform" not in plan
+    # signatures are min(xxhash64(...)) aggregates over EXPLODED
+    # shingle rows, with map-side partial aggregation
+    assert "partial_min(xxhash64(concat(shingle" in plan
+    assert "Generate explode" in plan
+    # the plan string prints reused subtrees inline; the explode count
+    # is bounded by plan printing, not by N_HASHES — 16 inlined
+    # signature pipelines would put it in the hundreds
+    assert plan.count("Generate explode") < 40

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for catalog queries into plans/r14/.
+"""Capture .explain("formatted") for catalog queries into plans/<KDIS_PLANS_DIR, default r15>/.
 
 Usage: python tools/capture_plans.py <suffix> [name ...]
 
@@ -30,7 +30,7 @@ def main() -> None:
     catalog = all_queries()
     if not names:
         names = [n for n in HEADLINE if n in catalog]
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("KDIS_PLANS_DIR", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         q = catalog.get(name)
